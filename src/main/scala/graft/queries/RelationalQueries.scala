@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.QueryDef.sql
+import graft.core.Tables
+
+/** Relational core: scans, filters, joins, aggregations, windows, set ops,
+  * sorts/limits — the generalized query surface of SURVEY.md §2.1–§2.7 over
+  * the driver's star schema.
+  *
+  * Scale notes are attached per query; the common themes:
+  *  - filters/projections sit directly on the parquet scan (pushdown+pruning);
+  *  - dimension joins are explicitly `broadcast(...)` — at 100 TB the fact
+  *    table never shuffles for a dim join;
+  *  - fact-fact joins shuffle on their equi-keys and AQE picks the final
+  *    partitioning at runtime.
+  */
+object RelationalQueries {
+
+  def all: Seq[QueryDef] = Seq(
+    q01PricingSummary, q02FilterPushdown, q03JoinTopkRevenue,
+    q04BroadcastDimJoin, q05SemiJoin, q06AntiJoin, q07OuterJoinAgg,
+    q08WindowTopk, q09WindowLagMs, q10Percentile, q11DistinctCounts,
+    q12SetOps, q13RunningSum, q14ConditionalAgg, q15Rollup)
+
+  /** TPC-H Q1-style pricing summary (SURVEY §2.4 ops 20,25; §2.2 op 9-11).
+    * Scale: map-side partial aggregation → tiny shuffle (6 groups). */
+  val q01PricingSummary: QueryDef = sql(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       round(avg(l_extendedprice), 4) AS avg_price,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-09-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        oround(sum(col("l_quantity")), 2).as("sum_qty"),
+        oround(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        oround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        oround(avg(col("l_quantity")), 4).as("avg_qty"),
+        oround(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Filter + projection; predicate and column pruning reach the parquet scan
+    * (`PushedFilters`, `ReadSchema` — SURVEY §4). */
+  val q02FilterPushdown: QueryDef = sql(
+    "q02_filter_pushdown",
+    """SELECT l_orderkey, l_partkey, l_linenumber,
+      |       round(l_extendedprice * (1 - l_discount), 2) AS net_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("2000-01-01 00:00:00").cast("timestamp")
+        && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        oround(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+  }
+
+  /** TPC-H Q3-style revenue top-k: dim-filtered fact-fact join + agg + top-k.
+    * Scale: customer filter broadcast; orders⋈lineitem shuffles on orderkey;
+    * top-10 via ordered limit (TakeOrderedAndProject — no full sort). */
+  val q03JoinTopkRevenue: QueryDef = sql(
+    "q03_join_topk_revenue",
+    """SELECT o_orderkey, o_orderdate,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |              JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(oround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Snowflake dim join, explicitly broadcast (SURVEY §2.3 op 18). */
+  val q04BroadcastDimJoin: QueryDef = sql(
+    "q04_broadcast_dim_join",
+    """SELECT r_name, n_name, count(*) AS n_cust,
+      |       round(avg(c_acctbal), 4) AS avg_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |              JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), oround(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Left-semi join (EXISTS). */
+  val q05SemiJoin: QueryDef = sql(
+    "q05_semi_join",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  val q06AntiJoin: QueryDef = sql(
+    "q06_anti_join",
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-outer join + null-aware aggregation. */
+  val q07OuterJoinAgg: QueryDef = sql(
+    "q07_outer_join_agg",
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      |       round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        oround(coalesce(sum(col("o_totalprice")), lit(0)), 2).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Top-k per group via row_number (SURVEY §2.5 op 31 / §2.6 op 35). */
+  val q08WindowTopk: QueryDef = sql(
+    "q08_window_topk",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |             row_number() OVER (PARTITION BY o_custkey
+      |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** LAG over ordered per-key rows + epoch-millis gap (SURVEY §2.5 op 29,
+    * §2.8 op 46). Integer millis on both sides → exact compare. */
+  val q09WindowLagMs: QueryDef = sql(
+    "q09_window_lag_ms",
+    """SELECT o_custkey, o_orderkey,
+      |       epoch_ms(o_orderdate) - lag(epoch_ms(o_orderdate))
+      |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_ms
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (epochMs(col("o_orderdate")) - lag(epochMs(col("o_orderdate")), 1).over(w)).as("gap_ms"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .drop("o_orderdate")
+  }
+
+  /** Exact percentile with linear interpolation — Spark `percentile` ≡
+    * DuckDB/Postgres `percentile_cont` (SURVEY §2.4 op 22). */
+  val q10Percentile: QueryDef = sql(
+    "q10_percentile",
+    """SELECT l_returnflag,
+      |       round(CAST(percentile_cont(0.1) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE), 4) AS p10_qty,
+      |       round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE), 4) AS p50_qty,
+      |       round(CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE), 4) AS p90_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        oround(expr("percentile(l_quantity, 0.1)"), 4).as("p10_qty"),
+        oround(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        oround(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact distinct counts (dedup-by-key building block, SURVEY §2.4 op 26). */
+  val q11DistinctCounts: QueryDef = sql(
+    "q11_distinct_counts",
+    """SELECT count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps,
+      |       count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  /** Set op: INTERSECT (distinct) — SURVEY §2.7. */
+  val q12SetOps: QueryDef = sql(
+    "q12_setops",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val a = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val b = Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey").as("c_custkey"))
+    a.intersect(b).orderBy(col("c_custkey"))
+  }
+
+  /** Running sum over a fully-specified window order — identical accumulation
+    * order on both engines → identical doubles (SURVEY §2.5). */
+  val q13RunningSum: QueryDef = sql(
+    "q13_running_sum",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |       round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+      |FROM lineitem
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        oround(sum(col("l_extendedprice")).over(w), 2).as("running_rev"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .drop("l_shipdate")
+  }
+
+  /** Conditional aggregation (TPC-H Q14-style promo share). */
+  val q14ConditionalAgg: QueryDef = sql(
+    "q14_conditional_agg",
+    """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |                             THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      |             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin) { (s, d) =>
+    val net = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(oround(lit(100.0) * sum(when(col("p_type") === "PROMO", net).otherwise(lit(0)))
+        / sum(net), 4).as("promo_share"))
+  }
+
+  /** ROLLUP grouping sets (subtotals + grand total). */
+  val q15Rollup: QueryDef = sql(
+    "q15_rollup",
+    """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |              JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), oround(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+}
