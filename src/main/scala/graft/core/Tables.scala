@@ -45,7 +45,9 @@ object Tables {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val tsField = raw.schema("ts")
     if (tsField.dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // integer DIV — `/` would be double division, and epoch nanos exceed
+      // double's 53-bit mantissa (±1µs corruption)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else raw
   }
 

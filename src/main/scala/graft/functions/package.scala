@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
+
+/** Column-level API over the engine's custom Catalyst expressions, plus SQL
+  * registration so every function is also reachable from `spark.sql(...)`. */
+package object functions {
+
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ExpressionUtils.column(e)
+  private def e(col: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ExpressionUtils.expression(col)
+
+  /** Cosine similarity of two array<float|double> columns (codegen'd). */
+  def cosine_similarity(a: Column, b: Column): Column =
+    c(CosineSimilarity(e(a), e(b)))
+
+  /** pgvector-style cosine distance `a <=> b` = 1 − similarity. */
+  def cosine_distance(a: Column, b: Column): Column =
+    lit(1.0) - cosine_similarity(a, b)
+
+  /** Dot product of two array<float|double> columns (codegen'd). */
+  def vec_dot(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+
+  /** L2 norm of an array<float|double> column. */
+  def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
+
+  /** Raw JSON `{...}`/`[...]` snippets embedded in noisy text, in order. */
+  def extract_json_objects(text: Column): Column =
+    c(ExtractJsonObjects(e(text)))
+
+  /** 64-bit SimHash of a token array. */
+  def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+
+  /** Winnowing fingerprint (char k-grams, window w) of a string column. */
+  def winnow_fingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
+    c(WinnowFingerprint(e(text), k, w))
+
+  /** Apply a Polars offset string ("-15d", "-3mo", "1h30m") to a timestamp. */
+  def offset_by(ts: Column, offset: String): Column = PolarsOffset.offsetBy(ts, offset)
+
+  /** Seconds-of-day codec for the engine's time-of-day representation
+    * (SURVEY §1.2: Spark has no TimeType; reference compares Postgres
+    * `time` values — zero-padded "HH:mm" strings and seconds-of-day ints
+    * order identically). */
+  def seconds_of_day(hhmm: Column): Column =
+    substring(hhmm, 1, 2).cast("int") * 3600 + substring(hhmm, 4, 2).cast("int") * 60
+
+  /** Inverse codec: seconds-of-day int → "HH:mm". */
+  def hhmm_of_seconds(secs: Column): Column =
+    format_string("%02d:%02d", (secs / 3600).cast("int"), ((secs % 3600) / 60).cast("int"))
+
+  /** Register all custom functions for the SQL surface. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "extract_json_objects", exprs => ExtractJsonObjects(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "winnow_fingerprint", exprs => WinnowFingerprint(exprs.head, 8, 16), "scala_udf")
+  }
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.QueryDef.sql
+import graft.core.Tables
+import graft.functions.{offset_by, seconds_of_day}
+
+/** Reference-pipeline semantics (SURVEY §2 EP1/EP2) generalized onto the
+  * driver `events` table: recency split, gap sessionization, adaptive
+  * percentile thresholds, JSON props extraction, calendar offsets,
+  * time-of-day codec, fixed-size chunking.
+  *
+  * All window work partitions by `user_id` — the same per-user partitioning
+  * the reference gets from Dagster dynamic partitions — so at 100 TB each
+  * user's timeline is one shuffle partition stream, never a global sort.
+  */
+object EventQueries {
+
+  def all: Seq[QueryDef] = Seq(
+    q16RecencySplit, q17Sessionize, q18Thresholds, q19JsonExtract,
+    q20IntervalOffset, q21TimeOfDay, q22Chunking)
+
+  /** Recency split vs per-user max timestamp (SURVEY §2.2 op 10,
+    * assets/takeout.py:70-72): keep events within "-15d" of the user's
+    * latest event — data-relative, not wall-clock. */
+  val q16RecencySplit: QueryDef = sql(
+    "q16_recency_split",
+    """SELECT event_id, user_id, ts
+      |FROM (SELECT event_id, user_id, ts,
+      |             max(ts) OVER (PARTITION BY user_id) AS mx
+      |      FROM events)
+      |WHERE ts > mx - INTERVAL 15 DAY
+      |ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .withColumn("mx", max(col("ts")).over(w))
+      .filter(col("ts") > offset_by(col("mx"), "-15d"))
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Gap-based sessionization (SURVEY §2.10; the reference's session merge
+    * time-threshold semantic, op 62): 30-minute inactivity gap splits a
+    * user's event stream into sessions. lag → flag → running sum → agg. */
+  val q17Sessionize: QueryDef = sql(
+    "q17_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                        + INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id,
+      |       min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull
+          || col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        oround(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Adaptive per-user thresholds (SURVEY §2.9 op 62 /
+    * assets/recent_history.py:244-341): percentiles of inter-event gaps —
+    * the 10th-pct gap drives session merging, 90th-pct drives similarity.
+    * Integer epoch-millis gaps → exact percentile interpolation parity. */
+  val q18Thresholds: QueryDef = sql(
+    "q18_thresholds",
+    """WITH gaps AS (
+      |  SELECT user_id,
+      |         CAST(epoch_ms(ts) - lag(epoch_ms(ts))
+      |              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS gap_ms
+      |  FROM events)
+      |SELECT user_id,
+      |       round(CAST(percentile_cont(0.1) WITHIN GROUP (ORDER BY gap_ms) AS DOUBLE), 3) AS p10_gap_ms,
+      |       round(CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_ms) AS DOUBLE), 3) AS p90_gap_ms,
+      |       count(gap_ms) AS n_gaps
+      |FROM gaps
+      |WHERE gap_ms IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("gap_ms",
+        (epochMs(col("ts")) - lag(epochMs(col("ts")), 1).over(w)).cast("double"))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        oround(expr("percentile(gap_ms, 0.1)"), 3).as("p10_gap_ms"),
+        oround(expr("percentile(gap_ms, 0.9)"), 3).as("p90_gap_ms"),
+        count(col("gap_ms")).as("n_gaps"))
+      .orderBy(col("user_id"))
+  }
+
+  /** JSON extraction from the `props` column (SURVEY §2.8 op 50 surface —
+    * the well-formed-JSON half; noisy-text extraction is covered by the
+    * ExtractJsonObjects expression + its spec). */
+  val q19JsonExtract: QueryDef = sql(
+    "q19_json_extract",
+    """SELECT event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(k).as("sum_k"), oround(avg(k), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Polars offset-language arithmetic (SURVEY §2.8 op 41): "-15d", "-3mo",
+    * "1h30m" applied via the PolarsOffset parser — calendar months clamp
+    * exactly like `ts - INTERVAL n MONTH`. */
+  val q20IntervalOffset: QueryDef = sql(
+    "q20_interval_offset",
+    """SELECT event_id, ts,
+      |       ts - INTERVAL 15 DAY AS ts_m15d,
+      |       ts - INTERVAL 3 MONTH AS ts_m3mo,
+      |       ts + INTERVAL 90 MINUTE AS ts_p90m
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), col("ts"),
+        offset_by(col("ts"), "-15d").as("ts_m15d"),
+        offset_by(col("ts"), "-3mo").as("ts_m3mo"),
+        offset_by(col("ts"), "1h30m").as("ts_p90m"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Time-of-day codec (SURVEY §1.2, §2.8 ops 40,42,45): HH:mm rendering,
+    * seconds-of-day integers, and date+time reassembly into a timestamp. */
+  val q21TimeOfDay: QueryDef = sql(
+    "q21_time_of_day",
+    """SELECT event_id,
+      |       strftime(ts, '%H:%M') AS hhmm,
+      |       CAST(ts AS DATE) AS d,
+      |       CAST(date_part('hour', ts) * 3600 + date_part('minute', ts) * 60 AS BIGINT) AS sec_of_day,
+      |       CAST(CAST(CAST(ts AS DATE) AS VARCHAR) || ' ' || strftime(ts, '%H:%M') || ':00' AS TIMESTAMP) AS ts_rebuilt
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ts = col("ts").cast("timestamp")
+    Tables.events(s, d)
+      .select(col("event_id"),
+        date_format(ts, "HH:mm").as("hhmm"),
+        to_date(ts).as("d"),
+        seconds_of_day(date_format(ts, "HH:mm")).cast("long").as("sec_of_day"),
+        to_timestamp(concat(to_date(ts).cast("string"), lit(" "), date_format(ts, "HH:mm"), lit(":00")))
+          .as("ts_rebuilt"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Fixed-size chunking within (user, day) groups (SURVEY §2.4 op 28 —
+    * the reference's 15-row LLM prompt chunks): row_number → chunk id. */
+  val q22Chunking: QueryDef = sql(
+    "q22_chunking",
+    """WITH numbered AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id,
+      |         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, d, CAST(floor((rn - 1) / 15) AS BIGINT) AS chunk_id,
+      |       count(*) AS n_rows, min(ts) AS chunk_start, max(ts) AS chunk_end
+      |FROM numbered
+      |GROUP BY user_id, d, chunk_id
+      |ORDER BY user_id, d, chunk_id""".stripMargin) { (s, d) =>
+    val day = col("ts").cast("timestamp")
+    val w = Window.partitionBy(col("user_id"), col("d")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("d", to_date(day))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("chunk_id", floor((col("rn") - 1) / 15).cast("long"))
+      .groupBy(col("user_id"), col("d"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ts")).as("chunk_start"), max(col("ts")).as("chunk_end"))
+      .orderBy(col("user_id"), col("d"), col("chunk_id"))
+  }
+}

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.QueryDef.{rowsOnly, sql}
+import graft.core.Tables
+import graft.functions.{simhash64, winnow_fingerprint}
+
+/** Text-analysis + deduplication surface over the `documents` table — the
+  * LLM-training-data operators required beyond the reference's own surface:
+  * exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard, token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * MinHash uses md5-of-shingle string minima (k independent "hash functions"
+  * = k salts) — deliberately expressible in both engines so the signature
+  * computation itself is oracle-checked; the engine-only SimHash/winnowing
+  * variants use the pinned FNV-1a64 expressions.
+  */
+object TextQueries {
+
+  def all: Seq[QueryDef] = Seq(
+    q40ExactDedup, q41TokenStats, q42QualityScore, q43MinhashSignatures,
+    q44JaccardPairs, q45LshCandidates, q46Simhash, q47LangId, q48Fingerprint)
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  private val tokens: Column = split(col("text"), " ")
+
+  /** Exact dedup via content hash → representative id + multiplicity
+    * (hash-groupBy; at 100 TB this is one shuffle on the 128-bit digest). */
+  val q40ExactDedup: QueryDef = sql(
+    "q40_exact_dedup",
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      |       count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY content_hash""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+  }
+
+  /** Token counting + char stats (whitespace tokenizer — the BPE-ish regex
+    * variant is q47's engine-side path). */
+  val q41TokenStats: QueryDef = sql(
+    "q41_token_stats",
+    """SELECT doc_id,
+      |       CAST(length(text) AS BIGINT) AS n_chars_calc,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(tokens).cast("long").as("n_tokens"),
+        size(array_distinct(tokens)).cast("long").as("n_distinct_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: type-token ratio, stopword ratio, mean token length —
+    * the length/punct/stopword heuristics of a pretraining quality filter. */
+  val q42QualityScore: QueryDef = sql(
+    "q42_quality_score",
+    """SELECT doc_id,
+      |       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |             / len(string_split(text, ' ')), 6) AS ttr,
+      |       round(CAST(len(list_filter(string_split(text, ' '),
+      |                                  t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+      |       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |             / len(string_split(text, ' ')), 6) AS mean_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val stop = Seq("the", "a", "of", "and", "to")
+    val nTok = size(tokens).cast("double")
+    docs(s, d)
+      .select(col("doc_id"),
+        oround(size(array_distinct(tokens)).cast("double") / nTok, 6).as("ttr"),
+        oround(size(filter(tokens, t => t.isInCollection(stop))).cast("double") / nTok, 6)
+          .as("stopword_ratio"),
+        oround(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok, 6)
+          .as("mean_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash signatures over word 3-shingles, 4 salted md5 "hash functions".
+    * (Spark array subscripts are 0-based, DuckDB's 1-based — mind the +1.) */
+  val q43MinhashSignatures: QueryDef = sql(
+    "q43_minhash_signatures",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |sh AS (SELECT doc_id,
+      |              CASE WHEN len(tok) >= 3
+      |                   THEN list_transform(range(len(tok) - 2),
+      |                        i -> tok[i + 1] || ' ' || tok[i + 2] || ' ' || tok[i + 3])
+      |                   ELSE [] END AS shingles
+      |       FROM t)
+      |SELECT doc_id,
+      |       list_aggregate(list_transform(shingles, s -> md5('0' || s)), 'min') AS sig0,
+      |       list_aggregate(list_transform(shingles, s -> md5('1' || s)), 'min') AS sig1,
+      |       list_aggregate(list_transform(shingles, s -> md5('2' || s)), 'min') AS sig2,
+      |       list_aggregate(list_transform(shingles, s -> md5('3' || s)), 'min') AS sig3
+      |FROM sh
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sh = docs(s, d).select(col("doc_id"), TextQueries.shingles3(tokens).as("shingles"))
+    def sig(salt: String): Column =
+      array_min(transform(col("shingles"), sg => md5(concat(lit(salt), sg))))
+    sh.select(col("doc_id"),
+        sig("0").as("sig0"), sig("1").as("sig1"), sig("2").as("sig2"), sig("3").as("sig3"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** n-gram (token-set) Jaccard similarity over adjacent doc pairs —
+    * the verification half of near-dup detection (candidates come from
+    * q45's LSH buckets; here the pairing is deterministic so the Jaccard
+    * computation itself is oracle-checked). */
+  val q44JaccardPairs: QueryDef = sql(
+    "q44_jaccard_pairs",
+    """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+      |           FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       round(CAST(len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS DOUBLE)
+      |             / len(list_distinct(a.tok || b.tok)), 6) AS jaccard
+      |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      |ORDER BY id_a""".stripMargin) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), array_distinct(tokens).as("tok"))
+    val a = t.select(col("doc_id").as("id_a"), col("tok").as("tok_a"))
+    val b = t.select(col("doc_id").as("id_b"), col("tok").as("tok_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        oround(size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
+          / size(array_union(col("tok_a"), col("tok_b"))), 6).as("jaccard"))
+      .orderBy(col("id_a"))
+  }
+
+  /** MinHash-LSH banding: docs sharing the (sig0, sig1) band land in one
+    * bucket; buckets with >1 doc are near-dup candidates. Scale: this is the
+    * O(n²)→O(n) trick — a groupBy on the band key replaces the all-pairs
+    * join; candidates then get exact-Jaccard verification (q44 semantics). */
+  val q45LshCandidates: QueryDef = sql(
+    "q45_lsh_candidates",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |sh AS (SELECT doc_id,
+      |              CASE WHEN len(tok) >= 3
+      |                   THEN list_transform(range(len(tok) - 2),
+      |                        i -> tok[i + 1] || ' ' || tok[i + 2] || ' ' || tok[i + 3])
+      |                   ELSE [] END AS shingles
+      |       FROM t),
+      |sigs AS (SELECT doc_id,
+      |                md5(list_aggregate(list_transform(shingles, s -> md5('0' || s)), 'min')
+      |                    || list_aggregate(list_transform(shingles, s -> md5('1' || s)), 'min'))
+      |                  AS band
+      |         FROM sh WHERE len(shingles) > 0)
+      |SELECT band, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM sigs
+      |GROUP BY band
+      |HAVING count(*) > 1
+      |ORDER BY band""".stripMargin) { (s, d) =>
+    val sh = docs(s, d).select(col("doc_id"), TextQueries.shingles3(tokens).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    def sig(salt: String): Column =
+      array_min(transform(col("shingles"), sg => md5(concat(lit(salt), sg))))
+    sh.select(col("doc_id"), md5(concat(sig("0"), sig("1"))).as("band"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("band"))
+  }
+
+  /** SimHash fingerprints (engine-pinned FNV-1a bit votes — not
+    * SQL-expressible, rows-only check; unit-tested in SimHashSpec). */
+  val q46Simhash: QueryDef = rowsOnly("q46_simhash") { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), simhash64(tokens).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID: stopword-profile scoring (n-gram heuristic family).
+    * Deterministic scores per language profile; argmax with a stable
+    * tie-break. Rows-only (profiles are engine configuration). */
+  val q47LangId: QueryDef = rowsOnly("q47_langid") { (s, d) =>
+    import graft.text.LangId
+    LangId.detect(docs(s, d), col("text"))
+      .select(col("doc_id"), col("lang"), col("lang_pred"), col("lang_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing fingerprints (rolling-hash k-grams, window minima). */
+  val q48Fingerprint: QueryDef = rowsOnly("q48_fingerprint") { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), winnow_fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word 3-shingles with a guard for short docs (Spark `sequence(0, -1)`
+    * would produce a descending sequence, not an empty one). */
+  def shingles3(tok: Column): Column =
+    when(size(tok) >= 3,
+      transform(sequence(lit(0), size(tok) - 3),
+        i => concat_ws(" ", element_at(tok, i + 1), element_at(tok, i + 2), element_at(tok, i + 3))))
+      .otherwise(array())
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.QueryDef.sql
+import graft.core.Tables
+import graft.functions.cosine_similarity
+
+/** Vector / similarity-search surface over the `embeddings` table
+  * (SURVEY §2.9 ops 17, 31, 38, 61 + the generalized ANN requirements).
+  *
+  * Cosine similarity is the engine's codegen'd `CosineSimilarity` Catalyst
+  * expression; DuckDB's `list_cosine_similarity` over DOUBLE[] accumulates
+  * in the same element order, so values agree before the 6-decimal rounding.
+  *
+  * Similarities are rounded BEFORE ranking on both sides — ranking raw
+  * doubles across two engines risks rank flips from last-bit differences.
+  */
+object VectorQueries {
+
+  def all: Seq[QueryDef] = Seq(
+    q30Top1Similar, q31NearDupBucketed, q32KnnBruteForce, q33Centroids)
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"), col("embedding"))
+
+  /** Reference graph op (assets/recent_history.py:450-527): for every vector,
+    * its most-similar *later* vector (vec_id ordering stands in for the
+    * temporal ordering) with edge weight 1 − similarity.
+    *
+    * Scale note: the all-pairs form is O(n²) — correct at oracle scale; the
+    * 100 TB path is q31's bucketed variant (LSH/IVF prune) with identical
+    * ranking semantics. */
+  val q30Top1Similar: QueryDef = sql(
+    "q30_top1_similar",
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id),
+      |ranked AS (
+      |  SELECT src, dst, sim,
+      |         row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+      |  FROM pairs)
+      |SELECT src, dst, sim, round(1 - sim, 6) AS weight
+      |FROM ranked WHERE rn = 1
+      |ORDER BY src""".stripMargin) { (s, d) =>
+    val a = emb(s, d).select(col("vec_id").as("src"), col("embedding").as("ea"))
+    val b = emb(s, d).select(col("vec_id").as("dst"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("dst") > col("src"))
+      .select(col("src"), col("dst"),
+        oround(cosine_similarity(col("ea").cast("array<double>"), col("eb").cast("array<double>")), 6).as("sim"))
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("src"), col("dst"), col("sim"), oround(lit(1) - col("sim"), 6).as("weight"))
+      .orderBy(col("src"))
+  }
+
+  /** Embedding near-duplicate detection, bucketed by `label` (the IVF-style
+    * scale path: candidate pairs only within a coarse bucket — here the
+    * provided cluster label; at 100 TB the bucket is an LSH band or IVF
+    * centroid assignment, turning O(n²) into Σ O(bucket²)). */
+  val q31NearDupBucketed: QueryDef = sql(
+    "q31_neardup_bucketed",
+    """SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND b.vec_id > a.vec_id
+      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+      |ORDER BY label, id_a, id_b""".stripMargin) { (s, d) =>
+    val a = emb(s, d).select(col("label"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb(s, d).select(col("label").as("lb"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, col("label") === col("lb") && col("id_b") > col("id_a"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        oround(cosine_similarity(col("ea").cast("array<double>"), col("eb").cast("array<double>")), 6).as("sim"))
+      .filter(col("sim") >= 0.3)
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force top-k cosine ANN baseline: 5 probe vectors × full scan.
+    * Scale: probe side is broadcast; the scan side streams — no shuffle of
+    * the big table; k is kept per-partition then merged by the window. */
+  val q32KnnBruteForce: QueryDef = sql(
+    "q32_knn_bruteforce",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid, e.vec_id AS nn,
+      |         round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM q CROSS JOIN embeddings e
+      |  WHERE e.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT qid, nn, sim,
+      |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nn) AS rank
+      |  FROM scored)
+      |SELECT qid, rank, nn, sim FROM ranked WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val q = emb(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+    val e = emb(s, d).select(col("vec_id").as("nn"), col("embedding").cast("array<double>").as("ne"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nn"))
+    broadcast(q).join(e, col("nn") =!= col("qid"))
+      .select(col("qid"), col("nn"), oround(cosine_similarity(col("qe"), col("ne")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("nn"), col("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Per-label centroids via posexplode — the k-means/IVF assignment step's
+    * aggregation half (SURVEY §2.9 clustering surface). Long-format output
+    * (label, dim index, mean) keeps it engine-agnostic.
+    * Scale: partial aggregation per partition → shuffle is |labels|×dims. */
+  val q33Centroids: QueryDef = sql(
+    "q33_centroids",
+    """SELECT label, CAST(i AS BIGINT) AS dim,
+      |       round(avg(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)), 6) AS centroid,
+      |       count(*) AS n
+      |FROM embeddings CROSS JOIN range(64) t(i)
+      |GROUP BY label, i
+      |ORDER BY label, dim""".stripMargin) { (s, d) =>
+    emb(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(oround(avg(col("x").cast("double")), 6).as("centroid"), count(lit(1)).as("n"))
+      .select(col("label"), col("i").cast("long").as("dim"), col("centroid"), col("n"))
+      .orderBy(col("label"), col("dim"))
+  }
+}

@@ -1,0 +1,215 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sim(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+    val df = Seq((a, b)).toDF("a", "b")
+    val r = df.select(cosine_similarity(col("a"), col("b"))).head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("orthogonal vectors → 0") {
+    assert(math.abs(sim(Seq(1.0, 0.0), Seq(0.0, 1.0)).get) < 1e-15)
+  }
+
+  test("parallel vectors → 1") {
+    assert(math.abs(sim(Seq(1.0, 2.0, 3.0), Seq(2.0, 4.0, 6.0)).get - 1.0) < 1e-15)
+  }
+
+  test("antiparallel → -1") {
+    assert(math.abs(sim(Seq(1.0, 0.0), Seq(-2.0, 0.0)).get + 1.0) < 1e-15)
+  }
+
+  test("known value matches hand computation") {
+    // dot=8, |a|=sqrt(5), |b|=sqrt(13)
+    val expect = 8.0 / (math.sqrt(5) * math.sqrt(13))
+    assert(math.abs(sim(Seq(1.0, 2.0), Seq(2.0, 3.0)).get - expect) < 1e-15)
+  }
+
+  test("zero vector → null") {
+    assert(sim(Seq(0.0, 0.0), Seq(1.0, 2.0)).isEmpty)
+  }
+
+  test("null input → null") {
+    val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    assert(df.select(cosine_similarity(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("float arrays widen to double") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(2.0f, 3.0f))).toDF("a", "b")
+    val got = df.select(cosine_similarity(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(got - 8.0 / (math.sqrt(5) * math.sqrt(13))) < 1e-7)
+  }
+
+  test("interpreted eval matches codegen") {
+    val df = Seq((Seq(0.3, -1.2, 4.5), Seq(2.2, 0.0, -3.3))).toDF("a", "b")
+    val viaCodegen = df.select(cosine_similarity(col("a"), col("b"))).head().getDouble(0)
+    val e = CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(0.3, -1.2, 4.5),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(2.2, 0.0, -3.3),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    val interpreted = e.eval(null).asInstanceOf[Double]
+    assert(viaCodegen === interpreted)
+  }
+
+  test("vec_dot and vec_norm") {
+    val df = Seq((Seq(3.0, 4.0), Seq(1.0, 1.0))).toDF("a", "b")
+    val r = df.select(vec_dot(col("a"), col("b")), vec_norm(col("a"))).head()
+    assert(r.getDouble(0) === 7.0)
+    assert(r.getDouble(1) === 5.0)
+  }
+}
+
+class ExtractJsonObjectsSpec extends SparkSpec {
+  import ExtractJsonObjects.scan
+
+  test("single object") {
+    assert(scan("""{"a": 1}""") == Seq("""{"a": 1}"""))
+  }
+
+  test("object embedded in prose") {
+    assert(scan("""Sure! Here is the JSON: {"a": 1} hope it helps""") == Seq("""{"a": 1}"""))
+  }
+
+  test("multiple objects") {
+    assert(scan("""{"a":1} and {"b":2}""") == Seq("""{"a":1}""", """{"b":2}"""))
+  }
+
+  test("nested objects emitted once") {
+    assert(scan("""{"a": {"b": [1,2]}}""") == Seq("""{"a": {"b": [1,2]}}"""))
+  }
+
+  test("top-level array is one snippet") {
+    assert(scan("""[{"a":1},{"b":2}]""") == Seq("""[{"a":1},{"b":2}]"""))
+  }
+
+  test("braces inside string literals ignored") {
+    assert(scan("""{"a": "}{"}""") == Seq("""{"a": "}{"}"""))
+  }
+
+  test("escaped quotes inside strings") {
+    assert(scan("""{"a": "x\"}y"}""") == Seq("""{"a": "x\"}y"}"""))
+  }
+
+  test("unbalanced tail dropped, never throws") {
+    assert(scan("""{"a": 1""") == Seq.empty)
+    assert(scan("") == Seq.empty)
+    assert(scan("no json here") == Seq.empty)
+  }
+
+  test("column API + from_json round trip") {
+    import spark.implicits._
+    val df = Seq("noise {\"time_start\": \"09:15\", \"time_end\": \"10:00\"} trailing").toDF("raw")
+    val got = df.select(explode(extract_json_objects(col("raw"))).as("j"))
+      .select(get_json_object(col("j"), "$.time_start").as("ts"))
+      .head().getString(0)
+    assert(got == "09:15")
+  }
+}
+
+class PolarsOffsetSpec extends SparkSpec {
+  import PolarsOffset._
+
+  test("simple units") {
+    assert(parse("15d") == Offset(0, 15L * 86400 * 1000000L))
+    assert(parse("-15d") == Offset(0, -15L * 86400 * 1000000L))
+    assert(parse("3mo") == Offset(3, 0))
+    assert(parse("-3mo") == Offset(-3, 0))
+    assert(parse("1y") == Offset(12, 0))
+    assert(parse("2q") == Offset(6, 0))
+    assert(parse("1w") == Offset(0, 7L * 86400 * 1000000L))
+  }
+
+  test("compound offsets") {
+    assert(parse("1h30m") == Offset(0, (3600L + 1800L) * 1000000L))
+    assert(parse("-1mo15d") == Offset(-1, -15L * 86400 * 1000000L))
+    assert(parse("1m30s") == Offset(0, 90L * 1000000L))
+  }
+
+  test("sub-second units") {
+    assert(parse("5ms") == Offset(0, 5000L))
+    assert(parse("5us") == Offset(0, 5L))
+    assert(parse("5000ns") == Offset(0, 5L))
+  }
+
+  test("malformed rejected") {
+    assertThrows[IllegalArgumentException](parse(""))
+    assertThrows[IllegalArgumentException](parse("15"))
+    assertThrows[IllegalArgumentException](parse("d15"))
+    assertThrows[IllegalArgumentException](parse("15x"))
+    assertThrows[IllegalArgumentException](parse("15d junk"))
+  }
+
+  test("calendar month clamping matches Spark interval semantics") {
+    import spark.implicits._
+    val df = Seq("2024-03-31 12:00:00").toDF("s")
+      .select(to_timestamp(col("s")).as("ts"))
+    val got = df.select(offset_by(col("ts"), "-1mo").cast("string")).head().getString(0)
+    assert(got == "2024-02-29 12:00:00") // leap-year clamp
+  }
+}
+
+class TimeOfDaySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("seconds_of_day and hhmm_of_seconds round trip") {
+    val df = Seq("09:15", "00:00", "23:59").toDF("hhmm")
+    val rows = df.select(col("hhmm"), seconds_of_day(col("hhmm")).as("s"))
+      .select(col("hhmm"), col("s"), hhmm_of_seconds(col("s")).as("back"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(2))
+    }
+    assert(rows.map(_.getInt(1)).toSeq == Seq(9 * 3600 + 15 * 60, 0, 23 * 3600 + 59 * 60))
+  }
+
+  test("lexicographic HH:mm ordering matches numeric ordering") {
+    val times = Seq("00:00", "09:15", "10:00", "23:59")
+    assert(times.sorted == times.sortBy(t => t.take(2).toInt * 60 + t.drop(3).toInt))
+  }
+}
+
+class TextHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash: identical token arrays → identical hash") {
+    val df = Seq(Seq("a", "b", "c"), Seq("a", "b", "c")).toDF("t")
+    val hs = df.select(simhash64(col("t"))).collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+  }
+
+  test("simhash: similar docs have small hamming distance vs dissimilar") {
+    val base = (1 to 50).map(i => s"tok$i")
+    val near = base.updated(3, "changed")
+    val far = (1 to 50).map(i => s"other$i")
+    val df = Seq(base, near, far).toDF("t")
+    val hs = df.select(simhash64(col("t"))).collect().map(_.getLong(0))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(1)) < ham(hs(0), hs(2)))
+  }
+
+  test("winnow fingerprint: copy shares most of its fingerprint") {
+    val a = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val b = a + " with an extra tail appended here"
+    val c = "completely different content with no overlap whatsoever in any region"
+    val df = Seq(a, b, c).toDF("t")
+    val fps = df.select(winnow_fingerprint(col("t"))).collect()
+      .map(_.getSeq[Long](0).toSet)
+    val overlapNear = fps(0).intersect(fps(1)).size.toDouble / fps(0).size
+    val overlapFar = fps(0).intersect(fps(2)).size.toDouble / fps(0).size
+    assert(overlapNear > 0.5)
+    assert(overlapFar < 0.2)
+  }
+
+  test("fnv1a64 is pinned (golden values)") {
+    // golden values computed from the FNV-1a reference parameters
+    assert(Fnv1a64.hashString("") == 0xcbf29ce484222325L)
+    assert(Fnv1a64.hashString("a") == 0xaf63dc4c8601ec8cL)
+  }
+}
