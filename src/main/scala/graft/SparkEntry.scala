@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   def allQueries: Seq[QueryDef] =
-    RelationalQueries.all ++ EventQueries.all ++ VectorQueries.all ++ TextQueries.all
+    RelationalQueries.all ++ EventQueries.all ++ VectorQueries.all ++
+      TextQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

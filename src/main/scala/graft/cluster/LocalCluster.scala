@@ -1,0 +1,97 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Per-key local density clustering (SURVEY §2.9 ops 58-60): the reference
+  * runs UMAP → pairwise cosine → HDBSCAN per user on GPU
+  * (assets/old_history.py:155-187). There is no Spark-native HDBSCAN; the
+  * blueprint decision (SURVEY §7) is per-key *local* clustering inside
+  * `flatMapGroups` — each user's interest set is small (thousands), so the
+  * O(n²) distance matrix is a per-group in-memory computation while Spark
+  * parallelizes across users. Semantics per group, scale across groups.
+  *
+  * Algorithm: ε-threshold single-linkage over cosine distance (connected
+  * components of the "distance ≤ ε" graph) with a minimum cluster size —
+  * an HDBSCAN-lite with `cluster_selection_epsilon`-like behavior:
+  * components smaller than `minClusterSize` become noise (label −1).
+  * Labels are deterministic: clusters are numbered by their smallest
+  * member's input order (no RNG, no iteration-order dependence).
+  */
+object LocalCluster {
+
+  /** Pure local kernel: rows = (ordinal, unit-ish vector). Returns labels. */
+  def clusterVectors(vecs: Array[Array[Float]], eps: Double, minClusterSize: Int): Array[Int] = {
+    val n = vecs.length
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (cosineDistance(vecs(i), vecs(j)) <= eps) union(i, j)
+        j += 1
+      }
+      i += 1
+    }
+    // component sizes → noise for small ones; stable labels by min member
+    val roots = Array.tabulate(n)(find)
+    val sizes = roots.groupBy(identity).map { case (r, m) => r -> m.length }
+    val clusterRoots = roots.distinct.filter(sizes(_) >= minClusterSize).sorted
+    val labelOf = clusterRoots.zipWithIndex.toMap
+    roots.map(r => labelOf.getOrElse(r, -1))
+  }
+
+  def cosineDistance(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 1.0
+    else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Cluster `df` per `keyCol` group. Input needs `keyCol: long`,
+    * `itemCol: string`, `vecCol: array<float>`; output adds
+    * `cluster_label: int` (−1 = noise). Rows within a group are ordered by
+    * `itemCol` before clustering so labels are reproducible. */
+  def clusterPerKey(
+      df: DataFrame,
+      keyCol: String,
+      itemCol: String,
+      vecCol: String,
+      eps: Double = 0.02,
+      minClusterSize: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(keyCol, LongType),
+      StructField(itemCol, StringType),
+      StructField(vecCol, ArrayType(FloatType)),
+      StructField("cluster_label", IntegerType)))
+    import spark.implicits._
+    val grouped = df
+      .select(df(keyCol), df(itemCol), df(vecCol))
+      .map { r =>
+        (r.getLong(0), r.getString(1), r.getSeq[Float](2))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.toVector.sortBy(r => (r._2, r._3.headOption.getOrElse(0f)))
+        val labels = clusterVectors(rows.map(_._3.toArray).toArray, eps, minClusterSize)
+        rows.iterator.zip(labels.iterator).map { case ((k, item, vec), lbl) =>
+          (k, item, vec, lbl)
+        }
+      }
+      .toDF(keyCol, itemCol, vecCol, "cluster_label")
+    grouped
+  }
+}

@@ -17,11 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * snippets become counted nulls, mirroring the reference's drop counters).
   * Total: never throws on arbitrary input.
   *
-  * Top-level `[...]` blocks are emitted as one snippet (the reference treats
-  * a list-of-dicts as a unit and explodes it after parsing); `{...}` inside
-  * an emitted array is not re-emitted separately.
+  * With `explodeArrays = false` a top-level `[...]` block is emitted as one
+  * snippet; with `true` its direct `{...}` elements are emitted individually
+  * — the reference accepts both a dict and a list of dicts and validates
+  * each dict (utils/recent_history_utils.py:126-152), which is the
+  * `explodeArrays = true` behavior.
   */
-case class ExtractJsonObjects(child: Expression)
+case class ExtractJsonObjects(child: Expression, explodeArrays: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -33,7 +35,8 @@ case class ExtractJsonObjects(child: Expression)
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
 
   override def nullSafeEval(input: Any): Any = {
-    val snippets = ExtractJsonObjects.scan(input.asInstanceOf[UTF8String].toString)
+    val snippets =
+      ExtractJsonObjects.scan(input.asInstanceOf[UTF8String].toString, explodeArrays)
     new GenericArrayData(snippets.map(UTF8String.fromString).toArray[Any])
   }
 
@@ -44,8 +47,10 @@ case class ExtractJsonObjects(child: Expression)
 object ExtractJsonObjects {
 
   /** Scan `text` for balanced `{...}` / `[...]` blocks, respecting JSON
-    * string literals and escapes. Unbalanced tails are dropped. Pure, total. */
-  def scan(text: String): Seq[String] = {
+    * string literals and escapes. Unbalanced tails are dropped. Pure, total.
+    * `explodeArrays`: emit a top-level array's direct `{...}` elements
+    * instead of the array itself. */
+  def scan(text: String, explodeArrays: Boolean = false): Seq[String] = {
     val out = Seq.newBuilder[String]
     val n = text.length
     var i = 0
@@ -54,7 +59,13 @@ object ExtractJsonObjects {
       if (c == '{' || c == '[') {
         val end = matchBalanced(text, i)
         if (end > i) {
-          out += text.substring(i, end + 1)
+          if (c == '[' && explodeArrays) {
+            // re-scan the array body for its direct object elements
+            out ++= scan(text.substring(i + 1, end), explodeArrays = false)
+              .filter(_.startsWith("{"))
+          } else {
+            out += text.substring(i, end + 1)
+          }
           i = end + 1
         } else {
           i = n // unbalanced from here on — stop (reference stops at parse failure too)

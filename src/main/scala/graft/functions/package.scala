@@ -27,9 +27,10 @@ package object functions {
   /** L2 norm of an array<float|double> column. */
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
 
-  /** Raw JSON `{...}`/`[...]` snippets embedded in noisy text, in order. */
-  def extract_json_objects(text: Column): Column =
-    c(ExtractJsonObjects(e(text)))
+  /** Raw JSON `{...}`/`[...]` snippets embedded in noisy text, in order.
+    * `explodeArrays = true` flattens top-level arrays into their objects. */
+  def extract_json_objects(text: Column, explodeArrays: Boolean = false): Column =
+    c(ExtractJsonObjects(e(text), explodeArrays))
 
   /** 64-bit SimHash of a token array. */
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by min-label propagation with pointer
+  * jumping (SURVEY §2.4 op 24: the set-based replacement for the reference's
+  * sequential UPDATE/DELETE merge loop, assets/recent_history.py:413-447).
+  *
+  * Semantics contract (SURVEY §2.4): merged sessions = connected components
+  * of the *initial* candidate-pair graph — exactly what the reference's loop
+  * computes, because its pair list is materialized once, before any merge.
+  *
+  * Each iteration combines
+  *  1. neighbor-min propagation (label ← min over adjacent labels), and
+  *  2. pointer jumping (label ← label's label),
+  * giving O(log n) convergence on chains instead of O(diameter).
+  * Convergence is detected by the (monotonically decreasing) sum of labels.
+  * Lineage is truncated every iteration via `localCheckpoint` — without it
+  * the loop re-executes the whole upstream plan each pass and the lineage
+  * grows unboundedly (a classic iterative-Spark failure at scale).
+  */
+object ConnectedComponents {
+
+  /** @param edges undirected edge list; columns `src`, `dst` (long ids,
+    *              globally unique across any partition keys — callers with
+    *              per-user graphs encode the user into the id or use
+    *              user-unique ids)
+    * @return (`id`, `component`) — component = min id reachable
+    */
+  def components(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val bidir = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+
+    def labelSum(): Long = {
+      val r = labels.agg(sum("lbl")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph → no iterations
+    }
+    var prevSum = labelSum()
+    var iter = 0
+    var converged = prevSum == 0L
+    while (iter < maxIter && !converged) {
+      val neighborMin = bidir
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lbl"))
+      val jump = labels.as("x")
+        .join(labels.select(col("id").as("lbl"), col("lbl").as("lbl2")), "lbl")
+        .select(col("id"), col("lbl2").as("lbl"))
+      labels = labels.union(neighborMin).union(jump)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      val s = labelSum()
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+}

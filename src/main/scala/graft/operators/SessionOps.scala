@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.enrich.Embedder
+import graft.functions.cosine_similarity
+
+/** Session-table operators of the reference's recent path (SURVEY §2 EP2):
+  * ids, embeddings, adaptive thresholds, candidate pairs, merge, graph. */
+object SessionOps {
+
+  /** Deterministic per-user session ids + epoch-second interval bounds.
+    * id is globally unique (user_id * 2^24 + per-user ordinal) so the
+    * connected-components label space needs no partition key. */
+  def withIds(sessions: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("date"), col("start_s"), col("end_s"), col("description"))
+    sessions
+      .withColumn("id", col("user_id") * lit(1L << 24) + row_number().over(w))
+      .withColumn("start_ts", unix_date(col("date")).cast("long") * 86400L + col("start_s"))
+      .withColumn("end_ts", unix_date(col("date")).cast("long") * 86400L + col("end_s"))
+  }
+
+  /** Embedding enrichment (SURVEY §2.9 op 56: batched embedder behind the
+    * trait seam; the reference batches ≤100 texts per call). */
+  def withEmbeddings(sessions: DataFrame, embedder: Embedder, batchSize: Int = 100): DataFrame = {
+    val spark = sessions.sparkSession
+    val cols = sessions.columns
+    val rdd = sessions.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val embs = embedder.embed(batch.map(_.getAs[String]("description")))
+        batch.iterator.zip(embs.iterator).map { case (row, emb) =>
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (emb.toSeq: Seq[Float]))
+        }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(sessions.schema.fields :+
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Per-user adaptive thresholds (assets/recent_history.py:244-341):
+    * 10th pct of inter-session gaps (seconds) and 90th pct of
+    * adjacent-session cosine similarity. Small output — broadcast it back. */
+  def thresholds(sessions: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("date"), col("start_s"), col("id"))
+    sessions
+      .withColumn("gap_s", col("start_ts") - lag(col("end_ts"), 1).over(w))
+      .withColumn("adj_sim", cosine_similarity(col("embedding"), lag(col("embedding"), 1).over(w)))
+      .groupBy(col("user_id"))
+      .agg(
+        expr("percentile(gap_s, 0.1)").as("time_threshold_s"),
+        expr("percentile(adj_sim, 0.9)").as("similarity_threshold"))
+  }
+
+  /** Merge-candidate pairs (assets/recent_history.py:384-411): b temporally
+    * at/after a, gap ≤ per-user time threshold, cosine ≥ per-user similarity
+    * threshold. Banded equi-join, not a nested loop (see BandJoin).
+    *
+    * `maxGapS` bounds the band width; the reference's theta predicate admits
+    * gaps down to −86400s (cross-midnight ordering quirk), reproduced here.
+    */
+  def candidatePairs(sessions: DataFrame, thresholds: DataFrame, maxGapS: Long = 86400L): DataFrame = {
+    val a = sessions.select(
+      col("user_id"), col("id").as("a_id"), col("date").as("a_date"),
+      col("start_s").as("a_start_s"), col("end_s").as("a_end_s"),
+      col("end_ts").as("a_end_ts"), col("embedding").as("a_emb"))
+    val b = sessions.select(
+      col("user_id"), col("id").as("b_id"), col("date").as("b_date"),
+      col("start_s").as("b_start_s"), col("start_ts").as("b_start_ts"),
+      col("embedding").as("b_emb"))
+    val ordering = (col("b_date") > col("a_date")) ||
+      (col("b_date") === col("a_date") && col("b_start_s") >= col("a_end_s"))
+    val pairs = BandJoin.bandJoin(
+      a, b, Seq("user_id"),
+      leftVal = col("a_end_ts"), rightVal = col("b_start_ts"),
+      lo = -86400L, hi = maxGapS,
+      residual = col("a_id") =!= col("b_id") && ordering)
+    pairs
+      .join(broadcast(thresholds), "user_id")
+      .withColumn("gap_s", col("b_start_ts") - col("a_end_ts"))
+      .withColumn("sim", cosine_similarity(col("a_emb"), col("b_emb")))
+      .filter(col("gap_s") <= col("time_threshold_s")
+        && col("sim") >= col("similarity_threshold"))
+      .select(col("user_id"), col("a_id"), col("b_id"), col("gap_s"), col("sim"))
+  }
+
+  /** Set-based session merge (SURVEY §2.4 op 24): connected components over
+    * the candidate-pair graph, then one interval aggregation per component —
+    * the component's earliest session (min id) keeps its date, description
+    * and interests; the interval becomes [least start, greatest end]
+    * (GREATEST/LEAST semantics of the reference loop,
+    * assets/recent_history.py:420-445). */
+  def merge(sessions: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = ConnectedComponents.components(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    val labeled = sessions
+      .join(comps.withColumnRenamed("id", "sid"),
+        sessions("id") === col("sid"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+      .drop("sid")
+    labeled
+      .groupBy(col("user_id"), col("component"))
+      .agg(
+        min(struct(col("id"), col("date"), col("description"), col("interests"))).as("rep"),
+        min(col("start_s")).as("start_s"),
+        max(col("end_s")).as("end_s"),
+        count(lit(1)).as("n_merged"))
+      .select(
+        col("user_id"), col("component").as("id"),
+        col("rep.date").as("date"),
+        col("start_s"), col("end_s"),
+        col("rep.description").as("description"),
+        col("rep.interests").as("interests"),
+        col("n_merged"))
+  }
+
+  /** Similarity graph (assets/recent_history.py:450-527): for each session,
+    * an edge to its most-similar strictly-later session when similarity
+    * exceeds the per-user threshold; weight = 1 − similarity (distance).
+    *
+    * All-ordered-pairs per user like the reference; at 100 TB the candidate
+    * set is pruned first (LSH buckets / time windows) with identical
+    * rank-1 semantics. */
+  def similarityGraph(sessions: DataFrame, thresholds: DataFrame): DataFrame = {
+    val a = sessions.select(
+      col("user_id"), col("id").as("parent_id"), col("date").as("a_date"),
+      col("end_s").as("a_end_s"), col("embedding").as("a_emb"))
+    val b = sessions.select(
+      col("user_id"), col("id").as("child_id"), col("date").as("b_date"),
+      col("start_s").as("b_start_s"), col("embedding").as("b_emb"))
+    val ordering = (col("b_date") > col("a_date")) ||
+      (col("b_date") === col("a_date") && col("b_start_s") >= col("a_end_s"))
+    val w = Window.partitionBy(col("parent_id"))
+      .orderBy(col("similarity").desc, col("child_id"))
+    a.join(b, Seq("user_id"))
+      .filter(col("parent_id") =!= col("child_id") && ordering)
+      .withColumn("similarity", cosine_similarity(col("a_emb"), col("b_emb")))
+      .withColumn("rank", row_number().over(w))
+      .join(broadcast(thresholds), "user_id")
+      .filter(col("rank") === 1 && col("similarity") > col("similarity_threshold"))
+      .select(col("user_id"), col("parent_id"), col("child_id"),
+        (lit(1.0) - col("similarity")).as("weight"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.QueryDef.rowsOnly
+import graft.core.Tables
+import graft.enrich.{StubEmbedder, StubInterestsLLM, StubSessionsLLM}
+import graft.pipeline.{OldPath, RecentPath}
+
+/** The reference pipeline run end-to-end on driver testdata (rows-only
+  * checks — LLM/embedding enrichment isn't SQL; determinism comes from the
+  * stub clients, and the operator semantics are pinned by the specs in
+  * src/test/scala/graft/operators/).
+  *
+  * The `events` table stands in for parsed takeout activity:
+  * `title := event_type + " " + k` from the JSON props — deterministic,
+  * and it exercises the same shapes (per-user/day chunking, HH:mm times). */
+object PipelineQueries {
+
+  def all: Seq[QueryDef] = Seq(
+    q50Sessions, q51Merged, q52Graph, q53Interests, q54Clusters)
+
+  /** events → activity frame (user_id, ts, title). */
+  def activity(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("user_id"),
+      col("ts"),
+      concat(col("event_type"), lit(" "),
+        coalesce(get_json_object(col("props"), "$.k"), lit("x"))).as("title"))
+
+  val q50Sessions: QueryDef = rowsOnly("q50_pipeline_sessions") { (s, d) =>
+    import graft.operators.Sessionize
+    Sessionize.sessions(activity(s, d), new StubSessionsLLM)
+      .orderBy(col("user_id"), col("date"), col("time_start"), col("description"))
+  }
+
+  val q51Merged: QueryDef = rowsOnly("q51_pipeline_merged") { (s, d) =>
+    val out = RecentPath.run(activity(s, d), new StubSessionsLLM, new StubEmbedder)
+    out.merged.orderBy(col("user_id"), col("id"))
+  }
+
+  val q52Graph: QueryDef = rowsOnly("q52_pipeline_graph") { (s, d) =>
+    val out = RecentPath.run(activity(s, d), new StubSessionsLLM, new StubEmbedder)
+    out.graph.orderBy(col("user_id"), col("parent_id"))
+  }
+
+  val q53Interests: QueryDef = rowsOnly("q53_pipeline_interests") { (s, d) =>
+    import graft.operators.InterestsExtract
+    InterestsExtract.interests(activity(s, d), new StubInterestsLLM)
+      .orderBy(col("user_id"), col("date"))
+  }
+
+  val q54Clusters: QueryDef = rowsOnly("q54_pipeline_clusters") { (s, d) =>
+    // cluster the driver-provided embeddings per label-group key to exercise
+    // the per-key local clustering on real vectors (interest embeddings from
+    // the stub are hash-random and never cluster); eps accepts moderate
+    // cosine distance so the synthetic clusters form.
+    val emb = Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("user_id"),
+        col("vec_id").cast("string").as("interest"),
+        col("embedding"))
+    graft.cluster.LocalCluster.clusterPerKey(
+        emb, "user_id", "interest", "embedding", eps = 0.7, minClusterSize = 5)
+      .select(col("user_id").as("label"), col("interest").as("vec_id"), col("cluster_label"))
+      .orderBy(col("label"), col("vec_id"))
+  }
+}

@@ -1,0 +1,283 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BandJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("band join matches nested-loop semantics") {
+    val left = Seq((1L, 10L), (1L, 50L), (1L, 100L), (2L, 10L))
+      .toDF("k", "lv").select(col("k"), col("lv"), col("lv").as("a_id"))
+    val right = Seq((1L, 12L), (1L, 49L), (1L, 200L), (2L, 11L))
+      .toDF("k", "rv").select(col("k"), col("rv"), col("rv").as("b_id"))
+    val got = BandJoin.bandJoin(left, right, Seq("k"),
+        col("lv"), col("rv"), lo = -5L, hi = 10L)
+      .select("k", "lv", "rv").as[(Long, Long, Long)].collect().toSet
+    val expect = (for {
+      (lk, lv) <- Seq((1L, 10L), (1L, 50L), (1L, 100L), (2L, 10L))
+      (rk, rv) <- Seq((1L, 12L), (1L, 49L), (1L, 200L), (2L, 11L))
+      if lk == rk && rv - lv >= -5 && rv - lv <= 10
+    } yield (lk, lv, rv)).toSet
+    assert(got == expect)
+  }
+
+  test("band join handles negative values and residual predicate") {
+    val left = Seq((1L, -100L, 1L)).toDF("k", "lv", "a_id")
+    val right = Seq((1L, -95L, 2L), (1L, -80L, 3L)).toDF("k", "rv", "b_id")
+    val got = BandJoin.bandJoin(left, right, Seq("k"), col("lv"), col("rv"),
+        lo = 0L, hi = 10L, residual = col("b_id") =!= 2L)
+      .select("rv").as[Long].collect().toSeq
+    assert(got.isEmpty) // -95 excluded by residual; -80 outside band
+  }
+}
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chain, clique, and singleton components") {
+    // chain 1-2-3-4, clique 10-11-12, isolated edge 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    val comps = ConnectedComponents.components(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(comps) == Seq(1L, 1L, 1L, 1L))
+    assert(Seq(10L, 11L, 12L).map(comps).distinct == Seq(10L))
+    assert(Seq(20L, 21L).map(comps).distinct == Seq(20L))
+  }
+
+  test("long chain converges (pointer jumping)") {
+    val n = 200
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val comps = ConnectedComponents.components(edges, maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(comps.map(_._2).distinct.toSeq == Seq(1L))
+  }
+}
+
+class RecencySplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("split is data-relative per key and partitions rows exactly") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-20 00:00:00"),
+      (1L, "2024-01-31 00:00:00"),
+      (2L, "2023-06-01 00:00:00"), (2L, "2023-06-10 00:00:00"))
+      .toDF("user_id", "s")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"))
+    val (full, recent) = RecencySplit.split(df, col("ts"), col("user_id"), "-15d")
+    assert(full.count() == 5)
+    val rec = recent.select(col("user_id"), col("ts").cast("string"))
+      .as[(Long, String)].collect().toSet
+    // user 1: max Jan 31 → keep > Jan 16; user 2: max Jun 10 → keep > May 26
+    assert(rec == Set(
+      (1L, "2024-01-20 00:00:00"), (1L, "2024-01-31 00:00:00"),
+      (2L, "2023-06-01 00:00:00"), (2L, "2023-06-10 00:00:00")))
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.enrich.StubSessionsLLM
+
+  private def activity(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("user_id", "s", "title")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"), col("title"))
+
+  test("stub LLM round trip produces one session per chunk") {
+    val df = activity(
+      (1L, "2024-01-01 09:00:00", "alpha beta"),
+      (1L, "2024-01-01 09:30:00", "gamma delta"),
+      (1L, "2024-01-02 11:00:00", "epsilon zeta"))
+    val got = Sessionize.sessions(df, new StubSessionsLLM)
+      .orderBy("date").collect()
+    assert(got.length == 2) // one chunk per day
+    val first = got(0)
+    assert(first.getAs[String]("time_start") == "09:00")
+    assert(first.getAs[String]("time_end") == "09:30")
+    assert(first.getAs[scala.collection.Seq[String]]("interests") == Seq("beta", "delta"))
+    assert(first.getAs[Int]("start_s") == 9 * 3600)
+  }
+
+  test("chunking splits days into chunkSize groups") {
+    val rows = (0 until 40).map(i =>
+      (1L, f"2024-01-01 10:${i % 60}%02d:00", s"title$i"))
+    val got = Sessionize.sessions(activity(rows: _*), new StubSessionsLLM, chunkSize = 15)
+    assert(got.count() == 3) // 15+15+10
+  }
+
+  test("invalid snippets are dropped (stub emits a wrong-key trailer)") {
+    val df = activity((1L, "2024-01-01 09:00:00", "alpha beta"))
+    val got = Sessionize.sessions(df, new StubSessionsLLM).collect()
+    assert(got.length == 1) // the {"unrelated": true} trailer was filtered
+  }
+}
+
+class SessionOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Hand-built sessions with controlled embeddings (FIXTURES A5):
+    * orthogonal vs parallel unit vectors give exact similarity 0 / 1. */
+  private def sessionsDf(rows: (Long, String, Int, Int, String, Seq[Float])*) =
+    rows.toSeq.toDF("user_id", "ds", "start_s", "end_s", "description", "embedding")
+      .select(col("user_id"), to_date(col("ds")).as("date"),
+        col("start_s"), col("end_s"), col("description"),
+        lit(null).cast("array<string>").as("interests"),
+        col("embedding"))
+
+  private val e1 = Seq(1f, 0f, 0f)
+  private val e2 = Seq(0f, 1f, 0f)
+
+  test("merge: chain a-b, b-c collapses to one interval; isolated survives") {
+    // gaps: a→b 600s, b→c 600s, d far away; all same embedding (sim 1)
+    val sess = SessionOps.withIds(sessionsDf(
+      (1L, "2024-01-01", 36000, 36600, "a", e1),
+      (1L, "2024-01-01", 37200, 37800, "b", e1),
+      (1L, "2024-01-01", 38400, 39000, "c", e1),
+      (1L, "2024-01-01", 80000, 80600, "d", e2)))
+    val thresholds = Seq((1L, 700.0, 0.9)).toDF("user_id", "time_threshold_s", "similarity_threshold")
+    val pairs = SessionOps.candidatePairs(sess, thresholds)
+    val merged = SessionOps.merge(sess, pairs).orderBy("start_s").collect()
+    assert(merged.length == 2)
+    assert(merged(0).getAs[String]("description") == "a") // earliest keeps identity
+    assert(merged(0).getAs[Int]("start_s") == 36000)
+    assert(merged(0).getAs[Int]("end_s") == 39000) // extended over the chain
+    assert(merged(0).getAs[Long]("n_merged") == 3)
+    assert(merged(1).getAs[String]("description") == "d")
+  }
+
+  test("merge respects similarity threshold") {
+    // temporally adjacent but orthogonal embeddings → no merge
+    val sess = SessionOps.withIds(sessionsDf(
+      (1L, "2024-01-01", 36000, 36600, "a", e1),
+      (1L, "2024-01-01", 37200, 37800, "b", e2)))
+    val thresholds = Seq((1L, 700.0, 0.9)).toDF("user_id", "time_threshold_s", "similarity_threshold")
+    val pairs = SessionOps.candidatePairs(sess, thresholds)
+    assert(pairs.count() == 0)
+    assert(SessionOps.merge(sess, pairs).count() == 2)
+  }
+
+  test("merge crosses days when gap is inside threshold") {
+    val sess = SessionOps.withIds(sessionsDf(
+      (1L, "2024-01-01", 86000, 86300, "a", e1), // ends 23:51:40
+      (1L, "2024-01-02", 300, 600, "b", e1))) // starts 00:05 next day, gap 700s
+    val thresholds = Seq((1L, 800.0, 0.9)).toDF("user_id", "time_threshold_s", "similarity_threshold")
+    val merged = SessionOps.merge(sess, SessionOps.candidatePairs(sess, thresholds)).collect()
+    assert(merged.length == 1)
+    // reference GREATEST/LEAST on time-of-day: start = LEAST(86000, 300)!
+    assert(merged(0).getAs[Int]("start_s") == 300)
+    assert(merged(0).getAs[Int]("end_s") == 86300)
+  }
+
+  test("thresholds compute per-user gap/similarity percentiles") {
+    val sess = SessionOps.withIds(sessionsDf(
+      (1L, "2024-01-01", 36000, 36600, "a", e1),
+      (1L, "2024-01-01", 37200, 37800, "b", e1),
+      (1L, "2024-01-01", 39000, 39600, "c", e1)))
+    val t = SessionOps.thresholds(sess).collect()
+    assert(t.length == 1)
+    // gaps 600 and 1200 → p10 = 660 (linear interpolation)
+    assert(math.abs(t(0).getAs[Double]("time_threshold_s") - 660.0) < 1e-9)
+    assert(math.abs(t(0).getAs[Double]("similarity_threshold") - 1.0) < 1e-9)
+  }
+
+  test("similarity graph: top-1 later edge above threshold, weight = 1 - sim") {
+    val sess = SessionOps.withIds(sessionsDf(
+      (1L, "2024-01-01", 36000, 36600, "a", e1),
+      (1L, "2024-01-02", 36000, 36600, "b", e1), // parallel to a
+      (1L, "2024-01-03", 36000, 36600, "c", e2))) // orthogonal
+    val thresholds = Seq((1L, 0.0, 0.5)).toDF("user_id", "time_threshold_s", "similarity_threshold")
+    val g = SessionOps.similarityGraph(sess, thresholds)
+      .select("parent_id", "child_id", "weight").collect()
+    // a→b (sim 1 > 0.5); b's only later is c (sim 0, filtered); c has none
+    assert(g.length == 1)
+    assert(math.abs(g(0).getAs[Double]("weight")) < 1e-9)
+  }
+}
+
+class InterestsExtractSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.enrich.StubInterestsLLM
+
+  test("two-turn extraction yields distinct per-day interests") {
+    val df = Seq(
+      (1L, "2024-01-01 09:00:00", "reading about spark"),
+      (1L, "2024-01-01 09:30:00", "learning about catalyst"),
+      (1L, "2024-01-01 10:00:00", "more spark"))
+      .toDF("user_id", "s", "title")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"), col("title"))
+    val got = InterestsExtract.interests(df, new StubInterestsLLM).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[scala.collection.Seq[String]]("interests") == Seq("catalyst", "spark"))
+    assert(r.getAs[Long]("count_invalid_responses") == 0)
+    assert(r.getAs[scala.collection.Seq[scala.collection.Seq[String]]]("chunked_interests").length == 1)
+  }
+}
+
+class LocalClusterSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.cluster.LocalCluster
+
+  test("kernel: two tight groups + noise") {
+    def jitter(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (v, j) => v + (if (j == i % 3) 0.001f else 0f) }
+    val g1 = (0 until 5).map(i => jitter(Array(1f, 0f, 0f), i))
+    val g2 = (0 until 5).map(i => jitter(Array(0f, 1f, 0f), i))
+    val noise = Array(Array(0.577f, 0.577f, 0.577f))
+    val labels = LocalCluster.clusterVectors((g1 ++ g2 ++ noise).toArray, eps = 0.01, minClusterSize = 5)
+    assert(labels.take(5).distinct.length == 1 && labels.take(5).head != -1)
+    assert(labels.slice(5, 10).distinct.length == 1 && labels(5) != labels(0))
+    assert(labels.last == -1)
+  }
+
+  test("per-key clustering is deterministic and keyed") {
+    val rows = (0 until 12).map { i =>
+      val key = (i % 2).toLong
+      val vec = if (i < 6) Seq(1f, 0.001f * i, 0f) else Seq(0f, 1f, 0.001f * i)
+      (key, s"item$i", vec)
+    }
+    val df = rows.toDF("user_id", "interest", "embedding")
+    val a = LocalCluster.clusterPerKey(df, "user_id", "interest", "embedding",
+      eps = 0.01, minClusterSize = 2).collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    val b = LocalCluster.clusterPerKey(df.repartition(7), "user_id", "interest", "embedding",
+      eps = 0.01, minClusterSize = 2).collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    assert(a == b) // partitioning-independent
+  }
+}
+
+class TakeoutIngestSpec extends SparkSpec {
+  import graft.pipeline.TakeoutIngest
+
+  test("golden: parse + derive + recency split over a fixture tree") {
+    val root = java.nio.file.Files.createTempDirectory("takeout").toString
+    def write(user: String, rows: Seq[String]): Unit = {
+      val dir = java.nio.file.Paths.get(root, user)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("MyActivity.json"),
+        "[" + rows.mkString(",") + "]")
+    }
+    def row(title: String, time: String): String =
+      s"""{"header": "Search", "title": "$title", "titleUrl": "http://x",
+         | "time": "$time", "products": ["Search"]}""".stripMargin
+    write("alice", Seq(
+      row("Searched for spark", "2024-01-01T10:00:00.000Z"),
+      row("Searched for scala", "2024-01-20T11:30:00.000Z")))
+    write("bob", Seq(
+      row("Searched for ducks", "2024-02-01T09:15:00.000Z")))
+
+    val (full, recent) = TakeoutIngest.parseAndSplit(spark, root)
+    assert(full.count() == 3)
+    val cols = full.columns.toSet
+    assert(Set("user_id", "timestamp", "date", "hour", "month").subsetOf(cols))
+    assert(!cols.contains("time"))
+    val alice = full.filter(col("user_id") === "alice")
+      .orderBy("timestamp").collect()
+    assert(alice(0).getAs[String]("hour") == "10:00")
+    assert(alice(0).getAs[String]("month") == "2024-01-01") // full date, sic
+    // alice max=Jan 20 → only Jan 20 row is recent; bob's single row is recent
+    val rec = recent.select("user_id").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted.toSeq
+    assert(rec == Seq("alice", "bob"))
+  }
+}
