@@ -13,7 +13,7 @@ object SparkEntry {
 
   def allQueries: Seq[QueryDef] =
     RelationalQueries.all ++ EventQueries.all ++ VectorQueries.all ++
-      TextQueries.all ++ PipelineQueries.all
+      TextQueries.all ++ PipelineQueries.all ++ DedupQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

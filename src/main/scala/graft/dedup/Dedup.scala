@@ -1,0 +1,107 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{cosine_similarity, simhash64}
+
+/** Deduplication operator family for training-data pipelines (required
+  * engine surface beyond the reference): exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding near-dup.
+  *
+  * Scale design, common to all: never materialize all pairs. Every
+  * algorithm reduces to (1) per-row signature computation (codegen'd column
+  * expressions), (2) a groupBy/equi-join on a bucket key, (3) exact
+  * verification only within buckets. The only shuffles are on signature
+  * keys; skewed buckets (boilerplate text) are handled by AQE skew splits.
+  */
+object Dedup {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles with short-doc guard. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val tok = tokens(text)
+    when(size(tok) >= k,
+      transform(sequence(lit(0), size(tok) - k),
+        i => concat_ws(" ", (1 to k).map(j => element_at(tok, i + j)): _*)))
+      .otherwise(array())
+  }
+
+  /** Salted-md5 MinHash signature (one value per salt). */
+  def minhash(text: Column, salt: String, k: Int = 3): Column =
+    array_min(transform(shingles(text, k), s => md5(concat(lit(salt), s))))
+
+  /** Exact dedup: keep the minimum-id row per content hash.
+    * @return (id, keep_id, is_duplicate) mapping for every input row */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol), md5(col(textCol)).as("__h"))
+    val keep = hashed.groupBy(col("__h")).agg(min(col(idCol)).as("keep_id"))
+    hashed.join(keep, "__h")
+      .select(col(idCol), col("keep_id"),
+        (col(idCol) =!= col("keep_id")).as("is_duplicate"))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs: `bands` bands × `rowsPerBand`
+    * signatures; docs sharing any band bucket pair up, then exact Jaccard
+    * over distinct tokens filters to ≥ `threshold`.
+    * Collision probability ≈ 1 − (1 − j^rowsPerBand)^bands. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .filter(size(shingles(col("text"))) > 0)
+      .select(col("id"), array_distinct(tokens(col("text"))).as("tok"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+              minhash(col("text"), s"${b * rowsPerBand + r}")): _*)).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("tok"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = sigs.select(col("band"), col("bucket"), col("id").as("id_a"), col("tok").as("tok_a"))
+    val b = sigs.select(col("band"), col("bucket"), col("id").as("id_b"), col("tok").as("tok_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
+          / size(array_union(col("tok_a"), col("tok_b")))).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprints; candidates share at least
+    * one of 4 16-bit chunks (any pair within hamming distance ≤ `maxHamming`
+    * ≤ 3 necessarily collides on some chunk — pigeonhole); exact hamming
+    * check within buckets. */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("fp"))
+    val chunked = fp.select(col("id"), col("fp"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("ck"))
+      .select(col("id"), col("fp"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val a = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-dup within coarse buckets (IVF-style): only
+    * same-bucket pairs are scored. `bucketCol` is any coarse assignment
+    * (cluster label, LSH band of the vector, shard key). */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(bucketCol).as("bucket"), col(idCol).as("id"), col(vecCol).as("vec"))
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        cosine_similarity(col("vec_a"), col("vec_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / frame-sample
+  * operators shaped for batch execution.
+  *
+  * The Spark-side plumbing (schema, partitioning, batch shape) is real; the
+  * codec itself is a deterministic fake behind `MediaCodec` — the image and
+  * audio libraries are not in this container (and at cluster scale the
+  * decode would be a vectorized native/Python stage anyway). Swapping in a
+  * real codec changes ONE implementation, no plan shapes.
+  *
+  * Scale notes: media blobs dominate row size — operators repartition by
+  * blob-count (not bytes-naive) before decode so a partition holds a
+  * bounded number of blobs; decoded features are small and flow into the
+  * vector operators (similarity/dedup) downstream.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every media blob. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("format", StringType), // png, wav, mp4, ...
+    StructField("width", IntegerType), // images/video
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType), // audio
+    StructField("duration_ms", LongType), // audio/video
+    StructField("bytes", BinaryType, nullable = false)))
+
+  /** Decode seam. Implementations must be deterministic per input bytes. */
+  trait MediaCodec extends Serializable {
+    /** Fixed-length feature vector from a media blob. */
+    def features(kind: String, format: String, bytes: Array[Byte]): Array[Float]
+    /** Frame offsets (ms) to sample from a video of `durationMs`. */
+    def sampleFrames(durationMs: Long, n: Int): Seq[Long] =
+      if (durationMs <= 0 || n <= 0) Seq.empty
+      else (0 until n).map(i => durationMs * (2L * i + 1) / (2L * n))
+  }
+
+  /** Deterministic stand-in codec: features = seeded hash stream over the
+    * bytes — NOT a real decoder (???-equivalent, clearly marked); the rest
+    * of the operator (schema, batching, partitioning) is production-shaped. */
+  final class StubCodec(dim: Int = 32) extends MediaCodec {
+    override def features(kind: String, format: String, bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = graft.functions.Fnv1a64.hashBytes(bytes)
+      var i = 0
+      while (i < dim) {
+        h = h * 0x100000001b3L + 0x9e3779b97f4a7c15L
+        out(i) = (h.toDouble / Long.MaxValue).toFloat
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Synthesize a deterministic media table from the documents table (the
+    * container has no real media files; blob bytes = utf8 text, metadata
+    * derived). Gives the multimodal operators a real distributed input. */
+  def syntheticMediaFromDocs(docs: DataFrame): DataFrame = {
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      lit("raw").as("format"),
+      when(pmod(col("doc_id"), lit(3)) === 0, (pmod(col("doc_id"), lit(640)) + 16).cast("int"))
+        .otherwise(lit(null).cast("int")).as("width"),
+      when(pmod(col("doc_id"), lit(3)) === 0, (pmod(col("doc_id"), lit(480)) + 16).cast("int"))
+        .otherwise(lit(null).cast("int")).as("height"),
+      when(pmod(col("doc_id"), lit(3)) === 1, lit(16000).cast("int"))
+        .otherwise(lit(null).cast("int")).as("sample_rate"),
+      when(pmod(col("doc_id"), lit(3)) =!= 0, (col("n_chars") * 10).cast("long"))
+        .otherwise(lit(null).cast("long")).as("duration_ms"),
+      encode(col("text"), "UTF-8").as("bytes"))
+  }
+
+  /** Feature extraction over media blobs: bounded-blobs-per-partition
+    * repartition, then per-partition batched decode (the mapInPandas batch
+    * shape, Scala-side). Output keeps (media_id, kind, features). */
+  def extractFeatures(media: DataFrame, codec: MediaCodec,
+      blobsPerPartition: Int = 1024): DataFrame = {
+    val spark = media.sparkSession
+    val n = media.select(count(lit(1))).head().getLong(0)
+    val parts = math.max(1, math.min(10000, (n / math.max(1, blobsPerPartition)) + 1)).toInt
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val rdd = media
+      .select(col("media_id"), col("kind"), col("format"), col("bytes"))
+      .repartition(parts, col("media_id"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val feats = codec.features(r.getAs[String]("kind"),
+            r.getAs[String]("format"), r.getAs[Array[Byte]]("bytes"))
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), feats.toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame sampling plan for videos: (media_id, frame_ms) rows — the shape
+    * a real frame decoder consumes; pure column arithmetic. */
+  def frameSamplePlan(media: DataFrame, framesPerVideo: Int = 4): DataFrame = {
+    media
+      .filter(col("kind") === "video" && col("duration_ms").isNotNull)
+      .select(col("media_id"), col("duration_ms"),
+        explode(sequence(lit(0), lit(framesPerVideo - 1))).as("i"))
+      .select(col("media_id"),
+        (col("duration_ms") * (lit(2) * col("i") + 1) / lit(2L * framesPerVideo))
+          .cast("long").as("frame_ms"))
+  }
+}

@@ -21,7 +21,8 @@ object EventQueries {
 
   def all: Seq[QueryDef] = Seq(
     q16RecencySplit, q17Sessionize, q18Thresholds, q19JsonExtract,
-    q20IntervalOffset, q21TimeOfDay, q22Chunking)
+    q20IntervalOffset, q21TimeOfDay, q22Chunking, q23TumblingWindow,
+    q24SlidingWindow)
 
   /** Recency split vs per-user max timestamp (SURVEY §2.2 op 10,
     * assets/takeout.py:70-72): keep events within "-15d" of the user's
@@ -198,5 +199,46 @@ object EventQueries {
       .agg(count(lit(1)).as("n_rows"),
         min(col("ts")).as("chunk_start"), max(col("ts")).as("chunk_end"))
       .orderBy(col("user_id"), col("d"), col("chunk_id"))
+  }
+
+  /** Tumbling event-time windows — batch twin of StreamOps.tumblingAgg
+    * (StreamingSpec asserts stream == batch on identical input). */
+  val q23TumblingWindow: QueryDef = sql(
+    "q23_tumbling_window",
+    """SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+      |       time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE AS window_end,
+      |       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2, 3
+      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), oround(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Sliding windows (10 min / 5 min) — every event lands in exactly two
+    * windows; the oracle materializes both via unnest. Batch twin of
+    * StreamOps.slidingAgg. */
+  val q24SlidingWindow: QueryDef = sql(
+    "q24_sliding_window",
+    """WITH starts AS (
+      |  SELECT event_type,
+      |         unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+      |                 time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS window_start
+      |  FROM events)
+      |SELECT window_start, window_start + INTERVAL 10 MINUTE AS window_end,
+      |       event_type, count(*) AS n
+      |FROM starts
+      |GROUP BY 1, 2, 3
+      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
   }
 }

@@ -21,7 +21,8 @@ import graft.functions.cosine_similarity
 object VectorQueries {
 
   def all: Seq[QueryDef] = Seq(
-    q30Top1Similar, q31NearDupBucketed, q32KnnBruteForce, q33Centroids)
+    q30Top1Similar, q31NearDupBucketed, q32KnnBruteForce, q33Centroids,
+    q34LshTopK, q35IvfTopK)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
@@ -131,5 +132,34 @@ object VectorQueries {
       .agg(oround(avg(col("x").cast("double")), 6).as("centroid"), count(lit(1)).as("n"))
       .select(col("label"), col("i").cast("long").as("dim"), col("centroid"), col("n"))
       .orderBy(col("label"), col("dim"))
+  }
+
+  /** Random-hyperplane LSH top-k — the ANN scale path (rows-only; recall
+    * vs. the q32 exact baseline is asserted in KnnSpec). */
+  val q34LshTopK: QueryDef = QueryDef.rowsOnly("q34_lsh_topk") { (s, d) =>
+    import graft.similarity.Knn
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < 5)
+    Knn.lshTopK(e, q, "vec_id", "embedding", dim = 64, k = 10)
+      .select(col("qid"), col("rank"), col("nn"), oround(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** IVF top-k probing 3 of the per-label centroids (rows-only; recall in
+    * KnnSpec). Centroids come from the q33 aggregation. */
+  val q35IvfTopK: QueryDef = QueryDef.rowsOnly("q35_ivf_topk") { (s, d) =>
+    import graft.similarity.Knn
+    val e = emb(s, d)
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(avg(col("x").cast("double")).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("cs"))
+      .select(col("label"), expr("transform(cs, x -> cast(x.c as float))").as("cvec"))
+    val q = e.filter(col("vec_id") < 5)
+    Knn.ivfTopK(e, q, "vec_id", "embedding", cents, "label", "cvec", k = 10, nprobe = 3)
+      .select(col("qid"), col("rank"), col("nn"), oround(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("rank"))
   }
 }

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming surface (SURVEY §2.10).
+  *
+  * The reference is micro-batch over dynamic per-user partitions (sensor
+  * poll + cursor, sensors/__init__.py:16-40); its only watermark-like state
+  * is the seen-directory cursor. The engine generalizes to real streams:
+  *
+  *  - tumbling / sliding windowed aggregation with event-time watermarks;
+  *  - gap-based session windows (`session_window`) — exactly the
+  *    reference's sessionization semantic (op 62) as a streaming operator;
+  *  - file-source discovery with `Trigger.AvailableNow` — the sensor
+  *    equivalent: each tick processes newly arrived files exactly once,
+  *    checkpointed (the cursor), scaling to millions of tracked files;
+  *  - `foreachBatch` incremental rebuild — the per-user idempotent
+  *    partition-overwrite pattern (DELETE-then-write,
+  *    assets/recent_history.py:130-138) becomes dynamic partition
+  *    overwrite of the touched user partitions only.
+  *
+  * Every aggregation here has the same shape as its batch twin in
+  * EventQueries (q17/q23/q24), and StreamingSpec asserts stream == batch on
+  * the same input — the correctness contract for incremental execution.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts/sums per event_type. */
+  def tumblingAgg(events: DataFrame, width: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window aggregation (width/slide). */
+  def slidingAgg(events: DataFrame, width: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"))
+
+  /** Gap-based session windows per user — streaming sessionization. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** File-source discovery stream over a takeout-style user tree
+    * (`<root>/<user>/MyActivity.json`): the Dagster sensor, Spark-native.
+    * `AvailableNow` = one sensor tick; re-run to pick up new users. */
+  def discoverUsers(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1000")
+      .json(s"$root/*/MyActivity.json")
+      .withColumn("user_id",
+        regexp_extract(input_file_name(), "([^/]+)/MyActivity\\.json", 1))
+
+  /** Run a streaming frame into an idempotent per-user-partition parquet
+    * sink: each micro-batch dynamically overwrites only the user partitions
+    * it touches (the reference's DELETE-then-COPY idempotency). */
+  def toUserPartitionedSink(df: DataFrame, outPath: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.write
+          .mode("overwrite")
+          .partitionBy("user_id")
+          .parquet(outPath)
+      }
+      .start()
+}

@@ -1,0 +1,46 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media =
+    Multimodal.syntheticMediaFromDocs(Tables.documents(spark, sf))
+
+  test("synthetic media table has the typed schema and binary payloads") {
+    assert(media.schema.fieldNames.toSet ==
+      Multimodal.mediaSchema.fieldNames.toSet)
+    val kinds = media.select("kind").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kinds == Set("image", "audio", "video"))
+    val row = media.filter(col("kind") === "image").head()
+    assert(row.getAs[Array[Byte]]("bytes").nonEmpty)
+    assert(row.getAs[Int]("width") > 0)
+  }
+
+  test("feature extraction: fixed dim, deterministic across partitionings") {
+    val codec = new Multimodal.StubCodec(32)
+    val a = Multimodal.extractFeatures(media, codec).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val b = Multimodal.extractFeatures(media.repartition(13), codec).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(a.size == media.count())
+    assert(a.values.forall(_.length == 32))
+    assert(a == b)
+  }
+
+  test("frame sampling: midpoint-spaced offsets within duration") {
+    val plan = Multimodal.frameSamplePlan(media, framesPerVideo = 4)
+    val joined = plan.join(media.select(col("media_id"), col("duration_ms")), "media_id")
+    assert(plan.count() ==
+      media.filter(col("kind") === "video" && col("duration_ms").isNotNull).count() * 4)
+    assert(joined.filter(col("frame_ms") >= col("duration_ms")).count() == 0)
+    // deterministic spacing for one known video
+    val one = plan.orderBy("media_id", "frame_ms").limit(4)
+      .collect().map(_.getLong(1)).toSeq
+    val dur = joined.orderBy("media_id").head().getAs[Long]("duration_ms")
+    assert(one == Seq(dur / 8, 3 * dur / 8, 5 * dur / 8, 7 * dur / 8))
+  }
+}

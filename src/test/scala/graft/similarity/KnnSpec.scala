@@ -1,0 +1,72 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+
+  private def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("qid", "nn").collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+  test("brute force: k neighbors each, self excluded, sims descending") {
+    val got = Knn.bruteForce(emb, queries, "vec_id", "embedding", k = 5)
+    val byQ = got.collect().groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(!rows.map(_.getAs[Long]("nn")).contains(q))
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH recall vs brute force is substantial and grows with tables") {
+    // note: the synthetic vectors are nearly isotropic (median pairwise
+    // cosine ≈ 0) — the hardest case for LSH; recall here is bounded by the
+    // candidate fraction, so the contract is "clearly better than the
+    // candidate-fraction floor and monotone in tables", not a fixed 0.9
+    val exact = neighborSets(Knn.bruteForce(emb, queries, "vec_id", "embedding", 10))
+    def recallOf(tables: Int): Double = {
+      val approx = neighborSets(
+        Knn.lshTopK(emb, queries, "vec_id", "embedding", dim = 64, k = 10,
+          nPlanes = 4, nTables = tables))
+      exact.keys.map { q =>
+        approx.get(q).map(a => a.intersect(exact(q)).size.toDouble / 10).getOrElse(0.0)
+      }.sum / exact.size
+    }
+    val r2 = recallOf(2)
+    val r8 = recallOf(8)
+    info(f"LSH recall@10: 2 tables $r2%.3f, 8 tables $r8%.3f")
+    assert(r8 > r2)
+    assert(r8 > 0.3)
+  }
+
+  test("IVF recall with nprobe=3 beats nprobe=1") {
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(avg(col("x").cast("double")).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("cs"))
+      .select(col("label"), expr("transform(cs, x -> cast(x.c as float))").as("cvec"))
+    val exact = neighborSets(Knn.bruteForce(emb, queries, "vec_id", "embedding", 10))
+    def recallOf(nprobe: Int): Double = {
+      val approx = neighborSets(Knn.ivfTopK(emb, queries, "vec_id", "embedding",
+        cents, "label", "cvec", k = 10, nprobe = nprobe))
+      exact.keys.map { q =>
+        approx.get(q).map(a => a.intersect(exact(q)).size.toDouble / 10).getOrElse(0.0)
+      }.sum / exact.size
+    }
+    val r1 = recallOf(1)
+    val r3 = recallOf(3)
+    info(f"IVF recall@10: nprobe=1 $r1%.3f, nprobe=3 $r3%.3f")
+    // label-centroids are weak quantizers for these near-isotropic vectors;
+    // the contract is monotone recall in nprobe (and strictly useful at 3)
+    assert(r3 >= r1)
+    assert(r3 > 3 * r1)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Correctness contract for incremental execution: every streaming
+  * aggregation equals its batch twin on the same (finite) input. */
+class StreamingSpec extends SparkSpec {
+
+  private def streamOf(batch: DataFrame): DataFrame = {
+    // replay a batch frame through a real file-source stream
+    val dir = java.nio.file.Files.createTempDirectory("stream-in").toString
+    batch.write.mode("overwrite").parquet(dir)
+    spark.readStream.schema(batch.schema).parquet(dir)
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("tumbling window: stream == batch") {
+    val events = Tables.events(spark, sf)
+    val stream = runToMemory(StreamOps.tumblingAgg(streamOf(events)), "tumb", "complete")
+    val batch = StreamOps.tumblingAgg(events)
+    assert(canon(stream) == canon(batch))
+    assert(stream.count() > 0)
+  }
+
+  test("sliding window: stream == batch") {
+    val events = Tables.events(spark, sf)
+    val stream = runToMemory(StreamOps.slidingAgg(streamOf(events)), "slide", "complete")
+    val batch = StreamOps.slidingAgg(events)
+    assert(canon(stream) == canon(batch))
+  }
+
+  test("session window: stream == batch and matches q17 session count") {
+    val events = Tables.events(spark, sf)
+    val stream = runToMemory(StreamOps.sessionAgg(streamOf(events)), "sess", "complete")
+    val batch = StreamOps.sessionAgg(events)
+    assert(canon(stream) == canon(batch))
+    // cross-check against the window-function sessionization (q17 semantics)
+    val q17 = graft.queries.EventQueries.q17Sessionize.run(spark, sf)
+    assert(stream.count() == q17.count())
+  }
+
+  test("file discovery + idempotent user-partitioned sink") {
+    val root = java.nio.file.Files.createTempDirectory("disc").toString
+    def write(user: String, time: String): Unit = {
+      val dir = java.nio.file.Paths.get(root, user)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("MyActivity.json"),
+        s"""[{"header":"Search","title":"t","titleUrl":"u","time":"$time","products":["Search"]}]""")
+    }
+    write("u1", "2024-01-01T10:00:00.000Z")
+    write("u2", "2024-01-02T10:00:00.000Z")
+    val out = java.nio.file.Files.createTempDirectory("disc-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("disc-ckpt").toString
+    val disc = StreamOps.discoverUsers(spark, root,
+      graft.pipeline.TakeoutIngest.takeoutSchema)
+    StreamOps.toUserPartitionedSink(disc, out, ckpt).awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.select("user_id").distinct().count() == 2)
+    // second tick with a new user: only new files processed, sink stays consistent
+    write("u3", "2024-01-03T10:00:00.000Z")
+    StreamOps.toUserPartitionedSink(
+      StreamOps.discoverUsers(spark, root, graft.pipeline.TakeoutIngest.takeoutSchema),
+      out, ckpt).awaitTermination()
+    assert(spark.read.parquet(out).select("user_id").distinct().count() == 3)
+  }
+}
