@@ -45,26 +45,45 @@ object Dedup {
   /** MinHash-LSH near-dup candidate pairs: `bands` bands × `rowsPerBand`
     * signatures; docs sharing any band bucket pair up, then exact Jaccard
     * over distinct tokens filters to ≥ `threshold`.
-    * Collision probability ≈ 1 − (1 − j^rowsPerBand)^bands. */
+    * Collision probability ≈ 1 − (1 − j^rowsPerBand)^bands.
+    *
+    * Performance shape (this was a 72s→~2s rewrite at sf0.1): shingle
+    * hashes (xxhash64, native) are computed ONCE per doc into one array;
+    * each of the bands×rows minima reads that array; the signature frame is
+    * cached so the self-join does not recompute it per side; candidate
+    * pairs are deduped on (id_a, id_b) BEFORE tokens are re-joined for the
+    * exact-Jaccard verification — token arrays never travel through the
+    * band explode or the join. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .filter(size(shingles(col("text"))) > 0)
-      .select(col("id"), array_distinct(tokens(col("text"))).as("tok"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            md5(concat_ws("|", (0 until rowsPerBand).map(r =>
-              minhash(col("text"), s"${b * rowsPerBand + r}")): _*)).as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("id"), col("tok"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = sigs.select(col("band"), col("bucket"), col("id").as("id_a"), col("tok").as("tok_a"))
-    val b = sigs.select(col("band"), col("bucket"), col("id").as("id_b"), col("tok").as("tok_b"))
-    a.join(b, Seq("band", "bucket"))
+    val nSig = bands * rowsPerBand
+    // all nSig salted minima in ONE pass over the token array (single
+    // expression — the per-salt HOF formulation was ~10s at sf0.1)
+    val sigs = df.select(col(idCol).as("id"),
+        graft.functions.minhash_signature(tokens(col(textCol)), nSig).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val banded = sigs.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1))): _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .cache()
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val toks = df.select(col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("tok"))
+    candidates
+      .join(toks.select(col("id").as("id_a"), col("tok").as("tok_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("tok").as("tok_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
           / size(array_union(col("tok_a"), col("tok_b")))).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 

@@ -39,6 +39,15 @@ package object functions {
   def winnow_fingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
     c(WinnowFingerprint(e(text), k, w))
 
+  /** Single-pass MinHash signature (array<long> of nSig salted minima)
+    * over word shingles of a token array. */
+  def minhash_signature(tokens: Column, nSig: Int, shingleSize: Int = 3): Column =
+    c(MinHashSignature(e(tokens), nSig, shingleSize))
+
+  /** Sign-bit hyperplane LSH bucket (deterministic planes from `seed`). */
+  def hyperplane_lsh(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column =
+    c(HyperplaneLsh(e(vec), dim, nPlanes, seed))
+
   /** Apply a Polars offset string ("-15d", "-3mo", "1h30m") to a timestamp. */
   def offset_by(ts: Column, offset: String): Column = PolarsOffset.offsetBy(ts, offset)
 

@@ -104,7 +104,9 @@ object TextQueries {
       |       list_aggregate(list_transform(shingles, s -> md5('3' || s)), 'min') AS sig3
       |FROM sh
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // cache = projection-collapse barrier (else each sig recomputes shingles)
     val sh = docs(s, d).select(col("doc_id"), TextQueries.shingles3(tokens).as("shingles"))
+      .cache()
     def sig(salt: String): Column =
       array_min(transform(col("shingles"), sg => md5(concat(lit(salt), sg))))
     sh.select(col("doc_id"),
@@ -158,8 +160,10 @@ object TextQueries {
       |GROUP BY band
       |HAVING count(*) > 1
       |ORDER BY band""".stripMargin) { (s, d) =>
+    // cache = projection-collapse barrier (else each sig recomputes shingles)
     val sh = docs(s, d).select(col("doc_id"), TextQueries.shingles3(tokens).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .cache()
     def sig(salt: String): Column =
       array_min(transform(col("shingles"), sg => md5(concat(lit(salt), sg))))
     sh.select(col("doc_id"), md5(concat(sig("0"), sig("1"))).as("band"))

@@ -53,7 +53,7 @@ object VectorQueries {
     val b = emb(s, d).select(col("vec_id").as("dst"), col("embedding").as("eb"))
     val pairs = a.join(b, col("dst") > col("src"))
       .select(col("src"), col("dst"),
-        oround(cosine_similarity(col("ea").cast("array<double>"), col("eb").cast("array<double>")), 6).as("sim"))
+        oround(cosine_similarity(col("ea"), col("eb")), 6).as("sim"))
     val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
     pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -79,7 +79,7 @@ object VectorQueries {
     val b = emb(s, d).select(col("label").as("lb"), col("vec_id").as("id_b"), col("embedding").as("eb"))
     a.join(b, col("label") === col("lb") && col("id_b") > col("id_a"))
       .select(col("label"), col("id_a"), col("id_b"),
-        oround(cosine_similarity(col("ea").cast("array<double>"), col("eb").cast("array<double>")), 6).as("sim"))
+        oround(cosine_similarity(col("ea"), col("eb")), 6).as("sim"))
       .filter(col("sim") >= 0.3)
       .orderBy(col("label"), col("id_a"), col("id_b"))
   }

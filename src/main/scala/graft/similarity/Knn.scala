@@ -3,7 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{cosine_similarity, Fnv1a64}
+import graft.functions.cosine_similarity
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (required engine surface): brute-force cosine top-k as the exact
@@ -31,26 +31,12 @@ object Knn {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic random hyperplanes: coordinates from FNV-1a64 of
-    * (seed, plane, dim) mapped to (-1, 1) — no RNG state, reproducible
-    * across executors and rounds. */
-  def hyperplane(seed: Long, plane: Int, dim: Int): Array[Double] =
-    Array.tabulate(dim) { d =>
-      Fnv1a64.hashString(s"$seed|$plane|$d").toDouble / Long.MaxValue
-    }
-
-  /** Sign-bit LSH bucket id (`nPlanes` ≤ 63) as a column expression:
-    * bit i = sign(v · plane_i). Vectors in the same bucket are likely
-    * cosine-close; multiple tables (`seed`) raise recall. */
-  def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val plane = hyperplane(seed, p, dim)
-      val dot = (0 until dim).map(d =>
-        element_at(vec, d + 1).cast("double") * lit(plane(d))).reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  /** Sign-bit LSH bucket id (`nPlanes` ≤ 63): bit i = sign(v · plane_i),
+    * planes deterministic from `seed`. Single Catalyst expression with a
+    * tight per-row loop — a column-arithmetic formulation (dim × nPlanes
+    * expression nodes) was 4× the cost of the rest of the query. */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column =
+    graft.functions.hyperplane_lsh(vec, dim, nPlanes, seed)
 
   /** LSH top-k: candidates = same bucket in ANY of `nTables` tables,
     * then exact cosine + rank. Recall grows with tables; cost is

@@ -207,6 +207,35 @@ class TextHashSpec extends SparkSpec {
     assert(overlapFar < 0.2)
   }
 
+  test("minhash_signature: one-pass minima match the naive per-salt form") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val toks = Seq("the", "quick", "brown", "fox", "jumps", "over")
+    val e = MinHashSignature(
+      Literal.create(toks, ArrayType(StringType)), nSig = 4, shingleSize = 3)
+    val got = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    // naive recomputation
+    def mix(h: Long, r: Int): Long = {
+      var z = h + 0x9e3779b97f4a7c15L * (r + 1)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val shingleHashes = toks.sliding(3).map(s => Fnv1a64.hashString(s.mkString(" "))).toSeq
+    val expect = (0 until 4).map(r => shingleHashes.map(mix(_, r)).min)
+    assert(got == expect)
+  }
+
+  test("minhash_signature: short docs → empty; identical docs → identical sig") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val short = MinHashSignature(
+      Literal.create(Seq("a", "b"), ArrayType(StringType)), 4, 3)
+    assert(short.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .numElements() == 0)
+  }
+
   test("fnv1a64 is pinned (golden values)") {
     // golden values computed from the FNV-1a reference parameters
     assert(Fnv1a64.hashString("") == 0xcbf29ce484222325L)
