@@ -15,9 +15,12 @@ object SparkEntry {
     RelationalQueries.all ++ EventQueries.all ++ VectorQueries.all ++
       TextQueries.all ++ PipelineQueries.all ++ DedupQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
+    * reference's recent path end-to-end — activity → stub-LLM sessions →
+    * embeddings → adaptive thresholds → banded candidate pairs →
+    * connected-components merge. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.q01PricingSummary.run(spark, "/root/testdata/sf0.001")
+    queries("q51_pipeline_merged")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

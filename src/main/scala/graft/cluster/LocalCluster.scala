@@ -63,14 +63,17 @@ object LocalCluster {
   /** Cluster `df` per `keyCol` group. Input needs `keyCol: long`,
     * `itemCol: string`, `vecCol: array<float>`; output adds
     * `cluster_label: int` (−1 = noise). Rows within a group are ordered by
-    * `itemCol` before clustering so labels are reproducible. */
+    * `itemCol` before clustering so labels are reproducible.
+    * `reduceTo = Some(k)` runs per-group PCA to k dims first — the
+    * reference's UMAP→cluster shape (SURVEY §2.9 op 58, LocalPca). */
   def clusterPerKey(
       df: DataFrame,
       keyCol: String,
       itemCol: String,
       vecCol: String,
       eps: Double = 0.02,
-      minClusterSize: Int = 5): DataFrame = {
+      minClusterSize: Int = 5,
+      reduceTo: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField(keyCol, LongType),
@@ -86,7 +89,12 @@ object LocalCluster {
       .groupByKey(_._1)
       .flatMapGroups { (key, it) =>
         val rows = it.toVector.sortBy(r => (r._2, r._3.headOption.getOrElse(0f)))
-        val labels = clusterVectors(rows.map(_._3.toArray).toArray, eps, minClusterSize)
+        val raw = rows.map(_._3.toArray).toArray
+        val vecs = reduceTo match {
+          case Some(k) => LocalPca.reduce(raw, k).map(_.map(_.toFloat))
+          case None => raw
+        }
+        val labels = clusterVectors(vecs, eps, minClusterSize)
         rows.iterator.zip(labels.iterator).map { case ((k, item, vec), lbl) =>
           (k, item, vec, lbl)
         }

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.similarity.Knn
+
+/** Parquet-backed vector store — the engine's replacement for the
+  * reference's Postgres+pgvector tables (SURVEY §2.1 ops 6-8:
+  * `recent_session_embeddings` / `recent_sessions_merged` /
+  * `recent_sessions_graph`, delete-then-COPY idempotency at
+  * assets/recent_history.py:127-178).
+  *
+  * Semantics:
+  *  - `upsertUsers` = the reference's per-user DELETE + COPY: dynamic
+  *    partition overwrite replaces exactly the user partitions present in
+  *    the batch, leaving all others untouched (idempotent rebuild);
+  *  - `deleteUsers` = GDPR-ish partition removal (the sensor's
+  *    partition-delete path, sensors/__init__.py:19-21);
+  *  - `ann` = the pgvector `<=>` query surface: top-k cosine over the
+  *    store, served by the engine's ANN operators.
+  *
+  * Scale: one directory per user partition; readers prune to the users
+  * they touch (partition pruning replaces the reference's manual
+  * `a.user_id = '<pk>'` pinning); blob-free rows keep partitions small.
+  */
+final class VectorStore(spark: SparkSession, path: String) {
+
+  /** Overwrite exactly the user partitions present in `df` (must carry a
+    * `user_id` column). */
+  def upsertUsers(df: DataFrame): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").partitionBy("user_id").parquet(path)
+  }
+
+  /** Remove user partitions (partition-level delete). */
+  def deleteUsers(userIds: Seq[String]): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(hconf)
+    userIds.foreach { u =>
+      val p = new org.apache.hadoop.fs.Path(base, s"user_id=$u")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  def load(): DataFrame = spark.read.parquet(path)
+
+  /** Rows of one user — relies on partition pruning, not a full scan. */
+  def loadUser(userId: String): DataFrame =
+    load().filter(col("user_id") === userId)
+
+  /** Top-k cosine neighbors in the store for each query row. */
+  def ann(queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    Knn.bruteForce(load(), queries, idCol, vecCol, k)
+}

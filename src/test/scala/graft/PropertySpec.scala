@@ -1,0 +1,118 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY §5.4): totality and algebraic invariants of the
+  * pure kernels that back the distributed operators. Uses ScalaCheck
+  * generators with a fixed-seed sampler (the scalatestplus bridge isn't in
+  * the offline dependency cache). */
+class PropertySpec extends AnyFunSuite {
+
+  /** Deterministic 100-case sampler. */
+  private def forAll[A](gen: Gen[A])(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    var tried = 0
+    while (i < 100 && tried < 1000) {
+      gen.apply(Gen.Parameters.default, seed) match {
+        case Some(v) => f(v); i += 1
+        case None =>
+      }
+      seed = seed.next
+      tried += 1
+    }
+    assert(i > 50, s"generator too sparse: only $i samples")
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb)) { case (a, b) => f(a, b) }
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc)) { case (a, b, c) => f(a, b, c) }
+
+  import graft.functions.ExtractJsonObjects.scan
+
+  test("extract_json_objects is total and every snippet is balance-consistent") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      val out = scan(s) // must never throw
+      out.foreach { snip =>
+        assert(snip.startsWith("{") || snip.startsWith("["))
+        assert(snip.endsWith("}") || snip.endsWith("]"))
+      }
+    }
+  }
+
+  test("extract_json_objects finds everything json.parse would find standalone") {
+    val objGen = for {
+      k <- Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(8))
+      v <- Gen.choose(-1000, 1000)
+    } yield s"""{"$k": $v}"""
+    forAll(Gen.listOfN(3, objGen), Gen.alphaStr, Gen.alphaStr) { (objs, pre, sep) =>
+      val text = pre + objs.mkString(sep.filterNot(c => c == '{' || c == '[' || c == '"'))
+      assert(scan(text).size == objs.size)
+    }
+  }
+
+  test("PolarsOffset: parse(x) + parse(-x) cancel") {
+    val unitGen = Gen.oneOf("d", "h", "m", "s", "mo", "w", "y", "ms")
+    val offGen = for {
+      n <- Gen.choose(1, 500)
+      u <- unitGen
+    } yield s"$n$u"
+    forAll(offGen) { off =>
+      val pos = graft.functions.PolarsOffset.parse(off)
+      val neg = graft.functions.PolarsOffset.parse(s"-$off")
+      assert(pos.months == -neg.months && pos.micros == -neg.micros)
+    }
+  }
+
+  test("union-find clustering: labels partition the input; noise iff small") {
+    import graft.cluster.LocalCluster
+    val vecGen = Gen.listOfN(3, Gen.choose(-1.0f, 1.0f)).map(_.toArray)
+    forAll(Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, vecGen)), Gen.choose(1, 4)) {
+      (vecs, minSize) =>
+        val arr = vecs.toArray
+        val labels = LocalCluster.clusterVectors(arr, eps = 0.3, minClusterSize = minSize)
+        assert(labels.length == arr.length)
+        // every non-noise cluster has >= minSize members
+        labels.filter(_ >= 0).groupBy(identity).foreach { case (_, m) =>
+          assert(m.length >= minSize)
+        }
+        // labels are contiguous from 0
+        val distinct = labels.filter(_ >= 0).distinct.sorted.toSeq
+        assert(distinct == distinct.indices.toSeq)
+    }
+  }
+
+  test("winnow fingerprint: subset-of-hashes and shift stability") {
+    import graft.functions.WinnowFingerprint
+    forAll(Gen.alphaNumStr.suchThat(_.length >= 30)) { s =>
+      val fp = WinnowFingerprint.fingerprint(s, 8, 16)
+      assert(fp.nonEmpty)
+      assert(fp == fp.sorted) // canonical order
+      // appending text never removes early-window minima entirely
+      val fp2 = WinnowFingerprint.fingerprint(s + "xyz", 8, 16).toSet
+      assert(fp.toSet.intersect(fp2).nonEmpty)
+    }
+  }
+
+  test("MinHash: signature of a superset document shares minima monotonically") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import graft.functions.MinHashSignature
+    def sig(tokens: Seq[String]): Seq[Long] = {
+      val e = MinHashSignature(Literal.create(tokens, ArrayType(StringType)), 8, 3)
+      e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+    }
+    val tokGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
+    forAll(tokGen, Gen.listOfN(3, Gen.oneOf("x", "y", "z"))) { (base, extra) =>
+      val s1 = sig(base)
+      val s2 = sig(base ++ extra)
+      // adding shingles can only lower (or keep) each salted minimum
+      s1.zip(s2).foreach { case (a, b) => assert(b <= a) }
+    }
+  }
+}
