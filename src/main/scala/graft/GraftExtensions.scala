@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def info(name: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
+    // theta band-join → banded equi-join rewrite (see graft.plans)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+
     ext.injectFunction((FunctionIdentifier("cosine_similarity"), info("cosine_similarity"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
