@@ -22,7 +22,7 @@ object EventQueries {
   def all: Seq[QueryDef] = Seq(
     q16RecencySplit, q17Sessionize, q18Thresholds, q19JsonExtract,
     q20IntervalOffset, q21TimeOfDay, q22Chunking, q23TumblingWindow,
-    q24SlidingWindow)
+    q24SlidingWindow, q29AsOfJoin)
 
   /** Recency split vs per-user max timestamp (SURVEY §2.2 op 10,
     * assets/takeout.py:70-72): keep events within "-15d" of the user's
@@ -240,5 +240,39 @@ object EventQueries {
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("n"))
       .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** As-of join: each click enriched with the user's most recent purchase
+    * at-or-before it (AsOfJoin operator: union + carry-forward window, one
+    * shuffle, no pair blowup). Oracle = correlated argmax subqueries.
+    * Epoch-micros keys keep the comparison exact on both engines. */
+  val q29AsOfJoin: QueryDef = sql(
+    "q29_asof_join",
+    """SELECT c.event_id, c.user_id,
+      |       (SELECT epoch_us(p.ts) FROM events p
+      |        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      |          AND p.ts <= c.ts
+      |        ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS purchase_us,
+      |       (SELECT p.value FROM events p
+      |        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      |          AND p.ts <= c.ts
+      |        ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS purchase_value
+      |FROM events c
+      |WHERE c.event_type = 'click'
+      |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+    import graft.operators.AsOfJoin
+    val ev = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("event_id").as("p_event_id"),
+        col("us").as("purchase_us"), col("value").as("purchase_value"))
+    AsOfJoin.join(clicks, purchases, Seq("user_id"),
+        leftTs = "us", rightTs = "us",
+        payload = Seq("purchase_us", "purchase_value"),
+        rightTiebreak = Some("p_event_id"))
+      .select(col("event_id"), col("user_id"), col("purchase_us"), col("purchase_value"))
+      .orderBy(col("event_id"))
   }
 }

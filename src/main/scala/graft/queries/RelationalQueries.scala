@@ -24,7 +24,7 @@ object RelationalQueries {
     q01PricingSummary, q02FilterPushdown, q03JoinTopkRevenue,
     q04BroadcastDimJoin, q05SemiJoin, q06AntiJoin, q07OuterJoinAgg,
     q08WindowTopk, q09WindowLagMs, q10Percentile, q11DistinctCounts,
-    q12SetOps, q13RunningSum, q14ConditionalAgg, q15Rollup)
+    q12SetOps, q13RunningSum, q14ConditionalAgg, q15Rollup, q62Sketches)
 
   /** TPC-H Q1-style pricing summary (SURVEY §2.4 ops 20,25; §2.2 op 9-11).
     * Scale: map-side partial aggregation → tiny shuffle (6 groups). */
@@ -287,5 +287,18 @@ object RelationalQueries {
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_cust"), oround(sum(col("c_acctbal")), 2).as("total_bal"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Sketch / approximate aggregates (rows-only — HLL/KLL/CMS internals are
+    * engine-specific; exact counterparts are oracle-checked in q10/q11).
+    * Scale: sketches are THE 100 TB cardinality/quantile answer — fixed
+    * memory, one pass, mergeable partials. */
+  val q62Sketches: QueryDef = QueryDef.rowsOnly("q62_sketches") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    li.agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+      expr("approx_percentile(l_quantity, array(0.1, 0.5, 0.9))").as("approx_qty_quantiles"),
+      expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("hll_orders"))
   }
 }
