@@ -245,18 +245,24 @@ object RelationalQueries {
     "q13_running_sum",
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |       round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
-      |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
       |FROM lineitem
-      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice""".stripMargin) { (s, d) =>
+    // l_extendedprice tiebreak: (l_orderkey, l_linenumber) is NOT unique in
+    // the synthetic data (sf0.1 has a pair equal on all three sort keys with
+    // different prices) -- the window order must be total or the engines
+    // accumulate in different orders
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, d)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("l_extendedprice"),
         oround(sum(col("l_extendedprice")).over(w), 2).as("running_rev"))
-      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-      .drop("l_shipdate")
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+      .drop("l_shipdate", "l_extendedprice")
   }
 
   /** Conditional aggregation (TPC-H Q14-style promo share). */
