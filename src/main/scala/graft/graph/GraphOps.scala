@@ -1,0 +1,68 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edge-list graph operators (SURVEY §1.1 "Graph" row: the reference's
+  * `recent_sessions_graph` is a plain `(user_id, parent_id, child_id,
+  * weight)` edge table; traversal = iterative joins — no graph library).
+  *
+  * All iterative ops localCheckpoint per round (lineage truncation) and
+  * converge in O(log diameter) rounds where doubling applies.
+  */
+object GraphOps {
+
+  /** Nodes reachable from `sources` following parent→child edges, with
+    * hop distance. BFS by iterative join; frontier deduped each round. */
+  def reachableFrom(edges: DataFrame, sources: DataFrame, maxHops: Int = 20): DataFrame = {
+    var frontier = sources.select(col("id")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint(true)
+    var visited = frontier
+    var hop = 0
+    var active = frontier.count() > 0
+    while (hop < maxHops && active) {
+      val next = frontier
+        .join(edges.select(col("parent_id").as("id"), col("child_id")), "id")
+        .select(col("child_id").as("id"))
+        .distinct()
+        .join(visited.select(col("id"), lit(true).as("__seen")), Seq("id"), "left_anti")
+        .withColumn("hops", lit(hop + 1))
+        .localCheckpoint(true)
+      active = next.count() > 0
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next
+      hop += 1
+    }
+    visited
+  }
+
+  /** Out-degree / in-degree / weight stats per node — the graph summary
+    * the reference surfaces as asset metadata. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("parent_id").as("id"))
+      .agg(count(lit(1)).as("out_degree"), min(col("weight")).as("min_out_weight"))
+    val in = edges.groupBy(col("child_id").as("id"))
+      .agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("id"), "full_outer")
+      .na.fill(0, Seq("out_degree", "in_degree"))
+  }
+
+  /** Weakly connected components of the edge list (delegates to the
+    * engine's ConnectedComponents). */
+  def components(edges: DataFrame): DataFrame =
+    graft.operators.ConnectedComponents.components(
+      edges.select(col("parent_id").as("src"), col("child_id").as("dst")))
+
+  /** Chains: maximal parent→child paths where each node has ≤1 out-edge
+    * and ≤1 in-edge (the top-1 similarity graph is near-functional, so its
+    * structure is mostly chains) — labeled by component. */
+  def chainMembership(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val chainNodes = deg.filter(col("out_degree") <= 1 && col("in_degree") <= 1)
+      .select(col("id"))
+    val chainEdges = edges
+      .join(chainNodes.withColumnRenamed("id", "parent_id"), "parent_id")
+      .join(chainNodes.withColumnRenamed("id", "child_id"), "child_id")
+    components(chainEdges)
+  }
+}

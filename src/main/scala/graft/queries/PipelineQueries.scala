@@ -19,7 +19,7 @@ import graft.pipeline.{OldPath, RecentPath}
 object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(
-    q50Sessions, q51Merged, q52Graph, q53Interests, q54Clusters)
+    q50Sessions, q51Merged, q52Graph, q53Interests, q54Clusters, q55GraphStats)
 
   /** events → activity frame (user_id, ts, title). */
   def activity(s: SparkSession, d: String): DataFrame =
@@ -64,5 +64,18 @@ object PipelineQueries {
         emb, "user_id", "interest", "embedding", eps = 0.7, minClusterSize = 5)
       .select(col("user_id").as("label"), col("interest").as("vec_id"), col("cluster_label"))
       .orderBy(col("label"), col("vec_id"))
+  }
+
+  /** Graph analytics over the similarity graph's edge list (SURVEY §1.1
+    * "Graph" row): per-node degrees + weakly-connected component labels —
+    * iterative-join traversal, no graph library. */
+  val q55GraphStats: QueryDef = rowsOnly("q55_graph_stats") { (s, d) =>
+    import graft.graph.GraphOps
+    val out = RecentPath.run(activity(s, d), new StubSessionsLLM, new StubEmbedder)
+    val edges = out.graph.cache()
+    GraphOps.degrees(edges)
+      .join(GraphOps.components(edges), Seq("id"), "left")
+      .select(col("id"), col("out_degree"), col("in_degree"), col("component"))
+      .orderBy(col("id"))
   }
 }

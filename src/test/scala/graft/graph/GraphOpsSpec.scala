@@ -1,0 +1,58 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // chain 1→2→3, branch 3→4 and 3→5, separate pair 10→11
+  private lazy val edges = Seq(
+    (1L, 2L, 0.1), (2L, 3L, 0.2), (3L, 4L, 0.3), (3L, 5L, 0.4), (10L, 11L, 0.5))
+    .toDF("parent_id", "child_id", "weight")
+
+  test("reachability with hop counts") {
+    val got = GraphOps.reachableFrom(edges, Seq(1L).toDF("id"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 3))
+  }
+
+  test("degrees") {
+    val d = GraphOps.degrees(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(d(3L) == (2L, 1L)) // two out-edges, one in-edge
+    assert(d(11L) == (0L, 1L))
+    assert(d(1L) == (1L, 0L))
+  }
+
+  test("components span the whole weakly-connected graph") {
+    val comps = GraphOps.components(edges).as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).map(comps).distinct.size == 1)
+    assert(comps(10L) == comps(11L))
+    assert(comps(1L) != comps(10L))
+  }
+
+  test("chain membership excludes branch nodes") {
+    val chains = GraphOps.chainMembership(edges).as[(Long, Long)].collect().toMap
+    // 3 has out-degree 2 → edges 3→4 / 3→5 are not chain edges
+    assert(chains(1L) == chains(2L))
+    assert(!chains.contains(4L) || chains.get(4L) != chains.get(1L))
+    assert(chains(10L) == chains(11L))
+  }
+
+  test("deployment row limits") {
+    import graft.core.EngineConf
+    val df = (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    assert(EngineConf.applyLimit(df, EngineConf.Local, Seq(col("id"))).count() == 100)
+    assert(EngineConf.applyLimit(df, EngineConf.Branch, Seq(col("id"))).count() == 1000)
+    assert(EngineConf.applyLimit(df, EngineConf.Prod, Seq(col("id"))).count() == 5000)
+    assert(EngineConf.fromEnv(Map("GRAFT_DEPLOYMENT" -> "local")) == EngineConf.Local)
+    assert(EngineConf.fromEnv(Map.empty) == EngineConf.Prod)
+    // limited output is deterministic thanks to the explicit ordering
+    val a = EngineConf.applyLimit(df.repartition(7), EngineConf.Local, Seq(col("id")))
+      .as[(Long, String)].collect().toSeq
+    val b = EngineConf.applyLimit(df.repartition(3), EngineConf.Local, Seq(col("id")))
+      .as[(Long, String)].collect().toSeq
+    assert(a == b)
+  }
+}
