@@ -39,6 +39,11 @@ package object functions {
   def winnow_fingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
     c(WinnowFingerprint(e(text), k, w))
 
+  /** Element-wise mean of an array column (centroid aggregate — map-side
+    * buffers instead of a dim× posexplode shuffle blowup). */
+  def vector_mean(vec: Column): Column =
+    c(VectorMean(e(vec)).toAggregateExpression())
+
   /** Single-pass MinHash signature (array<long> of nSig salted minima)
     * over word shingles of a token array. */
   def minhash_signature(tokens: Column, nSig: Int, shingleSize: Int = 3): Column =

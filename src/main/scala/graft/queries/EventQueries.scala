@@ -22,7 +22,7 @@ object EventQueries {
   def all: Seq[QueryDef] = Seq(
     q16RecencySplit, q17Sessionize, q18Thresholds, q19JsonExtract,
     q20IntervalOffset, q21TimeOfDay, q22Chunking, q23TumblingWindow,
-    q24SlidingWindow, q29AsOfJoin)
+    q24SlidingWindow, q29AsOfJoin, q63Pivot)
 
   /** Recency split vs per-user max timestamp (SURVEY §2.2 op 10,
     * assets/takeout.py:70-72): keep events within "-15d" of the user's
@@ -274,5 +274,26 @@ object EventQueries {
         rightTiebreak = Some("p_event_id"))
       .select(col("event_id"), col("user_id"), col("purchase_us"), col("purchase_value"))
       .orderBy(col("event_id"))
+  }
+
+  /** Pivot (long→wide): per-user event-type counts as columns. Oracle =
+    * FILTERed counts, the portable formulation of the same rotation. */
+  val q63Pivot: QueryDef = sql(
+    "q63_pivot",
+    """SELECT user_id,
+      |       count(*) FILTER (WHERE event_type = 'click') AS click,
+      |       count(*) FILTER (WHERE event_type = 'error') AS error,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |       count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0, Seq("click", "error", "purchase", "signup", "view"))
+      .orderBy(col("user_id"))
   }
 }

@@ -150,13 +150,12 @@ object VectorQueries {
   val q35IvfTopK: QueryDef = QueryDef.rowsOnly("q35_ivf_topk") { (s, d) =>
     import graft.similarity.Knn
     val e = emb(s, d)
-    val cents = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("label"), col("i"))
-      .agg(avg(col("x").cast("double")).as("c"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("cs"))
-      .select(col("label"), expr("transform(cs, x -> cast(x.c as float))").as("cvec"))
+    // centroids via the VectorMean aggregate — map-side buffers, no 64×
+    // posexplode shuffle blowup (equality with the explode form is pinned
+    // in FunctionsSpec)
+    val cents = e.groupBy(col("label"))
+      .agg(graft.functions.vector_mean(col("embedding")).as("cd"))
+      .select(col("label"), col("cd").cast("array<float>").as("cvec"))
     val q = e.filter(col("vec_id") < 5)
     Knn.ivfTopK(e, q, "vec_id", "embedding", cents, "label", "cvec", k = 10, nprobe = 3)
       .select(col("qid"), col("rank"), col("nn"), oround(col("sim"), 6).as("sim"))

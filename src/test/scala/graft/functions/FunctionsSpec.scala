@@ -58,6 +58,36 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(viaCodegen === interpreted)
   }
 
+  test("vector_mean equals the posexplode+avg formulation") {
+    import graft.core.Tables
+    val e = Tables.embeddings(spark, sf)
+    val viaAgg = e.groupBy(col("label"))
+      .agg(vector_mean(col("embedding")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val viaExplode = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(avg(col("x").cast("double")).as("c"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+    assert(viaAgg.keySet == viaExplode.keySet)
+    viaAgg.foreach { case (l, m) =>
+      m.zip(viaExplode(l)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
+  test("vector_mean: nulls skipped, all-null group → null") {
+    val df = Seq(
+      (1, Some(Seq(1.0f, 2.0f))), (1, Some(Seq(3.0f, 4.0f))), (1, None),
+      (2, None))
+      .toDF("k", "v")
+    val got = df.groupBy(col("k")).agg(vector_mean(col("v")).as("m"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert(got(1) == Seq(2.0, 3.0))
+    assert(got(2) == null)
+  }
+
   test("vec_dot and vec_norm") {
     val df = Seq((Seq(3.0, 4.0), Seq(1.0, 1.0))).toDF("a", "b")
     val r = df.select(vec_dot(col("a"), col("b")), vec_norm(col("a"))).head()
