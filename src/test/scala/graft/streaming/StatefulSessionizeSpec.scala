@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class StatefulSessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gapUs = 30L * 60 * 1000000 // 30 min
+
+  /** Batch truth: q17-style window sessionization carrying event-id lists. */
+  private def batchSessions() = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_id"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_s", when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("ts_us"), col("event_id")))).as("evs"))
+      .select(col("user_id"), col("sid"), col("start_us"), col("end_us"), col("n_events"),
+        expr("transform(evs, e -> e.event_id)").as("event_ids"))
+  }
+
+  test("stateful streaming sessionization matches batch sessions") {
+    // replay the events table through a file-source stream
+    val dir = java.nio.file.Files.createTempDirectory("statein").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    val streamEvents = StatefulSessionize.fromEventsFrame(
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir))
+    val out = StatefulSessionize.sessionize(streamEvents, gapUs)
+    val q = out.writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("closed_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Long](4).toSeq)).toSet
+
+    val batch = batchSessions().collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getSeq[Long](5).toSeq))
+    val batchSet = batch.toSet
+
+    // 1. every streamed session is a real batch session, byte-identical
+    val unknown = streamed.diff(batchSet)
+    assert(unknown.isEmpty, s"stream emitted non-batch sessions: ${unknown.take(3)}")
+
+    // 2. every session closed by a successor (all but each user's last)
+    //    must have been emitted; the last session may close via timeout
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+    val mustClose = batchSet.diff(lastPerUser.values.toSet)
+    val missing = mustClose.diff(streamed)
+    assert(missing.isEmpty, s"unclosed non-final sessions: ${missing.take(3)}")
+    assert(streamed.size >= mustClose.size && streamed.nonEmpty)
+  }
+}
+
+class FormatsSpec extends SparkSpec {
+
+  test("CSV and JSON sink/source round trips preserve the data") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_returnflag"))
+      .limit(500)
+    val base = java.nio.file.Files.createTempDirectory("formats").toString
+
+    li.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    val csvBack = spark.read.option("header", "true")
+      .schema(li.schema).csv(s"$base/csv")
+    assert(csvBack.collect().map(_.toString).sorted.toSeq ==
+      li.collect().map(_.toString).sorted.toSeq)
+
+    li.write.mode("overwrite").json(s"$base/json")
+    val jsonBack = spark.read.schema(li.schema).json(s"$base/json")
+    assert(jsonBack.collect().map(_.toString).sorted.toSeq ==
+      li.collect().map(_.toString).sorted.toSeq)
+  }
+}
