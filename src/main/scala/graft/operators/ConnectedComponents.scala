@@ -26,12 +26,22 @@ object ConnectedComponents {
     *              globally unique across any partition keys — callers with
     *              per-user graphs encode the user into the id or use
     *              user-unique ids)
+    * @param localThreshold edge count below which the components are
+    *              computed by driver-side union-find instead of the
+    *              iterative distributed loop. Adaptive small-input fast
+    *              path (same spirit as broadcast-join selection): each
+    *              distributed iteration costs several Spark jobs, which
+    *              dwarfs the work for graphs that fit trivially in memory;
+    *              at cluster scale the distributed path engages.
     * @return (`id`, `component`) — component = min id reachable
     */
-  def components(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def components(edges: DataFrame, maxIter: Int = 50,
+      localThreshold: Long = 1L << 20): DataFrame = {
     val spark = edges.sparkSession
-    val bidir = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val e2 = edges.select(col("src"), col("dst")).cache()
+    if (e2.count() <= localThreshold) return localComponents(e2)
+    val bidir = e2
+      .union(e2.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
 
@@ -62,5 +72,29 @@ object ConnectedComponents {
       iter += 1
     }
     labels.select(col("id"), col("lbl").as("component"))
+  }
+
+  /** Driver-side union-find for small graphs (min-id roots, identical
+    * output contract to the distributed path). */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+    spark.createDataFrame(out).toDF("id", "component")
   }
 }

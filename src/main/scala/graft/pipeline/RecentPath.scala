@@ -14,11 +14,17 @@ import graft.operators.{Sessionize, SessionOps}
   * the LLM/embedder on plan re-evaluation, SURVEY §4). */
 object RecentPath {
 
-  final case class Outputs(
-      sessions: DataFrame,
-      thresholds: DataFrame,
-      merged: DataFrame,
-      graph: DataFrame)
+  /** merged/graph are lazy: the connected-components merge runs driver
+    * actions (iteration + convergence checks) at construction time, so a
+    * consumer that only needs the graph must not pay for the merge. */
+  final class Outputs(
+      val sessions: DataFrame,
+      val thresholds: DataFrame,
+      mergedF: => DataFrame,
+      graphF: => DataFrame) {
+    lazy val merged: DataFrame = mergedF
+    lazy val graph: DataFrame = graphF
+  }
 
   def run(activity: DataFrame, llm: LLMClient, embedder: Embedder,
       chunkSize: Int = 15): Outputs = {
@@ -27,9 +33,10 @@ object RecentPath {
       embedder)
       .cache()
     val thresholds = SessionOps.thresholds(sessions).cache()
-    val pairs = SessionOps.candidatePairs(sessions, thresholds)
-    val merged = SessionOps.merge(sessions, pairs)
-    val graph = SessionOps.similarityGraph(sessions, thresholds)
-    Outputs(sessions, thresholds, merged, graph)
+    new Outputs(
+      sessions,
+      thresholds,
+      SessionOps.merge(sessions, SessionOps.candidatePairs(sessions, thresholds)),
+      SessionOps.similarityGraph(sessions, thresholds))
   }
 }

@@ -35,23 +35,36 @@ class BandJoinSpec extends SparkSpec {
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("chain, clique, and singleton components") {
+  test("chain, clique, and singleton components (both execution paths)") {
     // chain 1-2-3-4, clique 10-11-12, isolated edge 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L)).toDF("src", "dst")
-    val comps = ConnectedComponents.components(edges)
-      .as[(Long, Long)].collect().toMap
-    assert(Seq(1L, 2L, 3L, 4L).map(comps) == Seq(1L, 1L, 1L, 1L))
-    assert(Seq(10L, 11L, 12L).map(comps).distinct == Seq(10L))
-    assert(Seq(20L, 21L).map(comps).distinct == Seq(20L))
+    for (threshold <- Seq(Long.MaxValue, 0L)) { // local path / distributed path
+      val comps = ConnectedComponents.components(edges, localThreshold = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(Seq(1L, 2L, 3L, 4L).map(comps) == Seq(1L, 1L, 1L, 1L))
+      assert(Seq(10L, 11L, 12L).map(comps).distinct == Seq(10L))
+      assert(Seq(20L, 21L).map(comps).distinct == Seq(20L))
+    }
   }
 
-  test("long chain converges (pointer jumping)") {
+  test("long chain converges (pointer jumping, distributed path)") {
     val n = 200
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
-    val comps = ConnectedComponents.components(edges, maxIter = 12)
+    val comps = ConnectedComponents.components(edges, maxIter = 12, localThreshold = 0L)
       .as[(Long, Long)].collect()
     assert(comps.map(_._2).distinct.toSeq == Seq(1L))
+  }
+
+  test("local and distributed paths agree on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val local = ConnectedComponents.components(edges)
+      .as[(Long, Long)].collect().toMap
+    val dist = ConnectedComponents.components(edges, localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
   }
 }
 
