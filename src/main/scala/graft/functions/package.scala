@@ -39,6 +39,12 @@ package object functions {
   def winnow_fingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
     c(WinnowFingerprint(e(text), k, w))
 
+  /** min(md5(salt || shingle)) over word 3-shingles of a token array —
+    * exact parity with `array_min(transform(shingles, md5(salt || s)))`
+    * in one tight loop, no shingle materialization. */
+  def salted_md5_min(tokens: Column, salt: String, shingleSize: Int = 3): Column =
+    c(SaltedMd5Min(e(tokens), salt, shingleSize))
+
   /** Element-wise mean of an array column (centroid aggregate — map-side
     * buffers instead of a dim× posexplode shuffle blowup). */
   def vector_mean(vec: Column): Column =

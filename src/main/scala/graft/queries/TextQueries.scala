@@ -104,12 +104,12 @@ object TextQueries {
       |       list_aggregate(list_transform(shingles, s -> md5('3' || s)), 'min') AS sig3
       |FROM sh
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    // cache = projection-collapse barrier (else each sig recomputes shingles)
-    val sh = docs(s, d).select(col("doc_id"), TextQueries.shingles3(tokens).as("shingles"))
-      .cache()
-    def sig(salt: String): Column =
-      array_min(transform(col("shingles"), sg => md5(concat(lit(salt), sg))))
-    sh.select(col("doc_id"),
+    // salted_md5_min digests shingles straight from the token array —
+    // exact parity with array_min(transform(shingles, md5(salt || s)))
+    // and no shingle-string materialization
+    def sig(salt: String): Column = graft.functions.salted_md5_min(col("tok"), salt)
+    docs(s, d).select(col("doc_id"), tokens.as("tok"))
+      .select(col("doc_id"),
         sig("0").as("sig0"), sig("1").as("sig1"), sig("2").as("sig2"), sig("3").as("sig3"))
       .orderBy(col("doc_id"))
   }
@@ -160,13 +160,10 @@ object TextQueries {
       |GROUP BY band
       |HAVING count(*) > 1
       |ORDER BY band""".stripMargin) { (s, d) =>
-    // cache = projection-collapse barrier (else each sig recomputes shingles)
-    val sh = docs(s, d).select(col("doc_id"), TextQueries.shingles3(tokens).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .cache()
-    def sig(salt: String): Column =
-      array_min(transform(col("shingles"), sg => md5(concat(lit(salt), sg))))
-    sh.select(col("doc_id"), md5(concat(sig("0"), sig("1"))).as("band"))
+    def sig(salt: String): Column = graft.functions.salted_md5_min(col("tok"), salt)
+    docs(s, d).select(col("doc_id"), tokens.as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"), md5(concat(sig("0"), sig("1"))).as("band"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .filter(col("n_docs") > 1)
