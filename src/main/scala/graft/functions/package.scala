@@ -86,5 +86,9 @@ package object functions {
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "winnow_fingerprint", exprs => WinnowFingerprint(exprs.head, 8, 16), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_signature", exprs => MinHashSignature(exprs.head, 8, 3), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "vector_mean", exprs => VectorMean(exprs.head).toAggregateExpression(), "scala_udf")
   }
 }
