@@ -178,14 +178,40 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Language ID: stopword-profile scoring (n-gram heuristic family).
-    * Deterministic scores per language profile; argmax with a stable
-    * tie-break. Rows-only (profiles are engine configuration). */
-  val q47LangId: QueryDef = rowsOnly("q47_langid") { (s, d) =>
-    import graft.text.LangId
-    LangId.detect(docs(s, d), col("text"))
-      .select(col("doc_id"), col("lang"), col("lang_pred"), col("lang_score"))
-      .orderBy(col("doc_id"))
+  /** Language ID: stopword-profile scoring (n-gram heuristic family),
+    * argmax over the 5 profiles with lexicographically-larger-code
+    * tie-break. Oracle replays the same scoring in SQL (hit-count ÷ token
+    * count is exact integer→double division on both engines; the CASE
+    * checks codes from 'zh' down so >= reproduces the tie-break). */
+  val q47LangId: QueryDef = {
+    val profileSql = graft.text.LangId.profiles.map { case (lang, stops) =>
+      lang -> stops.map(w => s"'$w'").mkString("(", ", ", ")")
+    }
+    def scoreSql(lang: String): String =
+      s"CAST(len(list_filter(toks, t -> t IN ${profileSql.toMap.apply(lang)})) AS DOUBLE) / greatest(len(toks), 1)"
+    sql(
+      "q47_langid",
+      s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS toks
+         |           FROM documents),
+         |scored AS (SELECT doc_id, lang,
+         |                  ${scoreSql("de")} AS s_de, ${scoreSql("en")} AS s_en,
+         |                  ${scoreSql("es")} AS s_es, ${scoreSql("fr")} AS s_fr,
+         |                  ${scoreSql("zh")} AS s_zh
+         |           FROM t)
+         |SELECT doc_id, lang,
+         |       CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+         |            WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         |            WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         |            WHEN s_en >= s_de THEN 'en'
+         |            ELSE 'de' END AS lang_pred,
+         |       round(greatest(s_de, s_en, s_es, s_fr, s_zh), 6) AS lang_score
+         |FROM scored
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.text.LangId
+      LangId.detect(docs(s, d), col("text"))
+        .select(col("doc_id"), col("lang"), col("lang_pred"), col("lang_score"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** Winnowing fingerprints (rolling-hash k-grams, window minima). */
