@@ -221,11 +221,4 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Word 3-shingles with a guard for short docs (Spark `sequence(0, -1)`
-    * would produce a descending sequence, not an empty one). */
-  def shingles3(tok: Column): Column =
-    when(size(tok) >= 3,
-      transform(sequence(lit(0), size(tok) - 3),
-        i => concat_ws(" ", element_at(tok, i + 1), element_at(tok, i + 2), element_at(tok, i + 3))))
-      .otherwise(array())
 }
