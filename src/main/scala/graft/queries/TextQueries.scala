@@ -21,7 +21,8 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     q40ExactDedup, q41TokenStats, q42QualityScore, q43MinhashSignatures,
-    q44JaccardPairs, q45LshCandidates, q46Simhash, q47LangId, q48Fingerprint)
+    q44JaccardPairs, q45LshCandidates, q46Simhash, q47LangId, q48Fingerprint,
+    q64MinhashPairs)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -212,6 +213,58 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("lang_pred"), col("lang_score"))
         .orderBy(col("doc_id"))
     }
+  }
+
+  /** The complete MinHash-LSH dedup pipeline, oracle-checked end to end:
+    * 2 bands × 2 salted-md5 signatures → bucket-join candidates → exact
+    * distinct-token Jaccard ≥ 0.2. Composes the q43 signatures, q45
+    * banding and q44 verification into one query on both engines. */
+  val q64MinhashPairs: QueryDef = sql(
+    "q64_minhash_pairs",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |sh AS (SELECT doc_id, tok,
+      |              CASE WHEN len(tok) >= 3
+      |                   THEN list_transform(range(len(tok) - 2),
+      |                        i -> tok[i + 1] || ' ' || tok[i + 2] || ' ' || tok[i + 3])
+      |                   ELSE [] END AS shingles
+      |       FROM t),
+      |sigs AS (SELECT doc_id, tok,
+      |                md5(list_aggregate(list_transform(shingles, s -> md5('0' || s)), 'min')
+      |                    || list_aggregate(list_transform(shingles, s -> md5('1' || s)), 'min')) AS band0,
+      |                md5(list_aggregate(list_transform(shingles, s -> md5('2' || s)), 'min')
+      |                    || list_aggregate(list_transform(shingles, s -> md5('3' || s)), 'min')) AS band1
+      |         FROM sh WHERE len(shingles) > 0),
+      |bands AS (SELECT doc_id, tok, unnest(['b0-' || band0, 'b1-' || band1]) AS bucket FROM sigs),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bands a JOIN bands b ON a.bucket = b.bucket AND b.doc_id > a.doc_id)
+      |SELECT id_a, id_b,
+      |       round(CAST(len(list_filter(list_distinct(ta.tok), x -> list_contains(tb.tok, x))) AS DOUBLE)
+      |             / len(list_distinct(ta.tok || tb.tok)), 6) AS jaccard
+      |FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
+      |WHERE round(CAST(len(list_filter(list_distinct(ta.tok), x -> list_contains(tb.tok, x))) AS DOUBLE)
+      |            / len(list_distinct(ta.tok || tb.tok)), 6) >= 0.2
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    def sig(salt: String): Column = graft.functions.salted_md5_min(col("tok"), salt)
+    val base = docs(s, d).select(col("doc_id"), tokens.as("tok"))
+    val bands = base
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"),
+        explode(array(
+          concat(lit("b0-"), md5(concat(sig("0"), sig("1")))),
+          concat(lit("b1-"), md5(concat(sig("2"), sig("3")))))).as("bucket"))
+    val cand = bands.select(col("bucket"), col("doc_id").as("id_a"))
+      .join(bands.select(col("bucket"), col("doc_id").as("id_b")), "bucket")
+      .filter(col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val toks = base.select(col("doc_id"), array_distinct(col("tok")).as("dtok"))
+    cand
+      .join(toks.select(col("doc_id").as("id_a"), col("dtok").as("tok_a")), "id_a")
+      .join(toks.select(col("doc_id").as("id_b"), col("dtok").as("tok_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        oround(size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
+          / size(array_union(col("tok_a"), col("tok_b"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Winnowing fingerprints (rolling-hash k-grams, window minima). */
