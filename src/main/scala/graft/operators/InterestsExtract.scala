@@ -30,21 +30,9 @@ object InterestsExtract {
     val spark = activity.sparkSession
     import spark.implicits._
 
-    val w = Window.partitionBy(col("user_id"), col("date"))
-      .orderBy(col("ts"), col("title"))
-    val chunks = activity
-      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("title"))
-      .withColumn("date", to_date(col("ts")))
-      .withColumn("hour", date_format(col("ts"), "HH:mm"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("chunk_id", floor((col("rn") - 1) / chunkSize))
-      .groupBy(col("user_id"), col("date"), col("chunk_id"))
-      .agg(sort_array(collect_list(struct(col("rn"), col("hour"), col("title")))).as("rows"))
-      .select(col("user_id"), col("date"), col("chunk_id"),
-        expr("transform(rows, r -> struct(r.hour as _1, r.title as _2))").as("rows"))
+    val chunks = Chunker.chunks(activity, chunkSize)
 
     val responses = chunks
-      .as[(Long, java.sql.Date, Long, Seq[(String, String)])]
       .mapPartitions { it =>
         val batch = it.toVector
         if (batch.isEmpty) Iterator.empty
