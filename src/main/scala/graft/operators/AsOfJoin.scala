@@ -78,7 +78,7 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .withColumn("__ok", withinTol)
     val out = matched.select(
-      (leftCols.map(col) ++ payload.map(p =>
+      (leftCols.toIndexedSeq.map(col) ++ payload.map(p =>
         when(col("__ok"), col("__match").getField(p)).as(p))): _*)
     out
   }
