@@ -22,7 +22,7 @@ object TextQueries {
   def all: Seq[QueryDef] = Seq(
     q40ExactDedup, q41TokenStats, q42QualityScore, q43MinhashSignatures,
     q44JaccardPairs, q45LshCandidates, q46Simhash, q47LangId, q48Fingerprint,
-    q64MinhashPairs)
+    q64MinhashPairs, q65BpeTokens, q66Vocab)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -265,6 +265,51 @@ object TextQueries {
           / size(array_union(col("tok_a"), col("tok_b"))), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** BPE-style pre-tokenization (the "BPE-ish regex" token counter):
+    * alpha runs | digit runs | punctuation runs — the GPT-2 pretokenizer
+    * shape restricted to ASCII classes so Java-regex (Spark) and RE2
+    * (DuckDB) agree exactly. */
+  val q65BpeTokens: QueryDef = {
+    val pattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+    sql(
+      "q65_bpe_tokens",
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$pattern')) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(len(list_filter(regexp_extract_all(text, '$pattern'),
+         |                            t -> regexp_matches(t, '^[a-zA-Z]+$$'))) AS BIGINT) AS n_alpha,
+         |       CAST(len(list_filter(regexp_extract_all(text, '$pattern'),
+         |                            t -> regexp_matches(t, '^[0-9]+$$'))) AS BIGINT) AS n_num
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = regexp_extract_all(col("text"), lit(pattern), lit(0))
+      docs(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_bpe_tokens"),
+          size(filter(toks, t => t.rlike("^[a-zA-Z]+$"))).cast("long").as("n_alpha"),
+          size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("long").as("n_num"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Vocabulary / term-frequency analysis: corpus-wide top-50 tokens —
+    * the vocab-building aggregation of a training-data pipeline (explode →
+    * count → ordered top-k; map-side partial aggregation keeps the shuffle
+    * at |vocab|, not |tokens|). */
+  val q66Vocab: QueryDef = sql(
+    "q66_vocab",
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token
+      |ORDER BY n DESC, token
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(explode(tokens).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
   }
 
   /** Winnowing fingerprints (rolling-hash k-grams, window minima). */
