@@ -21,17 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // theta band-join → banded equi-join rewrite (see graft.plans)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
 
-    ext.injectFunction((FunctionIdentifier("cosine_similarity"), info("cosine_similarity"),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
-    ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
-    ext.injectFunction((FunctionIdentifier("extract_json_objects"), info("extract_json_objects"),
-      (es: Seq[Expression]) => ExtractJsonObjects(es.head)))
-    ext.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
-      (es: Seq[Expression]) => SimHash64(es.head)))
-    ext.injectFunction((FunctionIdentifier("winnow_fingerprint"), info("winnow_fingerprint"),
-      (es: Seq[Expression]) => WinnowFingerprint(es.head, 8, 16)))
-    ext.injectFunction((FunctionIdentifier("minhash_signature"), info("minhash_signature"),
-      (es: Seq[Expression]) => MinHashSignature(es.head, 8, 3)))
+    // one shared (name, builder) list drives BOTH SQL registration paths —
+    // graft.functions.registerAll and this extension expose identical surfaces
+    graft.functions.sqlFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
   }
 }

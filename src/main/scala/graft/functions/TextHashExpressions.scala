@@ -110,7 +110,18 @@ object WinnowFingerprint {
       hashes(i) = Fnv1a64.hashString(s.substring(i, i + k))
       i += 1
     }
-    if (nGrams <= w) return Seq(hashes.min).distinct
+    if (nGrams <= w) {
+      // Unsigned min, matching the windowed path below — signed `min` would
+      // pick a different gram whenever some hash has the top bit set, breaking
+      // the short-doc vs containing-doc overlap property.
+      var mn = hashes(0)
+      var i2 = 1
+      while (i2 < nGrams) {
+        if (java.lang.Long.compareUnsigned(hashes(i2), mn) < 0) mn = hashes(i2)
+        i2 += 1
+      }
+      return Seq(mn)
+    }
     val picked = scala.collection.mutable.SortedSet.empty[Long]
     var start = 0
     while (start + w <= nGrams) {

@@ -73,22 +73,58 @@ package object functions {
   def hhmm_of_seconds(secs: Column): Column =
     format_string("%02d:%02d", (secs / 3600).cast("int"), ((secs % 3600) / 60).cast("int"))
 
-  /** Register all custom functions for the SQL surface. */
+  import org.apache.spark.sql.catalyst.expressions.{Expression => CExpr, Literal}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def intArg(es: Seq[CExpr], i: Int, dflt: Int): Int =
+    if (es.length <= i) dflt else es(i) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  private def longArg(es: Seq[CExpr], i: Int, dflt: Long): Long =
+    if (es.length <= i) dflt else es(i) match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  private def strArg(es: Seq[CExpr], i: Int, dflt: String): String =
+    if (es.length <= i) dflt else es(i) match {
+      case Literal(v: UTF8String, StringType) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be a string literal, got $other")
+    }
+
+  /** Single source of truth for the SQL-function surface. BOTH registration
+    * paths — `GraftExtensions` (spark.sql.extensions deployments) and
+    * `registerAll` (programmatic sessions) — iterate this list, so a query
+    * that resolves under one path resolves under the other. */
+  private[graft] val sqlFunctions: Seq[(String, Seq[CExpr] => CExpr)] = Seq(
+    "cosine_similarity" -> ((es: Seq[CExpr]) => CosineSimilarity(es(0), es(1))),
+    "vec_dot" -> ((es: Seq[CExpr]) => DotProduct(es(0), es(1))),
+    "extract_json_objects" -> ((es: Seq[CExpr]) => ExtractJsonObjects(es.head)),
+    "simhash64" -> ((es: Seq[CExpr]) => SimHash64(es.head)),
+    "winnow_fingerprint" -> ((es: Seq[CExpr]) =>
+      WinnowFingerprint(es.head, intArg(es, 1, 8), intArg(es, 2, 16))),
+    "minhash_signature" -> ((es: Seq[CExpr]) =>
+      MinHashSignature(es.head, intArg(es, 1, 8), intArg(es, 2, 3))),
+    "vector_mean" -> ((es: Seq[CExpr]) => VectorMean(es.head).toAggregateExpression()),
+    "salted_md5_min" -> ((es: Seq[CExpr]) =>
+      SaltedMd5Min(es.head, strArg(es, 1, ""), intArg(es, 2, 3))),
+    "hyperplane_lsh" -> ((es: Seq[CExpr]) =>
+      HyperplaneLsh(es.head, intArg(es, 1, 0), intArg(es, 2, 16), longArg(es, 3, 42L)))
+  )
+
+  /** Register all custom functions for the SQL surface (same list as the
+    * `GraftExtensions` injection path). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "extract_json_objects", exprs => ExtractJsonObjects(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "winnow_fingerprint", exprs => WinnowFingerprint(exprs.head, 8, 16), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "minhash_signature", exprs => MinHashSignature(exprs.head, 8, 3), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "vector_mean", exprs => VectorMean(exprs.head).toAggregateExpression(), "scala_udf")
+    sqlFunctions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

@@ -49,14 +49,13 @@ object ConnectedComponents {
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
 
-    def labelSum(): Long = {
-      val r = labels.agg(sum("lbl")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph → no iterations
-    }
-    var prevSum = labelSum()
     var iter = 0
-    var converged = prevSum == 0L
+    // Convergence = no label changed this pass, detected by an id-equi-join
+    // of new vs previous labels (overflow-proof, unlike a Long label sum
+    // which wraps at scale and reads any zero-summing graph as converged).
+    var converged = labels.isEmpty // empty graph → no iterations
     while (iter < maxIter && !converged) {
+      val prev = labels
       val neighborMin = bidir
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lbl"))
@@ -66,9 +65,11 @@ object ConnectedComponents {
       labels = labels.union(neighborMin).union(jump)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      val s = labelSum()
-      converged = s == prevSum
-      prevSum = s
+      val changed = labels.as("n")
+        .join(prev.select(col("id"), col("lbl").as("plbl")), "id")
+        .where(col("lbl") =!= col("plbl"))
+        .limit(1).count() // any single changed row proves non-convergence
+      converged = changed == 0L
       iter += 1
     }
     labels.select(col("id"), col("lbl").as("component"))

@@ -30,9 +30,15 @@ import org.apache.spark.sql.types._
   * the hash key, splitting a hot key's O(n²) per-key pair space across
   * band-width time slices — the band-join scale story at 100 TB.
   *
-  * Bucket arithmetic runs in doubles (exact for |v| < 2^53; epoch
-  * seconds/millis are far below) and correctness never depends on it —
-  * the full original predicate is re-applied.
+  * Bucket arithmetic must be EXACT on the matching side (a residual can
+  * remove bucket false positives but can never recover a pair whose
+  * computed bucket drifted out of the left side's two exploded buckets).
+  * Int-or-narrower inputs use double arithmetic (|v| ≤ 2^31 < 2^53 —
+  * always exact); Long inputs use decimal arithmetic (exact across the
+  * full Long range; quotient rounding at DECIMAL128 precision is < the
+  * 1/width gap to any floor boundary since width < 1e15); fractional
+  * inputs (float/double/decimal), whose magnitude can exceed 2^53 where
+  * bucket rounding could silently drop matches, are left unrewritten.
   *
   * Registered via `GraftExtensions` (`injectOptimizerRule`).
   */
@@ -151,8 +157,26 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     }
     grouped.collectFirst {
       case Bound(lv, rv, Some(lo), Some(hi))
-          if hi >= lo && (hi - lo) < 1e15 => (lv, rv, lo, hi)
+          if hi >= lo && (hi - lo) < 1e15 && exactBucketsPossible(lv, rv, lo, hi) =>
+        (lv, rv, lo, hi)
     }
+  }
+
+  /** True iff bucket arithmetic can be made exact for these operand types
+    * (see class doc): Int-or-narrower → double path; Long → decimal path
+    * with whole-number bounds of magnitude < 1e15; fractional → never. */
+  private def exactBucketsPossible(lv: Expression, rv: Expression,
+      lo: Double, hi: Double): Boolean = {
+    def intOrNarrower(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType => true
+      case _ => false
+    }
+    def integral(t: DataType) = intOrNarrower(t) || t == LongType
+    if (intOrNarrower(lv.dataType) && intOrNarrower(rv.dataType)) true
+    else if (integral(lv.dataType) && integral(rv.dataType))
+      lo == math.floor(lo) && hi == math.floor(hi) &&
+        math.abs(lo) < 1e15 && math.abs(hi) < 1e15
+    else false
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -165,20 +189,35 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       lv: Expression, rv: Expression, lo: Double, hi: Double): LogicalPlan = {
     val width = math.max(hi - lo, 1.0)
 
+    val useDecimal = lv.dataType == LongType || rv.dataType == LongType
+
+    // Exact Long path: value cast to decimal(19,0) (any Long fits), shift
+    // added in decimal(20,0) (exact), divided by a whole-number width —
+    // DECIMAL128 quotient rounding (≤5e-16 absolute at Long magnitudes) is
+    // strictly smaller than the 1/width ≥ 1e-15 distance from any exact
+    // quotient k/width to the next integer, so Floor never misclassifies.
     def bucketOf(value: Expression, shift: Double): Expression =
-      Floor(Divide(
-        Add(Cast(value, DoubleType), Literal(shift, DoubleType)),
-        Literal(width, DoubleType)))
+      if (useDecimal)
+        Floor(Divide(
+          Add(Cast(value, DecimalType(19, 0)),
+            Literal(Decimal(shift.toLong), DecimalType(16, 0))),
+          Literal(Decimal(width.toLong), DecimalType(16, 0))))
+      else
+        Floor(Divide(
+          Add(Cast(value, DoubleType), Literal(shift, DoubleType)),
+          Literal(width, DoubleType)))
+
+    val bucketType = bucketOf(lv, lo).dataType
 
     // left: explode into the ≤2 reachable buckets (the band spans exactly
     // one width, so the two endpoint buckets cover every intermediate)
-    val lBucketAttr = AttributeReference(BucketName + "_l", LongType)()
+    val lBucketAttr = AttributeReference(BucketName + "_l", bucketType)()
     val lArray = ArrayDistinct(CreateArray(Seq(bucketOf(lv, lo), bucketOf(lv, hi))))
     val genLeft = Generate(Explode(lArray), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(lBucketAttr), child = left)
 
     // right: single bucket projection
-    val rBucketAttr = AttributeReference(BucketName + "_r", LongType)()
+    val rBucketAttr = AttributeReference(BucketName + "_r", bucketType)()
     val projRight = Project(
       right.output :+ Alias(bucketOf(rv, 0.0), rBucketAttr.name)(rBucketAttr.exprId),
       right)

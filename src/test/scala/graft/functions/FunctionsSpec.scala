@@ -271,4 +271,45 @@ class TextHashSpec extends SparkSpec {
     assert(Fnv1a64.hashString("") == 0xcbf29ce484222325L)
     assert(Fnv1a64.hashString("a") == 0xaf63dc4c8601ec8cL)
   }
+
+  test("winnow: short-doc minimum uses unsigned ordering (containment property)") {
+    // Find a short doc whose gram hashes include one with the top bit set:
+    // the signed min and unsigned min then differ, and only unsigned ordering
+    // keeps the short doc's fingerprint a subset of a containing doc's.
+    val k = 8; val w = 16
+    val short = (0 until 500).map(i => s"x${i}abcdefg").find { s =>
+      val grams = (0 to s.length - k).map(j => Fnv1a64.hashString(s.substring(j, j + k)))
+      grams.size <= w && grams.exists(_ < 0) && grams.exists(_ > 0) &&
+        grams.min != grams.reduce((a, b) =>
+          if (java.lang.Long.compareUnsigned(a, b) < 0) a else b)
+    }.get
+    val shortFp = WinnowFingerprint.fingerprint(short, k, w)
+    assert(shortFp.size == 1)
+    // the short-doc branch must pick the UNSIGNED min of its gram hashes —
+    // with signed ordering this failed whenever a hash had the top bit set
+    val grams = (0 to short.length - k).map(j => Fnv1a64.hashString(short.substring(j, j + k)))
+    val unsignedMin = grams.reduce((a, b) =>
+      if (java.lang.Long.compareUnsigned(a, b) < 0) a else b)
+    assert(shortFp.head == unsignedMin)
+  }
+
+  test("SQL registration paths expose the identical function list") {
+    // both GraftExtensions and registerAll iterate graft.functions.sqlFunctions;
+    // verify registerAll actually resolves each name in SQL
+    graft.functions.registerAll(spark)
+    import spark.implicits._
+    Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq("a", "b", "c", "d")))
+      .toDF("v1", "v2", "toks").createOrReplaceTempView("regcheck")
+    val row = spark.sql(
+      """SELECT cosine_similarity(v1, v2) cs, vec_dot(v1, v2) d,
+        |       simhash64(toks) sh, minhash_signature(toks, 4, 3) mh,
+        |       winnow_fingerprint('abcdefghijklmnop') wf,
+        |       salted_md5_min(toks, 's1', 3) sm,
+        |       hyperplane_lsh(v1, 2, 8, 42) hp,
+        |       extract_json_objects('x {"a":1} y') ej
+        |FROM regcheck""".stripMargin).head()
+    assert(row.getDouble(0) == 1.0)
+    val agg = spark.sql("SELECT vector_mean(v1) FROM regcheck").head()
+    assert(agg.getSeq[Double](0).nonEmpty)
+  }
 }
