@@ -26,7 +26,19 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val q58EmbeddingNearDup: QueryDef = rowsOnly("q58_embedding_neardup") { (s, d) =>
+  /** Oracle-checked: the bucketed near-dup output is EXACT within buckets
+    * (bucketing only scopes the candidate pairs; cosine is recomputed), so
+    * DuckDB can replay it with list_cosine_similarity. */
+  val q58EmbeddingNearDup: QueryDef = QueryDef.sql(
+    "q58_embedding_neardup",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND b.vec_id > a.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", threshold = 0.3)
       .select(col("id_a"), col("id_b"), oround(col("sim"), 6).as("sim"))
@@ -41,7 +53,17 @@ object DedupQueries {
       .orderBy(col("media_id"))
   }
 
-  val q61FramePlan: QueryDef = rowsOnly("q61_frame_plan") { (s, d) =>
+  /** Oracle-checked: the frame plan is pure column arithmetic over the
+    * synthesized media metadata (kind = video ⇔ doc_id % 3 = 2,
+    * duration_ms = n_chars × 10), so DuckDB replays it exactly; floor()
+    * matches Spark's long-cast truncation since frame offsets are ≥ 0. */
+  val q61FramePlan: QueryDef = QueryDef.sql(
+    "q61_frame_plan",
+    """SELECT doc_id AS media_id,
+      |       CAST(floor(n_chars * 10 * (2 * t.i + 1) / 8.0) AS BIGINT) AS frame_ms
+      |FROM documents CROSS JOIN range(4) t(i)
+      |WHERE doc_id % 3 = 2
+      |ORDER BY media_id, frame_ms""".stripMargin) { (s, d) =>
     val media = Multimodal.syntheticMediaFromDocs(Tables.documents(s, d))
     Multimodal.frameSamplePlan(media, framesPerVideo = 4)
       .orderBy(col("media_id"), col("frame_ms"))

@@ -29,15 +29,21 @@ object PipelineQueries {
       concat(col("event_type"), lit(" "),
         coalesce(get_json_object(col("props"), "$.k"), lit("x"))).as("title"))
 
+  /** Array columns are flattened to CSV strings in the q50/q51/q53 outputs:
+    * the driver's rows-only check sorts the frame in pandas, where
+    * array-typed cells are unsortable (numpy.ndarray is unhashable). */
   val q50Sessions: QueryDef = rowsOnly("q50_pipeline_sessions") { (s, d) =>
     import graft.operators.Sessionize
     Sessionize.sessions(activity(s, d), new StubSessionsLLM)
+      .withColumn("interests", concat_ws(",", col("interests")))
       .orderBy(col("user_id"), col("date"), col("time_start"), col("description"))
   }
 
   val q51Merged: QueryDef = rowsOnly("q51_pipeline_merged") { (s, d) =>
     val out = RecentPath.run(activity(s, d), new StubSessionsLLM, new StubEmbedder)
-    out.merged.orderBy(col("user_id"), col("id"))
+    out.merged
+      .withColumn("interests", concat_ws(",", col("interests")))
+      .orderBy(col("user_id"), col("id"))
   }
 
   val q52Graph: QueryDef = rowsOnly("q52_pipeline_graph") { (s, d) =>
@@ -48,10 +54,48 @@ object PipelineQueries {
   val q53Interests: QueryDef = rowsOnly("q53_pipeline_interests") { (s, d) =>
     import graft.operators.InterestsExtract
     InterestsExtract.interests(activity(s, d), new StubInterestsLLM)
+      .withColumn("chunked_interests",
+        expr("concat_ws('|', transform(chunked_interests, x -> concat_ws(',', x)))"))
+      .withColumn("interests", concat_ws(",", col("interests")))
       .orderBy(col("user_id"), col("date"))
   }
 
-  val q54Clusters: QueryDef = rowsOnly("q54_pipeline_clusters") { (s, d) =>
+  /** Oracle-checked: ε-single-linkage clustering = connected components of
+    * the "cosine distance ≤ ε" graph, with components smaller than
+    * minClusterSize as noise (−1) and labels numbered by smallest member in
+    * item order — all replayable in DuckDB via a recursive-CTE transitive
+    * closure over the per-label ε-graph. */
+  val q54Clusters: QueryDef = QueryDef.sql(
+    "q54_pipeline_clusters",
+    """WITH RECURSIVE
+      |nodes AS (
+      |  SELECT CAST(label AS BIGINT) AS grp, CAST(vec_id AS VARCHAR) AS item,
+      |         row_number() OVER (PARTITION BY label
+      |                            ORDER BY CAST(vec_id AS VARCHAR)) - 1 AS ord,
+      |         CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |edges AS (
+      |  SELECT a.grp, a.ord AS s, b.ord AS t
+      |  FROM nodes a JOIN nodes b ON a.grp = b.grp AND a.ord <> b.ord
+      |  WHERE 1 - list_cosine_similarity(a.e, b.e) <= 0.7),
+      |reach AS (
+      |  SELECT grp, ord AS src, ord AS dst FROM nodes
+      |  UNION
+      |  SELECT r.grp, r.src, e.t FROM reach r
+      |  JOIN edges e ON e.grp = r.grp AND e.s = r.dst),
+      |comp AS (
+      |  SELECT grp, src AS ord, min(dst) AS root FROM reach GROUP BY grp, src),
+      |clusters AS (
+      |  SELECT grp, root,
+      |         row_number() OVER (PARTITION BY grp ORDER BY root) - 1 AS lbl
+      |  FROM (SELECT grp, root, count(*) AS n FROM comp GROUP BY grp, root)
+      |  WHERE n >= 5)
+      |SELECT n.grp AS label, n.item AS vec_id,
+      |       CAST(COALESCE(c.lbl, -1) AS INTEGER) AS cluster_label
+      |FROM nodes n
+      |JOIN comp ON comp.grp = n.grp AND comp.ord = n.ord
+      |LEFT JOIN clusters c ON c.grp = comp.grp AND c.root = comp.root
+      |ORDER BY label, vec_id""".stripMargin) { (s, d) =>
     // cluster the driver-provided embeddings per label-group key to exercise
     // the per-key local clustering on real vectors (interest embeddings from
     // the stub are hash-random and never cluster); eps accepts moderate

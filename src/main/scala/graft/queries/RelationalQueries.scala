@@ -304,7 +304,14 @@ object RelationalQueries {
     li.agg(
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-      expr("approx_percentile(l_quantity, array(0.1, 0.5, 0.9))").as("approx_qty_quantiles"),
+      expr("approx_percentile(l_quantity, array(0.1, 0.5, 0.9))").as("qs"),
       expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("hll_orders"))
+      // scalarized for the driver's pandas-side rows-only sort (arrays are
+      // unsortable there)
+      .select(col("approx_parts"), col("approx_supps"),
+        element_at(col("qs"), 1).as("approx_qty_p10"),
+        element_at(col("qs"), 2).as("approx_qty_p50"),
+        element_at(col("qs"), 3).as("approx_qty_p90"),
+        col("hll_orders"))
   }
 }

@@ -312,10 +312,16 @@ object TextQueries {
       .limit(50)
   }
 
-  /** Winnowing fingerprints (rolling-hash k-grams, window minima). */
+  /** Winnowing fingerprints (rolling-hash k-grams, window minima).
+    * Output is scalarized (size + md5 digest of the signature) — the
+    * driver's rows-only check sorts the frame in pandas, and raw
+    * array<long> columns are unsortable there. */
   val q48Fingerprint: QueryDef = rowsOnly("q48_fingerprint") { (s, d) =>
     docs(s, d)
-      .select(col("doc_id"), winnow_fingerprint(col("text")).as("fingerprint"))
+      .select(col("doc_id"), winnow_fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"),
+        size(col("fp")).as("fp_size"),
+        md5(concat_ws(",", col("fp").cast("array<string>"))).as("fp_digest"))
       .orderBy(col("doc_id"))
   }
 
