@@ -110,13 +110,63 @@ object PipelineQueries {
       .orderBy(col("label"), col("vec_id"))
   }
 
-  /** Graph analytics over the similarity graph's edge list (SURVEY §1.1
+  /** Graph analytics over a similarity graph's edge list (SURVEY §1.1
     * "Graph" row): per-node degrees + weakly-connected component labels —
-    * iterative-join traversal, no graph library. */
-  val q55GraphStats: QueryDef = rowsOnly("q55_graph_stats") { (s, d) =>
+    * iterative-join traversal, no graph library.
+    *
+    * Oracle-checked: the edge list is the q30-shaped top-1-later-neighbor
+    * graph over `embeddings` (SQL-replayable, unlike the stub-LLM pipeline
+    * graph, which q52 still covers), and components = min reachable id via
+    * a recursive-CTE closure in DuckDB. */
+  val q55GraphStats: QueryDef = QueryDef.sql(
+    "q55_graph_stats",
+    """WITH RECURSIVE
+      |pairs AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id),
+      |edges AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |           row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+      |    FROM pairs)
+      |  WHERE rn = 1),
+      |nodes AS (
+      |  SELECT DISTINCT id FROM
+      |    (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+      |bidir AS (
+      |  SELECT src AS a, dst AS b FROM edges
+      |  UNION SELECT dst, src FROM edges),
+      |reach AS (
+      |  SELECT id AS src, id AS dst FROM nodes
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN bidir e ON e.a = r.dst),
+      |comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+      |outd AS (SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY src),
+      |ind AS (SELECT dst AS id, count(*) AS in_degree FROM edges GROUP BY dst)
+      |SELECT n.id, COALESCE(outd.out_degree, 0) AS out_degree,
+      |       COALESCE(ind.in_degree, 0) AS in_degree, comp.component
+      |FROM nodes n
+      |LEFT JOIN outd ON outd.id = n.id
+      |LEFT JOIN ind ON ind.id = n.id
+      |JOIN comp ON comp.id = n.id
+      |ORDER BY n.id""".stripMargin) { (s, d) =>
     import graft.graph.GraphOps
-    val out = RecentPath.run(activity(s, d), new StubSessionsLLM, new StubEmbedder)
-    val edges = out.graph.cache()
+    import graft.functions.cosine_similarity
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    val edges = a.join(b, col("dst") > col("src"))
+      .select(col("src"), col("dst"),
+        oround(cosine_similarity(col("ea"), col("eb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("src").as("parent_id"), col("dst").as("child_id"),
+        (lit(1) - col("sim")).as("weight"))
+      .cache()
     GraphOps.degrees(edges)
       .join(GraphOps.components(edges), Seq("id"), "left")
       .select(col("id"), col("out_degree"), col("in_degree"), col("component"))
