@@ -137,15 +137,20 @@ object SessionOps {
       col("start_s").as("b_start_s"), col("embedding").as("b_emb"))
     val ordering = (col("b_date") > col("a_date")) ||
       (col("b_date") === col("a_date") && col("b_start_s") >= col("a_end_s"))
-    val w = Window.partitionBy(col("parent_id"))
-      .orderBy(col("similarity").desc, col("child_id"))
+    // rank-1 per parent as a partial-aggregatable max(struct) instead of a
+    // row_number window — map-side combine shrinks the O(pairs) shuffle to
+    // one row per parent; lexicographic struct max = (similarity DESC,
+    // child_id ASC) rank 1, identical to the reference's ROW_NUMBER filter.
     a.join(b, Seq("user_id"))
       .filter(col("parent_id") =!= col("child_id") && ordering)
       .withColumn("similarity", cosine_similarity(col("a_emb"), col("b_emb")))
-      .withColumn("rank", row_number().over(w))
+      .groupBy(col("user_id"), col("parent_id"))
+      .agg(max(struct(col("similarity"),
+        (lit(0L) - col("child_id")).as("nd"))).as("m"))
       .join(broadcast(thresholds), "user_id")
-      .filter(col("rank") === 1 && col("similarity") > col("similarity_threshold"))
-      .select(col("user_id"), col("parent_id"), col("child_id"),
-        (lit(1.0) - col("similarity")).as("weight"))
+      .filter(col("m.similarity") > col("similarity_threshold"))
+      .select(col("user_id"), col("parent_id"),
+        (lit(0L) - col("m.nd")).as("child_id"),
+        (lit(1.0) - col("m.similarity")).as("weight"))
   }
 }

@@ -154,18 +154,17 @@ object PipelineQueries {
       |ORDER BY n.id""".stripMargin) { (s, d) =>
     import graft.graph.GraphOps
     import graft.functions.cosine_similarity
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("dst"), col("embedding").as("eb"))
-    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    // rank-1 per src via partial-aggregatable max(struct) — see q30
     val edges = a.join(b, col("dst") > col("src"))
       .select(col("src"), col("dst"),
         oround(cosine_similarity(col("ea"), col("eb")), 6).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("src").as("parent_id"), col("dst").as("child_id"),
-        (lit(1) - col("sim")).as("weight"))
+      .groupBy(col("src"))
+      .agg(max(struct(col("sim"), (lit(0L) - col("dst")).as("nd"))).as("m"))
+      .select(col("src").as("parent_id"), (lit(0L) - col("m.nd")).as("child_id"),
+        (lit(1) - col("m.sim")).as("weight"))
       .cache()
     GraphOps.degrees(edges)
       .join(GraphOps.components(edges), Seq("id"), "left")

@@ -54,10 +54,15 @@ object VectorQueries {
     val pairs = a.join(b, col("dst") > col("src"))
       .select(col("src"), col("dst"),
         oround(cosine_similarity(col("ea"), col("eb")), 6).as("sim"))
-    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
-    pairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("src"), col("dst"), col("sim"), oround(lit(1) - col("sim"), 6).as("weight"))
+    // rank-1 per src as a partial-aggregatable max(struct) instead of a
+    // row_number window: the window needs a full shuffle+sort of all O(n²)
+    // pairs; max(struct(sim, −dst)) combines map-side, shuffling one row
+    // per src. Lexicographic struct max = highest sim, then smallest dst —
+    // identical to the window's (sim DESC, dst ASC) rank 1.
+    pairs.groupBy(col("src"))
+      .agg(max(struct(col("sim"), (lit(0L) - col("dst")).as("nd"))).as("m"))
+      .select(col("src"), (lit(0L) - col("m.nd")).as("dst"), col("m.sim").as("sim"),
+        oround(lit(1) - col("m.sim"), 6).as("weight"))
       .orderBy(col("src"))
   }
 
