@@ -52,4 +52,23 @@ final class VectorStore(spark: SparkSession, path: String) {
   /** Top-k cosine neighbors in the store for each query row. */
   def ann(queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
     Knn.bruteForce(load(), queries, idCol, vecCol, k)
+
+  /** Row-granularity MERGE (upsert): see companion. Writes the merged frame
+    * back through the partition-overwrite path. */
+  def merge(changes: DataFrame, key: String): Unit =
+    upsertUsers(VectorStore.mergeUpsert(load(), changes, key))
+}
+
+object VectorStore {
+
+  /** Row-granularity MERGE semantics (NEXT.md: upsert at row granularity,
+    * not just partition overwrite): a change row replaces the existing row
+    * with the same `key`; change rows with no existing match are inserts;
+    * all other existing rows are kept. Set-based — one anti-join plus a
+    * union, no driver iteration; at scale the join shuffles on `key` (or
+    * co-locates if both sides are bucketed by `key`). */
+  def mergeUpsert(existing: DataFrame, changes: DataFrame, key: String): DataFrame =
+    existing
+      .join(changes.select(changes(key)), Seq(key), "left_anti")
+      .unionByName(changes)
 }

@@ -37,6 +37,28 @@ class VectorStoreSpec extends SparkSpec {
     assert(store.loadUser("u1").count() == 1)
   }
 
+  test("mergeUpsert: updates replace by key, inserts append, others kept") {
+    val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq((2L, "B"), (9L, "Z")).toDF("id", "v")
+    val merged = VectorStore.mergeUpsert(existing, changes, "id")
+      .as[(Long, String)].collect().toSet
+    assert(merged == Set((1L, "a"), (2L, "B"), (3L, "c"), (9L, "Z")))
+  }
+
+  test("store.merge persists row-granularity upserts through the store") {
+    val path = java.nio.file.Files.createTempDirectory("vstore4").toString + "/store"
+    val store = new VectorStore(spark, path)
+    store.upsertUsers(mk(("u1", 1L, Seq(1f, 0f)), ("u1", 2L, Seq(0f, 1f)),
+      ("u2", 3L, Seq(1f, 1f))))
+    store.merge(mk(("u1", 2L, Seq(0.7f, 0.7f)), ("u2", 4L, Seq(0f, 0f))), "id")
+    val after = store.load().select("user_id", "id").as[(String, Long)].collect().toSet
+    assert(after == Set(("u1", 1L), ("u1", 2L), ("u2", 3L), ("u2", 4L)))
+    // the updated row carries the new vector
+    val v = store.load().filter(col("id") === 2L)
+      .select("embedding").as[Seq[Float]].head()
+    assert(v == Seq(0.7f, 0.7f))
+  }
+
   test("ann serves top-k from the store") {
     val path = java.nio.file.Files.createTempDirectory("vstore3").toString + "/store"
     val store = new VectorStore(spark, path)
