@@ -68,6 +68,51 @@ object StatefulSessionize {
       }
   }
 
+  /** Processing-time-timeout variant (NEXT.md backlog): for streams with no
+    * usable event-time watermark, an open session is flushed once its key
+    * has been idle for `idleMs` of WALL-CLOCK time (timeout fires on the
+    * next micro-batch after the duration elapses). Gap splitting within a
+    * batch still uses event time; only the close-on-idle trigger differs
+    * from the EventTimeTimeout form above. */
+  def sessionizeProcessingTime(events: Dataset[Event], gapUs: Long,
+      idleMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.start_us, s.end_us,
+              s.events.size.toLong, s.events))
+          } else {
+            val sorted = it.toVector.sortBy(e => (e.tsUs, e.event_id))
+            val closed = Vector.newBuilder[ClosedSession]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.tsUs - s.end_us <= gapUs =>
+                  open = Some(OpenSession(s.start_us, math.max(s.end_us, e.tsUs),
+                    s.events :+ e.event_id))
+                case Some(s) =>
+                  closed += ClosedSession(userId, s.start_us, s.end_us,
+                    s.events.size.toLong, s.events)
+                  open = Some(OpenSession(e.tsUs, e.tsUs, Seq(e.event_id)))
+                case None =>
+                  open = Some(OpenSession(e.tsUs, e.tsUs, Seq(e.event_id)))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(idleMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Batch→stream adapter for the events table: (user_id, ts, event_id)
     * with event-time watermark on `ts`. */
   def fromEventsFrame(events: DataFrame): Dataset[Event] = {

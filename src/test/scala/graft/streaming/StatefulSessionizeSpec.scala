@@ -62,6 +62,65 @@ class StatefulSessionizeSpec extends SparkSpec {
   }
 }
 
+class ProcessingTimeSessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("processing-time timeout flushes idle sessions; in-batch gaps split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[StatefulSessionize.Event]
+    val out = StatefulSessionize.sessionizeProcessingTime(
+      src.toDS(), gapUs = 60L * 1000000, idleMs = 1L)
+    val q = out.writeStream.format("memory").queryName("pt_sessions")
+      .outputMode("append").start()
+    try {
+      def ev(u: Long, sec: Long, id: Long) = StatefulSessionize.Event(
+        u, new java.sql.Timestamp(sec * 1000L), id)
+      // user 1: two events within the gap → one session (flushed by timeout);
+      // user 3: 900s apart → split in-batch, tail flushed by timeout.
+      // NOTE: a ProcessingTimeTimeout query self-triggers no-data batches
+      // while any state holds a timeout (shouldRunAnotherBatch == true), so
+      // processAllAvailable never settles — poll the sink instead.
+      src.addData(ev(1, 100, 1), ev(1, 110, 2), ev(3, 100, 5), ev(3, 1000, 6))
+      def rows() = spark.table("pt_sessions")
+        .select("user_id", "start_us", "end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (rows().size < 3 && System.nanoTime() < deadline) Thread.sleep(100)
+      val got = rows()
+      assert(got == Set(
+        (1L, 100000000L, 110000000L, 2L),
+        (3L, 100000000L, 100000000L, 1L),
+        (3L, 1000000000L, 1000000000L, 1L)), got.toString)
+    } finally q.stop()
+  }
+}
+
+class RateLimitSpec extends graft.SparkSpec {
+  import graft.enrich._
+
+  test("rate-limited LLM spaces requests without changing outputs") {
+    val inner = new StubSessionsLLM
+    val prompts = (1 to 6).map(i => s"chunk $i\n0$i:00 | title$i")
+    val unlimited = inner.complete(prompts)
+    val limited = new RateLimitedLLM(inner, requestsPerSecond = 200.0)
+    val t0 = System.nanoTime()
+    val out = limited.complete(prompts)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(out == unlimited)
+    // 6 requests at 200/s → 5 spacing intervals of 5ms ≥ ~25ms floor
+    assert(elapsedMs >= 20.0, s"elapsed $elapsedMs ms — limiter not enforced")
+  }
+
+  test("rate-limited embedder: one permit per batch, identical vectors") {
+    val inner = new StubEmbedder(8)
+    val limited = new RateLimitedEmbedder(inner, requestsPerSecond = 1000.0)
+    val texts = Seq("a", "b", "c")
+    assert(limited.embed(texts).map(_.toSeq) == inner.embed(texts).map(_.toSeq))
+    assert(limited.dim == 8)
+  }
+}
+
 class FormatsSpec extends SparkSpec {
 
   test("CSV and JSON sink/source round trips preserve the data") {
