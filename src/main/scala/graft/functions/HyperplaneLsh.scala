@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   * the plane matrix is materialized once per executor in a transient field
   * and the per-row cost is one tight nPlanes×dim loop. */
 case class HyperplaneLsh(child: Expression, dim: Int, nPlanes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(nPlanes > 0 && nPlanes <= 63, "nPlanes must be in [1, 63]")
 
@@ -34,8 +34,16 @@ case class HyperplaneLsh(child: Expression, dim: Int, nPlanes: Int, seed: Long)
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  /** Keeps the stage whole-stage-compiled — see SaltedMd5Min.doGenCode. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneLsh", this, classOf[HyperplaneLsh].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(arr: ArrayData): Long = {
     val n = math.min(dim, arr.numElements())
     var bucket = 0L
     var p = 0
@@ -51,7 +59,7 @@ case class HyperplaneLsh(child: Expression, dim: Int, nPlanes: Int, seed: Long)
       if (dot >= 0) bucket |= (1L << p)
       p += 1
     }
-    java.lang.Long.valueOf(bucket)
+    bucket
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

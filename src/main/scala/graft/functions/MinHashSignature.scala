@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * fewer than `shingleSize` tokens (caller filters).
   */
 case class MinHashSignature(child: Expression, nSig: Int, shingleSize: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(nSig > 0 && shingleSize > 0)
 
@@ -33,8 +33,16 @@ case class MinHashSignature(child: Expression, nSig: Int, shingleSize: Int)
     case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Keeps the stage whole-stage-compiled — see SaltedMd5Min.doGenCode. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSignature].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n < shingleSize) return new GenericArrayData(Array.empty[Any])
     val tokenBytes = Array.tabulate(n)(i =>

@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * composed form's empty-shingles → null-min).
   */
 case class SaltedMd5Min(child: Expression, salt: String, shingleSize: Int = 3)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -42,8 +42,22 @@ case class SaltedMd5Min(child: Expression, salt: String, shingleSize: Int = 3)
 
   @transient private lazy val space = " ".getBytes("UTF-8")
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Whole-stage codegen: one virtual call into this tight loop, keeping
+    * the surrounding stage compiled (CodegenFallback would collapse the
+    * whole projection to interpreted mode). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("saltedMd5Min", this, classOf[SaltedMd5Min].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = $ref.compute($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  }
+
+  def compute(arr: ArrayData): UTF8String = {
     val n = arr.numElements()
     if (n < shingleSize) return null
     val tokenBytes = Array.tabulate(n)(i =>

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -34,7 +34,7 @@ object Fnv1a64 {
   * fingerprint. Hamming distance between fingerprints approximates cosine
   * distance between token multisets. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -44,8 +44,16 @@ case class SimHash64(child: Expression)
     case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  /** Keeps the stage whole-stage-compiled — see SaltedMd5Min.doGenCode. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash64", this, classOf[SimHash64].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var t = 0
     val n = arr.numElements()
@@ -66,7 +74,7 @@ case class SimHash64(child: Expression)
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -78,7 +86,7 @@ case class SimHash64(child: Expression)
   * of w=16 grams, deduplicated — a compact `array<long>` signature whose
   * overlap estimates copy/near-copy regions between documents. */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fingerprint"
@@ -87,9 +95,17 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val sig = WinnowFingerprint.fingerprint(s, k, w)
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Keeps the stage whole-stage-compiled — see SaltedMd5Min.doGenCode. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowFp", this, classOf[WinnowFingerprint].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(s8: UTF8String): ArrayData = {
+    val sig = WinnowFingerprint.fingerprint(s8.toString, k, w)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       sig.map(java.lang.Long.valueOf).toArray[Any])
   }

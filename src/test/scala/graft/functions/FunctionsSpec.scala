@@ -293,6 +293,46 @@ class TextHashSpec extends SparkSpec {
     assert(shortFp.head == unsignedMin)
   }
 
+  test("custom hash expressions codegen (no CodegenFallback) and match eval") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = BoundReference(0, ArrayType(StringType), nullable = true)
+    val txt = BoundReference(1, StringType, nullable = true)
+    val vec = BoundReference(2, ArrayType(FloatType), nullable = true)
+    val mh = MinHashSignature(toks, 4, 3)
+    val sh = SimHash64(toks)
+    val md = SaltedMd5Min(toks, "s1", 3)
+    val wf = WinnowFingerprint(txt, 8, 16)
+    val hp = HyperplaneLsh(vec, 2, 8, 42L)
+    val exprs = Seq(mh, sh, md, wf, hp)
+    // generate compiled projection — throws on broken doGenCode
+    val proj = GenerateUnsafeProjection.generate(exprs)
+    val row = InternalRow(
+      ArrayData.toArrayData(Array("the", "quick", "brown", "fox")
+        .map(UTF8String.fromString)),
+      UTF8String.fromString("abcdefghijklmnopqrstuvwxyz0123456789"),
+      ArrayData.toArrayData(Array(0.5f, -0.25f)))
+    val out = proj(row)
+    assert(out.getArray(0).toLongArray.toSeq ==
+      mh.eval(row).asInstanceOf[ArrayData].toLongArray.toSeq)
+    assert(out.getLong(1) == sh.eval(row))
+    assert(out.getUTF8String(2) == md.eval(row))
+    assert(out.getArray(3).toLongArray.toSeq ==
+      wf.eval(row).asInstanceOf[ArrayData].toLongArray.toSeq)
+    assert(out.getLong(4) == hp.eval(row))
+    // null result path (too few tokens for a shingle) under codegen
+    val rowShort = InternalRow(
+      ArrayData.toArrayData(Array("a").map(UTF8String.fromString)),
+      UTF8String.fromString("ab"), ArrayData.toArrayData(Array(0.1f, 0.2f)))
+    val outShort = proj(rowShort)
+    assert(outShort.isNullAt(2)) // SaltedMd5Min null contract survives codegen
+    assert(outShort.getArray(0).numElements() == 0)
+  }
+
   test("SQL registration paths expose the identical function list") {
     // both GraftExtensions and registerAll iterate graft.functions.sqlFunctions;
     // verify registerAll actually resolves each name in SQL
