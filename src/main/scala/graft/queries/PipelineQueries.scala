@@ -153,18 +153,11 @@ object PipelineQueries {
       |JOIN comp ON comp.id = n.id
       |ORDER BY n.id""".stripMargin) { (s, d) =>
     import graft.graph.GraphOps
-    import graft.functions.cosine_similarity
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("dst"), col("embedding").as("eb"))
-    // rank-1 per src via partial-aggregatable max(struct) — see q30
-    val edges = a.join(b, col("dst") > col("src"))
-      .select(col("src"), col("dst"),
-        oround(cosine_similarity(col("ea"), col("eb")), 6).as("sim"))
-      .groupBy(col("src"))
-      .agg(max(struct(col("sim"), (lit(0L) - col("dst")).as("nd"))).as("m"))
-      .select(col("src").as("parent_id"), (lit(0L) - col("m.nd")).as("child_id"),
-        (lit(1) - col("m.sim")).as("weight"))
+    // block nested loop over a broadcast embedding matrix — see Knn.top1Later
+    val edges = graft.similarity.Knn
+      .top1Later(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("src").as("parent_id"), col("dst").as("child_id"),
+        (lit(1) - col("sim")).as("weight"))
       .cache()
     GraphOps.degrees(edges)
       .join(GraphOps.components(edges), Seq("id"), "left")

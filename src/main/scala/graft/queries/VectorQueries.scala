@@ -49,20 +49,12 @@ object VectorQueries {
       |SELECT src, dst, sim, round(1 - sim, 6) AS weight
       |FROM ranked WHERE rn = 1
       |ORDER BY src""".stripMargin) { (s, d) =>
-    val a = emb(s, d).select(col("vec_id").as("src"), col("embedding").as("ea"))
-    val b = emb(s, d).select(col("vec_id").as("dst"), col("embedding").as("eb"))
-    val pairs = a.join(b, col("dst") > col("src"))
-      .select(col("src"), col("dst"),
-        oround(cosine_similarity(col("ea"), col("eb")), 6).as("sim"))
-    // rank-1 per src as a partial-aggregatable max(struct) instead of a
-    // row_number window: the window needs a full shuffle+sort of all O(n²)
-    // pairs; max(struct(sim, −dst)) combines map-side, shuffling one row
-    // per src. Lexicographic struct max = highest sim, then smallest dst —
-    // identical to the window's (sim DESC, dst ASC) rank 1.
-    pairs.groupBy(col("src"))
-      .agg(max(struct(col("sim"), (lit(0L) - col("dst")).as("nd"))).as("m"))
-      .select(col("src"), (lit(0L) - col("m.nd")).as("dst"), col("m.sim").as("sim"),
-        oround(lit(1) - col("m.sim"), 6).as("weight"))
+    // block nested loop over a broadcast embedding matrix (exact rank-1
+    // semantics and bit-identical arithmetic — see Knn.top1Later): no O(n²)
+    // pair-row materialization, no shuffle of pairs at all.
+    graft.similarity.Knn.top1Later(emb(s, d), "vec_id", "embedding")
+      .select(col("src"), col("dst"), col("sim"),
+        oround(lit(1) - col("sim"), 6).as("weight"))
       .orderBy(col("src"))
   }
 

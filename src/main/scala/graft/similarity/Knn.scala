@@ -31,6 +31,74 @@ object Knn {
       .filter(col("rank") <= k)
   }
 
+  /** Exact top-1-later-neighbor (the reference's similarity-graph shape,
+    * assets/recent_history.py:450-527): for every vector, its most-similar
+    * vector with a LARGER id, ties broken toward the smallest id; similarity
+    * rounded to 6 decimals BEFORE ranking (the oracle determinism contract).
+    *
+    * Computed as a block nested loop over a broadcast embedding matrix: the
+    * per-pair work runs in a primitive loop per partition, and the ~n²
+    * intermediate pair rows (each carrying BOTH embedding arrays — ~1 GB of
+    * row copies at n=2000, d=64) are never materialized. The broadcast side
+    * must fit in executor memory — the same constraint the equivalent
+    * BroadcastNestedLoopJoin plan had, since it broadcast the entire build
+    * side too. Beyond that, the pruned forms (label buckets / LSH / IVF)
+    * are the scale path, with identical rank-1 semantics.
+    *
+    * Arithmetic parity with the declarative form is exact: double
+    * accumulation over float elements in index order (= CosineSimilarity),
+    * then signum(s)·floor(|s·1e6|+0.5)/1e6 rounding (= queries.oround).
+    *
+    * @return (src, dst, sim) — one row per id that has a later neighbor */
+  def top1Later(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val data = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val ids = data.map(_._1)
+    val vecs = data.map(_._2)
+    val bc = spark.sparkContext.broadcast((ids, vecs))
+    emb.select(col(idCol).cast("long").as("src")).as[Long]
+      .mapPartitions { it =>
+        val (ids, vecs) = bc.value
+        it.flatMap { src =>
+          val i = java.util.Arrays.binarySearch(ids, src)
+          if (i < 0 || i == ids.length - 1) Iterator.empty
+          else {
+            val a = vecs(i)
+            var bestSim = Double.NegativeInfinity
+            var bestDst = -1L
+            var nullDst = -1L
+            var j = i + 1
+            while (j < ids.length) {
+              val b = vecs(j)
+              val n = math.min(a.length, b.length)
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              var d = 0
+              while (d < n) {
+                val x = a(d).toDouble; val y = b(d).toDouble
+                dot += x * y; na += x * x; nb += y * y
+                d += 1
+              }
+              if (na == 0.0 || nb == 0.0) {
+                if (nullDst < 0) nullDst = ids(j) // null sim: smallest dst wins
+              } else {
+                val raw = dot / (math.sqrt(na) * math.sqrt(nb))
+                val s = raw * 1e6
+                val sim = math.signum(s) * math.floor(math.abs(s) + 0.5) / 1e6
+                if (sim > bestSim) { bestSim = sim; bestDst = ids(j) }
+              }
+              j += 1
+            }
+            if (bestDst >= 0) Iterator.single((src, bestDst, Option(bestSim)))
+            else if (nullDst >= 0) Iterator.single((src, nullDst, Option.empty[Double]))
+            else Iterator.empty
+          }
+        }
+      }
+      .toDF("src", "dst", "sim")
+  }
+
   /** Sign-bit LSH bucket id (`nPlanes` ≤ 63): bit i = sign(v · plane_i),
     * planes deterministic from `seed`. Single Catalyst expression with a
     * tight per-row loop — a column-arithmetic formulation (dim × nPlanes

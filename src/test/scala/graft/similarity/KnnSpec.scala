@@ -25,6 +25,26 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("top1Later matches the declarative join+window form exactly") {
+    import graft.functions.cosine_similarity
+    import graft.queries.oround
+    import org.apache.spark.sql.expressions.Window
+    val a = emb.select(col("vec_id").as("src"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    val declarative = a.join(b, col("dst") > col("src"))
+      .select(col("src"), col("dst"),
+        oround(cosine_similarity(col("ea"), col("eb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("src"), col("dst"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val block = Knn.top1Later(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(block == declarative)
+    assert(block.nonEmpty)
+  }
+
   test("LSH recall vs brute force is substantial and grows with tables") {
     // note: the synthetic vectors are nearly isotropic (median pairwise
     // cosine ≈ 0) — the hardest case for LSH; recall here is bounded by the
