@@ -25,9 +25,16 @@ object LangId {
   def detect(df: DataFrame, text: Column): DataFrame = {
     val tok = split(lower(text), "\\s+")
     val nTok = greatest(size(tok), lit(1)).cast("double")
-    val scored = profiles.map { case (lang, stops) =>
+    // ONE pass over the tokens for all profiles (codegen'd expression with
+    // a token→profile-bitmask map); the previous per-profile filter() HOFs
+    // were interpreted and re-walked the token list once per language.
+    val hits = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.StopwordHits(
+        org.apache.spark.sql.graftbridge.Bridge.expression(tok),
+        profiles.map(_._2)))
+    val scored = profiles.zipWithIndex.map { case ((lang, _), i) =>
       struct(
-        (size(filter(tok, t => t.isInCollection(stops))).cast("double") / nTok).as("score"),
+        (element_at(hits, i + 1).cast("double") / nTok).as("score"),
         lit(lang).as("lang"))
     }
     // array_max on struct(score, lang): max score wins, lexicographically
