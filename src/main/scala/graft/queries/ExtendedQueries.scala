@@ -21,7 +21,7 @@ object ExtendedQueries {
   def all: Seq[QueryDef] = Seq(
     q67Unpivot, q68LateralTopK, q69GroupingSets, q70VectorUpsert,
     q71RangeFrame, q72Stats, q73RankFamily, q74Regex,
-    q75EditDistance, q76DateTrunc)
+    q75EditDistance, q76DateTrunc, q77GroupByAll)
 
   private def run(q: String)(s: SparkSession, d: String): DataFrame = {
     Tables.registerAll(s, d)
@@ -208,4 +208,15 @@ object ExtendedQueries {
   /** Calendar rollup via date_trunc (ISO weeks start Monday in both
     * engines). */
   val q76DateTrunc: QueryDef = sql("q76_date_trunc", q76Sql)(run(q76Sql))
+
+  private val q77Sql =
+    """SELECT l_returnflag, l_linestatus, l_shipdate > TIMESTAMP '1995-01-01 00:00:00' AS recent,
+      |       count(*) AS n, count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
+  /** GROUP BY ALL / ORDER BY ALL inference (identical dialect extension in
+    * both engines). */
+  val q77GroupByAll: QueryDef = sql("q77_group_by_all", q77Sql)(run(q77Sql))
 }

@@ -1,0 +1,66 @@
+package graft
+
+/** Physical-plan audit across the whole declared surface — the 100 TB
+  * guardrails the scale story depends on, asserted so a refactor can't
+  * silently regress them:
+  *
+  *  1. no query plans a CartesianProduct;
+  *  2. BroadcastNestedLoopJoin appears only where it is the DELIBERATE
+  *     shape (small broadcast probe × corpus in the ANN brute-force, and
+  *     Catalyst's scalar-subquery decorrelation) — a band/theta join
+  *     falling back to BNLJ is a bug (that's what BandJoin/BandJoinRewrite
+  *     exist to prevent);
+  *  3. filter pushdown reaches the parquet scan where queries select on
+  *     scan columns;
+  *  4. small dimension joins broadcast.
+  *
+  * Plans are built (not executed) at sf0.001, so the audit is cheap.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // queries whose BNLJ is a deliberate broadcast-probe shape
+  private val bnljAllowed = Set(
+    "q32_knn_bruteforce", // broadcast(5 probes) × corpus, non-equi by design
+    "q35_ivf_topk", // broadcast(centroids) × corpus assignment, conditionless
+    "q75_edit_distance") // vocabulary² (150×150) theta join, bounded by design
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("no declared query plans a CartesianProduct") {
+    val offenders = SparkEntry.allQueries.map(_.name).filter { n =>
+      planOf(n).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("BroadcastNestedLoopJoin only where it is the deliberate shape") {
+    val offenders = SparkEntry.allQueries.map(_.name).filter { n =>
+      !bnljAllowed.contains(n) && planOf(n).contains("BroadcastNestedLoopJoin")
+    }
+    assert(offenders.isEmpty, s"unexpected BNLJ in: $offenders")
+  }
+
+  test("filter pushdown reaches the parquet scan (q02)") {
+    val plan = planOf("q02_filter_pushdown")
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    val pushed = plan.split("PushedFilters: \\[")(1).takeWhile(_ != ']')
+    assert(pushed.trim.nonEmpty, s"no filters pushed: $pushed")
+  }
+
+  test("small dimension joins broadcast (q04)") {
+    val plan = planOf("q04_broadcast_dim_join")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("partial aggregation precedes the shuffle in q01") {
+    // HashAggregate(partial) → Exchange → HashAggregate(final): the
+    // map-side-combine shape every big groupBy needs at scale
+    val plan = planOf("q01_pricing_summary")
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exchange = plan.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0, plan.take(2000))
+  }
+}
