@@ -60,6 +60,32 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: each left event pairs with the right
+    * events of the SAME user whose timestamp falls in
+    * `[left.ts, left.ts + horizon]` (attribution shape: click → purchase
+    * within the horizon). Both sides are watermarked and the join carries
+    * the time-range condition, so Spark bounds the buffered state on each
+    * side — the unbounded-state trap of an unconstrained stream join is the
+    * thing this operator exists to avoid at scale.
+    *
+    * Works identically on batch frames (same code path, no watermark
+    * needed) — StreamingSpec asserts stream == batch. */
+  def intervalJoin(left: DataFrame, right: DataFrame, horizon: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left)
+      .select(col("user_id"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"), col("event_type").as("l_type"))
+    val r = (if (right.isStreaming) right.withWatermark("ts", watermark) else right)
+      .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("event_type").as("r_type"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** File-source discovery stream over a takeout-style user tree
     * (`<root>/<user>/MyActivity.json`): the Dagster sensor, Spark-native.
     * `AvailableNow` = one sensor tick; re-run to pick up new users. */

@@ -51,6 +51,18 @@ class StreamingSpec extends SparkSpec {
     assert(stream.count() == q17.count())
   }
 
+  test("stream-stream interval join == batch join (click→purchase attribution)") {
+    val events = Tables.events(spark, sf)
+    val clicks = events.filter(col("event_type") === "click")
+    val purchases = events.filter(col("event_type") === "purchase")
+    val stream = runToMemory(
+      StreamOps.intervalJoin(streamOf(clicks), streamOf(purchases), "30 MINUTES"),
+      "ssjoin", "append")
+    val batch = StreamOps.intervalJoin(clicks, purchases, "30 MINUTES")
+    assert(canon(stream) == canon(batch))
+    assert(batch.count() > 0)
+  }
+
   test("file discovery + idempotent user-partitioned sink") {
     val root = java.nio.file.Files.createTempDirectory("disc").toString
     def write(user: String, time: String): Unit = {
