@@ -40,6 +40,80 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     val e2 = edges.select(col("src"), col("dst")).cache()
     if (e2.count() <= localThreshold) return localComponents(e2)
+    starContraction(e2, maxIter)
+  }
+
+  /** Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * distributed path. Compared to min-label propagation, each round
+    * shuffles only the (shrinking) edge list, never a full label table,
+    * and converges in O(log² n) rounds on any graph:
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(N(u) ∪ {u});
+    *  - small-star(u): every neighbor v ≤ u (they're all < u after
+    *    orientation) re-attaches to m = min(N(u));
+    *
+    * at fixpoint the edge set is a star forest (child → min-root).
+    * Convergence = the edge set stopped changing; detected by an
+    * `except`-emptiness check guarded by a count comparison (set-based and
+    * overflow-proof — a checksum could false-positive).
+    */
+  def starContraction(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    // canonical orientation big → small, self-loops dropped
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var prevCount = e.count()
+    var iter = 0
+    var converged = prevCount == 0L
+    while (iter < maxIter && !converged) {
+      // large-star over the bidirected adjacency: (v, m) for v > u
+      val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = bidir.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star over the large-star output, oriented big → small
+      val smallIn = large
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v"))
+      val smallMins = smallIn.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = smallIn.join(smallMins, "u")
+        .select(
+          array(struct(col("u"), col("m").as("v")),
+            struct(col("v").as("u"), col("m").as("v"))).as("pair"))
+        .select(explode(col("pair")).as("e"))
+        .select(col("e.u"), col("e.v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val cnt = next.count()
+      converged = cnt == prevCount && next.exceptAll(e).isEmpty
+      prevCount = cnt
+      e = next
+      iter += 1
+    }
+    // fixpoint edge set is child → root (min-agg guards the not-converged
+    // maxIter edge case, where a child could still carry two targets);
+    // roots label themselves
+    nodes
+      .join(e.groupBy(col("u")).agg(min(col("v")).as("lbl"))
+        .withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("component"))
+  }
+
+  /** Min-label propagation + pointer jumping (kept for reference and for
+    * tests comparing the two distributed formulations). */
+  def componentsLabelPropagation(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e2 = edges.select(col("src"), col("dst"))
     val bidir = e2
       .union(e2.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

@@ -66,6 +66,22 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(local == dist)
   }
+
+  test("star contraction == label propagation == union-find on random graphs") {
+    for (seed <- Seq(1, 23, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 200).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(e => e._1 != e._2).toDF("src", "dst")
+      val local = ConnectedComponents.components(edges)
+        .as[(Long, Long)].collect().toMap
+      val star = ConnectedComponents.starContraction(edges)
+        .as[(Long, Long)].collect().toMap
+      val lp = ConnectedComponents.componentsLabelPropagation(edges)
+        .as[(Long, Long)].collect().toMap
+      assert(star == local, s"star vs union-find diverged at seed $seed")
+      assert(lp == local, s"label-prop vs union-find diverged at seed $seed")
+    }
+  }
 }
 
 class RecencySplitSpec extends SparkSpec {
