@@ -32,4 +32,27 @@ object EngineConf {
       case Some(n) => df.limit(n)
       case None => df
     }
+
+  /** The cluster-scale session knobs, shared by Verify/Bench and any
+    * deployment (local runs use the same settings so plans match what a
+    * 1000-executor cluster would produce):
+    *
+    *  - AQE on: runtime coalescing of small shuffle partitions, runtime
+    *    broadcast demotion/promotion, and — critically for the per-user
+    *    workloads — skew-join splitting for hot users;
+    *  - `shufflePartitions` sized to the parallelism at hand (the cluster
+    *    default of 200 is wrong in both directions: too many for local
+    *    runs, far too few at 100 TB — AQE coalescing makes a high static
+    *    value safe);
+    *  - 128 MiB scan partitions: large enough to amortize task overhead,
+    *    small enough that a partition's working set fits executor memory
+    *    alongside shuffle buffers (the spill-awareness knob). */
+  def configure(b: org.apache.spark.sql.SparkSession.Builder,
+      shufflePartitions: Int): org.apache.spark.sql.SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
 }
