@@ -94,6 +94,59 @@ class BandJoinRewriteSpec extends SparkSpec {
     assert(rewritten == reference && reference.nonEmpty)
   }
 
+  test("long values beyond 2^53 keep exact band semantics (decimal path)") {
+    // doubles round these to multiples of 4; the old double-bucket path
+    // could drop matching pairs whose rounded bucket drifted
+    val base = (1L << 55) + 1L
+    locally {
+      import ext.implicits._
+      (0 until 40).map(i => (i.toLong, base + i * 3L))
+        .toDF("a_id", "a_ts").createOrReplaceTempView("tbig_a")
+      (0 until 40).map(i => (100L + i, base + i * 3L + 1L))
+        .toDF("b_id", "b_ts").createOrReplaceTempView("tbig_b")
+    }
+    val q = """SELECT a_id, b_id FROM %s JOIN %s
+              |ON b_ts - a_ts >= 0 AND b_ts - a_ts <= 5""".stripMargin
+    val rewritten = ext.sql(q.format("tbig_a", "tbig_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference result on the extension-free session (BNLJ, exact)
+    locally {
+      import spark.implicits._
+      (0 until 40).map(i => (i.toLong, base + i * 3L))
+        .toDF("a_id", "a_ts").createOrReplaceTempView("tbig_a0")
+      (0 until 40).map(i => (100L + i, base + i * 3L + 1L))
+        .toDF("b_id", "b_ts").createOrReplaceTempView("tbig_b0")
+    }
+    val reference = spark.sql(q.format("tbig_a0", "tbig_b0"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rewritten == reference)
+    assert(reference.size >= 40) // every (i, 100+i) pair plus band overlaps
+  }
+
+  test("fractional-typed band joins are not rewritten (magnitude unsafe) but stay correct") {
+    locally {
+      import ext.implicits._
+      (1 to 100).map(i => (i.toLong, (i * 7 % 500).toDouble))
+        .toDF("a_id", "a_x").createOrReplaceTempView("tfrac_a")
+      (1 to 100).map(i => (i.toLong, (i * 13 % 500).toDouble))
+        .toDF("b_id", "b_x").createOrReplaceTempView("tfrac_b")
+    }
+    val q = """SELECT a_id, b_id FROM %s JOIN %s
+              |ON b_x - a_x >= 0 AND b_x - a_x <= 10""".stripMargin
+    val got = ext.sql(q.format("tfrac_a", "tfrac_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    locally {
+      import spark.implicits._
+      (1 to 100).map(i => (i.toLong, (i * 7 % 500).toDouble))
+        .toDF("a_id", "a_x").createOrReplaceTempView("tfrac_a0")
+      (1 to 100).map(i => (i.toLong, (i * 13 % 500).toDouble))
+        .toDF("b_id", "b_x").createOrReplaceTempView("tfrac_b0")
+    }
+    val ref = spark.sql(q.format("tfrac_a0", "tfrac_b0"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref && ref.nonEmpty)
+  }
+
   test("one-sided ranges and equi joins are left untouched") {
     tables()
     // no lower bound → not a band; must still produce correct results
