@@ -21,7 +21,7 @@ object ExtendedQueries {
   def all: Seq[QueryDef] = Seq(
     q67Unpivot, q68LateralTopK, q69GroupingSets, q70VectorUpsert,
     q71RangeFrame, q72Stats, q73RankFamily, q74Regex,
-    q75EditDistance, q76DateTrunc, q77GroupByAll)
+    q75EditDistance, q76DateTrunc, q77GroupByAll, q78Exists, q80ListAgg)
 
   private def run(q: String)(s: SparkSession, d: String): DataFrame = {
     Tables.registerAll(s, d)
@@ -219,4 +219,38 @@ object ExtendedQueries {
   /** GROUP BY ALL / ORDER BY ALL inference (identical dialect extension in
     * both engines). */
   val q77GroupByAll: QueryDef = sql("q77_group_by_all", q77Sql)(run(q77Sql))
+
+  private val q78Sql =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_suppkey = s_suppkey AND l_quantity >= 45)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_suppkey = s_suppkey
+      |                    AND l_quantity >= 50 AND l_discount >= 0.1)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS (decorrelated to semi/anti joins). */
+  val q78Exists: QueryDef = sql("q78_exists", q78Sql)(run(q78Sql))
+
+  /** Ordered string aggregation — Spark `listagg … WITHIN GROUP`, DuckDB
+    * `string_agg(… ORDER BY …)`. The order key (orderkey·100+linenumber)
+    * is unique per group, so tie handling can't diverge. */
+  val q80ListAgg: QueryDef = QueryDef(
+    "q80_listagg",
+    Some("""SELECT l_returnflag,
+      |       string_agg(CAST(l_orderkey * 100 + l_linenumber AS VARCHAR), ','
+      |                  ORDER BY l_orderkey * 100 + l_linenumber) AS line_ids
+      |FROM lineitem
+      |WHERE l_orderkey < 100
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin),
+    (s, d) => run(
+      """SELECT l_returnflag,
+        |       listagg(CAST(l_orderkey * 100 + l_linenumber AS STRING), ',')
+        |         WITHIN GROUP (ORDER BY l_orderkey * 100 + l_linenumber) AS line_ids
+        |FROM lineitem
+        |WHERE l_orderkey < 100
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)(s, d))
 }
