@@ -21,7 +21,8 @@ object ExtendedQueries {
   def all: Seq[QueryDef] = Seq(
     q67Unpivot, q68LateralTopK, q69GroupingSets, q70VectorUpsert,
     q71RangeFrame, q72Stats, q73RankFamily, q74Regex,
-    q75EditDistance, q76DateTrunc, q77GroupByAll, q78Exists, q80ListAgg)
+    q75EditDistance, q76DateTrunc, q77GroupByAll, q78Exists, q80ListAgg,
+    q81Recursive)
 
   private def run(q: String)(s: SparkSession, d: String): DataFrame = {
     Tables.registerAll(s, d)
@@ -253,4 +254,28 @@ object ExtendedQueries {
         |WHERE l_orderkey < 100
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)(s, d))
+
+  private val q81Sql =
+    """WITH RECURSIVE ordered AS (
+      |  SELECT o_custkey, o_orderkey,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      |  FROM orders WHERE o_custkey < 60),
+      |edges AS (
+      |  SELECT a.o_custkey, a.o_orderkey AS src, b.o_orderkey AS dst
+      |  FROM ordered a JOIN ordered b
+      |    ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1),
+      |walk(o_custkey, o_orderkey, depth) AS (
+      |  SELECT o_custkey, o_orderkey, 1 AS depth FROM ordered WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.o_custkey, e.dst, w.depth + 1
+      |  FROM walk w JOIN edges e
+      |    ON e.o_custkey = w.o_custkey AND e.src = w.o_orderkey
+      |  WHERE w.depth < 6)
+      |SELECT o_custkey, o_orderkey, depth FROM walk
+      |ORDER BY o_custkey, depth""".stripMargin
+
+  /** WITH RECURSIVE (Spark 4 recursive CTE): per-customer order-chain walk,
+    * depth-capped — each recursion step is a join iteration, so the cap
+    * bounds the job count; shared syntax with DuckDB. */
+  val q81Recursive: QueryDef = sql("q81_recursive", q81Sql)(run(q81Sql))
 }
