@@ -22,7 +22,7 @@ object ExtendedQueries {
     q67Unpivot, q68LateralTopK, q69GroupingSets, q70VectorUpsert,
     q71RangeFrame, q72Stats, q73RankFamily, q74Regex,
     q75EditDistance, q76DateTrunc, q77GroupByAll, q78Exists, q80ListAgg,
-    q81Recursive)
+    q81Recursive, q82MultisetOps)
 
   private def run(q: String)(s: SparkSession, d: String): DataFrame = {
     Tables.registerAll(s, d)
@@ -278,4 +278,19 @@ object ExtendedQueries {
     * depth-capped — each recursion step is a join iteration, so the cap
     * bounds the job count; shared syntax with DuckDB. */
   val q81Recursive: QueryDef = sql("q81_recursive", q81Sql)(run(q81Sql))
+
+  private val q82Sql =
+    """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 40),
+      |     b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_discount >= 0.05),
+      |     i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+      |     e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+      |SELECT 'i' AS src, k, count(*) AS n FROM i GROUP BY k
+      |UNION ALL
+      |SELECT 'e' AS src, k, count(*) AS n FROM e GROUP BY k
+      |ORDER BY src, k
+      |LIMIT 400 OFFSET 50""".stripMargin
+
+  /** Multiset set ops (INTERSECT ALL / EXCEPT ALL) + LIMIT/OFFSET paging
+    * after a total order — q12 covers the distinct variants. */
+  val q82MultisetOps: QueryDef = sql("q82_multiset_ops", q82Sql)(run(q82Sql))
 }
