@@ -1,0 +1,79 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ZInterleave golden values and bit layout") {
+    import graft.functions.ZInterleave
+    // 2 dims, bits 0..: out bit (b*2 + d) = bit b of dim d
+    assert(ZInterleave.interleave(Array(1, 0), 4) == 1L) // x bit0 → out bit0
+    assert(ZInterleave.interleave(Array(0, 1), 4) == 2L) // y bit0 → out bit1
+    assert(ZInterleave.interleave(Array(3, 0), 4) == 5L) // x bits0,1 → out 0,2
+    assert(ZInterleave.interleave(Array(0, 3), 4) == 10L)
+    assert(ZInterleave.interleave(Array(15, 15), 4) == 255L)
+  }
+
+  test("QuantileBucket: boundary semantics and codegen parity") {
+    import graft.functions.QuantileBucket
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.DoubleType
+    val e = QuantileBucket(BoundReference(0, DoubleType, nullable = true), Seq(1.0, 2.0, 3.0))
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    for ((v, want) <- Seq(0.5 -> 0, 1.0 -> 0, 1.5 -> 1, 2.0 -> 1, 2.5 -> 2, 3.0 -> 2, 9.0 -> 3)) {
+      assert(e.compute(v) == want, s"compute($v)")
+      assert(proj(InternalRow(v)).getInt(0) == want, s"codegen($v)")
+    }
+    assert(proj(InternalRow(null)).getInt(0) == 0) // nulls → first bucket
+  }
+
+  test("z-order layout prunes point predicates on BOTH dims; single sort on one") {
+    // UNCORRELATED dimensions (orderkey ⟂ partkey — unlike suppkey, which
+    // TPC-H derives from partkey, so a partkey sort clusters it for free).
+    // Metric = min/max-stats pruning: the fraction of partitions whose
+    // [min,max] interval on a dim contains a probe point — exactly what
+    // parquet row-group skipping evaluates. (A total-bounding-volume metric
+    // is useless here: any 16-way tiling of the 2-D space conserves area.)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_orderkey"))
+    val parts = 16
+    def hitFraction(df: org.apache.spark.sql.DataFrame, dim: String): Double = {
+      val boxes = df.withColumn("pid", spark_partition_id())
+        .groupBy("pid").agg(min(dim).as("lo"), max(dim).as("hi"))
+        .select(col("lo").cast("double"), col("hi").cast("double"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      val glo = boxes.map(_._1).min
+      val ghi = boxes.map(_._2).max
+      val probes = (1 to 40).map(i => glo + (ghi - glo) * i / 41.0)
+      probes.map(p => boxes.count { case (lo, hi) => lo <= p && p <= hi }
+        .toDouble / boxes.length).sum / probes.size
+    }
+    val byOrder = li.repartitionByRange(parts, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+    val zOrdered = ZOrder.cluster(li, Seq("l_orderkey", "l_partkey"),
+      bits = 8, numPartitions = parts)
+    // single sort: perfect on its own dim, NO pruning on the other
+    assert(hitFraction(byOrder, "l_orderkey") < 0.2)
+    assert(hitFraction(byOrder, "l_partkey") > 0.9)
+    // z-order: substantial pruning on BOTH dims simultaneously
+    val zOrderFrac = hitFraction(zOrdered, "l_orderkey")
+    val zPartFrac = hitFraction(zOrdered, "l_partkey")
+    assert(zOrderFrac < 0.65, s"orderkey hit fraction $zOrderFrac")
+    assert(zPartFrac < 0.65, s"partkey hit fraction $zPartFrac")
+  }
+
+  test("z-ordered write round-trips the data unchanged") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_suppkey")
+    val path = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    ZOrder.write(li, Seq("l_partkey", "l_suppkey"), path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == li.count())
+    assert(back.agg(sum("l_orderkey")).head().getLong(0) ==
+      li.agg(sum("l_orderkey")).head().getLong(0))
+  }
+}
