@@ -104,6 +104,23 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Resize plan for images: fit into a `maxW`×`maxH` box preserving
+    * aspect ratio, never upscaling — (media_id, width, height, out_w,
+    * out_h) is pure column arithmetic; the pixel resample itself belongs
+    * to the codec seam (a real deployment's vectorized decode stage
+    * consumes exactly this plan shape). */
+  def resizePlan(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    media
+      .filter(col("kind") === "image" &&
+        col("width").isNotNull && col("height").isNotNull)
+      .select(col("media_id"), col("width"), col("height"),
+        least(lit(maxW.toDouble) / col("width"),
+          lit(maxH.toDouble) / col("height"), lit(1.0)).as("scale"))
+      .select(col("media_id"), col("width"), col("height"),
+        floor(col("width") * col("scale")).cast("long").as("out_w"),
+        floor(col("height") * col("scale")).cast("long").as("out_h"))
+  }
+
   /** Frame sampling plan for videos: (media_id, frame_ms) rows — the shape
     * a real frame decoder consumes; pure column arithmetic. */
   def frameSamplePlan(media: DataFrame, framesPerVideo: Int = 4): DataFrame = {

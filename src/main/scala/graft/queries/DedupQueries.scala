@@ -13,7 +13,7 @@ object DedupQueries {
 
   def all: Seq[QueryDef] = Seq(
     q56MinhashLshPairs, q57SimhashNearDup, q58EmbeddingNearDup,
-    q60MultimodalFeatures, q61FramePlan)
+    q60MultimodalFeatures, q61FramePlan, q84ResizePlan)
 
   val q56MinhashLshPairs: QueryDef = rowsOnly("q56_minhash_lsh_pairs") { (s, d) =>
     Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text", threshold = 0.2)
@@ -67,5 +67,28 @@ object DedupQueries {
     val media = Multimodal.syntheticMediaFromDocs(Tables.documents(s, d))
     Multimodal.frameSamplePlan(media, framesPerVideo = 4)
       .orderBy(col("media_id"), col("frame_ms"))
+  }
+
+  /** Oracle-checked: image resize PLAN (aspect-preserving box fit, no
+    * upscale) is pure metadata arithmetic over the synthesized media
+    * (image ⇔ doc_id % 3 = 0, dims from doc_id); both engines run the
+    * same double ops so floor parity is exact. */
+  val q84ResizePlan: QueryDef = QueryDef.sql(
+    "q84_resize_plan",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         (doc_id % 640) + 16 AS width, (doc_id % 480) + 16 AS height
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |s AS (SELECT media_id, width, height,
+      |             least(224.0 / width, 224.0 / height, 1.0) AS scale
+      |      FROM m)
+      |SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+      |       CAST(floor(width * scale) AS BIGINT) AS out_w,
+      |       CAST(floor(height * scale) AS BIGINT) AS out_h
+      |FROM s
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    val media = Multimodal.syntheticMediaFromDocs(Tables.documents(s, d))
+    Multimodal.resizePlan(media, maxW = 224, maxH = 224)
+      .orderBy(col("media_id"))
   }
 }

@@ -9,6 +9,27 @@ class MultimodalSpec extends SparkSpec {
   private lazy val media =
     Multimodal.syntheticMediaFromDocs(Tables.documents(spark, sf))
 
+  test("resize plan: aspect preserved, box respected, never upscales") {
+    val plan = Multimodal.resizePlan(media, maxW = 224, maxH = 224).collect()
+    assert(plan.nonEmpty)
+    plan.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))
+      assert(ow <= 224 && oh <= 224, s"box violated: $ow x $oh")
+      assert(ow <= w && oh <= h, s"upscaled: $w x $h -> $ow x $oh")
+      // aspect ratio preserved within the 1-pixel floor quantization
+      val scale = math.min(math.min(224.0 / w, 224.0 / h), 1.0)
+      assert(ow == math.floor(w * scale).toLong)
+      assert(oh == math.floor(h * scale).toLong)
+    }
+    // small images pass through untouched
+    val small = plan.filter(r => r.getAs[Int]("width") <= 224 && r.getAs[Int]("height") <= 224)
+    small.foreach { r =>
+      assert(r.getAs[Long]("out_w") == r.getAs[Int]("width").toLong)
+      assert(r.getAs[Long]("out_h") == r.getAs[Int]("height").toLong)
+    }
+  }
+
   test("synthetic media table has the typed schema and binary payloads") {
     assert(media.schema.fieldNames.toSet ==
       Multimodal.mediaSchema.fieldNames.toSet)
