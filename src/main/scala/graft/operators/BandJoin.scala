@@ -24,6 +24,13 @@ object BandJoin {
     * `right(rightVal) - left(leftVal) BETWEEN lo AND hi` (+ `residual`).
     * `leftVal`/`rightVal` must be numeric (e.g. epoch seconds).
     * Column name collisions must be resolved by the caller (alias first).
+    *
+    * Bucket exactness (the residual can drop bucket false positives but can
+    * never recover a pair whose bucket drifted): integral value columns go
+    * through decimal arithmetic — exact across the full Long range, where
+    * the plain `/` operator's double division could misbucket values beyond
+    * 2^53 and silently drop matches. Fractional columns use double
+    * arithmetic and assume |v| < 2^53 (every epoch representation fits).
     */
   def bandJoin(
       left: DataFrame,
@@ -36,15 +43,29 @@ object BandJoin {
       residual: Column = lit(true)): DataFrame = {
     require(hi >= lo, s"empty band [$lo, $hi]")
     val width = math.max(hi - lo, 1L)
+    import org.apache.spark.sql.types._
+    def isIntegral(df: DataFrame, c: Column): Boolean =
+      df.select(c).schema.head.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    val exact = isIntegral(left, leftVal) && isIntegral(right, rightVal)
+    // DECIMAL128 quotient rounding (≤5e-18 relative) is smaller than the
+    // 1/width gap between exact quotients k/width and the next integer, so
+    // Floor over the decimal quotient never misclassifies a Long input.
+    def bucketOf(v: Column, shift: Long): Column =
+      if (exact)
+        floor((v.cast("decimal(19,0)") + lit(shift).cast("decimal(16,0)"))
+          / lit(width).cast("decimal(16,0)")).cast("long")
+      else
+        floor((v + lit(shift)) / lit(width)).cast("long")
     // left value v can match right values in [v+lo, v+hi] → buckets
     // floor((v+lo)/W) .. floor((v+hi)/W), at most 2 since the span is W.
     val l = left.withColumn("__buckets",
-      array_distinct(array(
-        floor((leftVal + lit(lo)) / lit(width)).cast("long"),
-        floor((leftVal + lit(hi)) / lit(width)).cast("long"))))
+      array_distinct(array(bucketOf(leftVal, lo), bucketOf(leftVal, hi))))
       .withColumn("__bucket", explode(col("__buckets")))
       .drop("__buckets")
-    val r = right.withColumn("__bucket", floor(rightVal / lit(width)).cast("long"))
+    val r = right.withColumn("__bucket", bucketOf(rightVal, 0L))
     val joined = l.join(r, keys :+ "__bucket")
     val delta = rightVal - leftVal
     joined

@@ -30,6 +30,25 @@ class BandJoinSpec extends SparkSpec {
       .select("rv").as[Long].collect().toSeq
     assert(got.isEmpty) // -95 excluded by residual; -80 outside band
   }
+
+  test("band join stays exact for long values beyond 2^53 (decimal buckets)") {
+    // doubles round these values to multiples of 4 — the old double-divide
+    // bucketing could place left and right in different buckets and DROP
+    // genuinely matching pairs
+    val base = (1L << 55) + 1L
+    val left = (0 until 50).map(i => (1L, base + i * 3L)).toDF("k", "lv")
+    val right = (0 until 50).map(i => (1L, base + i * 3L + 1L)).toDF("k", "rv")
+    val got = BandJoin.bandJoin(left, right, Seq("k"),
+        col("lv"), col("rv"), lo = 0L, hi = 4L)
+      .select("lv", "rv").as[(Long, Long)].collect().toSet
+    val expect = (for {
+      i <- 0 until 50; j <- 0 until 50
+      lv = base + i * 3L; rv = base + j * 3L + 1L
+      if rv - lv >= 0 && rv - lv <= 4
+    } yield (lv, rv)).toSet
+    assert(got == expect)
+    assert(expect.size >= 50) // at least the (i, i) and many (i, i+1) pairs
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {
