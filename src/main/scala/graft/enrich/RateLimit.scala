@@ -23,9 +23,16 @@ final class RateLimiter(val permitsPerSecond: Double) extends Serializable {
     if (nextFreeNs == 0L || now >= nextFreeNs) {
       nextFreeNs = now + intervalNs
     } else {
-      val waitNs = nextFreeNs - now
+      val target = nextFreeNs
       nextFreeNs += intervalNs
-      java.util.concurrent.locks.LockSupport.parkNanos(waitNs)
+      // parkNanos may return early (pending unpark permit from the task
+      // scheduler, or spuriously) — re-check the deadline in a loop or the
+      // rate guarantee silently breaks
+      var remaining = target - System.nanoTime()
+      while (remaining > 0) {
+        java.util.concurrent.locks.LockSupport.parkNanos(remaining)
+        remaining = target - System.nanoTime()
+      }
     }
   }
 }

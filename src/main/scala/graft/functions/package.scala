@@ -115,8 +115,13 @@ package object functions {
     "vector_mean" -> ((es: Seq[CExpr]) => VectorMean(es.head).toAggregateExpression()),
     "salted_md5_min" -> ((es: Seq[CExpr]) =>
       SaltedMd5Min(es.head, strArg(es, 1, ""), intArg(es, 2, 3))),
-    "hyperplane_lsh" -> ((es: Seq[CExpr]) =>
-      HyperplaneLsh(es.head, intArg(es, 1, 0), intArg(es, 2, 16), longArg(es, 3, 42L)))
+    "hyperplane_lsh" -> ((es: Seq[CExpr]) => {
+      // dim has no sane default: dim=0 would zero every dot product and
+      // collapse all rows into one bucket with no error
+      if (es.length < 2) throw new IllegalArgumentException(
+        "hyperplane_lsh(vec, dim[, nPlanes[, seed]]) requires the vector dimension")
+      HyperplaneLsh(es.head, intArg(es, 1, 0), intArg(es, 2, 16), longArg(es, 3, 42L))
+    })
   )
 
   /** Register all custom functions for the SQL surface (same list as the

@@ -42,6 +42,11 @@ object BandJoin {
       hi: Long,
       residual: Column = lit(true)): DataFrame = {
     require(hi >= lo, s"empty band [$lo, $hi]")
+    // decimal(16,0) shift/width casts below overflow (silently nulling the
+    // bucket under non-ANSI) beyond 1e15 — same guard the optimizer rule
+    // applies; every epoch representation is far below it
+    require(math.abs(lo) < 1e15.toLong && math.abs(hi) < 1e15.toLong,
+      s"band bounds must be below 1e15, got [$lo, $hi]")
     val width = math.max(hi - lo, 1L)
     import org.apache.spark.sql.types._
     def isIntegral(df: DataFrame, c: Column): Boolean =

@@ -330,21 +330,22 @@ object TextQueries {
     * membership = md5(salt ∥ doc_id) hex prefix under a threshold —
     * reproducible across runs/engines/partitionings, nesting subsets,
     * shared predicate text with the oracle. ~25% base rate, with one
-    * stratum (short docs) kept whole via a per-stratum threshold. */
+    * stratum (short docs) kept whole via the keep-all sentinel ('g' sorts
+    * above every 4-char hex prefix). */
   val q83StableSample: QueryDef = QueryDef.sql(
     "q83_stable_sample",
     """SELECT doc_id, n_chars,
       |       substring(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 4) AS bucket
       |FROM documents
       |WHERE substring(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 4)
-      |        < CASE WHEN n_chars < 200 THEN 'ffff' ELSE '4000' END
+      |        < CASE WHEN n_chars < 200 THEN 'g' ELSE '4000' END
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.operators.Sampling
     val docs = Tables.documents(s, d)
     Sampling.stratifiedStableSample(
         docs.withColumn("__stratum",
           when(col("n_chars") < 200, lit("short")).otherwise(lit("rest"))),
-        "doc_id", "__stratum", Map("short" -> 65535), defaultKeep65536 = 0x4000)
+        "doc_id", "__stratum", Map("short" -> 65536), defaultKeep65536 = 0x4000)
       .select(col("doc_id"), col("n_chars"),
         substring(md5(concat(lit("graft"), col("doc_id").cast("string"))), 1, 4)
           .as("bucket"))

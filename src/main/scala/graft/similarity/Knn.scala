@@ -72,21 +72,27 @@ object Knn {
             var j = i + 1
             while (j < ids.length) {
               val b = vecs(j)
-              val n = math.min(a.length, b.length)
-              var dot = 0.0; var na = 0.0; var nb = 0.0
-              var d = 0
-              while (d < n) {
-                val x = a(d).toDouble; val y = b(d).toDouble
-                dot += x * y; na += x * x; nb += y * y
-                d += 1
-              }
-              if (na == 0.0 || nb == 0.0) {
-                if (nullDst < 0) nullDst = ids(j) // null sim: smallest dst wins
+              // null embeddings behave like the declarative form: cosine of
+              // a null side is a null sim, not an executor NPE
+              if (a == null || b == null) {
+                if (nullDst < 0) nullDst = ids(j)
               } else {
-                val raw = dot / (math.sqrt(na) * math.sqrt(nb))
-                val s = raw * 1e6
-                val sim = math.signum(s) * math.floor(math.abs(s) + 0.5) / 1e6
-                if (sim > bestSim) { bestSim = sim; bestDst = ids(j) }
+                val n = math.min(a.length, b.length)
+                var dot = 0.0; var na = 0.0; var nb = 0.0
+                var d = 0
+                while (d < n) {
+                  val x = a(d).toDouble; val y = b(d).toDouble
+                  dot += x * y; na += x * x; nb += y * y
+                  d += 1
+                }
+                if (na == 0.0 || nb == 0.0) {
+                  if (nullDst < 0) nullDst = ids(j) // null sim: smallest dst wins
+                } else {
+                  val raw = dot / (math.sqrt(na) * math.sqrt(nb))
+                  val s = raw * 1e6
+                  val sim = math.signum(s) * math.floor(math.abs(s) + 0.5) / 1e6
+                  if (sim > bestSim) { bestSim = sim; bestDst = ids(j) }
+                }
               }
               j += 1
             }

@@ -53,10 +53,16 @@ final class VectorStore(spark: SparkSession, path: String) {
   def ann(queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
     Knn.bruteForce(load(), queries, idCol, vecCol, k)
 
-  /** Row-granularity MERGE (upsert): see companion. Writes the merged frame
-    * back through the partition-overwrite path. */
-  def merge(changes: DataFrame, key: String): Unit =
-    upsertUsers(VectorStore.mergeUpsert(load(), changes, key))
+  /** Row-granularity MERGE (upsert): see companion. Only the user
+    * partitions present in `changes` are read and rewritten — merging the
+    * whole store would turn a 10-row upsert into a full-table rewrite (and
+    * clobber concurrently-updated unrelated partitions). A change row may
+    * not move a key between users (per-user semantics, as the reference). */
+  def merge(changes: DataFrame, key: String): Unit = {
+    val touched = load().join(
+      changes.select(changes("user_id")).distinct(), Seq("user_id"), "left_semi")
+    upsertUsers(VectorStore.mergeUpsert(touched, changes, key))
+  }
 }
 
 object VectorStore {

@@ -24,10 +24,10 @@ object ZOrder {
   def boundaries(df: DataFrame, cols: Seq[String], bits: Int,
       relativeError: Double = 0.001): Map[String, Array[Double]] = {
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
-    cols.map { c =>
-      val b = df.stat.approxQuantile(c, probs, relativeError)
-      c -> b.distinct.sorted
-    }.toMap
+    // multi-column form: ONE aggregation job for all dimensions (the
+    // per-column overload would re-scan the table once per dimension)
+    val all = df.stat.approxQuantile(cols.toArray, probs, relativeError)
+    cols.zip(all.map(_.distinct.sorted)).toMap
   }
 
   /** The z-value column for `cols` (numeric), `bits` bits per dimension. */

@@ -9,9 +9,8 @@ import graft.operators.{SessionOps, Sessionize}
 object ProfilePipeline {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = graft.core.EngineConf.configure(
+        SparkSession.builder().master("local[32]"), 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[T](name: String)(f: => T): T = {

@@ -45,6 +45,21 @@ class KnnSpec extends SparkSpec {
     assert(block.nonEmpty)
   }
 
+  test("top1Later: null embeddings yield null-sim rows, not executor NPEs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(1f, 0f))), (2L, None: Option[Seq[Float]]),
+      (3L, Some(Seq(0f, 1f))), (4L, Some(Seq(1f, 1f))))
+      .toDF("vec_id", "embedding")
+    val bySrc = Knn.top1Later(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(bySrc(2L) == ((3L, None))) // null vector → null sim, smallest dst
+    assert(bySrc(1L)._2.nonEmpty) // 1 vs {3,4}: real sims computed
+    assert(bySrc(3L) == ((4L, Some(0.707107)))) // cos 45° rounded to 6dp
+    assert(!bySrc.contains(4L)) // max id has no later neighbor
+  }
+
   test("LSH recall vs brute force is substantial and grows with tables") {
     // note: the synthetic vectors are nearly isotropic (median pairwise
     // cosine ≈ 0) — the hardest case for LSH; recall here is bounded by the

@@ -59,6 +59,22 @@ class VectorStoreSpec extends SparkSpec {
     assert(v == Seq(0.7f, 0.7f))
   }
 
+  test("store.merge rewrites ONLY the user partitions present in changes") {
+    val path = java.nio.file.Files.createTempDirectory("vstore5").toString + "/store"
+    val store = new VectorStore(spark, path)
+    store.upsertUsers(mk(("u1", 1L, Seq(1f, 0f)), ("u2", 2L, Seq(0f, 1f))))
+    def filesOf(user: String): Set[String] = {
+      val dir = new java.io.File(s"$path/user_id=$user")
+      dir.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val u2Before = filesOf("u2")
+    store.merge(mk(("u1", 9L, Seq(0.5f, 0.5f))), "id") // touches u1 only
+    assert(filesOf("u2") == u2Before, "untouched partition was rewritten")
+    // u1 merged, u2 intact
+    val after = store.load().select("user_id", "id").as[(String, Long)].collect().toSet
+    assert(after == Set(("u1", 1L), ("u1", 9L), ("u2", 2L)))
+  }
+
   test("ann serves top-k from the store") {
     val path = java.nio.file.Files.createTempDirectory("vstore3").toString + "/store"
     val store = new VectorStore(spark, path)
