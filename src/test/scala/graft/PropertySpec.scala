@@ -115,4 +115,43 @@ class PropertySpec extends AnyFunSuite {
       s1.zip(s2).foreach { case (a, b) => assert(b <= a) }
     }
   }
+
+  test("ZInterleave: bijective per dimension and deinterleavable") {
+    import graft.functions.ZInterleave
+    def deinterleave(z: Long, dims: Int, bits: Int): Array[Int] = {
+      val out = new Array[Int](dims)
+      for (b <- 0 until bits; d <- 0 until dims)
+        if (((z >>> (b * dims + d)) & 1L) == 1L) out(d) |= 1 << b
+      out
+    }
+    val dimGen = Gen.choose(2, 4)
+    forAll(dimGen.flatMap(n => Gen.zip(Gen.const(n),
+      Gen.listOfN(n, Gen.choose(0, 255))))) { case (n, vals) =>
+      val z = ZInterleave.interleave(vals.toArray, 8)
+      assert(deinterleave(z, n, 8).toSeq == vals)
+    }
+    // single-dim monotonicity: increasing one coordinate (others fixed at 0)
+    // increases the z-value
+    forAll(Gen.choose(0, 254)) { x =>
+      assert(ZInterleave.interleave(Array(x, 0), 8) <
+        ZInterleave.interleave(Array(x + 1, 0), 8))
+    }
+  }
+
+  test("winnowing guarantee: docs sharing a substring of length ≥ w+k−1 share a fingerprint") {
+    import graft.functions.WinnowFingerprint
+    val k = 8; val w = 16
+    // the classic winnowing theorem: any common substring of length at
+    // least w + k − 1 forces at least one common selected hash
+    val charGen = Gen.oneOf(('a' to 'z') ++ ('0' to '9'))
+    def strGen(n: Int) = Gen.listOfN(n, charGen).map(_.mkString)
+    forAll(strGen(w + k - 1 + 10), strGen(20), strGen(20)) { (common, pre, suf) =>
+      val d1 = pre + common
+      val d2 = common + suf
+      val f1 = WinnowFingerprint.fingerprint(d1, k, w).toSet
+      val f2 = WinnowFingerprint.fingerprint(d2, k, w).toSet
+      assert(f1.intersect(f2).nonEmpty,
+        s"no shared fingerprint for shared ${common.length}-char substring")
+    }
+  }
 }
