@@ -42,11 +42,6 @@ object BandJoin {
       hi: Long,
       residual: Column = lit(true)): DataFrame = {
     require(hi >= lo, s"empty band [$lo, $hi]")
-    // decimal(16,0) shift/width casts below overflow (silently nulling the
-    // bucket under non-ANSI) beyond 1e15 — same guard the optimizer rule
-    // applies; every epoch representation is far below it
-    require(math.abs(lo) < 1e15.toLong && math.abs(hi) < 1e15.toLong,
-      s"band bounds must be below 1e15, got [$lo, $hi]")
     val width = math.max(hi - lo, 1L)
     import org.apache.spark.sql.types._
     def isIntegral(df: DataFrame, c: Column): Boolean =
@@ -55,6 +50,14 @@ object BandJoin {
         case _ => false
       }
     val exact = isIntegral(left, leftVal) && isIntegral(right, rightVal)
+    // decimal(16,0) shift/width casts below overflow (silently nulling the
+    // bucket under non-ANSI) beyond 1e15 — same guard the optimizer rule
+    // applies; every epoch representation is far below it. Only the exact
+    // (integral) path uses those casts, so the fractional/double path keeps
+    // accepting large bounds under its documented |v| < 2^53 assumption.
+    if (exact)
+      require(math.abs(lo) < 1e15.toLong && math.abs(hi) < 1e15.toLong,
+        s"band bounds must be below 1e15 for integral value columns, got [$lo, $hi]")
     // DECIMAL128 quotient rounding (≤5e-18 relative) is smaller than the
     // 1/width gap between exact quotients k/width and the next integer, so
     // Floor over the decimal quotient never misclassifies a Long input.

@@ -56,6 +56,12 @@ object Knn {
     val data = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val ids = data.map(_._1)
+    // binarySearch picks an arbitrary element among equal ids, and duplicate
+    // src rows would emit duplicate outputs — the declarative join+window
+    // form this documents exact parity with assumes distinct ids, so enforce
+    // that assumption instead of silently diverging.
+    require(ids.distinct.length == ids.length,
+      s"top1Later requires distinct $idCol values; found ${ids.length - ids.distinct.length} duplicates")
     val vecs = data.map(_._2)
     val bc = spark.sparkContext.broadcast((ids, vecs))
     emb.select(col(idCol).cast("long").as("src")).as[Long]

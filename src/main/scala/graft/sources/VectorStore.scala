@@ -61,7 +61,10 @@ final class VectorStore(spark: SparkSession, path: String) {
   def merge(changes: DataFrame, key: String): Unit = {
     val touched = load().join(
       changes.select(changes("user_id")).distinct(), Seq("user_id"), "left_semi")
-    upsertUsers(VectorStore.mergeUpsert(touched, changes, key))
+    // Match on (user_id, key), not key alone: keys are only unique per
+    // user, so two users sharing a key value in one batch must not delete
+    // each other's rows.
+    upsertUsers(VectorStore.mergeUpsert(touched, changes, Seq("user_id", key)))
   }
 }
 
@@ -69,12 +72,18 @@ object VectorStore {
 
   /** Row-granularity MERGE semantics (NEXT.md: upsert at row granularity,
     * not just partition overwrite): a change row replaces the existing row
-    * with the same `key`; change rows with no existing match are inserts;
-    * all other existing rows are kept. Set-based — one anti-join plus a
-    * union, no driver iteration; at scale the join shuffles on `key` (or
-    * co-locates if both sides are bucketed by `key`). */
-  def mergeUpsert(existing: DataFrame, changes: DataFrame, key: String): DataFrame =
+    * with the same `keys` tuple; change rows with no existing match are
+    * inserts; all other existing rows are kept. Set-based — one anti-join
+    * plus a union, no driver iteration; at scale the join shuffles on the
+    * keys (or co-locates if both sides are bucketed by them). Callers whose
+    * keys are only unique within a scope (e.g. per user) must include the
+    * scope column in `keys` — see [[VectorStore.merge]]. */
+  def mergeUpsert(existing: DataFrame, changes: DataFrame, keys: Seq[String]): DataFrame =
     existing
-      .join(changes.select(changes(key)), Seq(key), "left_anti")
+      .join(changes.select(keys.map(changes(_)): _*), keys, "left_anti")
       .unionByName(changes)
+
+  /** Single-key convenience: the key must be globally unique. */
+  def mergeUpsert(existing: DataFrame, changes: DataFrame, key: String): DataFrame =
+    mergeUpsert(existing, changes, Seq(key))
 }

@@ -33,8 +33,14 @@ object ZOrder {
   /** The z-value column for `cols` (numeric), `bits` bits per dimension. */
   def zvalue(df: DataFrame, cols: Seq[String], bits: Int): Column = {
     val bounds = boundaries(df, cols, bits)
-    val buckets = cols.map(c => QuantileBucket(B.expression(col(c)), bounds(c).toSeq))
-    B.column(ZInterleave(buckets, bits))
+    // approxQuantile returns no boundaries on an empty (or all-null) input;
+    // degrade to a constant z-value so an empty write produces an empty
+    // table instead of failing QuantileBucket's nonEmpty require.
+    if (bounds.values.exists(_.isEmpty)) lit(0L)
+    else {
+      val buckets = cols.map(c => QuantileBucket(B.expression(col(c)), bounds(c).toSeq))
+      B.column(ZInterleave(buckets, bits))
+    }
   }
 
   /** Rows clustered along the z-curve: range-partitioned and sorted by the

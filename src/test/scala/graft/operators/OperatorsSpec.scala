@@ -49,6 +49,24 @@ class BandJoinSpec extends SparkSpec {
     assert(got == expect)
     assert(expect.size >= 50) // at least the (i, i) and many (i, i+1) pairs
   }
+
+  test("fractional band join accepts bounds beyond 1e15 (double path)") {
+    // the 1e15 guard protects the decimal casts, which only the integral
+    // path uses — a double-typed band join with huge bounds must still run
+    val left = Seq((1L, 0.0), (1L, 1e15)).toDF("k", "lv")
+    val right = Seq((1L, 5e14), (1L, 3e15)).toDF("k", "rv")
+    val got = BandJoin.bandJoin(left, right, Seq("k"),
+        col("lv"), col("rv"), lo = 0L, hi = 2_000_000_000_000_000L)
+      .select("lv", "rv").as[(Double, Double)].collect().toSet
+    assert(got == Set((0.0, 5e14), (1e15, 3e15)))
+    // integral columns with the same bounds still throw (decimal overflow guard)
+    val li = Seq((1L, 0L)).toDF("k", "lv")
+    val ri = Seq((1L, 1L)).toDF("k", "rv")
+    intercept[IllegalArgumentException] {
+      BandJoin.bandJoin(li, ri, Seq("k"), col("lv"), col("rv"),
+        lo = 0L, hi = 2_000_000_000_000_000L)
+    }
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {

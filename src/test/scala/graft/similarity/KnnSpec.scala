@@ -60,6 +60,16 @@ class KnnSpec extends SparkSpec {
     assert(!bySrc.contains(4L)) // max id has no later neighbor
   }
 
+  test("top1Later rejects duplicate ids instead of silently diverging") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Knn.top1Later(df, "vec_id", "embedding").collect()
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
   test("LSH recall vs brute force is substantial and grows with tables") {
     // note: the synthetic vectors are nearly isotropic (median pairwise
     // cosine ≈ 0) — the hardest case for LSH; recall here is bounded by the

@@ -75,6 +75,24 @@ class VectorStoreSpec extends SparkSpec {
     assert(after == Set(("u1", 1L), ("u1", 9L), ("u2", 2L)))
   }
 
+  test("merge scopes key matching per user: same key under two users") {
+    val path = java.nio.file.Files.createTempDirectory("vstore6").toString + "/store"
+    val store = new VectorStore(spark, path)
+    // u1 and u2 both have a row with id=1
+    store.upsertUsers(mk(("u1", 1L, Seq(1f, 0f)), ("u2", 1L, Seq(0f, 1f))))
+    // one batch updates u1's id=1 and u2's id=1 — neither may clobber the other
+    store.merge(mk(("u1", 1L, Seq(0.9f, 0.1f)), ("u2", 1L, Seq(0.1f, 0.9f))), "id")
+    val after = store.load().select("user_id", "id", "embedding")
+      .as[(String, Long, Seq[Float])].collect().toSet
+    assert(after == Set(("u1", 1L, Seq(0.9f, 0.1f)), ("u2", 1L, Seq(0.1f, 0.9f))))
+
+    // a change for only ONE user's key leaves the other user's same-key row alone
+    store.merge(mk(("u1", 1L, Seq(0.5f, 0.5f))), "id")
+    val after2 = store.load().select("user_id", "id", "embedding")
+      .as[(String, Long, Seq[Float])].collect().toSet
+    assert(after2 == Set(("u1", 1L, Seq(0.5f, 0.5f)), ("u2", 1L, Seq(0.1f, 0.9f))))
+  }
+
   test("ann serves top-k from the store") {
     val path = java.nio.file.Files.createTempDirectory("vstore3").toString + "/store"
     val store = new VectorStore(spark, path)

@@ -67,6 +67,15 @@ class ZOrderSpec extends SparkSpec {
     assert(zPartFrac < 0.65, s"partkey hit fraction $zPartFrac")
   }
 
+  test("empty input clusters and writes an empty table instead of throwing") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").filter(lit(false))
+    assert(ZOrder.cluster(li, Seq("l_orderkey", "l_partkey")).count() == 0)
+    val path = java.nio.file.Files.createTempDirectory("zorder-empty").toString + "/t"
+    ZOrder.write(li, Seq("l_orderkey", "l_partkey"), path)
+    assert(spark.read.parquet(path).count() == 0)
+  }
+
   test("z-ordered write round-trips the data unchanged") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_suppkey")
     val path = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
