@@ -16,6 +16,11 @@ run / fork := true
 // wraps every line as "[info] ...", which breaks any consumer parsing
 // Bench's single JSON line (the round driver recorded parsed: null).
 run / outputStrategy := Some(StdoutOutput)
+// Suppress sbt's "[success] Total time: ..." epilogue: it lands on stdout
+// AFTER Bench's JSON metric line, so a last-line parser reads the epilogue
+// instead of the metric (BENCH_r01..r03 all recorded parsed: null).
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -44,7 +44,14 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // Belt and braces for the driver's parser: the JSON goes to stdout as
+    // the last line (sbt epilogue suppressed via showSuccess := false in
+    // build.sbt) AND to a file, so a stdout-parsing failure is recoverable.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json"))
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     spark.stop()
+    println(json)
   }
 }

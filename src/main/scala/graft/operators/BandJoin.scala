@@ -58,6 +58,15 @@ object BandJoin {
     if (exact)
       require(math.abs(lo) < 1e15.toLong && math.abs(hi) < 1e15.toLong,
         s"band bounds must be below 1e15 for integral value columns, got [$lo, $hi]")
+    else
+      // The fractional path's |v| < 2^53 assumption extends to the BOUNDS:
+      // v + shift is computed in doubles, and once the sum's ulp exceeds the
+      // distance to a bucket boundary, floor((v+shift)/W) can land one
+      // bucket off (e.g. v = -0.5, hi = 2^60: v+hi rounds to exactly 2^60,
+      // buckets {-1, 1} — the right-side row in bucket 0 is silently
+      // dropped and the residual filter can never recover it).
+      require(math.abs(lo) < (1L << 53) && math.abs(hi) < (1L << 53),
+        s"band bounds must be below 2^53 for fractional value columns, got [$lo, $hi]")
     // DECIMAL128 quotient rounding (≤5e-18 relative) is smaller than the
     // 1/width gap between exact quotients k/width and the next integer, so
     // Floor over the decimal quotient never misclassifies a Long input.

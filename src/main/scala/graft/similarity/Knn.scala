@@ -49,12 +49,21 @@ object Knn {
     * accumulation over float elements in index order (= CosineSimilarity),
     * then signum(s)·floor(|s·1e6|+0.5)/1e6 rounding (= queries.oround).
     *
+    * The broadcast-matrix plan collects the corpus to the driver, so it is
+    * gated on `localThreshold` rows (mirroring
+    * ConnectedComponents.components): beyond the gate the computation runs
+    * fully distributed via [[top1LaterDistributed]] — identical output,
+    * no driver materialization, no broadcast of the corpus.
+    *
     * @return (src, dst, sim) — one row per id that has a later neighbor */
-  def top1Later(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def top1Later(emb: DataFrame, idCol: String, vecCol: String,
+      localThreshold: Long = 1000000L, blocks: Int = 32): DataFrame = {
+    val sel = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+    if (sel.count() > localThreshold)
+      return top1LaterDistributed(emb, idCol, vecCol, blocks)
     val spark = emb.sparkSession
     import spark.implicits._
-    val data = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val data = sel.as[(Long, Array[Float])].collect().sortBy(_._1)
     val ids = data.map(_._1)
     // binarySearch picks an arbitrary element among equal ids, and duplicate
     // src rows would emit duplicate outputs — the declarative join+window
@@ -109,6 +118,43 @@ object Knn {
         }
       }
       .toDF("src", "dst", "sim")
+  }
+
+  /** Distributed exact top-1-later: block-partitioned all-pairs. The src
+    * side replicates into `blocks` partitions; the dst side hashes into one
+    * — an EQUI-join on the block id (hash/sort-merge, spillable), never a
+    * BroadcastNestedLoopJoin or a driver collect. The O(n²) pair stream
+    * feeds a map-side-combinable `max(struct(sim, -dst))` per src, so the
+    * only full shuffles are n·blocks join rows and n aggregate groups.
+    * At 100 TB the O(n²) similarity work itself is the cost — this plan
+    * spreads it over blocks² tasks; the pruned LSH/IVF forms remain the
+    * sub-quadratic path.
+    *
+    * Output semantics are identical to the broadcast-matrix plan: rounded
+    * sim ranked desc NULLS LAST, ties toward the smallest dst, and a
+    * null-sim row (smallest dst) when every later similarity is null. */
+  def top1LaterDistributed(emb: DataFrame, idCol: String, vecCol: String,
+      blocks: Int = 32): DataFrame = {
+    val sel = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+    val dups = sel.groupBy(col(idCol)).count().filter(col("count") > 1).count()
+    require(dups == 0,
+      s"top1Later requires distinct $idCol values; found $dups duplicated ids")
+    val a = sel.select(col(idCol).as("src"), col(vecCol).as("avec"))
+      .withColumn("blk", explode(lit((0 until blocks).toArray)))
+    val b = sel.select(col(idCol).as("dst"), col(vecCol).as("bvec"))
+      .withColumn("blk", pmod(col("dst"), lit(blocks.toLong)).cast("int"))
+    // oracle rounding BEFORE ranking: signum(s)·floor(|s·1e6|+0.5)/1e6,
+    // the same double ops the local loop performs
+    val s = cosine_similarity(col("avec"), col("bvec")) * lit(1e6)
+    val rounded = signum(s) * floor(abs(s) + lit(0.5)) / lit(1e6)
+    a.join(b, Seq("blk")).filter(col("dst") > col("src"))
+      .select(col("src"), col("dst"), rounded.as("sim"))
+      // struct ordering puts a null sim below every non-null sim, and on
+      // sim ties the larger -dst (= smaller dst) wins — exactly the local
+      // loop's strict-> best tracking + first-null-dst fallback
+      .groupBy("src")
+      .agg(max(struct(col("sim"), (-col("dst")).as("negdst"))).as("m"))
+      .select(col("src"), (-col("m.negdst")).as("dst"), col("m.sim").as("sim"))
   }
 
   /** Sign-bit LSH bucket id (`nPlanes` ≤ 63): bit i = sign(v · plane_i),

@@ -33,12 +33,25 @@ object ZOrder {
   /** The z-value column for `cols` (numeric), `bits` bits per dimension. */
   def zvalue(df: DataFrame, cols: Seq[String], bits: Int): Column = {
     val bounds = boundaries(df, cols, bits)
-    // approxQuantile returns no boundaries on an empty (or all-null) input;
-    // degrade to a constant z-value so an empty write produces an empty
-    // table instead of failing QuantileBucket's nonEmpty require.
-    if (bounds.values.exists(_.isEmpty)) lit(0L)
+    // approxQuantile returns no boundaries for an empty input OR for an
+    // all-null column. Degrade ONLY the offending column to a constant
+    // bucket (0) and keep interleaving the rest — collapsing the whole
+    // z-value to lit(0L) would silently destroy clustering on every other
+    // dimension. If every column degraded (empty input), fall back to a
+    // constant z-value so an empty write still succeeds.
+    val degraded = cols.filter(c => bounds(c).isEmpty)
+    if (degraded.size == cols.size) lit(0L)
     else {
-      val buckets = cols.map(c => QuantileBucket(B.expression(col(c)), bounds(c).toSeq))
+      if (degraded.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"z-order: no quantile boundaries for ${degraded.mkString(",")} " +
+            "(all-null column?) — clustering on remaining columns only")
+      val buckets = cols.map { c =>
+        if (bounds(c).isEmpty)
+          org.apache.spark.sql.catalyst.expressions.Literal(0,
+            org.apache.spark.sql.types.IntegerType): org.apache.spark.sql.catalyst.expressions.Expression
+        else QuantileBucket(B.expression(col(c)), bounds(c).toSeq)
+      }
       B.column(ZInterleave(buckets, bits))
     }
   }

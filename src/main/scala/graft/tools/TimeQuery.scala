@@ -7,8 +7,14 @@ import org.apache.spark.sql.SparkSession
   * — each query may repeat to observe warm-vs-cold. */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
+    // Guard against `runMain TimeQuery q01` silently treating the query
+    // name as the data dir and timing nothing: the first arg must be a
+    // directory that exists.
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    require(new java.io.File(sfDir).isDirectory,
+      s"first arg must be an existing sf data dir, got '$sfDir' — usage: TimeQuery <sfDir> <query> [query...]")
     val names = args.drop(1)
+    require(names.nonEmpty, "usage: TimeQuery <sfDir> <query> [query...]")
     val spark = graft.core.EngineConf.configure(
         SparkSession.builder().master("local[32]"), 32)
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -67,6 +67,23 @@ class BandJoinSpec extends SparkSpec {
         lo = 0L, hi = 2_000_000_000_000_000L)
     }
   }
+
+  test("fractional band join rejects bounds at/beyond 2^53 (double rounding)") {
+    // v + shift in doubles: once ulp(v+shift) exceeds the distance to a
+    // bucket boundary, the bucket drifts and a matching pair is silently
+    // dropped (e.g. v = -0.5, hi = 2^60 → buckets {-1,1}, right row in
+    // bucket 0 lost). The guard turns the silent false negative into an error.
+    val left = Seq((1L, -0.5)).toDF("k", "lv")
+    val right = Seq((1L, 0.25)).toDF("k", "rv")
+    intercept[IllegalArgumentException] {
+      BandJoin.bandJoin(left, right, Seq("k"), col("lv"), col("rv"),
+        lo = 0L, hi = 1L << 53)
+    }
+    intercept[IllegalArgumentException] {
+      BandJoin.bandJoin(left, right, Seq("k"), col("lv"), col("rv"),
+        lo = -(1L << 60), hi = 0L)
+    }
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {

@@ -68,6 +68,42 @@ class KnnSpec extends SparkSpec {
       Knn.top1Later(df, "vec_id", "embedding").collect()
     }
     assert(e.getMessage.contains("distinct"))
+    // the size gate routes to the distributed plan, which enforces the same
+    // contract (its failure surfaces as a require wrapped by Spark's action)
+    val e2 = intercept[IllegalArgumentException] {
+      Knn.top1Later(df, "vec_id", "embedding", localThreshold = 0L).collect()
+    }
+    assert(e2.getMessage.contains("distinct"))
+  }
+
+  test("top1Later beyond the size gate: distributed plan output is identical") {
+    // localThreshold = 0 forces the block-partitioned distributed plan on
+    // the full sf corpus; it must reproduce the broadcast-matrix plan's
+    // output EXACTLY (same rounding, tie-breaks, null handling)
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    val local = normalize(Knn.top1Later(emb, "vec_id", "embedding"))
+    val dist = normalize(
+      Knn.top1Later(emb, "vec_id", "embedding", localThreshold = 0L, blocks = 5))
+    assert(dist == local)
+    assert(dist.nonEmpty)
+    // edge semantics: null vectors and zero-norm vectors produce the same
+    // null-sim fallback rows on both paths
+    import spark.implicits._
+    val edgy = Seq(
+      (1L, Some(Seq(1f, 0f))), (2L, None: Option[Seq[Float]]),
+      (3L, Some(Seq(0f, 0f))), // zero norm → null sim
+      (4L, Some(Seq(0f, 1f))), (5L, Some(Seq(1f, 0f)))) // ties: 1 vs {5}
+      .toDF("vec_id", "embedding")
+    assert(normalize(Knn.top1Later(edgy, "vec_id", "embedding", localThreshold = 0L))
+      == normalize(Knn.top1Later(edgy, "vec_id", "embedding")))
+    // distributed plan must be an equi-join + partial agg: no nested loop,
+    // no cartesian, no driver collect
+    val plan = Knn.top1LaterDistributed(emb, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("LSH recall vs brute force is substantial and grows with tables") {

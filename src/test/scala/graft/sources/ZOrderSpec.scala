@@ -76,6 +76,22 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 0)
   }
 
+  test("all-null clustering column degrades alone; other dims still cluster") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .withColumn("dead", lit(null).cast("double"))
+    // the all-null column yields no quantile boundaries; the z-value must
+    // still vary with the healthy columns (the old behavior collapsed the
+    // whole z-value to 0, silently destroying the layout)
+    val z = li.select(ZOrder.zvalue(li, Seq("l_orderkey", "dead"), bits = 4).as("z"))
+    assert(z.distinct().count() > 1)
+    // fully-degraded input (every column all-null) still degrades to a
+    // constant instead of throwing
+    val allDead = li.withColumn("dead2", lit(null).cast("double"))
+    val z2 = allDead.select(
+      ZOrder.zvalue(allDead, Seq("dead", "dead2"), bits = 4).as("z"))
+    assert(z2.distinct().count() == 1)
+  }
+
   test("z-ordered write round-trips the data unchanged") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_suppkey")
     val path = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
