@@ -125,25 +125,52 @@ object SessionOps {
     * an edge to its most-similar strictly-later session when similarity
     * exceeds the per-user threshold; weight = 1 − similarity (distance).
     *
-    * All-ordered-pairs per user like the reference; at 100 TB the candidate
-    * set is pruned first (LSH buckets / time windows) with identical
-    * rank-1 semantics. */
-  def similarityGraph(sessions: DataFrame, thresholds: DataFrame): DataFrame = {
+    * Scale shape: users at or below `exactUserLimit` sessions run the
+    * reference's all-ordered-pairs form; users ABOVE it are pruned by
+    * default — candidates are pairs sharing a random-hyperplane LSH bucket
+    * in any of `nTables` tables, so one hot user stops being a quadratic
+    * straggler partition. The split is declarative (one plan, no driver
+    * action), rank-1 + threshold semantics are identical on both branches,
+    * and the output keeps only edges ABOVE the per-user p90 similarity
+    * threshold — exactly the high-cosine pairs hyperplane LSH is built to
+    * retain; an oversized user's edge set is approximate only in that an
+    * LSH miss can replace a parent's argmax with its best candidate. */
+  def similarityGraph(sessions: DataFrame, thresholds: DataFrame,
+      exactUserLimit: Long = 5000L, nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
     val a = sessions.select(
       col("user_id"), col("id").as("parent_id"), col("date").as("a_date"),
       col("end_s").as("a_end_s"), col("embedding").as("a_emb"))
     val b = sessions.select(
       col("user_id"), col("id").as("child_id"), col("date").as("b_date"),
       col("start_s").as("b_start_s"), col("embedding").as("b_emb"))
+    val counts = sessions.groupBy(col("user_id")).agg(count(lit(1)).as("__n"))
+    def small(df: DataFrame) = df.join(counts, "user_id")
+      .filter(col("__n") <= exactUserLimit).drop("__n")
+    def big(df: DataFrame) = df.join(counts, "user_id")
+      .filter(col("__n") > exactUserLimit).drop("__n")
     val ordering = (col("b_date") > col("a_date")) ||
       (col("b_date") === col("a_date") && col("b_start_s") >= col("a_end_s"))
+    val pairCols = Seq(col("user_id"), col("parent_id"), col("child_id"),
+      cosine_similarity(col("a_emb"), col("b_emb")).as("similarity"))
+    val exactPairs = small(a).join(small(b), Seq("user_id"))
+      .filter(col("parent_id") =!= col("child_id") && ordering)
+      .select(pairCols: _*)
+    // LSH planes are hash-derived per (seed, plane, dim-index), so the dim
+    // argument is only a precompute bound — 1024 covers any embedding width
+    // and yields the same buckets as the exact width would.
+    def buckets(vec: Column): Column = explode(array((0 until nTables).map(t =>
+      struct(lit(t).as("t"),
+        graft.functions.hyperplane_lsh(vec, 1024, nPlanes, t.toLong).as("b"))): _*))
+    val prunedPairs = big(a).withColumn("tb", buckets(col("a_emb")))
+      .join(big(b).withColumn("tb", buckets(col("b_emb"))), Seq("user_id", "tb"))
+      .filter(col("parent_id") =!= col("child_id") && ordering)
+      .select(pairCols: _*)
     // rank-1 per parent as a partial-aggregatable max(struct) instead of a
     // row_number window — map-side combine shrinks the O(pairs) shuffle to
-    // one row per parent; lexicographic struct max = (similarity DESC,
-    // child_id ASC) rank 1, identical to the reference's ROW_NUMBER filter.
-    a.join(b, Seq("user_id"))
-      .filter(col("parent_id") =!= col("child_id") && ordering)
-      .withColumn("similarity", cosine_similarity(col("a_emb"), col("b_emb")))
+    // one row per parent (and absorbs duplicate candidates from multiple
+    // LSH tables); lexicographic struct max = (similarity DESC, child_id
+    // ASC) rank 1, identical to the reference's ROW_NUMBER filter.
+    exactPairs.unionByName(prunedPairs)
       .groupBy(col("user_id"), col("parent_id"))
       .agg(max(struct(col("similarity"),
         (lit(0L) - col("child_id")).as("nd"))).as("m"))

@@ -276,6 +276,37 @@ class SessionOpsSpec extends SparkSpec {
     assert(g.length == 1)
     assert(math.abs(g(0).getAs[Double]("weight")) < 1e-9)
   }
+
+  test("similarity graph: LSH-pruned path for big users matches all-pairs") {
+    // 12 sessions per user cycling 3 orthogonal directions: every parent's
+    // true top-1 is a later IDENTICAL vector (sim 1.0), and identical
+    // vectors share every LSH bucket — the pruned candidate set provably
+    // contains each argmax, so the outputs must be set-equal.
+    val dirs = Seq(Seq(1f, 0f, 0f), Seq(0f, 1f, 0f), Seq(0f, 0f, 1f))
+    val rows = for (u <- Seq(1L, 2L); i <- 0 until 12)
+      yield (u, f"2024-01-${i + 1}%02d", 36000, 36600, s"s$u-$i", dirs(i % 3))
+    val sess = SessionOps.withIds(sessionsDf(rows: _*))
+    val thresholds = Seq((1L, 0.0, 0.5), (2L, 0.0, 0.5))
+      .toDF("user_id", "time_threshold_s", "similarity_threshold")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("parent_id"),
+        r.getAs[Long]("child_id"), math.round(r.getAs[Double]("weight") * 1e9))).toSet
+    val exact = norm(SessionOps.similarityGraph(sess, thresholds,
+      exactUserLimit = Long.MaxValue))
+    val pruned = norm(SessionOps.similarityGraph(sess, thresholds,
+      exactUserLimit = 0L))
+    assert(exact.nonEmpty)
+    assert(pruned == exact)
+    // mixed routing: user 1 (12 sessions) above the limit → pruned branch,
+    // a 3-session user below it → exact branch; union must still match
+    val mixedRows = rows.filter(_._1 == 1L) ++
+      (0 until 3).map(i => (9L, f"2024-02-${i + 1}%02d", 36000, 36600, s"t$i", dirs(0)))
+    val mixedSess = SessionOps.withIds(sessionsDf(mixedRows: _*))
+    val mixedT = Seq((1L, 0.0, 0.5), (9L, 0.0, 0.5))
+      .toDF("user_id", "time_threshold_s", "similarity_threshold")
+    assert(norm(SessionOps.similarityGraph(mixedSess, mixedT, exactUserLimit = 5L))
+      == norm(SessionOps.similarityGraph(mixedSess, mixedT, exactUserLimit = Long.MaxValue)))
+  }
 }
 
 class InterestsExtractSpec extends SparkSpec {
