@@ -14,6 +14,15 @@ import graft.operators.RecencySplit
   * here it becomes a `user_id` column captured from the input path. */
 object TakeoutIngest {
 
+  /** Repo-local raw-JSON fixture root (tools/gen_takeout_fixture.py,
+    * committed under fixtures/takeout/). The driver contract passes only a
+    * parquet testdata dir, but this entry point ingests raw per-user JSON
+    * with its own `<root>/<user_id>/MyActivity.json` layout — so the
+    * driver-checked ingest query reads this fixed location (override with
+    * GRAFT_TAKEOUT_FIXTURES). */
+  def fixtureRoot: String =
+    sys.env.getOrElse("GRAFT_TAKEOUT_FIXTURES", "/root/repo/fixtures/takeout")
+
   /** Only `time` is schema-pinned by the reference; the rest of the fields
     * it actually consumes are declared here (inference is an anti-pattern
     * at 100 TB — SURVEY §1.2). */

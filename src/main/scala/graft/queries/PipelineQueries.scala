@@ -19,7 +19,8 @@ import graft.pipeline.{OldPath, RecentPath}
 object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(
-    q50Sessions, q51Merged, q52Graph, q53Interests, q54Clusters, q55GraphStats)
+    q50Sessions, q51Merged, q52Graph, q53Interests, q54Clusters, q55GraphStats,
+    q85Takeout)
 
   /** events → activity frame (user_id, ts, title). */
   def activity(s: SparkSession, d: String): DataFrame =
@@ -163,5 +164,48 @@ object PipelineQueries {
       .join(GraphOps.components(edges), Seq("id"), "left")
       .select(col("id"), col("out_degree"), col("in_degree"), col("component"))
       .orderBy(col("id"))
+  }
+
+  /** The reference's raw entry point EP1 (assets/takeout.py:57-76), driver-
+    * checked end-to-end: per-user MyActivity.json → pinned-schema read →
+    * derived time columns (timestamp/date/hour/"month" — the full-date
+    * naming quirk) → data-relative -15d recency flag. Reads the committed
+    * repo fixture (not sfDir — this is the one raw-JSON input format);
+    * DuckDB replays it with read_json over the same files. Arrays are
+    * scalarized (products → CSV) per the driver-compare contract, and the
+    * ORDER BY covers every column so fully-duplicate rows sort stably. */
+  val q85Takeout: QueryDef = {
+    val root = graft.pipeline.TakeoutIngest.fixtureRoot
+    QueryDef.sql(
+      "q85_takeout_ingest",
+      s"""WITH raw AS (
+         |  SELECT header, title, titleUrl, time, products,
+         |         regexp_extract(filename, '([^/]+)/MyActivity[.]json', 1) AS user_id
+         |  FROM read_json('$root/*/MyActivity.json',
+         |    filename=true,
+         |    columns={header:'VARCHAR', title:'VARCHAR', titleUrl:'VARCHAR',
+         |             time:'TIMESTAMP', products:'VARCHAR[]'}))
+         |SELECT user_id, header, title, titleUrl,
+         |       array_to_string(products, ',') AS products,
+         |       epoch_ms(time) AS ts_ms,
+         |       CAST(time AS DATE) AS date,
+         |       strftime(time, '%H:%M') AS hour,
+         |       strftime(time, '%Y-%m-%d') AS month,
+         |       time > max(time) OVER (PARTITION BY user_id) - INTERVAL 15 DAY
+         |         AS is_recent
+         |FROM raw
+         |ORDER BY user_id, ts_ms, title, header, titleUrl, products,
+         |         is_recent""".stripMargin) { (s, _) =>
+      import graft.operators.RecencySplit
+      import graft.pipeline.TakeoutIngest
+      val parsed = TakeoutIngest.parse(s, root)
+      RecencySplit.withFlag(parsed, col("timestamp"), col("user_id"), "-15d")
+        .select(col("user_id"), col("header"), col("title"), col("titleUrl"),
+          concat_ws(",", col("products")).as("products"),
+          unix_millis(col("timestamp")).as("ts_ms"),
+          col("date"), col("hour"), col("month"), col("is_recent"))
+        .orderBy(col("user_id"), col("ts_ms"), col("title"), col("header"),
+          col("titleUrl"), col("products"), col("is_recent"))
+    }
   }
 }
