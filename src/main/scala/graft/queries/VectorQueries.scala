@@ -22,7 +22,7 @@ object VectorQueries {
 
   def all: Seq[QueryDef] = Seq(
     q30Top1Similar, q31NearDupBucketed, q32KnnBruteForce, q33Centroids,
-    q34LshTopK, q35IvfTopK)
+    q34LshTopK, q35IvfTopK, q36IvfIndexTopK)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
@@ -155,6 +155,22 @@ object VectorQueries {
       .select(col("label"), col("cd").cast("array<float>").as("cvec"))
     val q = e.filter(col("vec_id") < 5)
     Knn.ivfTopK(e, q, "vec_id", "embedding", cents, "label", "cvec", k = 10, nprobe = 3)
+      .select(col("qid"), col("rank"), col("nn"), oround(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** ANN served from a PERSISTED IVF index (rows-only; identity with the
+    * online ivfTopK over the same centroids + the pruned-partition scan are
+    * pinned in KnnSpec): build once — seeded k-means, assignments written
+    * partitioned by centroid — then each query is a probe-pruned scan, the
+    * engine's standing-index analogue of the reference's pgvector table. */
+  val q36IvfIndexTopK: QueryDef = QueryDef.rowsOnly("q36_ivf_index_topk") { (s, d) =>
+    import graft.sources.IvfIndex
+    val path = java.nio.file.Files.createTempDirectory("ivfidx_q36").toString + "/idx"
+    val idx = IvfIndex.build(emb(s, d), path, "vec_id", "embedding",
+      nCentroids = 8, iters = 2)
+    val q = emb(s, d).filter(col("vec_id") < 5)
+    idx.topK(q, "vec_id", "embedding", k = 10, nprobe = 3)
       .select(col("qid"), col("rank"), col("nn"), oround(col("sim"), 6).as("sim"))
       .orderBy(col("qid"), col("rank"))
   }

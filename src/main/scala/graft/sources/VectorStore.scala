@@ -45,6 +45,14 @@ final class VectorStore(spark: SparkSession, path: String) {
 
   def load(): DataFrame = spark.read.parquet(path)
 
+  /** Build a persisted IVF index over the store (the pgvector-CREATE-INDEX
+    * analogue, SURVEY §2.1 op 6: the reference's vector table is a standing
+    * index, not a per-query recompute — resources/postgres_resource.py:
+    * 120-206). See [[IvfIndex]] for the layout and the serving path. */
+  def buildIvfIndex(indexPath: String, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 3, seed: Long = 42L): IvfIndex =
+    IvfIndex.build(load(), indexPath, idCol, vecCol, nCentroids, iters, seed)
+
   /** Rows of one user — relies on partition pruning, not a full scan. */
   def loadUser(userId: String): DataFrame =
     load().filter(col("user_id") === userId)

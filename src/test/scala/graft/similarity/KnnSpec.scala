@@ -150,4 +150,31 @@ class KnnSpec extends SparkSpec {
     assert(r3 >= r1)
     assert(r3 > 3 * r1)
   }
+
+  test("persisted IVF index: identical top-k to online ivfTopK; pruned scan") {
+    import graft.sources.IvfIndex
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    val idx = IvfIndex.build(emb, path, "vec_id", "embedding",
+      nCentroids = 8, iters = 2)
+    assert(idx.centroids.count() == 8)
+    assert(idx.assignments.count() == emb.count())
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("nn"), math.round(r.getAs[Double]("sim") * 1e6))).toSet
+    // same centroids → the persisted-assignment serve must equal the
+    // online recompute exactly (ranking, ties, nprobe dedup)
+    val online = Knn.ivfTopK(emb, queries, "vec_id", "embedding",
+      idx.centroids, "cid", "cvec", k = 10, nprobe = 3)
+    val served = idx.topK(queries, "vec_id", "embedding", k = 10, nprobe = 3)
+    assert(norm(served) == norm(online))
+    assert(norm(served).nonEmpty)
+    // a 1-probe query must reach the scan as a LITERAL partition filter on
+    // cid — the standing-index point: unprobed partitions are never read
+    val one = idx.topK(emb.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      k = 3, nprobe = 1)
+    one.collect()
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).nonEmpty, plan)
+  }
 }
