@@ -20,7 +20,7 @@ object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(
     q50Sessions, q51Merged, q52Graph, q53Interests, q54Clusters, q55GraphStats,
-    q85Takeout)
+    q85Takeout, q86Metrics)
 
   /** events → activity frame (user_id, ts, title). */
   def activity(s: SparkSession, d: String): DataFrame =
@@ -207,5 +207,29 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("ts_ms"), col("title"), col("header"),
           col("titleUrl"), col("products"), col("is_recent"))
     }
+  }
+
+  /** The reference's enrichment error-rate metadata as a queryable frame
+    * (assets/recent_history.py:107-120 publishes num/invalid counts and a
+    * 2-decimal error_rate per materialization): the `Dataset.observe`
+    * counters from sessionize + interests, flattened to (stage, metric,
+    * value) rows, plus a derived per-stage error_rate = Σ invalid_* / n_*.
+    * Rows-only (counts come from stub-LLM output); the counter semantics
+    * are pinned in SessionizeSpec. */
+  val q86Metrics: QueryDef = rowsOnly("q86_pipeline_metrics") { (s, d) =>
+    import graft.operators.{InterestsExtract, ObservedMetrics, Sessionize}
+    val act = activity(s, d)
+    val base = ObservedMetrics.collect(
+        Sessionize.sessions(act, new StubSessionsLLM))
+      .unionByName(ObservedMetrics.collect(
+        InterestsExtract.interests(act, new StubInterestsLLM)))
+    val totals = base.filter(col("metric").startsWith("n_"))
+      .groupBy("stage").agg(first(col("value")).as("total"))
+    val invalid = base.filter(col("metric").startsWith("invalid_"))
+      .groupBy("stage").agg(sum(col("value")).as("bad"))
+    val rates = totals.join(invalid, "stage")
+      .select(col("stage"), lit("error_rate").as("metric"),
+        oround(col("bad") / col("total"), 2).as("value"))
+    base.unionByName(rates).orderBy(col("stage"), col("metric"))
   }
 }

@@ -194,6 +194,19 @@ class SessionizeSpec extends SparkSpec {
     val got = Sessionize.sessions(df, new StubSessionsLLM).collect()
     assert(got.length == 1) // the {"unrelated": true} trailer was filtered
   }
+
+  test("observe counters surface as a queryable metrics frame") {
+    // 2 chunks → 2 stub responses, each: 1 valid session + 1 wrong-key
+    // trailer → n_snippets = 4, invalid_keys = 2, invalid_times = 0
+    val df = activity(
+      (1L, "2024-01-01 09:00:00", "alpha beta"),
+      (1L, "2024-01-02 11:00:00", "gamma delta"))
+    val m = ObservedMetrics.collect(Sessionize.sessions(df, new StubSessionsLLM))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("sessionize", "n_snippets")) == 4.0)
+    assert(m(("sessionize", "invalid_keys")) == 2.0)
+    assert(m(("sessionize", "invalid_times")) == 0.0)
+  }
 }
 
 class SessionOpsSpec extends SparkSpec {
