@@ -42,6 +42,35 @@ class DedupSpec extends SparkSpec {
     assert(guaranteed.contains((1L, 2L)))
   }
 
+  test("simhash pigeonhole is exhaustive at sf0.1 (q57's claim at bench scale)") {
+    // soundness + completeness of the 16-bit-chunk candidate generation
+    // against a driver brute force over all C(5000,2) fingerprint pairs:
+    // the banded plan must find EXACTLY the ≤3-hamming pairs
+    import graft.functions.simhash64
+    val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val found = Dedup.simhashNearDup(docs01, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue()).toMap
+    val fps = docs01.select(col("doc_id"), simhash64(Dedup.tokens(col("text"))).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    var i = 0
+    while (i < fps.length) {
+      var j = i + 1
+      while (j < fps.length) {
+        val h = java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2).toLong
+        if (h <= 3) {
+          val key = if (fps(i)._1 < fps(j)._1) (fps(i)._1, fps(j)._1)
+                    else (fps(j)._1, fps(i)._1)
+          truth(key) = h
+        }
+        j += 1
+      }
+      i += 1
+    }
+    info(s"sf0.1: ${truth.size} true pairs within hamming 3")
+    assert(found == truth.toMap)
+  }
+
   test("embedding near-dup respects bucket boundary and threshold") {
     val vecs = Seq(
       (1L, 0, Seq(1f, 0f, 0f)),
