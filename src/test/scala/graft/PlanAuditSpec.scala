@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "q32_knn_bruteforce", // broadcast(5 probes) × corpus, non-equi by design
     "q35_ivf_topk", // broadcast(centroids) × corpus assignment, conditionless
+    "q36_ivf_index_topk", // same shape, query side only (corpus is pre-assigned on disk)
     "q75_edit_distance") // vocabulary² (150×150) theta join, bounded by design
 
   private def planOf(name: String): String = {
