@@ -32,6 +32,32 @@ final class IvfIndex(spark: SparkSession, path: String) {
     spark.read.parquet(s"$path/assignments")
       .withColumn("cid", col("cid").cast("long"))
 
+  /** Incremental maintenance: upsert vectors into the standing index
+    * WITHOUT a rebuild. Changes are assigned to their nearest EXISTING
+    * centroid; a changed id whose vector moved to a different centroid is
+    * located via one column-pruned scan of (id, cid), and only the touched
+    * centroid partitions (old ∪ new homes) are read and rewritten via
+    * dynamic partition overwrite — the same per-partition MERGE shape as
+    * [[VectorStore.merge]]. Centroids drift from optimal as data accretes;
+    * rebuild when recall degrades. */
+  def upsert(changes: DataFrame, idCol: String, vecCol: String): Unit = {
+    val assigned = Knn.ivfAssign(
+        changes.select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<float>").as("vec")),
+        "id", "vec", centroids, "cid", "cvec", 1)
+      .select(col("id"), col("vec"), col("cid"))
+    val changedIds = assigned.select("id").distinct()
+    val touchedCids = assignments
+      .join(changedIds, Seq("id"), "left_semi").select("cid")
+      .union(assigned.select("cid")).distinct()
+    val touched = assignments.join(touchedCids, Seq("cid"), "left_semi")
+    val merged = touched.join(changedIds, Seq("id"), "left_anti")
+      .unionByName(assigned)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.select(col("id"), col("vec"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/assignments")
+  }
+
   /** Top-k cosine over the index: queries probe their `nprobe` nearest
     * centroids, candidates come from the probed partitions only, exact
     * scoring + rank runs within candidates (identical ranking semantics to

@@ -177,4 +177,40 @@ class KnnSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: ["), plan)
     assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).nonEmpty, plan)
   }
+
+  test("IVF index upsert: inserts, moves across centroids, no stale rows") {
+    import graft.sources.IvfIndex
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ivfup").toString + "/idx"
+    val idx = IvfIndex.build(emb, path, "vec_id", "embedding",
+      nCentroids = 6, iters = 2)
+    val n0 = idx.assignments.count()
+    // one brand-new vector + one existing id whose vector is replaced by a
+    // copy of a DIFFERENT document's embedding (likely a different centroid)
+    val donor = emb.filter(col("vec_id") === 400L)
+      .select(col("embedding")).as[Seq[Float]].head()
+    val changes = emb.filter(col("vec_id") === 7L)
+      .select(lit(990001L).as("vec_id"), col("embedding"))
+      .unionByName(Seq((3L, donor)).toDF("vec_id", "embedding"))
+    idx.upsert(changes, "vec_id", "embedding")
+    val after = idx.assignments
+    assert(after.count() == n0 + 1) // 1 insert, 1 in-place move
+    // every id appears exactly once — a moved id leaves no stale row behind
+    assert(after.groupBy("id").count().filter(col("count") > 1).count() == 0)
+    // the moved id landed on the donor's centroid, the insert on id 7's
+    val cidOf = after.filter(col("id").isin(3L, 7L, 400L, 990001L))
+      .select("id", "cid").as[(Long, Long)].collect().toMap
+    assert(cidOf(3L) == cidOf(400L))
+    assert(cidOf(990001L) == cidOf(7L))
+    // serving over the updated index still equals the online recompute
+    // over the updated corpus with the same centroids
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("nn"), math.round(r.getAs[Double]("sim") * 1e6))).toSet
+    val corpus2 = after.select(col("id").as("vec_id"), col("vec").as("embedding"))
+    val online = Knn.ivfTopK(corpus2, queries, "vec_id", "embedding",
+      idx.centroids, "cid", "cvec", k = 10, nprobe = 3)
+    assert(norm(idx.topK(queries, "vec_id", "embedding", k = 10, nprobe = 3))
+      == norm(online))
+  }
 }
