@@ -22,7 +22,7 @@ object ExtendedQueries {
     q67Unpivot, q68LateralTopK, q69GroupingSets, q70VectorUpsert,
     q71RangeFrame, q72Stats, q73RankFamily, q74Regex,
     q75EditDistance, q76DateTrunc, q77GroupByAll, q78Exists, q80ListAgg,
-    q81Recursive, q82MultisetOps)
+    q81Recursive, q82MultisetOps, q87PartitionOverwrite)
 
   private def run(q: String)(s: SparkSession, d: String): DataFrame = {
     Tables.registerAll(s, d)
@@ -293,4 +293,38 @@ object ExtendedQueries {
   /** Multiset set ops (INTERSECT ALL / EXCEPT ALL) + LIMIT/OFFSET paging
     * after a total order — q12 covers the distinct variants. */
   val q82MultisetOps: QueryDef = sql("q82_multiset_ops", q82Sql)(run(q82Sql))
+
+  /** Dynamic partition-overwrite idempotency through a REAL write-read
+    * cycle (SURVEY ops 7-8, the reference's per-user DELETE+COPY,
+    * assets/recent_history.py:127-178): stage a store partitioned by user,
+    * overwrite a subset of user partitions with replacement rows, read the
+    * store back. The oracle replays the overwrite as set algebra — rows of
+    * untouched users + the replacement rows — so the driver hash-checks
+    * that overwrite touched EXACTLY the staged partitions. */
+  val q87PartitionOverwrite: QueryDef = sql(
+    "q87_partition_overwrite",
+    """WITH base AS (
+      |  SELECT 'u' || CAST(vec_id % 10 AS VARCHAR) AS user_id,
+      |         vec_id AS id, label
+      |  FROM embeddings),
+      |repl AS (
+      |  SELECT user_id, id, label + 1000 AS label FROM base
+      |  WHERE user_id IN ('u0', 'u1') AND id < 250)
+      |SELECT user_id, id, label FROM base WHERE user_id NOT IN ('u0', 'u1')
+      |UNION ALL
+      |SELECT user_id, id, label FROM repl
+      |ORDER BY user_id, id""".stripMargin) { (s, d) =>
+    val base = Tables.embeddings(s, d).select(
+      concat(lit("u"), pmod(col("vec_id"), lit(10))).as("user_id"),
+      col("vec_id").as("id"), col("label"))
+    val path = java.nio.file.Files
+      .createTempDirectory("vstore_q87").toString + "/store"
+    val store = new graft.sources.VectorStore(s, path)
+    store.upsertUsers(base)
+    store.upsertUsers(base
+      .filter(col("user_id").isin("u0", "u1") && col("id") < 250)
+      .withColumn("label", col("label") + 1000))
+    store.load().select(col("user_id"), col("id"), col("label"))
+      .orderBy(col("user_id"), col("id"))
+  }
 }

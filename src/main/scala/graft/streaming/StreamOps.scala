@@ -86,6 +86,26 @@ object StreamOps {
         col("l_ts"), col("r_ts"))
   }
 
+  /** Streaming exact dedup with BOUNDED state: duplicates (same `keys`
+    * tuple) arriving within the watermark delay of each other collapse to
+    * the first occurrence, and Spark evicts each key's state once the
+    * watermark passes it — the streaming twin of `Dedup.exact`'s hash
+    * shuffle. A plain `dropDuplicates` on a stream keeps every key forever
+    * (unbounded state, the at-scale trap this operator exists to avoid);
+    * `dropDuplicatesWithinWatermark` is the contract that matches how
+    * training-data dedup actually ships: exact within a horizon, the
+    * batch backfill (q40) catching the long tail.
+    *
+    * Works identically on batch frames (same code path; batch dedups
+    * globally) — StreamingSpec asserts stream == batch when all
+    * duplicates fall inside the horizon. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
   /** File-source discovery stream over a takeout-style user tree
     * (`<root>/<user>/MyActivity.json`): the Dagster sensor, Spark-native.
     * `AvailableNow` = one sensor tick; re-run to pick up new users. */

@@ -63,6 +63,21 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("dedup within watermark: stream == batch when dups are in-horizon") {
+    val events = Tables.events(spark, sf)
+    // duplicate a third of the events with identical (event_id, ts): the
+    // copies land inside any watermark horizon, so the streaming dedup must
+    // collapse them exactly like the global batch dedup
+    val withDups = events.unionByName(
+      events.filter(pmod(col("event_id"), lit(3)) === 0))
+    val stream = runToMemory(
+      StreamOps.dedupWithinWatermark(streamOf(withDups), Seq("event_id")),
+      "dedupw", "append")
+    val batch = StreamOps.dedupWithinWatermark(withDups, Seq("event_id"))
+    assert(stream.count() == events.count())
+    assert(canon(stream.select("event_id")) == canon(batch.select("event_id")))
+  }
+
   test("file discovery + idempotent user-partitioned sink") {
     val root = java.nio.file.Files.createTempDirectory("disc").toString
     def write(user: String, time: String): Unit = {
