@@ -22,7 +22,7 @@ object VectorQueries {
 
   def all: Seq[QueryDef] = Seq(
     q30Top1Similar, q31NearDupBucketed, q32KnnBruteForce, q33Centroids,
-    q34LshTopK, q35IvfTopK, q36IvfIndexTopK)
+    q34LshTopK, q35IvfTopK, q36IvfIndexTopK, q88HofDot)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
@@ -173,5 +173,33 @@ object VectorQueries {
     idx.topK(q, "vec_id", "embedding", k = 10, nprobe = 3)
       .select(col("qid"), col("rank"), col("nn"), oround(col("sim"), 6).as("sim"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Dot product two ways over consecutive-id vector pairs: composed
+    * higher-order functions (`zip_with` + `aggregate` — interpreted, the
+    * composable form) and the codegen `DotProduct` Expression (the hot-path
+    * form). Both columns oracle-checked against DuckDB's
+    * `list_inner_product`, pinning that the fast path computes exactly what
+    * the declarative HOF spelling does (double accumulation in index
+    * order). */
+  val q88HofDot: QueryDef = sql(
+    "q88_hof_dot",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      |SELECT a.vec_id AS qid, b.vec_id AS nn,
+      |       round(list_inner_product(a.e, b.e), 6) AS hof_dot,
+      |       round(list_inner_product(a.e, b.e), 6) AS expr_dot
+      |FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+      |ORDER BY qid""".stripMargin) { (s, d) =>
+    val a = emb(s, d).select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qe"))
+    val b = emb(s, d).select((col("vec_id") - 1).as("qid"),
+      col("vec_id").as("nn"), col("embedding").cast("array<double>").as("ne"))
+    a.join(b, "qid")
+      .select(col("qid"), col("nn"),
+        oround(expr(
+          "aggregate(zip_with(qe, ne, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"),
+          6).as("hof_dot"),
+        oround(graft.functions.vec_dot(col("qe"), col("ne")), 6).as("expr_dot"))
+      .orderBy(col("qid"))
   }
 }

@@ -178,6 +178,19 @@ class KnnSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).nonEmpty, plan)
   }
 
+  test("IVF completeness: probing every centroid reproduces brute force") {
+    // nprobe = nCentroids ⇒ the candidate set is the whole corpus, so the
+    // approximate plan must collapse to the exact answer — the limiting
+    // case that pins the pruning as the ONLY source of approximation
+    import graft.sources.IvfIndex
+    val path = java.nio.file.Files.createTempDirectory("ivfall").toString + "/idx"
+    val idx = IvfIndex.build(emb, path, "vec_id", "embedding",
+      nCentroids = 6, iters = 1)
+    val exact = neighborSets(Knn.bruteForce(emb, queries, "vec_id", "embedding", 10))
+    val full = neighborSets(idx.topK(queries, "vec_id", "embedding", k = 10, nprobe = 6))
+    assert(full == exact)
+  }
+
   test("IVF index upsert: inserts, moves across centroids, no stale rows") {
     import graft.sources.IvfIndex
     import spark.implicits._
