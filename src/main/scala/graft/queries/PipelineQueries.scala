@@ -20,7 +20,7 @@ object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(
     q50Sessions, q51Merged, q52Graph, q53Interests, q54Clusters, q55GraphStats,
-    q85Takeout, q86Metrics)
+    q85Takeout, q86Metrics, q89Discovery)
 
   /** events → activity frame (user_id, ts, title). */
   def activity(s: SparkSession, d: String): DataFrame =
@@ -231,5 +231,44 @@ object PipelineQueries {
       .select(col("stage"), lit("error_rate").as("metric"),
         oround(col("bad") / col("total"), 2).as("value"))
     base.unionByName(rates).orderBy(col("stage"), col("metric"))
+  }
+
+  private val q89Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Directory-listing discovery driver-checked end-to-end (SURVEY op 5,
+    * the reference's Dagster user-partition sensor, sensors/__init__.py):
+    * the streaming file source discovers every `<user>/MyActivity.json`
+    * under the fixture tree in one AvailableNow tick (fresh checkpoint =
+    * full discovery, deterministic); per-user row counts + ts bounds are
+    * oracle-checked against DuckDB read_json over the same files. The
+    * checkpoint-cursor set-diff (op 37: a second tick discovers only new
+    * files) stays pinned by StreamingSpec. */
+  val q89Discovery: QueryDef = QueryDef.sql(
+    "q89_discovery",
+    s"""WITH raw AS (
+       |  SELECT time,
+       |         regexp_extract(filename, '([^/]+)/MyActivity[.]json', 1) AS user_id
+       |  FROM read_json('${graft.pipeline.TakeoutIngest.fixtureRoot}/*/MyActivity.json',
+       |    filename=true, columns={time:'TIMESTAMP'}))
+       |SELECT user_id, count(*) AS n_rows,
+       |       epoch_ms(min(time)) AS min_ts_ms, epoch_ms(max(time)) AS max_ts_ms
+       |FROM raw GROUP BY user_id
+       |ORDER BY user_id""".stripMargin) { (s, _) =>
+    import graft.pipeline.TakeoutIngest
+    import graft.streaming.StreamOps
+    val disc = StreamOps.discoverUsers(s, TakeoutIngest.fixtureRoot,
+      TakeoutIngest.takeoutSchema)
+    val name = s"q89_discovery_${q89Seq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("q89ckpt").toString
+    disc.writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start().awaitTermination()
+    s.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        unix_millis(min(col("time"))).as("min_ts_ms"),
+        unix_millis(max(col("time"))).as("max_ts_ms"))
+      .orderBy(col("user_id"))
   }
 }

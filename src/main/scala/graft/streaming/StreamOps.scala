@@ -114,6 +114,7 @@ object StreamOps {
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1000")
+      .option("multiLine", "true") // MyActivity.json is one pretty-printed array
       .json(s"$root/*/MyActivity.json")
       .withColumn("user_id",
         regexp_extract(input_file_name(), "([^/]+)/MyActivity\\.json", 1))
