@@ -103,11 +103,20 @@ object IvfIndex {
       .select(col("cid"), col("vec").as("cvec"))
     for (_ <- 0 until iters) {
       val assigned = Knn.ivfAssign(base, "id", "vec", cents, "cid", "cvec", 1)
+      val prev = cents
+      // materialize each iteration's centroids (a tiny nCentroids-row
+      // frame): without this, iteration k's corpus scan lazily recomputes
+      // iterations 1..k-1, turning Lloyd's linear passes into O(iters²)
+      // scans — at corpus scale that's the whole build cost
       cents = assigned.groupBy(col("cid"))
         .agg(graft.functions.vector_mean(col("vec")).as("cd"))
         .select(col("cid"), col("cd").cast("array<float>").as("cvec"))
+        .cache()
+      cents.count()
+      prev.unpersist()
     }
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cents.unpersist()
     val idx = new IvfIndex(spark, path)
     Knn.ivfAssign(base, "id", "vec", idx.centroids, "cid", "cvec", 1)
       .select(col("id"), col("vec"), col("cid"))
