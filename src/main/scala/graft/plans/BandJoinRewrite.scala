@@ -51,12 +51,23 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if j.resolved && !alreadyBucketed(cond) =>
+        if j.resolved && !alreadyBucketed(cond) && !broadcastSmall(j) =>
       findBand(cond, left, right) match {
         case Some((lv, rv, lo, hi)) =>
           rewrite(left, right, cond, hint, lv, rv, lo, hi)
         case None => j
       }
+  }
+
+  /** Stats-aware gate: when either side fits under the broadcast threshold,
+    * Spark's broadcast nested loop is already a fine plan for a band join —
+    * bucketing would add an explode and a shuffle to beat a plan that isn't
+    * the O(|L|·|R|)-across-the-cluster hazard this rule exists for. Sizes
+    * are the optimizer's logical estimates, the same ones join selection
+    * itself uses; threshold ≤ 0 (auto-broadcast disabled) never skips. */
+  private def broadcastSmall(j: Join): Boolean = {
+    val t = conf.autoBroadcastJoinThreshold
+    t > 0 && (j.left.stats.sizeInBytes <= t || j.right.stats.sizeInBytes <= t)
   }
 
   /** Skip joins already bucketed — by this rule or by the library-level

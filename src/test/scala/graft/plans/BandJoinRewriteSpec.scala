@@ -18,6 +18,9 @@ class BandJoinRewriteSpec extends SparkSpec {
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
+        // the fixtures here are deliberately tiny; disable auto-broadcast so
+        // the rule's stats gate sees them as "large" and the rewrite fires
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .withExtensions(new graft.GraftExtensions)
         .getOrCreate()
     } finally {
@@ -37,6 +40,43 @@ class BandJoinRewriteSpec extends SparkSpec {
   }
 
   private def physical(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("stats gate: broadcast-small sides are NOT bucketed (BNLJ is fine there)") {
+    // same extensions, default auto-broadcast threshold: the tiny side fits
+    // under it, so the rule must leave the join alone — broadcast BNLJ over
+    // a small build side beats an added explode + shuffle
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val extDefault =
+      try SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      finally {
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
+    import extDefault.implicits._
+    (1 to 200).map(i => (i.toLong, (i * 7L) % 1000))
+      .toDF("a_id", "a_ts").createOrReplaceTempView("sm_a")
+    (1 to 200).map(i => (i.toLong, (i * 13L) % 1000))
+      .toDF("b_id", "b_ts").createOrReplaceTempView("sm_b")
+    val q = extDefault.sql(
+      """SELECT a_id, b_id FROM sm_a JOIN sm_b
+        |ON b_ts - a_ts >= 0 AND b_ts - a_ts <= 10""".stripMargin)
+    val plan = physical(q)
+    assert(!plan.contains("__graft_band_bucket"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(q.count() > 0)
+  }
 
   test("raw-SQL band theta join plans as a hash join, not BNLJ") {
     tables()
