@@ -22,7 +22,7 @@ object TextQueries {
   def all: Seq[QueryDef] = Seq(
     q40ExactDedup, q41TokenStats, q42QualityScore, q43MinhashSignatures,
     q44JaccardPairs, q45LshCandidates, q46Simhash, q47LangId, q48Fingerprint,
-    q64MinhashPairs, q65BpeTokens, q66Vocab, q83StableSample)
+    q64MinhashPairs, q65BpeTokens, q66Vocab, q83StableSample, q90Redact)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -349,6 +349,57 @@ object TextQueries {
       .select(col("doc_id"), col("n_chars"),
         substring(md5(concat(lit("graft"), col("doc_id").cast("string"))), 1, 4)
           .as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII redaction + text cleaning — the scrub pass every training-data
+    * pipeline runs before release. The synthetic corpus carries no PII, so
+    * both engines first INJECT deterministic contact strings derived from
+    * doc_id (same SQL semantics on both sides), then redact emails/phones
+    * to placeholder tokens and collapse whitespace; redaction counts and an
+    * md5 of the cleaned text are value-checked. Patterns restricted to the
+    * Java-regex ∩ RE2 common subset (q74 precedent); Spark's
+    * regexp_replace is global by default where DuckDB needs the 'g' flag —
+    * the one dialect divergence here. */
+  val q90Redact: QueryDef = sql(
+    "q90_redact",
+    """WITH seeded AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |         '@example.com  or 555-' ||
+      |         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      |  FROM documents),
+      |redacted AS (
+      |  SELECT doc_id,
+      |         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS n_emails,
+      |         len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS n_phones,
+      |         trim(regexp_replace(regexp_replace(regexp_replace(t,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |           '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+      |           '\s+', ' ', 'g')) AS clean
+      |  FROM seeded)
+      |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+      |       CAST(n_phones AS BIGINT) AS n_phones, md5(clean) AS clean_md5
+      |FROM redacted
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    val phonePat = "\\d{3}-\\d{3}-\\d{4}"
+    docs(s, d)
+      .withColumn("t", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com  or 555-"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phonePat), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(trim(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>"),
+          "\\s+", " "))).as("clean_md5"))
       .orderBy(col("doc_id"))
   }
 }
