@@ -22,7 +22,8 @@ object TextQueries {
   def all: Seq[QueryDef] = Seq(
     q40ExactDedup, q41TokenStats, q42QualityScore, q43MinhashSignatures,
     q44JaccardPairs, q45LshCandidates, q46Simhash, q47LangId, q48Fingerprint,
-    q64MinhashPairs, q65BpeTokens, q66Vocab, q83StableSample, q90Redact)
+    q64MinhashPairs, q65BpeTokens, q66Vocab, q83StableSample, q90Redact,
+    q91Contamination)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -400,6 +401,42 @@ object TextQueries {
           emailPat, "<EMAIL>"),
           phonePat, "<PHONE>"),
           "\\s+", " "))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark-contamination screening (the decontamination pass of every
+    * serious pretraining corpus): training docs sharing ≥5 distinct word
+    * 3-grams with a benchmark set (here: doc_id < 10) are flagged with
+    * their overlap count. Scale shape: the benchmark's distinct n-gram set
+    * is small → BROADCAST; the corpus explodes to n-grams streamed against
+    * it; count-distinct-per-doc is a two-phase aggregate. No corpus
+    * self-join anywhere. */
+  val q91Contamination: QueryDef = sql(
+    "q91_contamination",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |ngrams AS (
+      |  SELECT doc_id, array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+      |        FROM toks WHERE len(w) >= 3)),
+      |bench AS (SELECT DISTINCT g FROM ngrams WHERE doc_id < 10)
+      |SELECT n.doc_id, count(DISTINCT n.g) AS n_shared
+      |FROM ngrams n JOIN bench b ON n.g = b.g
+      |WHERE n.doc_id >= 10
+      |GROUP BY n.doc_id
+      |HAVING count(DISTINCT n.g) >= 5
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+    val ngrams = toks.filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))"))
+        .as("g"))
+    val bench = ngrams.filter(col("doc_id") < 10).select("g").distinct()
+    ngrams.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .filter(col("n_shared") >= 5)
       .orderBy(col("doc_id"))
   }
 }
