@@ -23,7 +23,7 @@ object TextQueries {
     q40ExactDedup, q41TokenStats, q42QualityScore, q43MinhashSignatures,
     q44JaccardPairs, q45LshCandidates, q46Simhash, q47LangId, q48Fingerprint,
     q64MinhashPairs, q65BpeTokens, q66Vocab, q83StableSample, q90Redact,
-    q91Contamination)
+    q91Contamination, q92Repetition)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -437,6 +437,36 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_shared"))
       .filter(col("n_shared") >= 5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition quality filter (the Gopher/RefinedWeb "repeated n-gram"
+    * rule): per-doc duplicate word-3-gram fraction, 1 − distinct/total —
+    * high values mean boilerplate/looped text a pretraining corpus drops.
+    * Pure per-doc explode → two-phase aggregate; no joins at all. */
+  val q92Repetition: QueryDef = sql(
+    "q92_repetition",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |ngrams AS (
+      |  SELECT doc_id, array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+      |        FROM toks WHERE len(w) >= 3))
+      |SELECT doc_id, count(*) AS n_3grams,
+      |       round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
+      |         AS dup_frac
+      |FROM ngrams
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))"))
+        .as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_3grams"),
+        oround(lit(1.0) - countDistinct(col("g")).cast("double") / count(lit(1)), 6)
+          .as("dup_frac"))
       .orderBy(col("doc_id"))
   }
 }
