@@ -8,6 +8,10 @@ object Verify {
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queryName...]")
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here would " +
+        "otherwise write zero outputs and exit 0")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.EngineConf.configure(
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)

@@ -159,11 +159,14 @@ object SessionOps {
       .filter(col("parent_id") =!= col("child_id") && ordering)
       .select(pairCols: _*)
     // LSH planes are hash-derived per (seed, plane, dim-index), so the dim
-    // argument is only a precompute bound — 1024 covers any embedding width
-    // and yields the same buckets as the exact width would.
+    // argument is a precompute BOUND: the hash consumes min(dim, |vec|)
+    // elements. 4096 covers every realistic embedding width (the stub is
+    // 64, the reference 1024, large models ≤ 3072); a vector wider than
+    // the bound would have its tail ignored by the bucket hash, weakening
+    // (not breaking) the prune, since the final rank re-scores exactly.
     def buckets(vec: Column): Column = explode(array((0 until nTables).map(t =>
       struct(lit(t).as("t"),
-        graft.functions.hyperplane_lsh(vec, 1024, nPlanes, t.toLong).as("b"))): _*))
+        graft.functions.hyperplane_lsh(vec, 4096, nPlanes, t.toLong).as("b"))): _*))
     val prunedPairs = big(a).withColumn("tb", buckets(col("a_emb")))
       .join(big(b).withColumn("tb", buckets(col("b_emb"))), Seq("user_id", "tb"))
       .filter(col("parent_id") =!= col("child_id") && ordering)

@@ -37,6 +37,9 @@ object RecentPath {
       sessions,
       thresholds,
       SessionOps.merge(sessions, SessionOps.candidatePairs(sessions, thresholds)),
-      SessionOps.similarityGraph(sessions, thresholds))
+      // explicit: users above the budget get LSH-pruned candidates (an LSH
+      // miss can replace a parent's argmax) — the deliberate scale trade;
+      // pass Long.MaxValue here to force reference-exact all-pairs instead
+      SessionOps.similarityGraph(sessions, thresholds, exactUserLimit = 5000L))
   }
 }

@@ -18,10 +18,17 @@ object TakeoutIngest {
     * committed under fixtures/takeout/). The driver contract passes only a
     * parquet testdata dir, but this entry point ingests raw per-user JSON
     * with its own `<root>/<user_id>/MyActivity.json` layout — so the
-    * driver-checked ingest query reads this fixed location (override with
-    * GRAFT_TAKEOUT_FIXTURES). */
+    * driver-checked ingest queries read this fixed location. Resolution:
+    * GRAFT_TAKEOUT_FIXTURES env override → `fixtures/takeout` relative to
+    * the working directory (absolutized, since the path is also embedded in
+    * oracle SQL run by a separate DuckDB process) → the canonical repo
+    * checkout path as a last resort. */
   def fixtureRoot: String =
-    sys.env.getOrElse("GRAFT_TAKEOUT_FIXTURES", "/root/repo/fixtures/takeout")
+    sys.env.get("GRAFT_TAKEOUT_FIXTURES").getOrElse {
+      val local = new java.io.File("fixtures/takeout")
+      if (local.isDirectory) local.getAbsolutePath
+      else "/root/repo/fixtures/takeout"
+    }
 
   /** Only `time` is schema-pinned by the reference; the rest of the fields
     * it actually consumes are declared here (inference is an anti-pattern

@@ -53,9 +53,23 @@ final class IvfIndex(spark: SparkSession, path: String) {
     val touched = assignments.join(touchedCids, Seq("cid"), "left_semi")
     val merged = touched.join(changedIds, Seq("id"), "left_anti")
       .unionByName(assigned)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // Dynamic overwrite only rewrites partitions that RECEIVE rows: a
+    // centroid whose last occupant moved away would keep its stale file.
+    // Both cid sets here are bounded by nCentroids (small by construction),
+    // so diff them on the driver and drop the drained partitions explicitly
+    // — AFTER the write, which still scans the pre-write files.
+    val mergedCids = merged.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val drained = touchedCids.collect().map(_.getLong(0)).toSet -- mergedCids
     merged.select(col("id"), col("vec"), col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/assignments")
+      .write.mode("overwrite").partitionBy("cid")
+      .option("partitionOverwriteMode", "dynamic") // write-scoped, no session leak
+      .parquet(s"$path/assignments")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drained.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/assignments/cid=$c"), true)
+    }
   }
 
   /** Top-k cosine over the index: queries probe their `nprobe` nearest

@@ -27,10 +27,10 @@ final class VectorStore(spark: SparkSession, path: String) {
 
   /** Overwrite exactly the user partitions present in `df` (must carry a
     * `user_id` column). */
-  def upsertUsers(df: DataFrame): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy("user_id").parquet(path)
-  }
+  def upsertUsers(df: DataFrame): Unit =
+    df.write.mode("overwrite").partitionBy("user_id")
+      .option("partitionOverwriteMode", "dynamic") // write-scoped, no session leak
+      .parquet(path)
 
   /** Remove user partitions (partition-level delete). */
   def deleteUsers(userIds: Seq[String]): Unit = {

@@ -25,20 +25,35 @@ class PlanAuditSpec extends SparkSpec {
     "q36_ivf_index_topk", // same shape, query side only (corpus is pre-assigned on disk)
     "q75_edit_distance") // vocabulary² (150×150) theta join, bounded by design
 
+  /** Queries whose run function EXECUTES side-effectful work (index build,
+    * store writes, a streaming tick) before returning the final frame: the
+    * returned plan is just a read of the materialized result, so sweeping
+    * them here would audit the trivial tail while paying for the whole
+    * pipeline twice. Their interesting physical shapes are pinned where the
+    * work happens instead: KnnSpec (q36 pruned scan, BNLJ allowlist above),
+    * VectorStoreSpec (q87 partition pruning), StreamingSpec (q89),
+    * SessionizeSpec (q86 counters). */
+  private val sideEffecting = Set(
+    "q36_ivf_index_topk", "q86_pipeline_metrics",
+    "q87_partition_overwrite", "q89_discovery")
+
+  private def auditable: Seq[String] =
+    SparkEntry.allQueries.map(_.name).filterNot(sideEffecting)
+
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
     df.queryExecution.executedPlan.toString
   }
 
   test("no declared query plans a CartesianProduct") {
-    val offenders = SparkEntry.allQueries.map(_.name).filter { n =>
+    val offenders = auditable.filter { n =>
       planOf(n).contains("CartesianProduct")
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
   test("BroadcastNestedLoopJoin only where it is the deliberate shape") {
-    val offenders = SparkEntry.allQueries.map(_.name).filter { n =>
+    val offenders = auditable.filter { n =>
       !bnljAllowed.contains(n) && planOf(n).contains("BroadcastNestedLoopJoin")
     }
     assert(offenders.isEmpty, s"unexpected BNLJ in: $offenders")

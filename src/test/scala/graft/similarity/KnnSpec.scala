@@ -191,6 +191,32 @@ class KnnSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("IVF index upsert drops a DRAINED centroid partition (no stale file)") {
+    // 4 orthogonal-ish vectors, nCentroids = 4, 1 iteration → every vector
+    // is its own singleton centroid partition. Moving id 1 onto id 2's
+    // vector drains id 1's old partition: dynamic overwrite alone would
+    // leave its stale file (overwrite only rewrites partitions receiving
+    // rows), so upsert must delete the drained directory explicitly.
+    import graft.sources.IvfIndex
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(0f, 0f, 1f)), (4L, Seq(1f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfdrain").toString + "/idx"
+    val idx = IvfIndex.build(corpus, path, "vec_id", "embedding",
+      nCentroids = 4, iters = 1)
+    assert(idx.assignments.select("cid").distinct().count() == 4)
+    idx.upsert(Seq((1L, Seq(0f, 1f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val after = idx.assignments
+    assert(after.count() == 4)
+    assert(after.groupBy("id").count().filter(col("count") > 1).count() == 0)
+    assert(after.select("cid").distinct().count() == 3) // drained partition gone
+    val cidOf = after.select("id", "cid").as[(Long, Long)].collect().toMap
+    assert(cidOf(1L) == cidOf(2L)) // the moved id lives with its new centroid
+  }
+
   test("IVF index upsert: inserts, moves across centroids, no stale rows") {
     import graft.sources.IvfIndex
     import spark.implicits._
