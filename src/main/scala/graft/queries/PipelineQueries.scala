@@ -20,7 +20,7 @@ object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(
     q50Sessions, q51Merged, q52Graph, q53Interests, q54Clusters, q55GraphStats,
-    q85Takeout, q86Metrics, q89Discovery)
+    q85Takeout, q86Metrics, q89Discovery, q93PcaClusters)
 
   /** events → activity frame (user_id, ts, title). */
   def activity(s: SparkSession, d: String): DataFrame =
@@ -231,6 +231,29 @@ object PipelineQueries {
       .select(col("stage"), lit("error_rate").as("metric"),
         oround(col("bad") / col("total"), 2).as("value"))
     base.unionByName(rates).orderBy(col("stage"), col("metric"))
+  }
+
+  /** The reference's UMAP→HDBSCAN shape (assets/old_history.py:157-187)
+    * with the engine's documented substitutes: per-group PCA reduction to 8
+    * dims (LocalPca — deterministic power iteration, stable sign
+    * convention) feeding ε-single-linkage clustering. Rows-only: PCA isn't
+    * expressible in the oracle; determinism across partitionings/JVMs is
+    * LocalPca's contract, pinned in LocalPcaSpec, and q54 oracle-checks the
+    * same clustering without the reduction. */
+  val q93PcaClusters: QueryDef = rowsOnly("q93_pca_clusters") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("user_id"),
+        col("vec_id").cast("string").as("interest"),
+        col("embedding"))
+    // eps is tighter than q54's 0.7: PCA concentrates variance in the top
+    // components, shrinking cosine distances — 0.7 in reduced space merges
+    // everything into one cluster (checked at sf0.01)
+    graft.cluster.LocalCluster.clusterPerKey(
+        emb, "user_id", "interest", "embedding", eps = 0.45, minClusterSize = 5,
+        reduceTo = Some(8))
+      .select(col("user_id").as("label"), col("interest").as("vec_id"),
+        col("cluster_label"))
+      .orderBy(col("label"), col("vec_id"))
   }
 
   private val q89Seq = new java.util.concurrent.atomic.AtomicInteger(0)
