@@ -79,29 +79,37 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("bytes"))
   }
 
-  /** Feature extraction over media blobs: bounded-blobs-per-partition
-    * repartition, then per-partition batched decode (the mapInPandas batch
-    * shape, Scala-side). Output keeps (media_id, kind, features). */
+  /** Feature extraction over media blobs: bounded-bytes-per-partition
+    * repartition, then per-partition decode (the mapInPandas batch shape,
+    * Scala-side). Output keeps (media_id, kind, features).
+    *
+    * `Dataset.mapPartitions` with an explicit Row encoder, not a
+    * `media.rdd` + `createDataFrame` hop: the decode stays one node inside
+    * the Dataset plan (no ScanExistingRDD barrier), so upstream and
+    * downstream stages keep Tungsten rows and whole-stage codegen — the
+    * SessionOps.withEmbeddings pattern. Partition count comes from the
+    * optimizer's size estimate (driver-side plan metadata, no count()
+    * action inside the operator): blobs dominate row size, so a bytes
+    * budget bounds blobs per partition. */
   def extractFeatures(media: DataFrame, codec: MediaCodec,
-      blobsPerPartition: Int = 1024): DataFrame = {
-    val spark = media.sparkSession
-    val n = media.select(count(lit(1))).head().getLong(0)
-    val parts = math.max(1, math.min(10000, (n / math.max(1, blobsPerPartition)) + 1)).toInt
+      targetPartitionBytes: Long = 64L << 20): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("kind", StringType),
       StructField("features", ArrayType(FloatType, containsNull = false))))
-    val rdd = media
-      .select(col("media_id"), col("kind"), col("format"), col("bytes"))
+    val projected = media.select(col("media_id"), col("kind"), col("format"), col("bytes"))
+    val estBytes = projected.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = (estBytes / math.max(1L, targetPartitionBytes) + 1)
+      .min(10000).max(1).toInt
+    projected
       .repartition(parts, col("media_id"))
-      .rdd.mapPartitions { it =>
+      .mapPartitions { it =>
         it.map { r =>
           val feats = codec.features(r.getAs[String]("kind"),
             r.getAs[String]("format"), r.getAs[Array[Byte]]("bytes"))
           Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), feats.toSeq)
         }
-      }
-    spark.createDataFrame(rdd, outSchema)
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Resize plan for images: fit into a `maxW`×`maxH` box preserving

@@ -55,9 +55,12 @@ object ConnectedComponents {
     *    orientation) re-attaches to m = min(N(u));
     *
     * at fixpoint the edge set is a star forest (child → min-root).
-    * Convergence = the edge set stopped changing; detected by an
-    * `except`-emptiness check guarded by a count comparison (set-based and
-    * overflow-proof — a checksum could false-positive).
+    * Convergence = the edge set stopped changing; detected set-based and
+    * overflow-proof (a checksum could false-positive) via the symmetric
+    * difference of the old and new edge sets, computed in the SAME job that
+    * materializes the iteration's lazy localCheckpoint — ONE Spark job per
+    * round, not a checkpoint job + count job + exceptAll job (driver-action
+    * cadence is the variance source on iterative queries).
     */
   def starContraction(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val nodes = edges.select(col("src").as("id"))
@@ -70,9 +73,8 @@ object ConnectedComponents {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    var prevCount = e.count()
     var iter = 0
-    var converged = prevCount == 0L
+    var converged = e.isEmpty
     while (iter < maxIter && !converged) {
       // large-star over the bidirected adjacency: (v, m) for v > u
       val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -94,10 +96,16 @@ object ConnectedComponents {
         .select(col("e.u"), col("e.v"))
         .where(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
-      val cnt = next.count()
-      converged = cnt == prevCount && next.exceptAll(e).isEmpty
-      prevCount = cnt
+        .localCheckpoint(false) // lazy: materialized by the convergence job
+      // ONE job per round: the aggregate below consumes every partition of
+      // `next`, which is what persists the lazy checkpoint, and both edge
+      // sets are distinct — so a (u, v) with multiplicity 1 in their
+      // concatenation is in the symmetric difference, and an empty filter
+      // result means the edge set reached its fixpoint.
+      converged = next.unionAll(e.select(col("u"), col("v")))
+        .groupBy(col("u"), col("v")).count()
+        .filter(col("count") === 1)
+        .isEmpty
       e = next
       iter += 1
     }

@@ -18,10 +18,20 @@ import org.apache.spark.sql.{DataFrame, Row}
   * without this helper's pass. */
 object ObservedMetrics {
 
-  def collect(df: DataFrame): DataFrame = {
-    val qe = df.queryExecution
+  def collect(df: DataFrame): DataFrame = collectAll(Seq(df))
+
+  /** Harvest the observe counters of SEVERAL observed frames from ONE pass:
+    * the plans are unioned (projected to a 1-column marker row, which keeps
+    * every `CollectMetrics` node but prunes the payload columns), so a
+    * single action materializes every stage concurrently in one Spark job
+    * instead of one sequential full pass per stage. Observation names must
+    * be unique across the inputs (Spark rejects duplicates in one query). */
+  def collectAll(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "collectAll needs at least one observed frame")
+    val spark = dfs.head.sparkSession
+    val qe = dfs.map(_.select(org.apache.spark.sql.functions.lit(1).as("__one")))
+      .reduce(_ unionAll _).queryExecution
     qe.toRdd.foreach(_ => ())
-    val spark = df.sparkSession
     import spark.implicits._
     qe.observedMetrics.toSeq.flatMap { case (stage, row) =>
       row.schema.fieldNames.map { f =>

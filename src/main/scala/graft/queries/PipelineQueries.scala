@@ -219,10 +219,13 @@ object PipelineQueries {
   val q86Metrics: QueryDef = rowsOnly("q86_pipeline_metrics") { (s, d) =>
     import graft.operators.{InterestsExtract, ObservedMetrics, Sessionize}
     val act = activity(s, d)
-    val base = ObservedMetrics.collect(
-        Sessionize.sessions(act, new StubSessionsLLM))
-      .unionByName(ObservedMetrics.collect(
-        InterestsExtract.interests(act, new StubInterestsLLM)))
+    // ONE pass fills both stages' counters (collectAll unions the observed
+    // plans under a single action) — not a sequential full enrichment pass
+    // per stage; the reference likewise publishes metadata from the
+    // materialization it already ran (assets/recent_history.py:107-120).
+    val base = ObservedMetrics.collectAll(Seq(
+      Sessionize.sessions(act, new StubSessionsLLM),
+      InterestsExtract.interests(act, new StubInterestsLLM)))
     val totals = base.filter(col("metric").startsWith("n_"))
       .groupBy("stage").agg(first(col("value")).as("total"))
     val invalid = base.filter(col("metric").startsWith("invalid_"))

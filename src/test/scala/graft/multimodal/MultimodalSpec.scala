@@ -52,6 +52,16 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("feature extraction stays inside the Dataset plan (no RDD scan barrier)") {
+    val out = Multimodal.extractFeatures(media, new Multimodal.StubCodec(8))
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("ScanExistingRDD"),
+      s"createDataFrame barrier found in plan:\n$physical")
+    // the decode node sits inside a serialize/deserialize pair, not behind
+    // an opaque RDD rescan of the input
+    assert(physical.contains("MapPartitions"))
+  }
+
   test("frame sampling: midpoint-spaced offsets within duration") {
     val plan = Multimodal.frameSamplePlan(media, framesPerVideo = 4)
     val joined = plan.join(media.select(col("media_id"), col("duration_ms")), "media_id")

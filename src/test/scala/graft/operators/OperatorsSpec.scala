@@ -207,6 +207,23 @@ class SessionizeSpec extends SparkSpec {
     assert(m(("sessionize", "invalid_keys")) == 2.0)
     assert(m(("sessionize", "invalid_times")) == 0.0)
   }
+
+  test("collectAll harvests several stages' counters from one pass") {
+    import graft.enrich.StubInterestsLLM
+    val df = activity(
+      (1L, "2024-01-01 09:00:00", "alpha beta"),
+      (1L, "2024-01-02 11:00:00", "gamma delta"))
+    def asMap(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val onePass = asMap(ObservedMetrics.collectAll(Seq(
+      Sessionize.sessions(df, new StubSessionsLLM),
+      InterestsExtract.interests(df, new StubInterestsLLM))))
+    val twoPasses =
+      asMap(ObservedMetrics.collect(Sessionize.sessions(df, new StubSessionsLLM))) ++
+      asMap(ObservedMetrics.collect(InterestsExtract.interests(df, new StubInterestsLLM)))
+    assert(onePass == twoPasses)
+    assert(onePass.keys.map(_._1).toSet == Set("sessionize", "interests"))
+  }
 }
 
 class SessionOpsSpec extends SparkSpec {
