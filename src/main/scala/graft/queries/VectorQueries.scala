@@ -22,7 +22,7 @@ object VectorQueries {
 
   def all: Seq[QueryDef] = Seq(
     q30Top1Similar, q31NearDupBucketed, q32KnnBruteForce, q33Centroids,
-    q34LshTopK, q35IvfTopK, q36IvfIndexTopK, q88HofDot)
+    q34LshTopK, q35IvfTopK, q36IvfIndexTopK, q88HofDot, q94IvfExactServe)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
@@ -172,6 +172,40 @@ object VectorQueries {
     val q = emb(s, d).filter(col("vec_id") < 5)
     idx.topK(q, "vec_id", "embedding", k = 10, nprobe = 3)
       .select(col("qid"), col("rank"), col("nn"), oround(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The persisted-index serve path, oracle-checked via the exact-degenerate
+    * case: with `nprobe` ≥ the centroid count every assignment partition is
+    * probed, so candidates = the whole corpus and IVF top-k provably equals
+    * brute force — which DuckDB replays directly (same oracle shape as q32).
+    * This value-checks the index's full read path (centroid probe → static
+    * partition pruning → in-partition exact scoring → rank); q36 keeps the
+    * realistic pruned `nprobe=3` serve, whose approximate output is pinned
+    * against the online `ivfTopK` in KnnSpec. Build is deliberately small
+    * (iters=1): serving exactness is independent of centroid quality. */
+  val q94IvfExactServe: QueryDef = sql(
+    "q94_ivf_exact_serve",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid, e.vec_id AS nn,
+      |         round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM q CROSS JOIN embeddings e
+      |  WHERE e.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT qid, nn, sim,
+      |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nn) AS rank
+      |  FROM scored)
+      |SELECT qid, rank, nn, sim FROM ranked WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    import graft.sources.IvfIndex
+    val path = java.nio.file.Files.createTempDirectory("ivfidx_q94").toString + "/idx"
+    val idx = IvfIndex.build(emb(s, d), path, "vec_id", "embedding",
+      nCentroids = 8, iters = 1)
+    val q = emb(s, d).filter(col("vec_id") < 5)
+    idx.topK(q, "vec_id", "embedding", k = 10, nprobe = 8, simDecimals = Some(6))
+      .select(col("qid"), col("rank"), col("nn"), col("sim"))
       .orderBy(col("qid"), col("rank"))
   }
 

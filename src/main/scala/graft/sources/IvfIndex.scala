@@ -75,9 +75,16 @@ final class IvfIndex(spark: SparkSession, path: String) {
   /** Top-k cosine over the index: queries probe their `nprobe` nearest
     * centroids, candidates come from the probed partitions only, exact
     * scoring + rank runs within candidates (identical ranking semantics to
-    * `Knn.ivfTopK` over the same centroids — pinned in KnnSpec). */
+    * `Knn.ivfTopK` over the same centroids — pinned in KnnSpec).
+    *
+    * With `nprobe` ≥ the centroid count the serve degenerates to EXACT
+    * top-k: every corpus partition is probed, so candidates = the whole
+    * corpus and the result equals brute force — the oracle-checkable case
+    * (q94). `simDecimals = Some(n)` ranks on the n-decimal-rounded
+    * similarity (cross-engine determinism: ranking raw doubles risks rank
+    * flips from last-bit differences); None keeps raw-sim ranking. */
   def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, simDecimals: Option[Int] = None): DataFrame = {
     val cents = centroids
     val probes = Knn.ivfAssign(
         queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
@@ -89,11 +96,12 @@ final class IvfIndex(spark: SparkSession, path: String) {
       .filter(col("cid").isin(probed: _*))
       .select(col("cid"), col("id").as("nn"), col("vec").as("nvec"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nn"))
+    val rawSim = cosine_similarity(col("qvec"), col("nvec"))
+    val sim = simDecimals.map(graft.queries.oround(rawSim, _)).getOrElse(rawSim)
     broadcast(probes).join(cand, "cid")
       .filter(col("nn") =!= col("qid"))
       .select(col("qid"), col("nn"), col("qvec"), col("nvec")).distinct()
-      .select(col("qid"), col("nn"),
-        cosine_similarity(col("qvec"), col("nvec")).as("sim"))
+      .select(col("qid"), col("nn"), sim.as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

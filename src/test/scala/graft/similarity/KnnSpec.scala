@@ -191,6 +191,32 @@ class KnnSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("IVF exact serve with rounded ranking ≡ rounded brute force, row for row") {
+    // the q94 contract: nprobe = nCentroids + simDecimals pins the persisted
+    // index's serve path to the oracle-checkable exact answer, including
+    // rank order and the rounded sim VALUES (not just neighbor sets)
+    import graft.sources.IvfIndex
+    import graft.queries.oround
+    val path = java.nio.file.Files.createTempDirectory("ivfexact").toString + "/idx"
+    val idx = IvfIndex.build(emb, path, "vec_id", "embedding",
+      nCentroids = 6, iters = 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nn"))
+    val exact = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+      .join(emb.select(col("vec_id").as("nn"), col("embedding").as("nvec")),
+        col("nn") =!= col("qid"))
+      .select(col("qid"), col("nn"),
+        oround(graft.functions.cosine_similarity(col("qvec"), col("nvec")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "nn", "sim").orderBy("qid", "rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val served = idx.topK(queries, "vec_id", "embedding", k = 10, nprobe = 6,
+      simDecimals = Some(6))
+    assert(rows(served) == rows(exact))
+  }
+
   test("IVF index upsert drops a DRAINED centroid partition (no stale file)") {
     // 4 orthogonal-ish vectors, nCentroids = 4, 1 iteration → every vector
     // is its own singleton centroid partition. Moving id 1 onto id 2's
