@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / frame-sample
   * operators shaped for batch execution.
   *
-  * The Spark-side plumbing (schema, partitioning, batch shape) is real; the
-  * codec itself is a deterministic fake behind `MediaCodec` — the image and
-  * audio libraries are not in this container (and at cluster scale the
-  * decode would be a vectorized native/Python stage anyway). Swapping in a
-  * real codec changes ONE implementation, no plan shapes.
+  * The Spark-side plumbing (schema, partitioning, batch shape) is real.
+  * Behind the `MediaCodec` seam there are two implementations: a REAL
+  * pure-JVM image header decoder ([[ImageHeaderCodec]], javax.imageio —
+  * value-checked against a committed PNG/GIF/BMP fixture in q60) and a
+  * deterministic fake ([[StubCodec]]) standing in for the full pixel/
+  * audio/video decode, whose libraries are not in this container (at
+  * cluster scale that decode is a vectorized native/Python stage anyway).
+  * Swapping codecs changes ONE implementation, no plan shapes.
   *
   * Scale notes: media blobs dominate row size — operators repartition by
   * blob-count (not bytes-naive) before decode so a partition holds a
@@ -56,6 +59,35 @@ object Multimodal {
         i += 1
       }
       out
+    }
+  }
+
+  /** Real image codec (pure JVM, no new deps): header-only decode via
+    * `javax.imageio` — the registered reader for the container format
+    * (PNG/GIF/BMP/JPEG) parses just the header for `getWidth/getHeight(0)`,
+    * never the pixel data, which is exactly the cheap metadata pass a
+    * 100 TB media pipeline runs before deciding what to decode fully.
+    * features = [width, height, n_bytes]; non-images and undecodable blobs
+    * degrade to [-1, -1, n_bytes] rather than failing the batch (a poison
+    * blob must not kill a 10^9-row decode stage). */
+  final class ImageHeaderCodec extends MediaCodec {
+    override def features(kind: String, format: String, bytes: Array[Byte]): Array[Float] = {
+      if (kind != "image") return Array(-1f, -1f, bytes.length.toFloat)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Array(-1f, -1f, bytes.length.toFloat)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Array(r.getWidth(0).toFloat, r.getHeight(0).toFloat, bytes.length.toFloat)
+          } catch {
+            case scala.util.control.NonFatal(_) => Array(-1f, -1f, bytes.length.toFloat)
+          } finally r.dispose()
+        }
+      } finally iis.close()
     }
   }
 

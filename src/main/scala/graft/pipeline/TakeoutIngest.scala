@@ -18,17 +18,12 @@ object TakeoutIngest {
     * committed under fixtures/takeout/). The driver contract passes only a
     * parquet testdata dir, but this entry point ingests raw per-user JSON
     * with its own `<root>/<user_id>/MyActivity.json` layout — so the
-    * driver-checked ingest queries read this fixed location. Resolution:
-    * GRAFT_TAKEOUT_FIXTURES env override → `fixtures/takeout` relative to
-    * the working directory (absolutized, since the path is also embedded in
-    * oracle SQL run by a separate DuckDB process) → the canonical repo
-    * checkout path as a last resort. */
+    * driver-checked ingest queries read this fixed location, resolved at
+    * QUERY time (see [[graft.core.Fixtures.resolve]]; the q85/q89 oracle
+    * SQL embeds this path, so the lazy QueryDef oracle re-resolves it in
+    * whatever environment actually runs the check). */
   def fixtureRoot: String =
-    sys.env.get("GRAFT_TAKEOUT_FIXTURES").getOrElse {
-      val local = new java.io.File("fixtures/takeout")
-      if (local.isDirectory) local.getAbsolutePath
-      else "/root/repo/fixtures/takeout"
-    }
+    graft.core.Fixtures.resolve("takeout", "GRAFT_TAKEOUT_FIXTURES")
 
   /** Only `time` is schema-pinned by the reference; the rest of the fields
     * it actually consumes are declared here (inference is an anti-pattern

@@ -45,12 +45,28 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val q60MultimodalFeatures: QueryDef = rowsOnly("q60_multimodal_features") { (s, d) =>
-    val media = Multimodal.syntheticMediaFromDocs(Tables.documents(s, d))
-    Multimodal.extractFeatures(media, new Multimodal.StubCodec(32))
-      .select(col("media_id"), col("kind"), size(col("features")).as("dim"),
-        oround(element_at(col("features"), 1).cast("double"), 6).as("f0"))
-      .orderBy(col("media_id"))
+  /** Value-checked REAL decode: the ImageHeaderCodec (javax.imageio header
+    * read) extracts width/height from committed PNG/GIF/BMP blobs, and the
+    * oracle replays it from the same fixture's expected-metadata columns —
+    * DuckDB never decodes an image, it just reads what the generator
+    * recorded (tools/GenMediaFixture), so a codec that mis-parses any
+    * container format hash-mismatches here. Fixture path resolves at query
+    * time (lazy oracle), like q85/q89. */
+  val q60MultimodalFeatures: QueryDef = {
+    def root = graft.core.Fixtures.resolve("media", "GRAFT_MEDIA_FIXTURES")
+    QueryDef.sql(
+      "q60_multimodal_features",
+      s"""SELECT media_id, width, height, octet_length(bytes) AS n_bytes
+         |FROM read_parquet('$root/images.parquet/*.parquet')
+         |ORDER BY media_id""".stripMargin) { (s, _) =>
+      val media = s.read.parquet(s"$root/images.parquet")
+      Multimodal.extractFeatures(media, new Multimodal.ImageHeaderCodec)
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("int").as("width"),
+          element_at(col("features"), 2).cast("int").as("height"),
+          element_at(col("features"), 3).cast("long").as("n_bytes"))
+        .orderBy(col("media_id"))
+    }
   }
 
   /** Oracle-checked: the frame plan is pure column arithmetic over the

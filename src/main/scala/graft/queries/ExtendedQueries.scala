@@ -113,7 +113,7 @@ object ExtendedQueries {
     * a frame, unlike ROWS). */
   val q71RangeFrame: QueryDef = QueryDef(
     "q71_range_frame",
-    Some("""WITH t AS (
+    Some(() => """WITH t AS (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days
       |  FROM orders WHERE o_custkey < 200)
@@ -171,7 +171,7 @@ object ExtendedQueries {
     * global-replace flag (Spark regexp_replace is global by default). */
   val q74Regex: QueryDef = QueryDef(
     "q74_regex",
-    Some("""SELECT p_partkey,
+    Some(() => """SELECT p_partkey,
       |       regexp_extract(p_type, '(\w+)$', 1) AS last_word,
       |       regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
       |       length(regexp_replace(p_name, '[^ ]', '', 'g')) + 1 AS n_words
@@ -239,7 +239,7 @@ object ExtendedQueries {
     * is unique per group, so tie handling can't diverge. */
   val q80ListAgg: QueryDef = QueryDef(
     "q80_listagg",
-    Some("""SELECT l_returnflag,
+    Some(() => """SELECT l_returnflag,
       |       string_agg(CAST(l_orderkey * 100 + l_linenumber AS VARCHAR), ','
       |                  ORDER BY l_orderkey * 100 + l_linenumber) AS line_ids
       |FROM lineitem

@@ -175,7 +175,10 @@ object PipelineQueries {
     * scalarized (products → CSV) per the driver-compare contract, and the
     * ORDER BY covers every column so fully-duplicate rows sort stably. */
   val q85Takeout: QueryDef = {
-    val root = graft.pipeline.TakeoutIngest.fixtureRoot
+    // resolved at oracle-access / query-run time, NOT class-init: the SQL
+    // param below is by-name and the run lambda re-reads fixtureRoot, so a
+    // relocated checkout (or env override) reaches both sides
+    def root = graft.pipeline.TakeoutIngest.fixtureRoot
     QueryDef.sql(
       "q85_takeout_ingest",
       s"""WITH raw AS (

@@ -62,6 +62,35 @@ class MultimodalSpec extends SparkSpec {
     assert(physical.contains("MapPartitions"))
   }
 
+  test("ImageHeaderCodec reads real image headers; degrades on junk bytes") {
+    val codec = new Multimodal.ImageHeaderCodec
+    for (fmt <- Seq("png", "gif", "bmp")) {
+      val img = new java.awt.image.BufferedImage(17, 9,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, buf), s"no $fmt writer")
+      val bytes = buf.toByteArray
+      assert(codec.features("image", fmt, bytes).toSeq ==
+        Seq(17f, 9f, bytes.length.toFloat), s"format $fmt")
+    }
+    // poison blobs must degrade, not throw — a bad row can't kill the stage
+    assert(codec.features("image", "png", Array[Byte](1, 2, 3)).toSeq ==
+      Seq(-1f, -1f, 3f))
+    assert(codec.features("audio", "wav", Array[Byte](1)).toSeq == Seq(-1f, -1f, 1f))
+  }
+
+  test("committed media fixture decodes to its recorded metadata") {
+    val root = graft.core.Fixtures.resolve("media", "GRAFT_MEDIA_FIXTURES")
+    val fixture = spark.read.parquet(s"$root/images.parquet")
+    val decoded = Multimodal.extractFeatures(fixture, new Multimodal.ImageHeaderCodec)
+      .select(col("media_id"), element_at(col("features"), 1).cast("int").as("w"),
+        element_at(col("features"), 2).cast("int").as("h"))
+    val mismatches = decoded.join(fixture.select(col("media_id"), col("width"), col("height")), "media_id")
+      .filter(col("w") =!= col("width") || col("h") =!= col("height"))
+    assert(fixture.count() == 48)
+    assert(mismatches.isEmpty)
+  }
+
   test("frame sampling: midpoint-spaced offsets within duration") {
     val plan = Multimodal.frameSamplePlan(media, framesPerVideo = 4)
     val joined = plan.join(media.select(col("media_id"), col("duration_ms")), "media_id")
