@@ -23,7 +23,7 @@ object TextQueries {
     q40ExactDedup, q41TokenStats, q42QualityScore, q43MinhashSignatures,
     q44JaccardPairs, q45LshCandidates, q46Simhash, q47LangId, q48Fingerprint,
     q64MinhashPairs, q65BpeTokens, q66Vocab, q83StableSample, q90Redact,
-    q91Contamination, q92Repetition)
+    q91Contamination, q92Repetition, q95TextHashGoldens)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -173,11 +173,34 @@ object TextQueries {
   }
 
   /** SimHash fingerprints (engine-pinned FNV-1a bit votes — not
-    * SQL-expressible, rows-only check; unit-tested in SimHashSpec). */
+    * SQL-expressible, rows-only check at sfDir scale; the VALUES of the
+    * same expression are hash-checked against committed goldens in q95). */
   val q46Simhash: QueryDef = rowsOnly("q46_simhash") { (s, d) =>
     docs(s, d)
       .select(col("doc_id"), simhash64(tokens).as("simhash"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The engine-pinned hash functions, VALUE-checked: recompute SimHash and
+    * winnowing fingerprints from the committed corpus fixture's text, while
+    * the oracle replays the values recorded at fixture-commit time
+    * (tools/GenTextGoldens). These hashes have no SQL-expressible truth —
+    * the golden IS the contract, and any drift in the FNV-1a mixing, bit
+    * votes, or window minima turns this query red instead of silently
+    * changing every downstream near-dup bucket. */
+  val q95TextHashGoldens: QueryDef = {
+    def root = graft.core.Fixtures.resolve("goldens", "GRAFT_GOLDEN_FIXTURES")
+    sql(
+      "q95_text_hash_goldens",
+      s"""SELECT doc_id, simhash, fp_csv
+         |FROM read_parquet('$root/text_hashes.parquet/*.parquet')
+         |ORDER BY doc_id""".stripMargin) { (s, _) =>
+      s.read.parquet(s"$root/text_hashes.parquet")
+        .select(col("doc_id"),
+          simhash64(split(col("text"), " ")).as("simhash"),
+          concat_ws(",", winnow_fingerprint(col("text"))).as("fp_csv"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** Language ID: stopword-profile scoring (n-gram heuristic family),
