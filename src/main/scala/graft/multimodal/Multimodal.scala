@@ -70,11 +70,19 @@ object Multimodal {
     * features = [width, height, n_bytes]; non-images and undecodable blobs
     * degrade to [-1, -1, n_bytes] rather than failing the batch (a poison
     * blob must not kill a 10^9-row decode stage). */
-  final class ImageHeaderCodec extends MediaCodec {
+  class ImageHeaderCodec extends MediaCodec {
+    /** Seam for the registry-dependent stream factory (overridden in tests
+      * to simulate the documented null return without touching the global
+      * IIORegistry). */
+    protected def openStream(bytes: Array[Byte]): javax.imageio.stream.ImageInputStream =
+      javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+
     override def features(kind: String, format: String, bytes: Array[Byte]): Array[Float] = {
       if (kind != "image") return Array(-1f, -1f, bytes.length.toFloat)
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val iis = openStream(bytes)
+      // createImageInputStream is documented to return null (no registered
+      // SPI / unusable cache dir) — degrade like any other undecodable blob
+      if (iis == null) return Array(-1f, -1f, bytes.length.toFloat)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) Array(-1f, -1f, bytes.length.toFloat)
@@ -131,8 +139,18 @@ object Multimodal {
       StructField("features", ArrayType(FloatType, containsNull = false))))
     val projected = media.select(col("media_id"), col("kind"), col("format"), col("bytes"))
     val estBytes = projected.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = (estBytes / math.max(1L, targetPartitionBytes) + 1)
-      .min(10000).max(1).toInt
+    // Plans with no stats report spark.sql.defaultSizeInBytes (Long.MaxValue
+    // unless overridden), which projection visitors then SCALE by a column
+    // width ratio — so the sentinel can't be matched exactly. Anything past
+    // a petabyte is that scaled sentinel, not a real estimate; treating it
+    // as a size would pin `parts` to the 10000 cap and schedule 10000
+    // near-empty tasks. Inherit the input's own partitioning instead
+    // (driver-side metadata, no job).
+    val statsUnknown = estBytes > BigInt(1L << 50)
+    val parts =
+      if (statsUnknown) projected.rdd.getNumPartitions.max(1)
+      else (estBytes / math.max(1L, targetPartitionBytes) + 1)
+        .min(10000).max(1).toInt
     projected
       .repartition(parts, col("media_id"))
       .mapPartitions { it =>

@@ -57,11 +57,14 @@ object SketchTopK {
       .orderBy(col("n").desc, col("item")).limit(k).collect()
 
     // fewer than k candidates is only complete if NO partition truncated
-    // (t == 0 ⇒ candidates = every distinct item); otherwise the usual
-    // threshold test on the k-th exact count
+    // (t == 0 ⇒ candidates = every distinct item); otherwise the threshold
+    // test on the k-th exact count. STRICT inequality: a non-candidate can
+    // have global count exactly T (every local count equal to its partition
+    // bound), and at kth == T the (n desc, item asc) order could prefer a
+    // lexicographically smaller non-candidate — so ties are not certifiable.
     val certified =
       if (top.length < k) t == 0L
-      else top.last.getLong(1) >= t
+      else top.last.getLong(1) > t
     if (certified)
       spark.createDataFrame(java.util.Arrays.asList(top: _*),
         exactCandidates.schema)
@@ -69,7 +72,7 @@ object SketchTopK {
       // bounds too loose (m too small for this distribution): pay the full
       // shuffle once rather than return an uncertified answer
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"sketch-topK certificate failed (kth=${top.last.getLong(1)} < T=$t); " +
+        s"sketch-topK certificate failed (kth=${top.last.getLong(1)} <= T=$t); " +
           "falling back to full exact aggregation — raise perPartitionM")
       toks.toDF("item").groupBy(col("item")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("item")).limit(k)

@@ -23,7 +23,7 @@ object TextQueries {
     q40ExactDedup, q41TokenStats, q42QualityScore, q43MinhashSignatures,
     q44JaccardPairs, q45LshCandidates, q46Simhash, q47LangId, q48Fingerprint,
     q64MinhashPairs, q65BpeTokens, q66Vocab, q83StableSample, q90Redact,
-    q91Contamination, q92Repetition, q95TextHashGoldens)
+    q91Contamination, q92Repetition, q95TextHashGoldens, q96SketchTopkTokens)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -201,6 +201,26 @@ object TextQueries {
           concat_ws(",", winnow_fingerprint(col("text"))).as("fp_csv"))
         .orderBy(col("doc_id"))
     }
+  }
+
+  /** Exact top-k heavy-hitter tokens via sketch-then-verify
+    * (operators.SketchTopK): zero-shuffle per-partition top-m sketch →
+    * candidate-only exact re-count (broadcast semi-join) → threshold
+    * certificate with a full-aggregation fallback. The answer is exact
+    * either way — only the shuffled volume is adaptive — so the DuckDB
+    * brute-force oracle applies directly. At 100 TB this is the shape that
+    * survives: the naive groupBy shuffles every distinct token; the sketch
+    * shuffles ≤ partitions × m candidate groups. */
+  val q96SketchTopkTokens: QueryDef = sql(
+    "q96_sketch_topk_tokens",
+    """SELECT item, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS item FROM documents)
+      |GROUP BY item
+      |ORDER BY n DESC, item
+      |LIMIT 25""".stripMargin) { (s, d) =>
+    val toks = docs(s, d).select(explode(tokens).as("item"))
+    graft.operators.SketchTopK.topK(toks, "item", 25)
+      .orderBy(col("n").desc, col("item"))
   }
 
   /** Language ID: stopword-profile scoring (n-gram heuristic family),

@@ -23,6 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     "q32_knn_bruteforce", // broadcast(5 probes) × corpus, non-equi by design
     "q35_ivf_topk", // broadcast(centroids) × corpus assignment, conditionless
     "q36_ivf_index_topk", // same shape, query side only (corpus is pre-assigned on disk)
+    "q94_ivf_exact_serve", // q36's shape with nprobe=all (the oracle-checkable degenerate)
     "q75_edit_distance") // vocabulary² (150×150) theta join, bounded by design
 
   /** Queries whose run function EXECUTES side-effectful work (index build,

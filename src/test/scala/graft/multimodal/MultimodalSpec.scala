@@ -91,6 +91,32 @@ class MultimodalSpec extends SparkSpec {
     assert(mismatches.isEmpty)
   }
 
+  test("null ImageInputStream degrades instead of NPE-ing (SPI-less environment)") {
+    // createImageInputStream is documented to return null when no stream
+    // SPI is registered / the cache dir is unusable — the codec must treat
+    // that like any undecodable blob, not throw from getImageReaders(null)
+    val codec = new Multimodal.ImageHeaderCodec {
+      override protected def openStream(bytes: Array[Byte]): javax.imageio.stream.ImageInputStream = null
+    }
+    assert(codec.features("image", "png", Array[Byte](1, 2, 3, 4)).toSeq ==
+      Seq(-1f, -1f, 4f))
+  }
+
+  test("unknown plan stats fall back to input partitioning, not the 10000 cap") {
+    // LogicalRDD reports spark.sql.defaultSizeInBytes (Long.MaxValue) when
+    // no stats are attached (projections scale it by a width ratio, so it
+    // stays astronomically large but inexact) — the old size heuristic read
+    // that sentinel as a real size and scheduled 10000 near-empty tasks
+    val rows = media.limit(6).collect()
+    val noStats = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 3), media.schema)
+    val est = noStats.queryExecution.optimizedPlan.stats.sizeInBytes
+    assume(est > BigInt(1L << 50), "precondition: stats are the unknown sentinel")
+    val out = Multimodal.extractFeatures(noStats, new Multimodal.StubCodec(8))
+    assert(out.rdd.getNumPartitions == 3)
+    assert(out.count() == 6)
+  }
+
   test("frame sampling: midpoint-spaced offsets within duration") {
     val plan = Multimodal.frameSamplePlan(media, framesPerVideo = 4)
     val joined = plan.join(media.select(col("media_id"), col("duration_ms")), "media_id")
