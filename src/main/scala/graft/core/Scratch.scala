@@ -1,0 +1,39 @@
+package graft.core
+
+/** Per-query scratch tables shared between the engine and the DuckDB
+  * oracle.
+  *
+  * Some verification stages are only value-checkable if both engines read
+  * the SAME intermediate (e.g. LSH candidate pairs whose bucket keys come
+  * from engine-pinned hash functions): the query writes the intermediate
+  * to a scratch parquet dir, and its oracle SQL `read_parquet`s that dir.
+  *
+  * The oracle string cannot take the sf directory as a parameter (the
+  * driver contract dumps plain SQL), so the path is keyed by the sf name
+  * and the LAST sf a query ran against is recorded here. This is safe
+  * under the driver's contract: `Verify` runs every query and THEN dumps
+  * `oracle_sql.json` from the same process, so the dumped SQL points at
+  * the scratch dir of exactly the run being compared — and a later Bench
+  * run at a different sf writes to a DIFFERENT per-sf dir, never
+  * clobbering the one the oracle is about to read.
+  */
+object Scratch {
+
+  private val lastSf = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def path(query: String, sfName: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_scratch/${query}_$sfName"
+
+  /** Scratch dir for `query` running against `sfDir`; records the sf so a
+    * later [[lastDir]] (lazy oracle build) resolves to the same path. */
+  def dir(query: String, sfDir: String): String = {
+    val sfName = new java.io.File(sfDir).getName
+    lastSf.put(query, sfName)
+    path(query, sfName)
+  }
+
+  /** Scratch dir of the last run of `query` (the driver's Verify sf if the
+    * query has not run in this process — matches the driver's compare sf). */
+  def lastDir(query: String): String =
+    path(query, lastSf.getOrDefault(query, "sf0.01"))
+}

@@ -55,7 +55,17 @@ object Dedup {
     * exact-Jaccard verification — token arrays never travel through the
     * band explode or the join. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame =
+    jaccardVerify(minhashLshCandidates(df, idCol, textCol, bands, rowsPerBand),
+      df, idCol, textCol, threshold)
+
+  /** The bucketing half of [[minhashLsh]]: distinct (id_a, id_b) pairs
+    * sharing at least one band bucket. Split out so the in-bucket
+    * verification ([[jaccardVerify]]) can be value-checked independently of
+    * the engine-pinned xxhash64 band hashing (q97 writes these pairs to a
+    * scratch table both engines read). */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val nSig = bands * rowsPerBand
     // all nSig salted minima in ONE pass over the token array (single
     // expression — the per-salt HOF formulation was ~10s at sf0.1)
@@ -70,15 +80,22 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .cache()
-    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_b") > col("id_a"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
+
+  /** The verification half of [[minhashLsh]]: exact token-set Jaccard over
+    * candidate pairs (`id_a`, `id_b`), kept when ≥ `threshold`. Token
+    * arrays join in only here — they never travel through the bucketing. */
+  def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("tok"))
-    candidates
+    pairs.select(col("id_a"), col("id_b"))
       .join(toks.select(col("id").as("id_a"), col("tok").as("tok_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("tok").as("tok_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -92,7 +109,14 @@ object Dedup {
     * ≤ 3 necessarily collides on some chunk — pigeonhole); exact hamming
     * check within buckets. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingVerify(simhashCandidates(df, idCol, textCol), maxHamming)
+
+  /** The bucketing half of [[simhashNearDup]]: distinct candidate pairs
+    * carrying both fingerprints, so the hamming verification can be
+    * value-checked from a scratch table (q98) without DuckDB re-deriving
+    * the engine-pinned FNV-1a64 fingerprints. */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("fp"))
     val chunked = fp.select(col("id"), col("fp"),
       explode(array((0 until 4).map(i =>
@@ -103,11 +127,16 @@ object Dedup {
     val b = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("chunk", "key"))
       .filter(col("id_b") > col("id_a"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
+
+  /** The verification half of [[simhashNearDup]]: exact hamming distance
+    * over candidate fingerprint pairs, kept when ≤ `maxHamming`. */
+  def hammingVerify(pairs: DataFrame, maxHamming: Int): DataFrame =
+    pairs.select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
 
   /** Embedding cosine near-dup within coarse buckets (IVF-style): only
     * same-bucket pairs are scored. `bucketCol` is any coarse assignment

@@ -140,15 +140,30 @@ object Multimodal {
     val projected = media.select(col("media_id"), col("kind"), col("format"), col("bytes"))
     val estBytes = projected.queryExecution.optimizedPlan.stats.sizeInBytes
     // Plans with no stats report spark.sql.defaultSizeInBytes (Long.MaxValue
-    // unless overridden), which projection visitors then SCALE by a column
-    // width ratio — so the sentinel can't be matched exactly. Anything past
-    // a petabyte is that scaled sentinel, not a real estimate; treating it
-    // as a size would pin `parts` to the 10000 cap and schedule 10000
-    // near-empty tasks. Inherit the input's own partitioning instead
-    // (driver-side metadata, no job).
-    val statsUnknown = estBytes > BigInt(1L << 50)
+    // unless overridden) at their LEAVES; projection visitors then SCALE the
+    // top-level estimate by a column width ratio, so the sentinel can't be
+    // matched on `estBytes` itself — a fixed "anything past a petabyte"
+    // cutoff would also mis-read a genuine multi-PB media scan as unknown
+    // and lose the blobs-per-partition bound. Detect unknownness where it is
+    // exact: any leaf still reporting the unscaled conf sentinel. Treating
+    // the sentinel as a size would pin `parts` to the 10000 cap and schedule
+    // 10000 near-empty tasks; inherit the input's own partitioning instead
+    // (driver-side metadata, no job — toRdd reads the physical partitioning
+    // without instantiating the deserialized-row RDD that `.rdd` builds).
+    val defaultSize = BigInt(media.sparkSession.conf
+      .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString))
+    val statsUnknown = projected.queryExecution.optimizedPlan
+      .collectLeaves().exists(_.stats.sizeInBytes == defaultSize)
     val parts =
-      if (statsUnknown) projected.rdd.getNumPartitions.max(1)
+      if (statsUnknown) {
+        val p = projected.queryExecution.toRdd.getNumPartitions.max(1)
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"extractFeatures: input has no size stats (leaf reports the " +
+            s"$defaultSize-byte sentinel); keeping the input's own $p " +
+            "partitions — cache() or write/re-read the input if the decode " +
+            "stage needs the bytes-budget repartition")
+        p
+      }
       else (estBytes / math.max(1L, targetPartitionBytes) + 1)
         .min(10000).max(1).toInt
     projected

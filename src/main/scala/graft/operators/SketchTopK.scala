@@ -48,7 +48,10 @@ object SketchTopK {
     }.toDF("item", "cnt", "is_bound")
       .localCheckpoint() // sketch is ≤ partitions×(m+1) rows; reused twice below
 
-    val t = sketch.filter(col("is_bound")).agg(sum(col("cnt"))).head().getLong(0)
+    // coalesce: a ZERO-partition input emits no bound rows at all, so the
+    // sum is null — that is the t == 0 "nothing truncated" case, not an NPE
+    val t = sketch.filter(col("is_bound"))
+      .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
     val candidates = sketch.filter(!col("is_bound")).select(col("item")).distinct()
     val exactCandidates = toks.toDF("item")
       .join(broadcast(candidates), Seq("item"), "left_semi")

@@ -13,7 +13,8 @@ object DedupQueries {
 
   def all: Seq[QueryDef] = Seq(
     q56MinhashLshPairs, q57SimhashNearDup, q58EmbeddingNearDup,
-    q60MultimodalFeatures, q61FramePlan, q84ResizePlan)
+    q60MultimodalFeatures, q61FramePlan, q84ResizePlan,
+    q97MinhashVerify, q98SimhashVerify)
 
   val q56MinhashLshPairs: QueryDef = rowsOnly("q56_minhash_lsh_pairs") { (s, d) =>
     Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text", threshold = 0.2)
@@ -24,6 +25,60 @@ object DedupQueries {
   val q57SimhashNearDup: QueryDef = rowsOnly("q57_simhash_neardup") { (s, d) =>
     Dedup.simhashNearDup(Tables.documents(s, d), "doc_id", "text", maxHamming = 16)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Value-checks q56's VERIFICATION stage (VERDICT r6 item 2): candidate
+    * generation stays engine-pinned (xxhash64 band buckets), but the pairs
+    * are written to a scratch parquet both engines read, so the in-bucket
+    * exact-Jaccard scoring + threshold — the half that decides what gets
+    * deduplicated — is hash-checked against DuckDB recomputing it from the
+    * same pairs and documents. Same jaccard formula parity as q44. */
+  val q97MinhashVerify: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q97_minhash_verify")
+    QueryDef.sql(
+      "q97_minhash_verify",
+      s"""WITH c AS (SELECT id_a, id_b FROM read_parquet('$p/*.parquet')),
+         |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+         |      FROM documents)
+         |SELECT c.id_a, c.id_b,
+         |       round(CAST(len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS DOUBLE)
+         |             / len(list_distinct(a.tok || b.tok)), 6) AS jaccard
+         |FROM c
+         |JOIN t a ON a.doc_id = c.id_a
+         |JOIN t b ON b.doc_id = c.id_b
+         |WHERE CAST(len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS DOUBLE)
+         |      / len(list_distinct(a.tok || b.tok)) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docsDf = Tables.documents(s, d)
+      val path = graft.core.Scratch.dir("q97_minhash_verify", d)
+      Dedup.minhashLshCandidates(docsDf, "doc_id", "text")
+        .write.mode("overwrite").parquet(path)
+      Dedup.jaccardVerify(s.read.parquet(path), docsDf, "doc_id", "text",
+          threshold = 0.2)
+        .select(col("id_a"), col("id_b"), oround(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  }
+
+  /** Value-checks q57's VERIFICATION stage the same way: candidate pairs
+    * carry both engine-pinned FNV-1a64 fingerprints into the scratch table
+    * (fingerprint values themselves are golden-checked by q95), and DuckDB
+    * recomputes the exact hamming distance + threshold from them. */
+  val q98SimhashVerify: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q98_simhash_verify")
+    QueryDef.sql(
+      "q98_simhash_verify",
+      s"""SELECT id_a, id_b,
+         |       CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+         |FROM read_parquet('$p/*.parquet')
+         |WHERE bit_count(xor(fp_a, fp_b)) <= 16
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val path = graft.core.Scratch.dir("q98_simhash_verify", d)
+      Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text")
+        .write.mode("overwrite").parquet(path)
+      Dedup.hammingVerify(s.read.parquet(path), maxHamming = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    }
   }
 
   /** Oracle-checked: the bucketed near-dup output is EXACT within buckets

@@ -24,7 +24,8 @@ object RelationalQueries {
     q01PricingSummary, q02FilterPushdown, q03JoinTopkRevenue,
     q04BroadcastDimJoin, q05SemiJoin, q06AntiJoin, q07OuterJoinAgg,
     q08WindowTopk, q09WindowLagMs, q10Percentile, q11DistinctCounts,
-    q12SetOps, q13RunningSum, q14ConditionalAgg, q15Rollup, q62Sketches)
+    q12SetOps, q13RunningSum, q14ConditionalAgg, q15Rollup, q62Sketches,
+    q99SketchBounds)
 
   /** TPC-H Q1-style pricing summary (SURVEY §2.4 ops 20,25; §2.2 op 9-11).
     * Scale: map-side partial aggregation → tiny shuffle (6 groups). */
@@ -313,5 +314,56 @@ object RelationalQueries {
         element_at(col("qs"), 2).as("approx_qty_p50"),
         element_at(col("qs"), 3).as("approx_qty_p90"),
         col("hll_orders"))
+  }
+
+  /** q62's oracle companion (VERDICT r6 item 3): sketch ESTIMATES can't
+    * hash-match an exact engine, but their error BOUNDS can — each
+    * `*_within` flag asserts |estimate − exact| inside the bound Spark
+    * documents for the sketch (HLL++ rsd 0.05 → 15% ≈ 3σ; approx_percentile
+    * accuracy 10000 → rank error ≪ the ±p10 value window), computed
+    * Spark-side against Spark's own EXACT aggregates, while DuckDB replays
+    * the exact aggregates and pins every flag at 1. A sketch breaking its
+    * bound (or drifting exact parity) hash-mismatches here. One row, no
+    * ORDER BY needed (q11 precedent).
+    *
+    * Scale: this is the pattern for validating sketches at 100 TB — run the
+    * exact side once on a sample/sf, assert the bound, then trust the
+    * fixed-memory sketch on the full data. */
+  val q99SketchBounds: QueryDef = sql(
+    "q99_sketch_bounds",
+    """SELECT count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps,
+      |       count(DISTINCT l_orderkey) AS n_orders,
+      |       round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+      |       1 AS parts_within, 1 AS supps_within, 1 AS orders_within,
+      |       1 AS p25_within, 1 AS p50_within, 1 AS p75_within
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    def within(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      (abs(est - exact) <= exact * 0.15).cast("int")
+    li.agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        expr("percentile(l_quantity, array(0.15, 0.25, 0.35, 0.4, 0.5, 0.6, 0.65, 0.75, 0.85))").as("ps"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_suppkey")).as("asup"),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("ao"),
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75))").as("aps"))
+      .select(
+        col("n_parts"), col("n_supps"), col("n_orders"),
+        oround(element_at(col("ps"), 5), 6).as("qty_p50"),
+        within(col("ap"), col("n_parts")).as("parts_within"),
+        within(col("asup"), col("n_supps")).as("supps_within"),
+        within(col("ao"), col("n_orders")).as("orders_within"),
+        element_at(col("aps"), 1)
+          .between(element_at(col("ps"), 1), element_at(col("ps"), 3))
+          .cast("int").as("p25_within"),
+        element_at(col("aps"), 2)
+          .between(element_at(col("ps"), 4), element_at(col("ps"), 6))
+          .cast("int").as("p50_within"),
+        element_at(col("aps"), 3)
+          .between(element_at(col("ps"), 7), element_at(col("ps"), 9))
+          .cast("int").as("p75_within"))
   }
 }

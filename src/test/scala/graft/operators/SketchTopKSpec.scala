@@ -51,6 +51,19 @@ class SketchTopKSpec extends SparkSpec {
     assert(run(Seq.empty, 2, 3, 16).isEmpty)
   }
 
+  test("zero-partition input (no bound rows at all) returns empty frame") {
+    // parallelize(_, n) keeps n empty partitions, each still emitting a
+    // bound row; an emptyRDD has ZERO partitions, so the bound aggregate
+    // sums over no rows — the null-sum guard must treat that as t == 0
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType))))
+    assert(df.rdd.getNumPartitions === 0)
+    assert(SketchTopK.topK(df, "item", 3, perPartitionM = 16).count() === 0)
+  }
+
   test("nulls are dropped before counting") {
     val df = Seq(Some("a"), None, Some("a"), Some("b"), None)
       .toDF("item")
