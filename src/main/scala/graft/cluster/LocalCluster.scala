@@ -11,12 +11,16 @@ import org.apache.spark.sql.types._
   * O(n²) distance matrix is a per-group in-memory computation while Spark
   * parallelizes across users. Semantics per group, scale across groups.
   *
-  * Algorithm: ε-threshold single-linkage over cosine distance (connected
-  * components of the "distance ≤ ε" graph) with a minimum cluster size —
-  * an HDBSCAN-lite with `cluster_selection_epsilon`-like behavior:
-  * components smaller than `minClusterSize` become noise (label −1).
-  * Labels are deterministic: clusters are numbered by their smallest
-  * member's input order (no RNG, no iteration-order dependence).
+  * Two per-key clusterers share the plumbing:
+  *  - [[clusterPerKey]]: ε-threshold single-linkage over cosine distance
+  *    (connected components of the "distance ≤ ε" graph) with a minimum
+  *    cluster size — a flat DBSCAN*-style cut, fully SQL-replayable and
+  *    oracle-checked (q54);
+  *  - [[hdbscanPerKey]]: the reference's ACTUAL algorithm ([[Hdbscan]] —
+  *    MST, condensed tree, EOM stability, cluster_selection_epsilon),
+  *    spec-pinned by hand-derived goldens (q100).
+  * Labels are deterministic in both: clusters are numbered by their
+  * smallest member's input order (no RNG, no iteration-order dependence).
   */
 object LocalCluster {
 
@@ -73,16 +77,40 @@ object LocalCluster {
       vecCol: String,
       eps: Double = 0.02,
       minClusterSize: Int = 5,
-      reduceTo: Option[Int] = None): DataFrame = {
+      reduceTo: Option[Int] = None): DataFrame =
+    labelPerKey(df, keyCol, itemCol, vecCol, reduceTo,
+      clusterVectors(_, eps, minClusterSize))
+
+  /** TRUE HDBSCAN per `keyCol` group ([[Hdbscan]]: MST → condensed tree →
+    * EOM stability selection → epsilon search) — the reference's actual
+    * per-user clusterer (`assets/old_history.py:169-176`), where
+    * [[clusterPerKey]] is the flat ε-cut approximation. Same input/output
+    * contract and determinism (rows sorted by item, labels by smallest
+    * member). */
+  def hdbscanPerKey(
+      df: DataFrame,
+      keyCol: String,
+      itemCol: String,
+      vecCol: String,
+      minClusterSize: Int = 5,
+      minSamples: Int = 0,
+      clusterSelectionEpsilon: Double = 0.02,
+      reduceTo: Option[Int] = None): DataFrame =
+    labelPerKey(df, keyCol, itemCol, vecCol, reduceTo,
+      Hdbscan.labels(_, minClusterSize, minSamples, clusterSelectionEpsilon))
+
+  /** Shared per-key plumbing: deterministic in-group order, optional PCA
+    * reduction, one local labeling call per group inside `flatMapGroups`. */
+  private def labelPerKey(
+      df: DataFrame,
+      keyCol: String,
+      itemCol: String,
+      vecCol: String,
+      reduceTo: Option[Int],
+      labelFn: Array[Array[Float]] => Array[Int]): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(keyCol, LongType),
-      StructField(itemCol, StringType),
-      StructField(vecCol, ArrayType(FloatType)),
-      StructField("cluster_label", IntegerType)))
     import spark.implicits._
-    val grouped = df
-      .select(df(keyCol), df(itemCol), df(vecCol))
+    df.select(df(keyCol), df(itemCol), df(vecCol))
       .map { r =>
         (r.getLong(0), r.getString(1), r.getSeq[Float](2))
       }
@@ -94,12 +122,11 @@ object LocalCluster {
           case Some(k) => LocalPca.reduce(raw, k).map(_.map(_.toFloat))
           case None => raw
         }
-        val labels = clusterVectors(vecs, eps, minClusterSize)
+        val labels = labelFn(vecs)
         rows.iterator.zip(labels.iterator).map { case ((k, item, vec), lbl) =>
           (k, item, vec, lbl)
         }
       }
       .toDF(keyCol, itemCol, vecCol, "cluster_label")
-    grouped
   }
 }

@@ -20,7 +20,7 @@ object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(
     q50Sessions, q51Merged, q52Graph, q53Interests, q54Clusters, q55GraphStats,
-    q85Takeout, q86Metrics, q89Discovery, q93PcaClusters)
+    q85Takeout, q86Metrics, q89Discovery, q93PcaClusters, q100Hdbscan)
 
   /** events → activity frame (user_id, ts, title). */
   def activity(s: SparkSession, d: String): DataFrame =
@@ -108,6 +108,31 @@ object PipelineQueries {
     graft.cluster.LocalCluster.clusterPerKey(
         emb, "user_id", "interest", "embedding", eps = 0.7, minClusterSize = 5)
       .select(col("user_id").as("label"), col("interest").as("vec_id"), col("cluster_label"))
+      .orderBy(col("label"), col("vec_id"))
+  }
+
+  /** TRUE HDBSCAN per key (SURVEY §2.9 op 60, closing the last semantic
+    * deviation from the reference — VERDICT r6 item 1): MST over mutual
+    * reachability → condensed tree → Excess-of-Mass stability selection →
+    * cluster_selection_epsilon, with the reference's exact parameters
+    * (`assets/old_history.py:169-176`: min_cluster_size=5, min_samples
+    * defaulting to min_cluster_size, cluster_selection_epsilon=0.02).
+    *
+    * Rows-only for cause: the stability hierarchy is not expressible as
+    * replayable SQL (q54 keeps the oracle-checked flat ε-cut surface);
+    * the algorithm itself is pinned by HdbscanSpec's hand-derived golden
+    * fixtures, including cases where the ε-cut and HDBSCAN disagree.
+    * Determinism: no RNG; labels numbered by smallest member (vec_id). */
+  val q100Hdbscan: QueryDef = rowsOnly("q100_hdbscan_clusters") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("user_id"),
+        col("vec_id").cast("string").as("interest"),
+        col("embedding"))
+    graft.cluster.LocalCluster.hdbscanPerKey(
+        emb, "user_id", "interest", "embedding",
+        minClusterSize = 5, minSamples = 5, clusterSelectionEpsilon = 0.02)
+      .select(col("user_id").as("label"), col("interest").as("vec_id"),
+        col("cluster_label"))
       .orderBy(col("label"), col("vec_id"))
   }
 
