@@ -23,7 +23,8 @@ object TextQueries {
     q40ExactDedup, q41TokenStats, q42QualityScore, q43MinhashSignatures,
     q44JaccardPairs, q45LshCandidates, q46Simhash, q47LangId, q48Fingerprint,
     q64MinhashPairs, q65BpeTokens, q66Vocab, q83StableSample, q90Redact,
-    q91Contamination, q92Repetition, q95TextHashGoldens, q96SketchTopkTokens)
+    q91Contamination, q92Repetition, q95TextHashGoldens, q96SketchTopkTokens,
+    q101SketchTopkShingles)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -220,6 +221,33 @@ object TextQueries {
       |LIMIT 25""".stripMargin) { (s, d) =>
     val toks = docs(s, d).select(explode(tokens).as("item"))
     graft.operators.SketchTopK.topK(toks, "item", 25)
+      .orderBy(col("n").desc, col("item"))
+  }
+
+  /** q96's heavy-tailed sibling (VERDICT r6 item 6): the same
+    * sketch-then-verify exact top-k, but over 5-gram shingles — a
+    * distribution wide enough that per-partition sketches truncate (m=25
+    * with tens of thousands of near-unique shingles per partition), the tie
+    * certificate fails, and the operator takes its exact-fallback path IN
+    * THE BENCH rather than only in the spec. The answer is exact on either
+    * path, so the brute-force DuckDB oracle applies unchanged. */
+  val q101SketchTopkShingles: QueryDef = sql(
+    "q101_sketch_topk_shingles",
+    """WITH t AS (SELECT string_split(text, ' ') AS tok FROM documents),
+      |sh AS (SELECT unnest(CASE WHEN len(tok) >= 5
+      |                          THEN list_transform(range(len(tok) - 4),
+      |                               i -> tok[i + 1] || ' ' || tok[i + 2] || ' ' || tok[i + 3]
+      |                                    || ' ' || tok[i + 4] || ' ' || tok[i + 5])
+      |                          ELSE [] END) AS item
+      |       FROM t)
+      |SELECT item, count(*) AS n
+      |FROM sh
+      |GROUP BY item
+      |ORDER BY n DESC, item
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val sh = docs(s, d)
+      .select(explode(graft.dedup.Dedup.shingles(col("text"), 5)).as("item"))
+    graft.operators.SketchTopK.topK(sh, "item", 10, perPartitionM = 25)
       .orderBy(col("n").desc, col("item"))
   }
 

@@ -19,11 +19,21 @@ object TimeQuery {
         SparkSession.builder().master("local[32]"), 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // count Spark jobs per query: every job is a driver scheduling
+    // round-trip, so job count is the fixed-overhead (and stall-surface)
+    // multiplier of a query independent of data volume
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
     names.foreach { name =>
+      jobs.set(0)
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      println(f"[time] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[time] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  ${jobs.get()}%3d jobs")
       spark.catalog.clearCache()
     }
     spark.stop()
