@@ -20,7 +20,8 @@ object PipelineQueries {
 
   def all: Seq[QueryDef] = Seq(
     q50Sessions, q51Merged, q52Graph, q53Interests, q54Clusters, q55GraphStats,
-    q85Takeout, q86Metrics, q89Discovery, q93PcaClusters, q100Hdbscan)
+    q85Takeout, q86Metrics, q89Discovery, q93PcaClusters, q100Hdbscan,
+    q102PcaHdbscan)
 
   /** events → activity frame (user_id, ts, title). */
   def activity(s: SparkSession, d: String): DataFrame =
@@ -131,6 +132,26 @@ object PipelineQueries {
     graft.cluster.LocalCluster.hdbscanPerKey(
         emb, "user_id", "interest", "embedding",
         minClusterSize = 5, minSamples = 5, clusterSelectionEpsilon = 0.02)
+      .select(col("user_id").as("label"), col("interest").as("vec_id"),
+        col("cluster_label"))
+      .orderBy(col("label"), col("vec_id"))
+  }
+
+  /** The reference's FULL per-user cluster stage end-to-end with the true
+    * algorithm: dimensionality reduction → pairwise cosine → HDBSCAN
+    * (`assets/old_history.py:155-187` — UMAP stands in as per-group PCA,
+    * the op-58 documented substitute; everything downstream is the real
+    * thing at the reference's parameters). q93 keeps the same shape on the
+    * flat ε-cut; q100 is un-reduced HDBSCAN. Rows-only like both. */
+  val q102PcaHdbscan: QueryDef = rowsOnly("q102_pca_hdbscan") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("user_id"),
+        col("vec_id").cast("string").as("interest"),
+        col("embedding"))
+    graft.cluster.LocalCluster.hdbscanPerKey(
+        emb, "user_id", "interest", "embedding",
+        minClusterSize = 5, minSamples = 5, clusterSelectionEpsilon = 0.02,
+        reduceTo = Some(8))
       .select(col("user_id").as("label"), col("interest").as("vec_id"),
         col("cluster_label"))
       .orderBy(col("label"), col("vec_id"))

@@ -138,6 +138,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hdbscan: total; every cluster ≥ minClusterSize; labels contiguous by smallest member") {
+    import graft.cluster.Hdbscan
+    val genPts = Gen.chooseNum(2, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(-1.0, 1.0), Gen.chooseNum(-1.0, 1.0))))
+    forAll(genPts, Gen.chooseNum(2, 5), Gen.chooseNum(0, 4)) { (pts, m, msRaw) =>
+      val n = pts.length
+      def d(i: Int, j: Int) =
+        math.hypot(pts(i)._1 - pts(j)._1, pts(i)._2 - pts(j)._2)
+      val labels = Hdbscan.labelsFromDistance(n, d, m, minSamples = msRaw,
+        clusterSelectionEpsilon = if (msRaw % 2 == 0) 0.0 else 0.3) // must never throw
+      assert(labels.length == n)
+      val byLbl = labels.zipWithIndex.filter(_._1 >= 0).groupBy(_._1)
+      byLbl.foreach { case (_, members) => assert(members.length >= m) }
+      assert(byLbl.keySet == (0 until byLbl.size).toSet) // 0..k−1, no holes
+      val smallestMembers = byLbl.toSeq.sortBy(_._1).map(_._2.map(_._2).min)
+      assert(smallestMembers == smallestMembers.sorted)
+    }
+  }
+
+  test("hdbscan: the partition is permutation-invariant on tie-free inputs") {
+    import graft.cluster.Hdbscan
+    // minSamples=1 keeps mutual reachability = raw distance; random doubles
+    // make all pairwise distances distinct almost surely, so the MST (and
+    // everything derived from it) is unique — the clustering must not
+    // depend on input order. (With minSamples > 1, core distances create
+    // REAL mreach ties whose resolution is ordinal, as in the published
+    // implementations — ordering is only contractual, not invariant.)
+    val genPts = Gen.chooseNum(5, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(-1.0, 1.0), Gen.chooseNum(-1.0, 1.0))))
+    forAll(genPts, Gen.long) { (pts, permSeed) =>
+      val n = pts.length
+      def dist(a: (Double, Double), b: (Double, Double)) =
+        math.hypot(a._1 - b._1, a._2 - b._2)
+      def labelByOrig(order: IndexedSeq[Int]): Map[Int, Int] = {
+        val arr = order.map(pts)
+        val ls = Hdbscan.labelsFromDistance(n,
+          (i, j) => dist(arr(i), arr(j)), 3, minSamples = 1)
+        order.zip(ls).toMap
+      }
+      val base = labelByOrig((0 until n).toVector)
+      val perm = new scala.util.Random(permSeed).shuffle((0 until n).toVector)
+      val shuffled = labelByOrig(perm)
+      def clustersOf(m: Map[Int, Int]) =
+        m.groupBy(_._2).collect { case (l, g) if l >= 0 => g.keySet }.toSet
+      assert(clustersOf(base) == clustersOf(shuffled))
+      assert(base.filter(_._2 == -1).keySet == shuffled.filter(_._2 == -1).keySet)
+    }
+  }
+
   test("winnowing guarantee: docs sharing a substring of length ≥ w+k−1 share a fingerprint") {
     import graft.functions.WinnowFingerprint
     val k = 8; val w = 16
