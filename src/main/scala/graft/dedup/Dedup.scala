@@ -19,14 +19,12 @@ object Dedup {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word k-shingles with short-doc guard. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val tok = tokens(text)
-    when(size(tok) >= k,
-      transform(sequence(lit(0), size(tok) - k),
-        i => concat_ws(" ", (1 to k).map(j => element_at(tok, i + j)): _*)))
-      .otherwise(array())
-  }
+  /** Word k-shingles with short-doc guard (codegen'd single pass — the
+    * interpreted `transform`+`concat_ws` spelling re-entered the
+    * expression interpreter per shingle element and dominated q101's
+    * explode; WordShingles pins exact parity with it). */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.word_shingles(tokens(text), k)
 
   /** Salted-md5 MinHash signature (one value per salt). */
   def minhash(text: Column, salt: String, k: Int = 3): Column =
@@ -137,6 +135,36 @@ object Dedup {
     pairs.select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+
+  /** Near-dup CANONICALIZATION — the cluster-level completion of pairwise
+    * near-dup detection: verified pairs are edges of a similarity graph;
+    * its connected components are duplicate clusters; each document maps to
+    * the cluster's smallest id. Pairwise keep/drop decisions are wrong for
+    * transitive chains (A≈B, B≈C, A̸≈C must still collapse to one
+    * representative) — training-data dedup keeps one doc PER CLUSTER.
+    *
+    * Scale: components come from [[graft.operators.ConnectedComponents]]
+    * (star contraction above the local threshold), so the only shuffles are
+    * the shrinking edge list; docs in no pair stay their own keep_id via
+    * the left join.
+    *
+    * @return (`idCol`, keep_id, is_duplicate) for EVERY input row */
+  def canonicalize(verifiedPairs: DataFrame, df: DataFrame, idCol: String): DataFrame = {
+    val edges = verifiedPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = graft.operators.ConnectedComponents.components(edges)
+    df.select(col(idCol))
+      .join(comp, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("keep_id"),
+        (coalesce(col("component"), col(idCol)) =!= col(idCol)).as("is_duplicate"))
+  }
+
+  /** MinHash-LSH near-dup end to end at cluster granularity:
+    * [[minhashLshCandidates]] → [[jaccardVerify]] → [[canonicalize]]. */
+  def nearDupCanonical(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame =
+    canonicalize(minhashLsh(df, idCol, textCol, bands, rowsPerBand, threshold),
+      df, idCol)
 
   /** Embedding cosine near-dup within coarse buckets (IVF-style): only
     * same-bucket pairs are scored. `bucketCol` is any coarse assignment

@@ -39,6 +39,11 @@ package object functions {
   def winnow_fingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
     c(WinnowFingerprint(e(text), k, w))
 
+  /** Word k-shingles of a token array (codegen'd single pass; empty array
+    * below k tokens) — concat_ws/transform parity, see WordShingles. */
+  def word_shingles(tokens: Column, k: Int): Column =
+    c(WordShingles(e(tokens), k))
+
   /** min(md5(salt || shingle)) over word 3-shingles of a token array —
     * exact parity with `array_min(transform(shingles, md5(salt || s)))`
     * in one tight loop, no shingle materialization. */
@@ -108,6 +113,7 @@ package object functions {
     "vec_dot" -> ((es: Seq[CExpr]) => DotProduct(es(0), es(1))),
     "extract_json_objects" -> ((es: Seq[CExpr]) => ExtractJsonObjects(es.head)),
     "simhash64" -> ((es: Seq[CExpr]) => SimHash64(es.head)),
+    "word_shingles" -> ((es: Seq[CExpr]) => WordShingles(es.head, intArg(es, 1, 3))),
     "winnow_fingerprint" -> ((es: Seq[CExpr]) =>
       WinnowFingerprint(es.head, intArg(es, 1, 8), intArg(es, 2, 16))),
     "minhash_signature" -> ((es: Seq[CExpr]) =>

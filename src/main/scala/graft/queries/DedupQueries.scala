@@ -14,7 +14,7 @@ object DedupQueries {
   def all: Seq[QueryDef] = Seq(
     q56MinhashLshPairs, q57SimhashNearDup, q58EmbeddingNearDup,
     q60MultimodalFeatures, q61FramePlan, q84ResizePlan,
-    q97MinhashVerify, q98SimhashVerify)
+    q97MinhashVerify, q98SimhashVerify, q103DedupCanonical)
 
   val q56MinhashLshPairs: QueryDef = rowsOnly("q56_minhash_lsh_pairs") { (s, d) =>
     Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text", threshold = 0.2)
@@ -78,6 +78,53 @@ object DedupQueries {
         .write.mode("overwrite").parquet(path)
       Dedup.hammingVerify(s.read.parquet(path), maxHamming = 16)
         .orderBy(col("id_a"), col("id_b"))
+    }
+  }
+
+  /** Cluster-granularity dedup, oracle-checked end to end: engine-pinned
+    * LSH candidates go to the scratch table (q97 pattern); DuckDB then
+    * replays the ENTIRE remaining pipeline — exact-Jaccard verification,
+    * connected components via recursive CTE (q55 pattern), min-id
+    * canonical per cluster — so transitive-chain collapse (A≈B≈C with
+    * A̸≈C → one keep_id) is value-checked, not just spec'd. */
+  val q103DedupCanonical: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q103_dedup_canonical")
+    QueryDef.sql(
+      "q103_dedup_canonical",
+      s"""WITH RECURSIVE
+         |c AS (SELECT id_a, id_b FROM read_parquet('$p/*.parquet')),
+         |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+         |      FROM documents),
+         |e AS (
+         |  SELECT c.id_a AS src, c.id_b AS dst
+         |  FROM c
+         |  JOIN t a ON a.doc_id = c.id_a
+         |  JOIN t b ON b.doc_id = c.id_b
+         |  WHERE CAST(len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS DOUBLE)
+         |        / len(list_distinct(a.tok || b.tok)) >= 0.2),
+         |bidir AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+         |nodes AS (SELECT DISTINCT a AS id FROM bidir),
+         |reach AS (
+         |  SELECT id AS src, id AS dst FROM nodes
+         |  UNION
+         |  SELECT r.src, e2.b FROM reach r JOIN bidir e2 ON e2.a = r.dst),
+         |comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+         |SELECT d.doc_id,
+         |       COALESCE(comp.component, d.doc_id) AS keep_id,
+         |       CAST(COALESCE(comp.component, d.doc_id) <> d.doc_id AS INTEGER) AS is_duplicate
+         |FROM documents d
+         |LEFT JOIN comp ON comp.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docsDf = Tables.documents(s, d)
+      val path = graft.core.Scratch.dir("q103_dedup_canonical", d)
+      Dedup.minhashLshCandidates(docsDf, "doc_id", "text")
+        .write.mode("overwrite").parquet(path)
+      val verified = Dedup.jaccardVerify(s.read.parquet(path), docsDf,
+        "doc_id", "text", threshold = 0.2)
+      Dedup.canonicalize(verified, docsDf, "doc_id")
+        .select(col("doc_id"), col("keep_id"),
+          col("is_duplicate").cast("int").as("is_duplicate"))
+        .orderBy(col("doc_id"))
     }
   }
 

@@ -71,6 +71,23 @@ class DedupSpec extends SparkSpec {
     assert(found == truth.toMap)
   }
 
+  test("canonicalize collapses a transitive near-dup chain to one representative") {
+    // j(1,2)=3/5, j(2,3)=3/5 pass a 0.5 threshold; j(1,3)=2/6 does NOT —
+    // pairwise keep/drop would leave {1,2} and {2,3} inconsistently, the
+    // component collapse must map all three to doc 1. Doc 9 is untouched.
+    val chain = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "a b e f"), (9L, "x y z w"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val verified = Dedup.jaccardVerify(pairs, chain, "doc_id", "text", 0.5)
+    assert(verified.select("id_a", "id_b").as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L), (2L, 3L)))
+    val got = Dedup.canonicalize(verified, chain, "doc_id")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, true), (9L, 9L, false)))
+  }
+
   test("embedding near-dup respects bucket boundary and threshold") {
     val vecs = Seq(
       (1L, 0, Seq(1f, 0f, 0f)),

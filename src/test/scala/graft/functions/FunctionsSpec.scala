@@ -266,6 +266,27 @@ class TextHashSpec extends SparkSpec {
       .numElements() == 0)
   }
 
+  test("word_shingles ≡ the declarative transform/concat_ws spelling (incl. null tokens)") {
+    // the expression replaced this exact HOF formulation in Dedup.shingles
+    // for speed; equality (including concat_ws's null-skipping and the
+    // short-doc empty array) is the contract
+    val df = Seq(
+      Tuple1(Seq("the", "quick", "brown", "fox", "jumps")),
+      Tuple1(Seq("a", "b")),                       // shorter than k
+      Tuple1(Seq("x", null, "y", "z", "w", "v")),  // null token
+      Tuple1(Seq.empty[String])
+    ).toDF("tok")
+    for (k <- Seq(1, 3, 5)) {
+      val hof = when(size(col("tok")) >= k,
+        transform(sequence(lit(0), size(col("tok")) - k),
+          i => concat_ws(" ", (1 to k).map(j => element_at(col("tok"), i + j)): _*)))
+        .otherwise(array())
+      val rows = df.select(word_shingles(col("tok"), k).as("fast"), hof.as("slow"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"k=$k"))
+    }
+  }
+
   test("fnv1a64 is pinned (golden values)") {
     // golden values computed from the FNV-1a reference parameters
     assert(Fnv1a64.hashString("") == 0xcbf29ce484222325L)
@@ -308,7 +329,8 @@ class TextHashSpec extends SparkSpec {
     val md = SaltedMd5Min(toks, "s1", 3)
     val wf = WinnowFingerprint(txt, 8, 16)
     val hp = HyperplaneLsh(vec, 2, 8, 42L)
-    val exprs = Seq(mh, sh, md, wf, hp)
+    val ws = WordShingles(toks, 3)
+    val exprs = Seq(mh, sh, md, wf, hp, ws)
     // generate compiled projection — throws on broken doGenCode
     val proj = GenerateUnsafeProjection.generate(exprs)
     val row = InternalRow(
@@ -324,6 +346,8 @@ class TextHashSpec extends SparkSpec {
     assert(out.getArray(3).toLongArray.toSeq ==
       wf.eval(row).asInstanceOf[ArrayData].toLongArray.toSeq)
     assert(out.getLong(4) == hp.eval(row))
+    assert(out.getArray(5).toSeq[UTF8String](StringType) ==
+      ws.eval(row).asInstanceOf[ArrayData].toSeq[UTF8String](StringType))
     // null result path (too few tokens for a shingle) under codegen
     val rowShort = InternalRow(
       ArrayData.toArrayData(Array("a").map(UTF8String.fromString)),
