@@ -328,7 +328,14 @@ object RelationalQueries {
     *
     * Scale: this is the pattern for validating sketches at 100 TB — run the
     * exact side once on a sample/sf, assert the bound, then trust the
-    * fixed-memory sketch on the full data. */
+    * fixed-memory sketch on the full data.
+    *
+    * Plan shape: one agg holding THREE count-distincts (+ sketches) plans
+    * as a 5-way Expand — every input row duplicated per distinct group
+    * through the shuffle (11s at sf0.1). Instead each distinct key gets its
+    * own single-distinct sub-aggregate (a clean two-phase plan over ONE
+    * pruned column) and the four 1-row results cross-join back — 4 cheap
+    * column scans beat one 5× -volume Expand shuffle at any scale. */
   val q99SketchBounds: QueryDef = sql(
     "q99_sketch_bounds",
     """SELECT count(DISTINCT l_partkey) AS n_parts,
@@ -341,15 +348,16 @@ object RelationalQueries {
     val li = Tables.lineitem(s, d)
     def within(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
       (abs(est - exact) <= exact * 0.15).cast("int")
-    li.agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        expr("percentile(l_quantity, array(0.15, 0.25, 0.35, 0.4, 0.5, 0.6, 0.65, 0.75, 0.85))").as("ps"),
-        approx_count_distinct(col("l_partkey")).as("ap"),
-        approx_count_distinct(col("l_suppkey")).as("asup"),
-        expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("ao"),
-        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75))").as("aps"))
+    val parts = li.agg(countDistinct(col("l_partkey")).as("n_parts"),
+      approx_count_distinct(col("l_partkey")).as("ap"))
+    val supps = li.agg(countDistinct(col("l_suppkey")).as("n_supps"),
+      approx_count_distinct(col("l_suppkey")).as("asup"))
+    val orders = li.agg(countDistinct(col("l_orderkey")).as("n_orders"),
+      expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("ao"))
+    val quant = li.agg(
+      expr("percentile(l_quantity, array(0.15, 0.25, 0.35, 0.4, 0.5, 0.6, 0.65, 0.75, 0.85))").as("ps"),
+      expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75))").as("aps"))
+    parts.crossJoin(supps).crossJoin(orders).crossJoin(quant)
       .select(
         col("n_parts"), col("n_supps"), col("n_orders"),
         oround(element_at(col("ps"), 5), 6).as("qty_p50"),

@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
     "q35_ivf_topk", // broadcast(centroids) × corpus assignment, conditionless
     "q36_ivf_index_topk", // same shape, query side only (corpus is pre-assigned on disk)
     "q94_ivf_exact_serve", // q36's shape with nprobe=all (the oracle-checkable degenerate)
-    "q75_edit_distance") // vocabulary² (150×150) theta join, bounded by design
+    "q75_edit_distance", // vocabulary² (150×150) theta join, bounded by design
+    "q99_sketch_bounds") // cross join of four 1-row sub-aggregates (the no-Expand shape)
 
   /** Queries whose run function EXECUTES side-effectful work (index build,
     * store writes, a streaming tick) before returning the final frame: the
