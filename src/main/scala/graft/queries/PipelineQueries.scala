@@ -21,7 +21,7 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(
     q50Sessions, q51Merged, q52Graph, q53Interests, q54Clusters, q55GraphStats,
     q85Takeout, q86Metrics, q89Discovery, q93PcaClusters, q100Hdbscan,
-    q102PcaHdbscan)
+    q102PcaHdbscan, q104HdbscanExact)
 
   /** events → activity frame (user_id, ts, title). */
   def activity(s: SparkSession, d: String): DataFrame =
@@ -155,6 +155,61 @@ object PipelineQueries {
       .select(col("user_id").as("label"), col("interest").as("vec_id"),
         col("cluster_label"))
       .orderBy(col("label"), col("vec_id"))
+  }
+
+  /** TRUE HDBSCAN, oracle-checked in a provably-degenerate regime (the q94
+    * trick applied to clustering): on the committed cluster fixture —
+    * tight ≥6-point blobs whose merge distances all exceed the ε-cut
+    * threshold, ≥2 blobs per group, outliers that only attach at root
+    * level (see tools/GenClusterFixture for the full discharge of every
+    * divergence mode) — HDBSCAN(minClusterSize=5, minSamples=1, selection
+    * ε=0.01) provably returns exactly the ε=0.01 single-linkage cut, which
+    * DuckDB replays via the q54 recursive-CTE shape. This runs the REAL
+    * hierarchy/stability/epsilon-search code path end to end into a hash
+    * compare; HdbscanSpec covers the non-degenerate semantics. */
+  val q104HdbscanExact: QueryDef = {
+    def root = graft.core.Fixtures.resolve("clusters", "GRAFT_CLUSTER_FIXTURES")
+    QueryDef.sql(
+      "q104_hdbscan_exact",
+      s"""WITH RECURSIVE
+         |nodes AS (
+         |  SELECT group_id AS grp, CAST(point_id AS VARCHAR) AS item,
+         |         row_number() OVER (PARTITION BY group_id
+         |                            ORDER BY CAST(point_id AS VARCHAR)) - 1 AS ord,
+         |         CAST(embedding AS DOUBLE[]) AS e
+         |  FROM read_parquet('$root/points.parquet/*.parquet')),
+         |edges AS (
+         |  SELECT a.grp, a.ord AS s, b.ord AS t
+         |  FROM nodes a JOIN nodes b ON a.grp = b.grp AND a.ord <> b.ord
+         |  WHERE 1 - list_cosine_similarity(a.e, b.e) <= 0.01),
+         |reach AS (
+         |  SELECT grp, ord AS src, ord AS dst FROM nodes
+         |  UNION
+         |  SELECT r.grp, r.src, e.t FROM reach r
+         |  JOIN edges e ON e.grp = r.grp AND e.s = r.dst),
+         |comp AS (
+         |  SELECT grp, src AS ord, min(dst) AS root FROM reach GROUP BY grp, src),
+         |clusters AS (
+         |  SELECT grp, root,
+         |         row_number() OVER (PARTITION BY grp ORDER BY root) - 1 AS lbl
+         |  FROM (SELECT grp, root, count(*) AS n FROM comp GROUP BY grp, root)
+         |  WHERE n >= 5)
+         |SELECT n.grp AS group_id, n.item AS point_id,
+         |       CAST(COALESCE(c.lbl, -1) AS INTEGER) AS cluster_label
+         |FROM nodes n
+         |JOIN comp ON comp.grp = n.grp AND comp.ord = n.ord
+         |LEFT JOIN clusters c ON c.grp = comp.grp AND c.root = comp.root
+         |ORDER BY group_id, point_id""".stripMargin) { (s, _) =>
+      val pts = s.read.parquet(s"$root/points.parquet")
+        .select(col("group_id").cast("long").as("group_id"),
+          col("point_id").cast("string").as("point_id"),
+          col("embedding"))
+      graft.cluster.LocalCluster.hdbscanPerKey(
+          pts, "group_id", "point_id", "embedding",
+          minClusterSize = 5, minSamples = 1, clusterSelectionEpsilon = 0.01)
+        .select(col("group_id"), col("point_id"), col("cluster_label"))
+        .orderBy(col("group_id"), col("point_id"))
+    }
   }
 
   /** Graph analytics over a similarity graph's edge list (SURVEY §1.1
