@@ -21,8 +21,15 @@ object Scratch {
 
   private val lastSf = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // under the repo's build dir, NOT java.io.tmpdir: the oracle's DuckDB
+  // process may run minutes after the engine wrote the table, and a tmp
+  // cleaner (or a per-process tmpdir) would turn every scratch oracle red.
+  // Absolute path so the embedded SQL is cwd-independent.
+  private val base =
+    new java.io.File("target/graft_scratch").getAbsolutePath
+
   private def path(query: String, sfName: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_scratch/${query}_$sfName"
+    s"$base/${query}_$sfName"
 
   /** Scratch dir for `query` running against `sfDir`; records the sf so a
     * later [[lastDir]] (lazy oracle build) resolves to the same path. */
