@@ -3,55 +3,115 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{...}}.
+  * prints a one-line summary followed by ONE full JSON line
+  * {"metric":...,"queries":{...}}.
   *
   * Queries are forced through a `noop`-format write — a plain `.count()`
   * lets Catalyst prune every column the count doesn't need (a minhash
   * query "ran" 18× faster because the signatures were never computed).
   * noop materializes the full result with zero sink I/O, so the numbers
-  * are the real operator cost. */
+  * are the real operator cost.
+  *
+  * Starvation hardening (round 8): the round-7 driver recording showed a
+  * phantom 10× regression caused by transient host CPU starvation hitting
+  * one span of the alphabetical run. Three defenses:
+  *   1. Each query runs in SPARK_GRAFT_BENCH_REPS (default 2) FULL passes
+  *      over the whole suite — not back-to-back repeats, so a starvation
+  *      wave that spans minutes still can't contaminate both samples of a
+  *      query — and the per-query MIN is reported.
+  *   2. A short machine-parseable summary line {"total","n","failed"} is
+  *      printed BEFORE the per-query blob, so a capture that truncates the
+  *      long line still yields the headline number.
+  *   3. Per-query Spark job counts ride along in the JSON ("jobs"): a job
+  *      is a driver scheduling round-trip, so scheduling-bound vs
+  *      compute-bound is distinguishable post hoc. Attribution uses job
+  *      groups (not a reset-between-queries counter), so the async
+  *      listener bus cannot bleed counts across query boundaries.
+  */
 object Bench {
+  private val GroupKey = "spark.jobGroup.id"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = graft.core.EngineConf.configure(
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // jobs-per-group counter; group ids are "<query>#<rep>" so attribution
+    // is exact even though listener events are delivered asynchronously
+    val jobsByGroup = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties).map(_.getProperty(GroupKey)).orNull
+        if (g != null) { jobsByGroup.merge(g, 1, (a, b) => a + b); () }
+      }
+    })
+
     // untimed warmup: JVM/codegen/parquet-footer costs don't land on the
     // alphabetically-first query
     try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir)
       .write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => }
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // samples(name) = per-rep (sec, ok); full suite pass per rep
+    val samples = scala.collection.mutable.Map[String, Vector[(Double, Boolean)]]()
+      .withDefaultValue(Vector.empty)
+    for (rep <- 1 to reps; name <- names) {
+      spark.sparkContext.setJobGroup(s"$name#$rep", s"bench $name rep $rep")
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try { SparkEntry.queries(name)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] $name rep $rep failed: ${e.getMessage}")
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
       spark.catalog.clearCache() // no cross-query cache reuse in timings
-      (name, sec, ok)
+      samples(name) = samples(name) :+ ((sec, ok))
     }
-    // A failed query must not make the bench look faster: it is recorded as
-    // -1 in `queries`, listed in `failed`, and excluded from the total.
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    Thread.sleep(500) // let the async listener bus drain before reading counts
+
+    // A query is ok if ANY rep succeeded (transient failures don't zero a
+    // real operator); its time is the min over successful reps. A query
+    // with NO successful rep must not make the bench look faster: recorded
+    // as -1 in `queries`, listed in `failed`, excluded from the total.
+    final case class R(name: String, sec: Double, jobs: Int, ok: Boolean)
+    val results = names.map { name =>
+      val ss = samples(name)
+      val okReps = ss.zipWithIndex.collect { case ((s, true), i) => (s, i + 1) }
+      if (okReps.isEmpty) R(name, -1, 0, ok = false)
+      else {
+        val (sec, rep) = okReps.minBy(_._1)
+        R(name, sec, Option(jobsByGroup.get(s"$name#$rep")).fold(0)(_.intValue), ok = true)
+      }
+    }
+    val failed = results.collect { case R(k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    // Belt and braces for the driver's parser: the JSON goes to stdout as
-    // the last line (sbt epilogue suppressed via showSuccess := false in
+    val total = results.collect { case R(_, v, _, true) => v }.sum
+    def f3(d: Double) = if (d < 0) "-1" else f"$d%.3f"
+    val qs = results.map(r => "\"" + r.name + "\":" + f3(r.sec)).mkString("{", ",", "}")
+    val js = results.map(r => "\"" + r.name + "\":" + r.jobs).mkString("{", ",", "}")
+    val summary = s"""{"total":${f3(total)},"n":${results.size},"failed":$failed}"""
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"jobs":$js,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+    // Belt and braces for the driver's parser: summary first (short — a
+    // truncated capture still parses), then the full JSON as the last
+    // stdout line (sbt epilogue suppressed via showSuccess := false in
     // build.sbt) AND to a file, so a stdout-parsing failure is recoverable.
+    // The file keeps the single-JSON-document shape (json.load-able); the
+    // summary prefix is a stdout-capture defense only.
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json"))
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     spark.stop()
+    println(summary)
     println(json)
   }
 }

@@ -21,19 +21,27 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("WARN")
     // count Spark jobs per query: every job is a driver scheduling
     // round-trip, so job count is the fixed-overhead (and stall-surface)
-    // multiplier of a query independent of data volume
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    // multiplier of a query independent of data volume. Attribution is by
+    // job group (unique per invocation), not a reset-between-queries
+    // counter — listener events arrive asynchronously, so a counter reset
+    // races with in-flight onJobStart deliveries.
+    val jobsByGroup = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null) { jobsByGroup.merge(g, 1, (a, b) => a + b); () }
       }
     })
-    names.foreach { name =>
-      jobs.set(0)
+    names.zipWithIndex.foreach { case (name, i) =>
+      val group = s"$name#$i"
+      spark.sparkContext.setJobGroup(group, s"time $name")
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      println(f"[time] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  ${jobs.get()}%3d jobs")
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      Thread.sleep(200) // let the async listener bus drain before reading
+      println(f"[time] $name%-28s $sec%.2f s  ${Option(jobsByGroup.get(group)).fold(0)(_.intValue)}%3d jobs")
       spark.catalog.clearCache()
     }
     spark.stop()
