@@ -16,9 +16,13 @@ import scala.collection.mutable
   * hand-derived fixtures pinning each divergence.
   *
   * Pipeline, exactly as published:
-  *  1. core distance: distance to the `minSamples`-th nearest neighbor,
-  *     the point itself included (sklearn semantics — `minSamples = 1`
-  *     gives core 0, i.e. mutual reachability degenerates to raw distance);
+  *  1. core distance: distance to the `minSamples`-th nearest OTHER
+  *     point — the convention of the hdbscan library's precomputed-metric
+  *     path, which the reference runs (`np.partition(D, min_points)[:,
+  *     min_points]` over a row that contains self at distance 0). Note
+  *     `minSamples = 1` still degenerates mutual reachability to the raw
+  *     distance: core(a) = min over others of d(a,·) ≤ d(a,b) for every b,
+  *     so max(core(a), core(b), d(a,b)) = d(a,b);
   *  2. mutual reachability: mr(a,b) = max(core(a), core(b), d(a,b));
   *  3. MST of the implicit complete mr-graph (Prim, O(n²) — the kernel is
   *     per-group local; Spark parallelizes across groups);
@@ -69,9 +73,12 @@ object Hdbscan {
     if (n == 0) return Array.empty
     if (n < 2) return Array.fill(n)(-1)
 
-    // -- 1. core distances: (k-1)-th nearest OTHER point (self is the 0th
-    // neighbor); capped at the farthest other when the group is smaller
-    // than the neighborhood.
+    // -- 1. core distances: k-th nearest OTHER point (self is the 0th
+    // neighbor — the reference library's precomputed-path indexing);
+    // capped at the farthest other when the group is smaller than the
+    // neighborhood.
+    // k == 1 skips the pass: core(a) = min over others of d(a,·) never
+    // exceeds d(a,b), so mr ≡ d whether cores are computed or left 0.
     val core = new Array[Double](n)
     if (k > 1) {
       val buf = new Array[Double](n - 1)
@@ -80,7 +87,7 @@ object Hdbscan {
         var j = 0; var w = 0
         while (j < n) { if (j != i) { buf(w) = dist(i, j); w += 1 }; j += 1 }
         java.util.Arrays.sort(buf)
-        core(i) = buf(math.min(k - 2, n - 2))
+        core(i) = buf(math.min(k - 1, n - 2))
         i += 1
       }
     }

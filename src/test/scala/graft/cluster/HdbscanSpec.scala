@@ -113,25 +113,33 @@ class HdbscanSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------------
-  // Fixture 5: minSamples (core distances, self included) flips an EOM
-  // decision by deflating in-blob density.
+  // Fixture 5: minSamples (core = distance to the minSamples-th nearest
+  // OTHER point, the hdbscan library's precomputed-path convention) flips
+  // the outcome by deflating in-blob density.
   //
   // Blobs with gaps 0.05: C = {0, .05, .10, .15, .20}, D = C + .45 (gap
   // .25), P2 = P1 + 4.0 (root gap 3.35).
   //
-  // minSamples=1 → cores 0, mreach = raw distance:
+  // minSamples=1 → core(a) = nearest-other ≤ d(a,b) ∀b → mreach = raw:
   //   every C point dies at λ=1/.05=20; stab(C) = 5·(20−4) = 80 per blob;
   //   stab(P1) = (4 − 1/3.35)·10 = 37.0 < 160 → children win: 4 clusters.
   //
-  // minSamples=5 → core = distance to the 4th nearest OTHER point (the
-  // 5th neighbor counting self): endpoints .20, next-in .15, middle .10.
-  //   Mutual-reachability single linkage in C: merges at .15, .15, .20,
-  //   .20; condensed: endpoints shed at λ=5, remaining 3 die at λ=1/.15.
-  //   stab(C) = 2·(5−4) + 3·(1/.15−4) = 2 + 8 = 10 per blob;
-  //   stab(P1) = 37.0 > 10+10 → PARENT wins now: 2 clusters.
+  // minSamples=5 with 5-point blobs → the 5th nearest OTHER point lies in
+  // the SIBLING blob, so every core spans the C–D gap. Sorted
+  // other-distances per point: c0 {.05,.10,.15,.20,.45}→core .45;
+  // c1 {.05,.05,.10,.15,.40}→.40; c2 {.05,.05,.10,.10,.35}→.35;
+  // c3 {.05,.05,.10,.15,.30}→.30; c4 {.05,.10,.15,.20,.25}→.25
+  // (D mirrored: d0 .25, d1 .30, d2 .35, d3 .40, d4 .45).
+  //   Every P1 mutual-reachability edge is core-dominated: the cheapest is
+  //   mr(c4,d0)=max(.25,.25,.25)=.25, and each remaining point accretes
+  //   SINGLY at its own core (.26..., up to .45) — no (≥5,≥5) split ever
+  //   happens inside P1, so C and D are never born: P1 is a condensed LEAF,
+  //   EOM selects P1 and P2 directly → 2 clusters.
   //
-  // (Under "k-th OTHER" core semantics the endpoint cores would be .25 and
-  // the numbers differ — this fixture pins the self-included convention.)
+  // (Under a "self-included" convention — core = (minSamples-1)-th nearest
+  // other — the cores would stay INSIDE the blobs (.10–.20), C and D would
+  // be born at the .25 split, and the EOM stability comparison would decide
+  // instead. This fixture pins the nearest-OTHER indexing.)
   // ---------------------------------------------------------------------
   test("minSamples deflates density and flips the EOM selection") {
     val c = Seq(0.0, 0.05, 0.10, 0.15, 0.20)
@@ -141,6 +149,29 @@ class HdbscanSpec extends AnyFunSuite {
     assert(fine.toSeq === (Seq.fill(5)(0) ++ Seq.fill(5)(1) ++ Seq.fill(5)(2) ++ Seq.fill(5)(3)))
     val coarse = Hdbscan.labelsFromDistance(n, d, minClusterSize = 5, minSamples = 5)
     assert(coarse.toSeq === (Seq.fill(10)(0) ++ Seq.fill(10)(1)))
+  }
+
+  // ---------------------------------------------------------------------
+  // Fixture 5b: the core-distance indexing convention, pinned by labels.
+  //
+  // Fixture-3 data (TIGHT 5-point blobs, gaps .01; D = C + .29 so the C–D
+  // gap is .25) with minSamples=5. The 5th nearest OTHER point of every
+  // blob member lies in the sibling blob (cores .25–.29 — e.g. c4:
+  // {.01,.02,.03,.04,.25}→.25, c0: {.01,.02,.03,.04,.29}→.29), so all of
+  // P1 accretes singly at core-dominated heights and C/D are never born:
+  // TWO clusters of 10. Under the self-included convention (core =
+  // (minSamples−1)-th nearest other) the cores stay inside the blobs
+  // (≤ .04), mreach ≈ raw, C/D are born at the .25 split with huge
+  // stabilities (5·(1/.04 − 4) ≈ 105 each vs parent 37) and the result
+  // would be FOUR clusters — a label-level divergence between the two
+  // conventions, asserted here on the reference library's side.
+  // ---------------------------------------------------------------------
+  test("core distance reaches the minSamples-th nearest OTHER point") {
+    val c = Seq(0.0, 0.01, 0.02, 0.03, 0.04)
+    val xs = c ++ c.map(_ + 0.29) ++ c.map(_ + 4.0) ++ c.map(_ + 4.29)
+    val (n, d) = line(xs: _*)
+    val got = Hdbscan.labelsFromDistance(n, d, minClusterSize = 5, minSamples = 5)
+    assert(got.toSeq === (Seq.fill(10)(0) ++ Seq.fill(10)(1)))
   }
 
   // ---------------------------------------------------------------------
