@@ -21,7 +21,7 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(
     q50Sessions, q51Merged, q52Graph, q53Interests, q54Clusters, q55GraphStats,
     q85Takeout, q86Metrics, q89Discovery, q93PcaClusters, q100Hdbscan,
-    q102PcaHdbscan, q104HdbscanExact)
+    q102PcaHdbscan, q104HdbscanExact, q105HdbscanCoreDist)
 
   /** events → activity frame (user_id, ts, title). */
   def activity(s: SparkSession, d: String): DataFrame =
@@ -167,10 +167,28 @@ object PipelineQueries {
     * DuckDB replays via the q54 recursive-CTE shape. This runs the REAL
     * hierarchy/stability/epsilon-search code path end to end into a hash
     * compare; HdbscanSpec covers the non-degenerate semantics. */
-  val q104HdbscanExact: QueryDef = {
+  val q104HdbscanExact: QueryDef = hdbscanExactCut("q104_hdbscan_exact", minSamples = 1)
+
+  /** q104 with `minSamples = 5` — hash-checks the k-NN CORE-DISTANCE
+    * kernel (Hdbscan.scala k>1 path), which q104's `minSamples = 1`
+    * provably bypasses (core degenerates to the nearest-other distance and
+    * mutual reachability to the raw metric). The same fixture stays
+    * ε-cut-degenerate at k=5 because every blob has ≥ 6 points: the 5th
+    * nearest OTHER point of any blob member is still IN-blob (≤ 0.010 rad
+    * → cosine core ≤ 5.0e-5 ≪ ε=0.01), so in-blob mutual-reachability
+    * edges stay below ε, while every inter-blob/outlier distance
+    * (≥ 0.1177) dominates all cores — the hierarchy at and above blob
+    * level is point-for-point the minSamples=1 one, and HDBSCAN again
+    * equals the DuckDB-replayable raw-distance ε-cut. An indexing bug in
+    * the core pass (e.g. reading the 6th-nearest, which for a 6-blob
+    * member lies in the SIBLING blob at ≥ 0.1177) would push every
+    * in-blob mr edge past ε and flip the labels → hash red. */
+  val q105HdbscanCoreDist: QueryDef = hdbscanExactCut("q105_hdbscan_coredist", minSamples = 5)
+
+  private def hdbscanExactCut(name: String, minSamples: Int): QueryDef = {
     def root = graft.core.Fixtures.resolve("clusters", "GRAFT_CLUSTER_FIXTURES")
     QueryDef.sql(
-      "q104_hdbscan_exact",
+      name,
       s"""WITH RECURSIVE
          |nodes AS (
          |  SELECT group_id AS grp, CAST(point_id AS VARCHAR) AS item,
@@ -206,7 +224,7 @@ object PipelineQueries {
           col("embedding"))
       graft.cluster.LocalCluster.hdbscanPerKey(
           pts, "group_id", "point_id", "embedding",
-          minClusterSize = 5, minSamples = 1, clusterSelectionEpsilon = 0.01)
+          minClusterSize = 5, minSamples = minSamples, clusterSelectionEpsilon = 0.01)
         .select(col("group_id"), col("point_id"), col("cluster_label"))
         .orderBy(col("group_id"), col("point_id"))
     }

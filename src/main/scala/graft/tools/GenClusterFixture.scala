@@ -28,6 +28,17 @@ import org.apache.spark.sql.SparkSession
   *    member but ε-cut noise (the published fell-out-point membership
   *    semantics, HdbscanSpec fixture 1) — the geometry forbids that.
   *
+  * The same fixture is ALSO ε-cut-degenerate at `minSamples = 5` (q105,
+  * which hash-checks the k-NN core-distance kernel that minSamples=1
+  * bypasses): blobs have ≥ 6 points, so every member's 5th nearest OTHER
+  * point is in-blob (≤ 0.010 rad → core ≤ 5.0e-5 ≪ ε = 0.01) and in-blob
+  * mutual-reachability edges stay below ε, while every inter-blob and
+  * outlier distance (≥ 0.1177) dominates all blob cores — the dendrogram
+  * at and above blob level is identical to the minSamples=1 one, leaf
+  * stabilities (~size/5e-5) still dwarf parents' (~size×4), and outlier
+  * cores only grow. Both parameterizations provably equal the same raw-
+  * distance ε-cut the DuckDB oracle replays.
+  *
   * Run once; output committed. Deterministic — no RNG, pure angle
   * arithmetic.
   */
