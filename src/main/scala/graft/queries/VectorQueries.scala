@@ -22,7 +22,8 @@ object VectorQueries {
 
   def all: Seq[QueryDef] = Seq(
     q30Top1Similar, q31NearDupBucketed, q32KnnBruteForce, q33Centroids,
-    q34LshTopK, q35IvfTopK, q36IvfIndexTopK, q88HofDot, q94IvfExactServe)
+    q34LshTopK, q35IvfTopK, q36IvfIndexTopK, q88HofDot, q94IvfExactServe,
+    q106IvfUpsertServe)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
@@ -205,6 +206,53 @@ object VectorQueries {
       nCentroids = 8, iters = 1)
     val q = emb(s, d).filter(col("vec_id") < 5)
     idx.topK(q, "vec_id", "embedding", k = 10, nprobe = 8, simDecimals = Some(6))
+      .select(col("qid"), col("rank"), col("nn"), col("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The persisted index's INCREMENTAL-UPSERT path (IvfIndex.upsert —
+    * spec-only until round 8), oracle-checked via the q94 exact-degenerate
+    * serve: build on a base corpus (vec_id ≥ 5, original vectors), upsert
+    * a delta that both INSERTS new ids (vec_id < 5) and UPDATES existing
+    * ones (5 ≤ vec_id < 15) with REVERSED vectors (reversal changes cosine
+    * geometry — a scale factor wouldn't — while keeping both engines'
+    * element-order accumulation identical), then serve with nprobe ≥ the
+    * centroid count so candidates = the whole post-upsert corpus and the
+    * result provably equals brute force over it. DuckDB replays the merge
+    * declaratively (base MINUS delta ids UNION delta) and brute-forces the
+    * same top-k — so a wrong upsert (stale vector kept, changed id left in
+    * its old centroid partition AND its new one, insert dropped) changes
+    * the candidate set and flips the hash. */
+  val q106IvfUpsertServe: QueryDef = sql(
+    "q106_ivf_upsert_serve",
+    """WITH corpus AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings WHERE vec_id >= 15
+      |  UNION ALL
+      |  SELECT vec_id, list_reverse(CAST(embedding AS DOUBLE[])) AS e
+      |  FROM embeddings WHERE vec_id < 15),
+      |q AS (SELECT vec_id AS qid, e AS qe FROM corpus WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid, c.vec_id AS nn,
+      |         round(list_cosine_similarity(q.qe, c.e), 6) AS sim
+      |  FROM q CROSS JOIN corpus c
+      |  WHERE c.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT qid, nn, sim,
+      |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nn) AS rank
+      |  FROM scored)
+      |SELECT qid, rank, nn, sim FROM ranked WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    import graft.sources.IvfIndex
+    val path = java.nio.file.Files.createTempDirectory("ivfidx_q106").toString + "/idx"
+    val e = emb(s, d)
+    val idx = IvfIndex.build(e.filter(col("vec_id") >= 5), path,
+      "vec_id", "embedding", nCentroids = 8, iters = 1)
+    val delta = e.filter(col("vec_id") < 15)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    idx.upsert(delta, "vec_id", "embedding")
+    idx.topK(delta.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nprobe = 8, simDecimals = Some(6))
       .select(col("qid"), col("rank"), col("nn"), col("sim"))
       .orderBy(col("qid"), col("rank"))
   }

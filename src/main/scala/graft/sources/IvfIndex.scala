@@ -50,21 +50,27 @@ final class IvfIndex(spark: SparkSession, path: String) {
     val touchedCids = assignments
       .join(changedIds, Seq("id"), "left_semi").select("cid")
       .union(assigned.select("cid")).distinct()
+    // cache the merge result: it feeds the drained-partition diff AND the
+    // write — uncached, the touched-partition join would recompute per
+    // action (the pre-write files it reads are about to be overwritten, so
+    // the cache is a correctness barrier too, not just a cost saver)
     val touched = assignments.join(touchedCids, Seq("cid"), "left_semi")
     val merged = touched.join(changedIds, Seq("id"), "left_anti")
       .unionByName(assigned)
+      .cache()
     // Dynamic overwrite only rewrites partitions that RECEIVE rows: a
     // centroid whose last occupant moved away would keep its stale file.
     // Both cid sets here are bounded by nCentroids (small by construction),
-    // so diff them on the driver and drop the drained partitions explicitly
-    // — AFTER the write, which still scans the pre-write files.
-    val mergedCids = merged.select("cid").distinct()
-      .collect().map(_.getLong(0)).toSet
-    val drained = touchedCids.collect().map(_.getLong(0)).toSet -- mergedCids
+    // so diff them (one anti-join collect) and drop the drained partitions
+    // explicitly after the write.
+    val drained = touchedCids
+      .join(merged.select("cid").distinct(), Seq("cid"), "left_anti")
+      .collect().map(_.getLong(0))
     merged.select(col("id"), col("vec"), col("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .option("partitionOverwriteMode", "dynamic") // write-scoped, no session leak
       .parquet(s"$path/assignments")
+    merged.unpersist()
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     drained.foreach { c =>
