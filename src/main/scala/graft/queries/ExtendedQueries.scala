@@ -255,7 +255,7 @@ object ExtendedQueries {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)(s, d))
 
-  private val q81Sql =
+  private[graft] val q81Sql =
     """WITH RECURSIVE ordered AS (
       |  SELECT o_custkey, o_orderkey,
       |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
@@ -274,10 +274,36 @@ object ExtendedQueries {
       |SELECT o_custkey, o_orderkey, depth FROM walk
       |ORDER BY o_custkey, depth""".stripMargin
 
-  /** WITH RECURSIVE (Spark 4 recursive CTE): per-customer order-chain walk,
-    * depth-capped — each recursion step is a join iteration, so the cap
-    * bounds the job count; shared syntax with DuckDB. */
-  val q81Recursive: QueryDef = sql("q81_recursive", q81Sql)(run(q81Sql))
+  /** Depth-capped per-customer order-chain walk. Round 8: the Spark side
+    * moved from the recursive CTE (one join + one driver scheduling round
+    * PER DEPTH STEP — 63 jobs with AQE stage materializations, the
+    * worst-scheduling query in the round-7 audit) to POINTER DOUBLING
+    * ([[graft.operators.PathDoubling]]): ⌈log₂ 6⌉ = 3 plan-construction
+    * rounds, zero driver actions until the sink — one declarative plan.
+    * The DuckDB oracle keeps the recursive-CTE formulation, so the hash
+    * check is two INDEPENDENT algorithms agreeing; Spark's own WITH
+    * RECURSIVE surface stays pinned against this output in
+    * RecursiveSqlSpec. */
+  val q81Recursive: QueryDef = sql("q81_recursive", q81Sql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ordered = Tables.orders(s, d)
+      .filter(col("o_custkey") < 60)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))).as("rn"))
+    val edges = ordered.alias("a")
+      .join(ordered.select(col("o_custkey").as("ck"), col("o_orderkey").as("nxt"),
+          col("rn").as("rn2")).alias("b"),
+        col("a.o_custkey") === col("b.ck") && col("b.rn2") === col("a.rn") + 1)
+      .select(col("a.o_custkey").as("key"),
+        col("a.o_orderkey").as("src"), col("b.nxt").as("dst"))
+    val starts = ordered.filter(col("rn") === 1)
+      .select(col("o_custkey").as("key"), col("o_orderkey").as("node"))
+    graft.operators.PathDoubling.walk(starts, edges, maxDepth = 6)
+      .select(col("key").as("o_custkey"), col("node").as("o_orderkey"),
+        col("depth").cast("int").as("depth"))
+      .orderBy(col("o_custkey"), col("depth"))
+  }
 
   private val q82Sql =
     """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 40),
