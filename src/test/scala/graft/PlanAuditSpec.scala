@@ -28,16 +28,23 @@ class PlanAuditSpec extends SparkSpec {
     "q99_sketch_bounds") // cross join of four 1-row sub-aggregates (the no-Expand shape)
 
   /** Queries whose run function EXECUTES side-effectful work (index build,
-    * store writes, a streaming tick) before returning the final frame: the
-    * returned plan is just a read of the materialized result, so sweeping
-    * them here would audit the trivial tail while paying for the whole
-    * pipeline twice. Their interesting physical shapes are pinned where the
-    * work happens instead: KnnSpec (q36 pruned scan, BNLJ allowlist above),
-    * VectorStoreSpec (q87 partition pruning), StreamingSpec (q89),
-    * SessionizeSpec (q86 counters). */
+    * store writes, a scratch-table write, a streaming tick) before
+    * returning the final frame: the returned plan is just a read of the
+    * materialized result, so sweeping them here would audit the trivial
+    * tail while paying for the whole pipeline twice. Their interesting
+    * physical shapes are pinned where the work happens instead: KnnSpec
+    * (q36 pruned scan, BNLJ allowlist above), VectorStoreSpec (q87
+    * partition pruning), StreamingSpec (q89), SessionizeSpec (q86
+    * counters), DedupSpec "candidate generation plans" (the LSH/simhash
+    * banded self-joins and the canonicalize verify join that q56/q57/q97/
+    * q98/q103 materialize to scratch parquet for their oracles), KnnSpec
+    * (the q106 upsert merge + exact serve). */
   private val sideEffecting = Set(
     "q36_ivf_index_topk", "q86_pipeline_metrics",
-    "q87_partition_overwrite", "q89_discovery")
+    "q87_partition_overwrite", "q89_discovery",
+    "q56_minhash_lsh_pairs", "q57_simhash_neardup",
+    "q97_minhash_verify", "q98_simhash_verify", "q103_dedup_canonical",
+    "q106_ivf_upsert_serve")
 
   private def auditable: Seq[String] =
     SparkEntry.allQueries.map(_.name).filterNot(sideEffecting)

@@ -99,4 +99,35 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  // q56/q57/q97/q98/q103 materialize these candidate frames to scratch
+  // parquet inside run(), so PlanAuditSpec only sees the trivial read-back
+  // plan — the pair-generating joins are audited HERE instead: every one
+  // must be an equi-join on its bucket key (Σbucket², never n²). A
+  // CartesianProduct or BroadcastNestedLoopJoin in any of them is the
+  // exact scale bug the banding exists to prevent.
+  test("candidate generation plans: bucket equi-joins, never all-pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val docs001 = spark.read.parquet(s"$sf/documents.parquet")
+    val plans = Map(
+      "minhashLshCandidates" ->
+        Dedup.minhashLshCandidates(docs001, "doc_id", "text"),
+      "simhashCandidates" ->
+        Dedup.simhashCandidates(docs001, "doc_id", "text"),
+      "jaccardVerify" ->
+        Dedup.jaccardVerify(
+          docs001.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b")),
+          docs001, "doc_id", "text", threshold = 0.2))
+      .view.mapValues(_.queryExecution.executedPlan.toString).toMap
+    plans.foreach { case (name, plan) =>
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n${plan.take(1500)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ:\n${plan.take(1500)}")
+    }
+    // the self-joins key on (band|chunk, bucket|key): visible as an
+    // equi-join whose key list includes the bucket column
+    assert(plans("minhashLshCandidates").contains("bucket"),
+      plans("minhashLshCandidates").take(1500))
+    assert(plans("simhashCandidates").contains("key"),
+      plans("simhashCandidates").take(1500))
+  }
 }
