@@ -43,6 +43,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Fail fast on dangling scratch references: some oracles read_parquet a
+    // scratch table the query wrote THIS run (q56/q57/q97/q98/q103). A dump
+    // whose scratch dir is absent (clean build dir, different cwd than the
+    // writer, query skipped via the `only` filter) would make the DuckDB
+    // compare read missing — or worse, stale — candidate data. Better to
+    // die loudly here than to let the driver record a silent mismatch.
+    val scratchRefs = SparkEntry.oracleSql.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .flatMap { case (name, sqlText) =>
+        "'([^']+)/\\*\\.parquet'".r.findAllMatchIn(sqlText)
+          .map(_.group(1)).filter(_.startsWith(graft.core.Scratch.base))
+          .map(name -> _)
+      }
+    val dangling = scratchRefs.filterNot { case (_, p) => new java.io.File(p).isDirectory }
+    require(dangling.isEmpty,
+      s"oracle_sql.json references scratch dirs that do not exist — the DuckDB " +
+        s"compare would read missing data: ${dangling.mkString(", ")} " +
+        "(set GRAFT_SCRATCH_DIR or run from the writing checkout)")
     spark.stop()
   }
 }

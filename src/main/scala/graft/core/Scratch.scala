@@ -24,9 +24,13 @@ object Scratch {
   // under the repo's build dir, NOT java.io.tmpdir: the oracle's DuckDB
   // process may run minutes after the engine wrote the table, and a tmp
   // cleaner (or a per-process tmpdir) would turn every scratch oracle red.
-  // Absolute path so the embedded SQL is cwd-independent.
-  private val base =
-    new java.io.File("target/graft_scratch").getAbsolutePath
+  // Absolute path so the embedded SQL is cwd-independent. GRAFT_SCRATCH_DIR
+  // overrides for runs whose working directory differs from the checkout
+  // the comparing process will read (the cwd-derived default is only valid
+  // when writer and reader agree on it — Verify fails fast if a dumped
+  // oracle points at a scratch dir that does not exist).
+  private[graft] val base = sys.env.getOrElse("GRAFT_SCRATCH_DIR",
+    new java.io.File("target/graft_scratch").getAbsolutePath)
 
   private def path(query: String, sfName: String): String =
     s"$base/${query}_$sfName"
