@@ -35,8 +35,10 @@ object PipelineQueries {
     * the driver's rows-only check sorts the frame in pandas, where
     * array-typed cells are unsortable (numpy.ndarray is unhashable). */
   val q50Sessions: QueryDef = rowsOnly("q50_pipeline_sessions") { (s, d) =>
-    import graft.operators.Sessionize
-    Sessionize.sessions(activity(s, d), new StubSessionsLLM)
+    // PipelinePrefix delegates straight to Sessionize.sessions unless the
+    // user opted into graft.pipeline.cachePrefix (then q50/q51/q52 share
+    // one materialized Sessionize pass)
+    graft.pipeline.PipelinePrefix.sessions(activity(s, d), new StubSessionsLLM)
       .withColumn("interests", concat_ws(",", col("interests")))
       .orderBy(col("user_id"), col("date"), col("time_start"), col("description"))
   }
