@@ -44,6 +44,39 @@ class PathDoublingSpec extends SparkSpec {
     assert(df.count() === 2L)
   }
 
+  test("property: random functional forests ≡ driver-side sequential walk") {
+    // deterministic pseudo-random forests: each key gets a chain-with-
+    // tail shape built from a seeded RNG; the oracle is the obvious
+    // sequential walk the doubling must reproduce exactly
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 10) {
+      val nKeys = 1 + rnd.nextInt(4)
+      val maxDepth = 1 + rnd.nextInt(9)
+      val rows = (1 to nKeys).flatMap { k =>
+        val n = 1 + rnd.nextInt(12)
+        // nodes 0..n-1; functional next: node i -> i+1 for i < cut
+        val cut = rnd.nextInt(n)
+        (0 until cut).map(i => (k.toLong, i.toLong * 7, (i + 1).toLong * 7))
+      }
+      val startNode = 0L
+      val starts = (1 to nKeys).map(k => (k.toLong, startNode)).toDF("key", "node")
+      val edges = rows.toDF("key", "src", "dst")
+      val got = PathDoubling.walk(starts, edges, maxDepth)
+        .as[(Long, Long, Int)].collect().toSet
+      // sequential oracle
+      val nextOf = rows.groupBy(_._1).map { case (k, es) =>
+        k -> es.map(e => e._2 -> e._3).toMap
+      }
+      val want = (1 to nKeys).flatMap { k =>
+        val m = nextOf.getOrElse(k.toLong, Map.empty[Long, Long])
+        Iterator.iterate(Option(startNode))(_.flatMap(m.get))
+          .takeWhile(_.isDefined).take(maxDepth).zipWithIndex
+          .map { case (n, d) => (k.toLong, n.get, d + 1) }.toSeq
+      }.toSet
+      assert(got === want, s"nKeys=$nKeys maxDepth=$maxDepth")
+    }
+  }
+
   test("q81: pointer doubling ≡ Spark's WITH RECURSIVE on the same data") {
     graft.core.Tables.registerAll(spark, sf)
     val cte = spark.sql(graft.queries.ExtendedQueries.q81Sql)
