@@ -24,7 +24,7 @@ object TextQueries {
     q44JaccardPairs, q45LshCandidates, q46Simhash, q47LangId, q48Fingerprint,
     q64MinhashPairs, q65BpeTokens, q66Vocab, q83StableSample, q90Redact,
     q91Contamination, q92Repetition, q95TextHashGoldens, q96SketchTopkTokens,
-    q101SketchTopkShingles)
+    q101SketchTopkShingles, q107EpochShuffle, q108TokenPacking)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -539,5 +539,72 @@ object TextQueries {
         oround(lit(1.0) - countDistinct(col("g")).cast("double") / count(lit(1)), 6)
           .as("dup_frac"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic EPOCH SHUFFLE + sharding — the training-read-order
+    * operator: shard membership is fixed (id mod nShards — balanced, no
+    * data movement between epochs), while the read order WITHIN each shard
+    * is a seeded md5 permutation that changes per epoch string. Both
+    * engines compute the identical md5, so the permutation itself is
+    * hash-checked, not just its shape. Scale: the window partitions by
+    * shard — no global-order single-partition sort; at 100 TB each shard
+    * sorts independently (and nShards is the write parallelism). */
+  val q107EpochShuffle: QueryDef = sql(
+    "q107_epoch_shuffle",
+    """WITH s AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |         md5(CAST(doc_id AS VARCHAR) || '|epoch7') AS skey
+      |  FROM documents)
+      |SELECT doc_id, shard, skey,
+      |       row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos
+      |FROM s
+      |ORDER BY shard, pos""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    docs(s, d).select(col("doc_id"),
+        (col("doc_id") % 8).as("shard"),
+        md5(concat(col("doc_id").cast("string"), lit("|epoch7"))).as("skey"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** Token-stream WINDOW PACKING — the GPT-style pretraining prep step:
+    * per shard, documents are concatenated in a deterministic order into
+    * one token stream that is cut into fixed-size context windows
+    * (budget 512); each document's start offset and first/last window are
+    * derived from a running token sum, so boundary documents straddle
+    * windows exactly as the concatenate-then-chunk semantics dictate.
+    * Declarative (one per-shard running-sum window, no sequential loop),
+    * and value-checked end to end: token counts, offsets, and window ids
+    * must all agree with DuckDB's replay. Scale: partitioned by shard like
+    * q107 — the running sum never crosses shard boundaries. */
+  val q108TokenPacking: QueryDef = sql(
+    "q108_token_packing",
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      |  FROM t)
+      |SELECT doc_id, shard, n_tokens, start_off,
+      |       CAST(floor(start_off / 512.0) AS BIGINT) AS first_window,
+      |       CAST(floor((start_off + n_tokens - 1) / 512.0) AS BIGINT) AS last_window
+      |FROM o
+      |ORDER BY shard, doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d).select(col("doc_id"),
+        (col("doc_id") % 8).as("shard"),
+        size(tokens).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("first_window",
+        floor(col("start_off") / lit(512.0)).cast("long"))
+      .withColumn("last_window",
+        floor((col("start_off") + col("n_tokens") - lit(1)) / lit(512.0)).cast("long"))
+      .orderBy(col("shard"), col("doc_id"))
   }
 }
