@@ -122,29 +122,44 @@ object IvfIndex {
   def build(corpus: DataFrame, path: String, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 3, seed: Long = 42L): IvfIndex = {
     val spark = corpus.sparkSession
+    import spark.implicits._
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("vec"))
-    var cents = base
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-      .limit(nCentroids)
-      .withColumn("cid", row_number().over(Window.orderBy(col("id"))).cast("long"))
-      .select(col("cid"), col("vec").as("cvec"))
-    for (_ <- 0 until iters) {
+    // seed centroids on the driver: one TakeOrdered job for nCentroids rows
+    // (bounded small by IVF construction — the same argument as the probe
+    // collect in topK) instead of a limit + single-partition rank window
+    var cents = spark.createDataset(
+        base.orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+          .limit(nCentroids)
+          .select(col("id"), col("vec")).as[(Long, Seq[Float])]
+          .collect().sortBy(_._1).zipWithIndex
+          .map { case ((_, v), i) => (i.toLong + 1, v) }.toSeq)
+      .toDF("cid", "cvec")
+    for (it <- 0 until iters) {
       val assigned = Knn.ivfAssign(base, "id", "vec", cents, "cid", "cvec", 1)
       val prev = cents
       // materialize each iteration's centroids (a tiny nCentroids-row
       // frame): without this, iteration k's corpus scan lazily recomputes
       // iterations 1..k-1, turning Lloyd's linear passes into O(iters²)
-      // scans — at corpus scale that's the whole build cost
+      // scans — at corpus scale that's the whole build cost. The LAST
+      // iteration materializes through the centroid write below instead of
+      // a separate count job.
       cents = assigned.groupBy(col("cid"))
         .agg(graft.functions.vector_mean(col("vec")).as("cd"))
         .select(col("cid"), col("cd").cast("array<float>").as("cvec"))
-        .cache()
-      cents.count()
-      prev.unpersist()
+      if (it < iters - 1) {
+        cents = cents.cache()
+        cents.count()
+        prev.unpersist()
+      } else {
+        // the write below materializes the last iteration from prev's
+        // cache; prev is released right after
+        cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+        prev.unpersist()
+      }
     }
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    cents.unpersist()
+    if (iters == 0)
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val idx = new IvfIndex(spark, path)
     Knn.ivfAssign(base, "id", "vec", idx.centroids, "cid", "cvec", 1)
       .select(col("id"), col("vec"), col("cid"))
