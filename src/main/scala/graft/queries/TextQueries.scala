@@ -24,7 +24,8 @@ object TextQueries {
     q44JaccardPairs, q45LshCandidates, q46Simhash, q47LangId, q48Fingerprint,
     q64MinhashPairs, q65BpeTokens, q66Vocab, q83StableSample, q90Redact,
     q91Contamination, q92Repetition, q95TextHashGoldens, q96SketchTopkTokens,
-    q101SketchTopkShingles, q107EpochShuffle, q108TokenPacking)
+    q101SketchTopkShingles, q107EpochShuffle, q108TokenPacking,
+    q109WindowManifest)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -606,5 +607,55 @@ object TextQueries {
       .withColumn("last_window",
         floor((col("start_off") + col("n_tokens") - lit(1)) / lit(512.0)).cast("long"))
       .orderBy(col("shard"), col("doc_id"))
+  }
+
+  /** The trainer-feed MANIFEST completing q108: each document's straddling
+    * token span explodes into one row per (window, tokens-in-window)
+    * segment — `tokens_in` = |[start, start+n) ∩ [w·B, (w+1)·B)| — so a
+    * loader can address exactly which token slice of which document fills
+    * which context window. Generate (sequence → explode) + interval
+    * arithmetic, no shuffle beyond the per-shard running sum; DuckDB
+    * replays via generate_series. The invariant that every window is
+    * exactly full (except each shard's last) falls out of the checked
+    * values. */
+  val q109WindowManifest: QueryDef = sql(
+    "q109_window_manifest",
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      |  FROM t),
+      |seg AS (
+      |  SELECT doc_id, shard, n_tokens, start_off,
+      |         unnest(generate_series(CAST(floor(start_off / 512.0) AS BIGINT),
+      |                                CAST(floor((start_off + n_tokens - 1) / 512.0) AS BIGINT)))
+      |           AS window_id
+      |  FROM o)
+      |SELECT shard, window_id, doc_id,
+      |       greatest(start_off, window_id * 512) - start_off AS doc_from,
+      |       least(start_off + n_tokens, (window_id + 1) * 512)
+      |         - greatest(start_off, window_id * 512) AS tokens_in
+      |FROM seg
+      |ORDER BY shard, window_id, doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d).select(col("doc_id"),
+        (col("doc_id") % 8).as("shard"),
+        size(tokens).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("window_id", explode(sequence(
+        floor(col("start_off") / lit(512.0)).cast("long"),
+        floor((col("start_off") + col("n_tokens") - lit(1)) / lit(512.0)).cast("long"))))
+      .select(col("shard"), col("window_id"), col("doc_id"),
+        (greatest(col("start_off"), col("window_id") * 512) - col("start_off"))
+          .as("doc_from"),
+        (least(col("start_off") + col("n_tokens"), (col("window_id") + 1) * 512)
+          - greatest(col("start_off"), col("window_id") * 512)).as("tokens_in"))
+      .orderBy(col("shard"), col("window_id"), col("doc_id"))
   }
 }
