@@ -25,7 +25,7 @@ object TextQueries {
     q64MinhashPairs, q65BpeTokens, q66Vocab, q83StableSample, q90Redact,
     q91Contamination, q92Repetition, q95TextHashGoldens, q96SketchTopkTokens,
     q101SketchTopkShingles, q107EpochShuffle, q108TokenPacking,
-    q109WindowManifest)
+    q109WindowManifest, q110MixtureWeights)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -657,5 +657,46 @@ object TextQueries {
         (least(col("start_off") + col("n_tokens"), (col("window_id") + 1) * 512)
           - greatest(col("start_off"), col("window_id") * 512)).as("tokens_in"))
       .orderBy(col("shard"), col("window_id"), col("doc_id"))
+  }
+
+  /** Source-mixture WEIGHTS with temperature — the multilingual sampling
+    * step (α = 0.3, the published XLM-R exponent): per language,
+    * p_raw = its token share, p_temp ∝ n_tokens^α (the T^α denominator
+    * cancels), and oversample = p_temp / p_raw — the up-sampling factor a
+    * loader applies to low-resource sources. One per-lang aggregation
+    * cross-joined with its 1-row totals (the q99 no-Expand shape — a
+    * broadcast of one row, allowlisted in the plan audit); scale is the
+    * token-count scan, the mixture math is O(|languages|). */
+  val q110MixtureWeights: QueryDef = sql(
+    "q110_mixture_weights",
+    """WITH s AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |         sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |tot AS (
+      |  SELECT sum(n_tokens) AS tok_total,
+      |         sum(power(CAST(n_tokens AS DOUBLE), 0.3)) AS pow_total
+      |  FROM s)
+      |SELECT lang, n_docs, n_tokens,
+      |       round(CAST(n_tokens AS DOUBLE) / tok_total, 6) AS p_raw,
+      |       round(power(CAST(n_tokens AS DOUBLE), 0.3) / pow_total, 6) AS p_temp,
+      |       round((power(CAST(n_tokens AS DOUBLE), 0.3) / pow_total)
+      |             / (CAST(n_tokens AS DOUBLE) / tok_total), 6) AS oversample
+      |FROM s, tot
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val perLang = docs(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens).cast("long")).as("n_tokens"))
+    val tot = perLang.agg(
+      sum(col("n_tokens")).as("tok_total"),
+      sum(pow(col("n_tokens").cast("double"), lit(0.3))).as("pow_total"))
+    val pTempRaw = pow(col("n_tokens").cast("double"), lit(0.3)) / col("pow_total")
+    val pRawRaw = col("n_tokens").cast("double") / col("tok_total")
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        oround(pRawRaw, 6).as("p_raw"),
+        oround(pTempRaw, 6).as("p_temp"),
+        oround(pTempRaw / pRawRaw, 6).as("oversample"))
+      .orderBy(col("lang"))
   }
 }
