@@ -132,32 +132,72 @@ object VectorQueries {
       .orderBy(col("label"), col("dim"))
   }
 
-  /** Random-hyperplane LSH top-k — the ANN scale path (rows-only; recall
-    * vs. the q32 exact baseline is asserted in KnnSpec). */
-  val q34LshTopK: QueryDef = QueryDef.rowsOnly("q34_lsh_topk") { (s, d) =>
-    import graft.similarity.Knn
-    val e = emb(s, d)
-    val q = e.filter(col("vec_id") < 5)
-    Knn.lshTopK(e, q, "vec_id", "embedding", dim = 64, k = 10)
-      .select(col("qid"), col("rank"), col("nn"), oround(col("sim"), 6).as("sim"))
-      .orderBy(col("qid"), col("rank"))
+  /** Shared oracle SQL for the scratch-candidate ANN queries: DuckDB
+    * re-joins the engine-pinned candidate pairs to their vectors, re-scores
+    * the exact cosine, and re-ranks — value-checking the whole scoring/
+    * ranking half of the operator (the bucketing half is engine-pinned by
+    * construction; its recall is spec-asserted against the q32 exact
+    * baseline in KnnSpec). */
+  private def candidateRerankSql(scratchDir: => String): String =
+    s"""WITH c AS (SELECT qid, nn FROM read_parquet('$scratchDir/*.parquet')),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |scored AS (
+       |  SELECT c.qid, c.nn, round(list_cosine_similarity(a.v, b.v), 6) AS sim
+       |  FROM c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nn),
+       |ranked AS (
+       |  SELECT qid, nn, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nn) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, nn, sim FROM ranked WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
+  /** Random-hyperplane LSH top-k — the ANN scale path. UPGRADED from
+    * rows-only in round 8 via the q56 scratch-table mechanism: the
+    * engine-pinned bucket candidates go to parquet, and DuckDB replays the
+    * ENTIRE exact-cosine scoring + ranking from them — so the operator's
+    * verification half is hash-checked, with ranking on the 6-decimal
+    * rounded similarity on both sides (the q94 determinism contract).
+    * Candidate recall vs the q32 exact baseline stays spec-asserted. */
+  val q34LshTopK: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q34_lsh_topk")
+    sql("q34_lsh_topk", candidateRerankSql(p)) { (s, d) =>
+      import graft.similarity.Knn
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      val path = graft.core.Scratch.dir("q34_lsh_topk", d)
+      Knn.lshCandidates(e, q, "vec_id", "embedding", dim = 64)
+        .write.mode("overwrite").parquet(path)
+      Knn.exactRerank(s.read.parquet(path), e, "vec_id", "embedding",
+          k = 10, decimals = 6)
+        .select(col("qid"), col("rank"), col("nn"), col("sim"))
+        .orderBy(col("qid"), col("rank"))
+    }
   }
 
-  /** IVF top-k probing 3 of the per-label centroids (rows-only; recall in
-    * KnnSpec). Centroids come from the q33 aggregation. */
-  val q35IvfTopK: QueryDef = QueryDef.rowsOnly("q35_ivf_topk") { (s, d) =>
-    import graft.similarity.Knn
-    val e = emb(s, d)
-    // centroids via the VectorMean aggregate — map-side buffers, no 64×
-    // posexplode shuffle blowup (equality with the explode form is pinned
-    // in FunctionsSpec)
-    val cents = e.groupBy(col("label"))
-      .agg(graft.functions.vector_mean(col("embedding")).as("cd"))
-      .select(col("label"), col("cd").cast("array<float>").as("cvec"))
-    val q = e.filter(col("vec_id") < 5)
-    Knn.ivfTopK(e, q, "vec_id", "embedding", cents, "label", "cvec", k = 10, nprobe = 3)
-      .select(col("qid"), col("rank"), col("nn"), oround(col("sim"), 6).as("sim"))
-      .orderBy(col("qid"), col("rank"))
+  /** IVF top-k probing 3 of the per-label centroids — UPGRADED from
+    * rows-only in round 8, same scratch mechanism as q34: probed-partition
+    * candidates to parquet, DuckDB replays scoring + ranking. Centroids
+    * come from the q33 aggregation shape. */
+  val q35IvfTopK: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q35_ivf_topk")
+    sql("q35_ivf_topk", candidateRerankSql(p)) { (s, d) =>
+      import graft.similarity.Knn
+      val e = emb(s, d)
+      // centroids via the VectorMean aggregate — map-side buffers, no 64×
+      // posexplode shuffle blowup (equality with the explode form is pinned
+      // in FunctionsSpec)
+      val cents = e.groupBy(col("label"))
+        .agg(graft.functions.vector_mean(col("embedding")).as("cd"))
+        .select(col("label"), col("cd").cast("array<float>").as("cvec"))
+      val q = e.filter(col("vec_id") < 5)
+      val path = graft.core.Scratch.dir("q35_ivf_topk", d)
+      Knn.ivfCandidates(e, q, "vec_id", "embedding", cents, "label", "cvec", nprobe = 3)
+        .write.mode("overwrite").parquet(path)
+      Knn.exactRerank(s.read.parquet(path), e, "vec_id", "embedding",
+          k = 10, decimals = 6)
+        .select(col("qid"), col("rank"), col("nn"), col("sim"))
+        .orderBy(col("qid"), col("rank"))
+    }
   }
 
   /** ANN served from a PERSISTED IVF index (rows-only; identity with the

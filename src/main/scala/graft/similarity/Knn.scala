@@ -164,25 +164,79 @@ object Knn {
   def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column =
     graft.functions.hyperplane_lsh(vec, dim, nPlanes, seed)
 
+  private def withLshBuckets(df: DataFrame, id: String, vec: String,
+      dim: Int, nPlanes: Int, nTables: Int): DataFrame =
+    df.select(col(id), col(vec),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("table"),
+          lshBucket(col(vec), dim, nPlanes, t.toLong).as("bucket"))): _*)).as("tb"))
+      .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+
   /** LSH top-k: candidates = same bucket in ANY of `nTables` tables,
     * then exact cosine + rank. Recall grows with tables; cost is
     * Σ bucket² instead of n². */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int,
       nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
-    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(id), col(vec),
-        explode(array((0 until nTables).map(t =>
-          struct(lit(t).as("table"),
-            lshBucket(col(vec), dim, nPlanes, t.toLong).as("bucket"))): _*)).as("tb"))
-        .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-    val q = withBuckets(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid", "qvec")
-    val c = withBuckets(corpus.select(col(idCol).as("nn"), col(vecCol).as("nvec")), "nn", "nvec")
+    val q = withLshBuckets(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+      "qid", "qvec", dim, nPlanes, nTables)
+    val c = withLshBuckets(corpus.select(col(idCol).as("nn"), col(vecCol).as("nvec")),
+      "nn", "nvec", dim, nPlanes, nTables)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nn"))
     broadcast(q).join(c, Seq("table", "bucket"))
       .filter(col("nn") =!= col("qid"))
       .select(col("qid"), col("nn"), col("qvec"), col("nvec")).distinct()
       .select(col("qid"), col("nn"), cosine_similarity(col("qvec"), col("nvec")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The bucketing half of [[lshTopK]] alone: distinct (qid, nn) candidate
+    * pairs sharing a bucket in any table. Split out so the exact-scoring
+    * half can be value-checked from a scratch table (q34) independently of
+    * the engine-pinned hyperplane hashing — the same mechanism that
+    * upgraded the LSH/simhash dedup queries to full oracles. */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val q = withLshBuckets(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+      "qid", "qvec", dim, nPlanes, nTables)
+    val c = withLshBuckets(corpus.select(col(idCol).as("nn"), col(vecCol).as("nvec")),
+      "nn", "nvec", dim, nPlanes, nTables)
+    broadcast(q).join(c, Seq("table", "bucket"))
+      .filter(col("nn") =!= col("qid"))
+      .select(col("qid"), col("nn")).distinct()
+  }
+
+  /** The probing half of [[ivfTopK]] alone: distinct (qid, nn) pairs whose
+    * corpus member lives in one of the query's probed centroids (q35's
+    * scratch-table frame). */
+  def ivfCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, centroidIdCol: String,
+      centroidVecCol: String, nprobe: Int): DataFrame = {
+    val c = ivfAssign(corpus, idCol, vecCol, centroids, centroidIdCol, centroidVecCol, 1)
+      .select(col("cid"), col(idCol).as("nn"))
+    val q = ivfAssign(queries, idCol, vecCol, centroids, centroidIdCol, centroidVecCol, nprobe)
+      .select(col("cid"), col(idCol).as("qid"))
+    broadcast(q).join(c, "cid")
+      .filter(col("nn") =!= col("qid"))
+      .select(col("qid"), col("nn")).distinct()
+  }
+
+  /** Verification half shared by the scratch-oracled ANN queries: exact
+    * cosine over candidate pairs re-joined to their vectors by id, rounded
+    * to `decimals` BEFORE ranking (raw-double ranks can flip between
+    * engines on last-bit differences — the q94 determinism contract),
+    * top-k per query. Requires distinct ids in `vectors`. */
+  def exactRerank(cand: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int, decimals: Int): DataFrame = {
+    val v = vectors.select(col(idCol), col(vecCol))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nn"))
+    cand.select(col("qid"), col("nn"))
+      .join(v.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid")
+      .join(v.select(col(idCol).as("nn"), col(vecCol).as("nvec")), "nn")
+      .select(col("qid"), col("nn"),
+        graft.queries.oround(
+          cosine_similarity(col("qvec"), col("nvec")), decimals).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -21,8 +21,7 @@ class PlanAuditSpec extends SparkSpec {
   // queries whose BNLJ is a deliberate broadcast-probe shape
   private val bnljAllowed = Set(
     "q32_knn_bruteforce", // broadcast(5 probes) × corpus, non-equi by design
-    "q35_ivf_topk", // broadcast(centroids) × corpus assignment, conditionless
-    "q36_ivf_index_topk", // same shape, query side only (corpus is pre-assigned on disk)
+    "q36_ivf_index_topk", // broadcast(centroids) × queries assignment, conditionless
     "q94_ivf_exact_serve", // q36's shape with nprobe=all (the oracle-checkable degenerate)
     "q75_edit_distance", // vocabulary² (150×150) theta join, bounded by design
     "q99_sketch_bounds", // cross join of four 1-row sub-aggregates (the no-Expand shape)
@@ -45,7 +44,10 @@ class PlanAuditSpec extends SparkSpec {
     "q87_partition_overwrite", "q89_discovery",
     "q56_minhash_lsh_pairs", "q57_simhash_neardup",
     "q97_minhash_verify", "q98_simhash_verify", "q103_dedup_canonical",
-    "q106_ivf_upsert_serve")
+    "q106_ivf_upsert_serve",
+    // scratch-candidate ANN upgrades (round 8): candidate joins pinned in
+    // KnnSpec "candidate generation plans" instead
+    "q34_lsh_topk", "q35_ivf_topk")
 
   private def auditable: Seq[String] =
     SparkEntry.allQueries.map(_.name).filterNot(sideEffecting)

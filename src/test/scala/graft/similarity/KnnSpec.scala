@@ -278,4 +278,47 @@ class KnnSpec extends SparkSpec {
     assert(norm(idx.topK(queries, "vec_id", "embedding", k = 10, nprobe = 3))
       == norm(online))
   }
+
+  // the q34/q35 scratch-oracle decomposition: candidates + exactRerank
+  // must reproduce the fused topK forms (same neighbors, same rank order
+  // up to 6-decimal rounded-sim ranking — the q94 determinism contract)
+  test("candidates + exactRerank ≡ fused lshTopK / ivfTopK") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "nn").orderBy("qid", "rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val lshFused = Knn.lshTopK(emb, queries, "vec_id", "embedding", dim = 64, k = 10)
+    val lshSplit = Knn.exactRerank(
+      Knn.lshCandidates(emb, queries, "vec_id", "embedding", dim = 64),
+      emb, "vec_id", "embedding", k = 10, decimals = 6)
+    assert(rows(lshSplit) == rows(lshFused))
+    val cents = emb.groupBy(col("label"))
+      .agg(graft.functions.vector_mean(col("embedding")).as("cd"))
+      .select(col("label"), col("cd").cast("array<float>").as("cvec"))
+    val ivfFused = Knn.ivfTopK(emb, queries, "vec_id", "embedding",
+      cents, "label", "cvec", k = 10, nprobe = 3)
+    val ivfSplit = Knn.exactRerank(
+      Knn.ivfCandidates(emb, queries, "vec_id", "embedding", cents, "label", "cvec", nprobe = 3),
+      emb, "vec_id", "embedding", k = 10, decimals = 6)
+    assert(rows(ivfSplit) == rows(ivfFused))
+  }
+
+  test("candidate generation plans: bucket equi-joins, never all-pairs") {
+    // q34/q35 are sideEffecting in PlanAuditSpec (scratch writes), so the
+    // pair-generating joins are pinned here: LSH candidates key on
+    // (table, bucket); IVF candidates on the probed centroid id. The only
+    // BNLJ anywhere is ivfAssign's deliberate broadcast of the tiny
+    // centroid frame.
+    val cents = emb.groupBy(col("label"))
+      .agg(graft.functions.vector_mean(col("embedding")).as("cd"))
+      .select(col("label"), col("cd").cast("array<float>").as("cvec"))
+    val lshPlan = Knn.lshCandidates(emb, queries, "vec_id", "embedding", dim = 64)
+      .queryExecution.executedPlan.toString
+    val ivfPlan = Knn.ivfCandidates(emb, queries, "vec_id", "embedding",
+      cents, "label", "cvec", nprobe = 3).queryExecution.executedPlan.toString
+    assert(!lshPlan.contains("CartesianProduct"), lshPlan.take(1500))
+    assert(!lshPlan.contains("BroadcastNestedLoopJoin"), lshPlan.take(1500))
+    assert(lshPlan.contains("bucket"), lshPlan.take(1500))
+    assert(!ivfPlan.contains("CartesianProduct"), ivfPlan.take(1500))
+    assert(ivfPlan.contains("cid"), ivfPlan.take(1500))
+  }
 }
