@@ -200,20 +200,29 @@ object VectorQueries {
     }
   }
 
-  /** ANN served from a PERSISTED IVF index (rows-only; identity with the
-    * online ivfTopK over the same centroids + the pruned-partition scan are
-    * pinned in KnnSpec): build once — seeded k-means, assignments written
-    * partitioned by centroid — then each query is a probe-pruned scan, the
-    * engine's standing-index analogue of the reference's pgvector table. */
-  val q36IvfIndexTopK: QueryDef = QueryDef.rowsOnly("q36_ivf_index_topk") { (s, d) =>
-    import graft.sources.IvfIndex
-    val path = java.nio.file.Files.createTempDirectory("ivfidx_q36").toString + "/idx"
-    val idx = IvfIndex.build(emb(s, d), path, "vec_id", "embedding",
-      nCentroids = 8, iters = 2)
-    val q = emb(s, d).filter(col("vec_id") < 5)
-    idx.topK(q, "vec_id", "embedding", k = 10, nprobe = 3)
-      .select(col("qid"), col("rank"), col("nn"), oround(col("sim"), 6).as("sim"))
-      .orderBy(col("qid"), col("rank"))
+  /** ANN served from a PERSISTED IVF index: build once — seeded k-means,
+    * assignments written partitioned by centroid — then each query is a
+    * probe-pruned scan, the engine's standing-index analogue of the
+    * reference's pgvector table. UPGRADED from rows-only in round 8 via
+    * the q34/q35 scratch mechanism: the probed-partition candidates go to
+    * parquet, DuckDB replays the exact scoring + ranking. The pruned-scan
+    * physical shape and topK ≡ candidates+rerank stay pinned in KnnSpec. */
+  val q36IvfIndexTopK: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q36_ivf_index_topk")
+    sql("q36_ivf_index_topk", candidateRerankSql(p)) { (s, d) =>
+      import graft.sources.IvfIndex
+      val path = java.nio.file.Files.createTempDirectory("ivfidx_q36").toString + "/idx"
+      val idx = IvfIndex.build(emb(s, d), path, "vec_id", "embedding",
+        nCentroids = 8, iters = 2)
+      val q = emb(s, d).filter(col("vec_id") < 5)
+      val scratch = graft.core.Scratch.dir("q36_ivf_index_topk", d)
+      idx.candidates(q, "vec_id", "embedding", nprobe = 3)
+        .write.mode("overwrite").parquet(scratch)
+      graft.similarity.Knn.exactRerank(s.read.parquet(scratch), emb(s, d),
+          "vec_id", "embedding", k = 10, decimals = 6)
+        .select(col("qid"), col("rank"), col("nn"), col("sim"))
+        .orderBy(col("qid"), col("rank"))
+    }
   }
 
   /** The persisted-index serve path, oracle-checked via the exact-degenerate

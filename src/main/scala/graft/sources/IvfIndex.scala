@@ -78,6 +78,27 @@ final class IvfIndex(spark: SparkSession, path: String) {
     }
   }
 
+  /** The candidate half of [[topK]] alone: distinct (qid, nn) pairs from
+    * the probed partitions, for the scratch-table oracle mechanism (q36
+    * writes these to parquet; DuckDB replays the exact scoring + ranking
+    * from them — the same upgrade q34/q35 got from `Knn.lshCandidates`/
+    * `ivfCandidates`). Partition pruning is identical to [[topK]]'s. */
+  def candidates(queries: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int): DataFrame = {
+    val probes = Knn.ivfAssign(
+        queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+        "qid", "qvec", centroids, "cid", "cvec", nprobe)
+      .select(col("cid"), col("qid"))
+    val probed = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cand = assignments
+      .filter(col("cid").isin(probed: _*))
+      .select(col("cid"), col("id").as("nn"))
+    broadcast(probes).join(cand, "cid")
+      .filter(col("nn") =!= col("qid"))
+      .select(col("qid"), col("nn")).distinct()
+  }
+
   /** Top-k cosine over the index: queries probe their `nprobe` nearest
     * centroids, candidates come from the probed partitions only, exact
     * scoring + rank runs within candidates (identical ranking semantics to

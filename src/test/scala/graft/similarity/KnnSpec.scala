@@ -300,6 +300,16 @@ class KnnSpec extends SparkSpec {
       Knn.ivfCandidates(emb, queries, "vec_id", "embedding", cents, "label", "cvec", nprobe = 3),
       emb, "vec_id", "embedding", k = 10, decimals = 6)
     assert(rows(ivfSplit) == rows(ivfFused))
+    // and the persisted-index decomposition (q36's scratch frame)
+    import graft.sources.IvfIndex
+    val path = java.nio.file.Files.createTempDirectory("ivfcand").toString + "/idx"
+    val idx = IvfIndex.build(emb, path, "vec_id", "embedding", nCentroids = 6, iters = 1)
+    val idxFused = idx.topK(queries, "vec_id", "embedding", k = 10, nprobe = 3,
+      simDecimals = Some(6))
+    val idxSplit = Knn.exactRerank(
+      idx.candidates(queries, "vec_id", "embedding", nprobe = 3),
+      emb, "vec_id", "embedding", k = 10, decimals = 6)
+    assert(rows(idxSplit) == rows(idxFused))
   }
 
   test("candidate generation plans: bucket equi-joins, never all-pairs") {
