@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: scaling smoke for the bucketed curation paths. Synthesizes an
+  * N× `documents` corpus by unioning id-shifted copies (text perturbed
+  * with a per-copy suffix so near-dup structure is preserved but exact
+  * duplicates don't trivially collapse the candidate space), then times
+  * the scale-critical operators end-to-end at 1× and N×. The point is the
+  * RATIO: the banded/bucketed paths must grow near-linearly in rows —
+  * a super-linear jump means a bucket blew up or a join degenerated.
+  *
+  * Args: [sfDir] [factor]. Writes one JSON line per (op, scale).
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val spark = graft.core.EngineConf.configure(
+        SparkSession.builder().master("local[32]"), 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
+    val n0 = base.count()
+    def scaled(k: Int): DataFrame =
+      (0 until k).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+          concat(col("text"), lit(s" copyid$i")).as("text"), col("lang"))
+      }.reduce(_ unionByName _)
+
+    def time(name: String, k: Int)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$name","scale":$k,"rows_in":${n0 * k},"sec":$sec%.2f}""")
+      spark.catalog.clearCache()
+    }
+
+    for (k <- Seq(1, factor)) {
+      val docs = scaled(k).cache()
+      docs.count()
+      time("exact_dedup", k)(
+        graft.dedup.Dedup.exact(docs, "doc_id", "text"))
+      time("minhash_lsh_canonical", k)(
+        graft.dedup.Dedup.nearDupCanonical(docs, "doc_id", "text"))
+      time("simhash_neardup", k)(
+        graft.dedup.Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3))
+      time("token_packing", k) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.select(col("doc_id"), (col("doc_id") % 256).as("shard"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .withColumn("window_id", explode(sequence(
+            floor(col("start_off") / lit(512.0)).cast("long"),
+            floor((col("start_off") + col("n_tokens") - lit(1)) / lit(512.0)).cast("long"))))
+      }
+      docs.unpersist()
+    }
+    spark.stop()
+  }
+}
