@@ -1,0 +1,141 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond per-document scoring: span-level exact
+  * dedup (the C4 "repeated span" rule generalized to fixed token windows),
+  * deterministic hash-bucketed train/valid/test splitting, self-trained
+  * unigram language-model scoring (the KenLM-style perplexity proxy a
+  * pretraining filter ranks documents by), and the sequential quality
+  * filter funnel (Gopher/RefinedWeb rule cascade with first-failing-rule
+  * attribution).
+  *
+  * All four are declarative DataFrame transforms: scale is scan + a
+  * bounded number of key shuffles, never a corpus self-join or a
+  * driver-side loop.
+  */
+object Curation {
+
+  /** Span-level exact-dedup statistics: the text is cut into consecutive
+    * `spanTokens`-token windows (stride = width, last span ragged), every
+    * span occurrence is keyed by its md5 digest, and only the globally
+    * FIRST occurrence (min (id, position), encoded as id·100000+pos) of
+    * each distinct span is kept — the concatenate-then-cut twin of C4's
+    * three-sentence-span rule for corpora without sentence structure.
+    *
+    * Output per document: `n_spans`, `n_dup_spans` (occurrences whose span
+    * text appeared earlier in corpus order), `n_tokens_kept` (tokens
+    * surviving span removal).
+    *
+    * Scale shape: one shuffle on the 128-bit span digest (the groupBy and
+    * the digest equi-join ship 32-byte keys, not span text — q40's
+    * content-hash trick at sub-document granularity), then one aggregate
+    * by document id. No pairwise comparison exists anywhere: a span
+    * duplicated a million times is one grouped row.
+    *
+    * `idCol` must be integral and < ~9e13 so the first-occurrence encoding
+    * id·100000+pos cannot overflow a long (pos < 100000 ⇔ docs shorter
+    * than 100000·spanTokens tokens).
+    */
+  def spanDedupStats(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("w"))
+    val spans = toks
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(w) / ${spanTokens}.0) as int) - 1),
+           |          i -> concat_ws(' ', slice(w, i * $spanTokens + 1, $spanTokens)))"""
+          .stripMargin)))
+      .select(col(idCol), col("pos"),
+        md5(col("col")).as("h"),
+        size(split(col("col"), " ")).cast("long").as("span_len"),
+        (col(idCol) * lit(100000L) + col("pos")).as("okey"))
+    val first = spans.groupBy(col("h")).agg(min(col("okey")).as("first_key"))
+    spans.join(first, "h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_spans"),
+        sum(when(col("okey") =!= col("first_key"), 1L).otherwise(0L))
+          .cast("long").as("n_dup_spans"),
+        sum(when(col("okey") === col("first_key"), col("span_len")).otherwise(0L))
+          .cast("long").as("n_tokens_kept"))
+  }
+
+  /** Deterministic train/valid/test assignment: bucket = the first two hex
+    * chars of md5(id || '|' || seed) — 256 uniform buckets — split by
+    * lexicographic hex thresholds (`[00, trainUpper) → train,
+    * [trainUpper, validUpper) → valid, rest → test`). Adding documents
+    * never moves an existing document between splits (the property random
+    * split lacks), and the seed gives independent redraws. Pure per-row
+    * column math — no shuffle at all. */
+  def hashSplit(df: DataFrame, idCol: String, seed: String,
+      trainUpper: String = "fa", validUpper: String = "fd"): DataFrame = {
+    val bucket = substring(
+      md5(concat(col(idCol).cast("string"), lit("|" + seed))), 1, 2)
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < lit(trainUpper), "train")
+          .when(col("bucket") < lit(validUpper), "valid")
+          .otherwise("test"))
+  }
+
+  /** Self-trained unigram LM document scoring: token counts over the whole
+    * corpus define p(t) = count(t)/N, and each document scores the mean
+    * log10 p over its token occurrences — the cheap stand-in for the
+    * KenLM perplexity rank a pretraining quality filter uses. Two-phase
+    * count aggregate, an equi-join of the exploded corpus against the
+    * vocabulary (both shuffled on the token — AQE broadcasts the
+    * vocabulary when it is small), and a 1-row total broadcast. */
+  def unigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("n"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        (sum(log10(col("cnt").cast("double") / col("n")))
+          / count(lit(1))).as("mean_logprob"))
+  }
+
+  /** Sequential quality-filter funnel with first-failing-rule attribution
+    * (the Gopher/RefinedWeb cascade): every document lands in exactly one
+    * stage — too_short, too_long, low_stopword, repetitive (3-gram
+    * duplicate fraction), or kept — determined by the FIRST rule it
+    * fails, so the stage counts read as a funnel report. All rule inputs
+    * are per-row array math (no explode, no join); the only shuffle is
+    * the final count-by-stage. */
+  def filterFunnel(df: DataFrame, textCol: String,
+      minTokens: Int = 20, maxTokens: Int = 90,
+      minStopwordRatio: Double = 0.02, maxDup3Frac: Double = 0.02,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")): DataFrame = {
+    val staged = df.withColumn("stage",
+      funnelStage(col(textCol), minTokens, maxTokens,
+        minStopwordRatio, maxDup3Frac, stopwords))
+    staged.groupBy(col("stage")).agg(count(lit(1)).cast("long").as("n_docs"))
+  }
+
+  /** The per-document stage label the funnel aggregates — exposed so a
+    * pipeline can keep the attribution column on the rows themselves
+    * (e.g. to write a reject-reason audit trail next to the kept corpus). */
+  def funnelStage(text: Column,
+      minTokens: Int, maxTokens: Int,
+      minStopwordRatio: Double, maxDup3Frac: Double,
+      stopwords: Seq[String]): Column = {
+    val w = split(text, " ")
+    val nTok = size(w)
+    val stopRatio =
+      size(filter(w, t => t.isInCollection(stopwords))).cast("double") / nTok
+    val grams = transform(sequence(lit(0), nTok - 3),
+      i => concat_ws(" ", slice(w, i + 1, lit(3))))
+    val dup3 = when(nTok >= 3,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / (nTok - 2))
+      .otherwise(lit(0.0))
+    when(nTok < minTokens, "1_too_short")
+      .when(nTok > maxTokens, "2_too_long")
+      .when(stopRatio < minStopwordRatio, "3_low_stopword")
+      .when(dup3 > maxDup3Frac, "4_repetitive")
+      .otherwise("5_kept")
+  }
+}

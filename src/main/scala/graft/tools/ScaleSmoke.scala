@@ -48,6 +48,10 @@ object ScaleSmoke {
         graft.dedup.Dedup.nearDupCanonical(docs, "doc_id", "text"))
       time("simhash_neardup", k)(
         graft.dedup.Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3))
+      time("span_dedup", k)(
+        graft.text.Curation.spanDedupStats(docs, "doc_id", "text"))
+      time("unigram_logprob", k)(
+        graft.text.Curation.unigramLogprob(docs, "doc_id", "text"))
       time("token_packing", k) {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))

@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSpec {
     "q94_ivf_exact_serve", // q36's shape with nprobe=all (the oracle-checkable degenerate)
     "q75_edit_distance", // vocabulary² (150×150) theta join, bounded by design
     "q99_sketch_bounds", // cross join of four 1-row sub-aggregates (the no-Expand shape)
-    "q110_mixture_weights") // per-lang aggs × broadcast 1-row totals (q99's shape)
+    "q110_mixture_weights", // per-lang aggs × broadcast 1-row totals (q99's shape)
+    "q113_unigram_logprob") // token stream × broadcast 1-row vocab total (q99's shape)
 
   /** Queries whose run function EXECUTES side-effectful work (index build,
     * store writes, a scratch-table write, a streaming tick) before

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("spanDedupStats: later occurrence of a shared span is the duplicate") {
+    val df = Seq(
+      (1L, "a b c d e"), // spans (w=2): "a b" | "c d" | "e"
+      (2L, "c d x y") //    spans: "c d" (dup of doc1 pos1) | "x y"
+    ).toDF("doc_id", "text")
+    val out = Curation.spanDedupStats(df, "doc_id", "text", spanTokens = 2)
+      .orderBy("doc_id").collect()
+    assert(out.toSeq === Seq(Row(1L, 3L, 0L, 5L), Row(2L, 2L, 1L, 2L)))
+  }
+
+  test("spanDedupStats: a full copy keeps zero tokens") {
+    val df = Seq((10L, "p q r s"), (20L, "p q r s")).toDF("doc_id", "text")
+    val out = Curation.spanDedupStats(df, "doc_id", "text", spanTokens = 2)
+      .orderBy("doc_id").collect()
+    assert(out.toSeq === Seq(Row(10L, 2L, 0L, 4L), Row(20L, 2L, 2L, 0L)))
+  }
+
+  test("spanDedupStats: duplicate spans inside ONE document count too") {
+    val df = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val out = Curation.spanDedupStats(df, "doc_id", "text", spanTokens = 2)
+      .collect()
+    assert(out.toSeq === Seq(Row(1L, 3L, 2L, 2L)))
+  }
+
+  test("hashSplit: deterministic, seed-sensitive, growth-stable") {
+    val a = Curation.hashSplit(spark.range(1000).toDF("id"), "id", "s1")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = Curation.hashSplit(spark.range(1000).toDF("id"), "id", "s1")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a === b)
+    val c = Curation.hashSplit(spark.range(1000).toDF("id"), "id", "s2")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a !== c) // a different seed is an independent redraw
+    // adding rows never reassigns an existing id
+    val grown = Curation.hashSplit(spark.range(2000).toDF("id"), "id", "s1")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert((0L until 1000L).forall(i => grown(i) == a(i)))
+    // 250/3/3 out of 256 — all splits present, train dominates
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 1000.0).toMap
+    assert(frac.keySet === Set("train", "valid", "test"))
+    assert(frac("train") > 0.9)
+  }
+
+  test("unigramLogprob: hand-computed corpus probabilities") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Curation.unigramLogprob(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    // counts: a=2 b=2 c=1, N=5
+    val d1 = math.log10(2.0 / 5) // every token of doc 1 has p = 0.4
+    val d2 = (math.log10(2.0 / 5) + math.log10(1.0 / 5)) / 2
+    assert(out(0)._2 === 3L && math.abs(out(0)._3 - d1) < 1e-12)
+    assert(out(1)._2 === 2L && math.abs(out(1)._3 - d2) < 1e-12)
+  }
+
+  test("filterFunnel: first failing rule wins the attribution") {
+    // doc 1 is BOTH too short and stopword-free: lands in 1_too_short
+    val df = Seq(
+      (1L, "x y z"),
+      (2L, Seq.tabulate(50)(i => if (i % 5 == 0) "the" else s"v$i")
+        .mkString(" ")), // 50 varied tokens, stopword-rich → kept
+      (3L, Seq.tabulate(95)(i => s"t$i").mkString(" ") + " the"), // 96 > 90
+      (4L, Seq.tabulate(40)(i => s"u$i").mkString(" ")), // no stopwords
+      (5L, "the " + ("r s t " * 12).trim) // 37 tokens, repeated 3-grams
+    ).toDF("doc_id", "text")
+    val staged = df.select($"doc_id",
+        Curation.funnelStage($"text", 20, 90, 0.02, 0.02,
+          Seq("the", "a", "of", "and", "to")).as("stage"))
+      .as[(Long, String)].collect().toMap
+    assert(staged === Map(
+      1L -> "1_too_short", 2L -> "5_kept", 3L -> "2_too_long",
+      4L -> "3_low_stopword", 5L -> "4_repetitive"))
+    val counts = Curation.filterFunnel(df, "text", 20, 90, 0.02, 0.02)
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 5L && counts.size === 5)
+  }
+}
