@@ -14,7 +14,8 @@ import graft.text.Curation
 object CurationQueries {
 
   def all: Seq[QueryDef] = Seq(
-    q111SpanDedup, q112HashSplit, q113UnigramLogprob, q114FilterFunnel)
+    q111SpanDedup, q112HashSplit, q113UnigramLogprob, q114FilterFunnel,
+    q115MixtureApply, q116BpeMergeStep, q117SemanticCanonical)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -115,5 +116,125 @@ object CurationQueries {
       |ORDER BY stage""".stripMargin) { (s, d) =>
     Curation.filterFunnel(docs(s, d), "text")
       .orderBy(col("stage"))
+  }
+
+  /** q110's temperature weights APPLIED: each document's epoch replication
+    * count = floor(oversample) + one deterministic extra copy with
+    * probability frac(oversample), decided by an md5 hex bucket — the step
+    * that turns mixture weights into an actual epoch composition. The
+    * oversample factor is rounded to 6 decimals BEFORE the floor/frac
+    * split (q110 hash-proves both engines agree on the rounded value, so
+    * the integer threshold below is engine-independent); the per-lang
+    * weight table is a broadcast join against the corpus. */
+  val q115MixtureApply: QueryDef = sql(
+    "q115_mixture_apply",
+    """WITH s AS (
+      |  SELECT lang, sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |tot AS (
+      |  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tok_total,
+      |         sum(power(CAST(n_tokens AS DOUBLE), 0.3)) AS pow_total
+      |  FROM s),
+      |w AS (
+      |  SELECT lang,
+      |         round((power(CAST(n_tokens AS DOUBLE), 0.3) / pow_total)
+      |               / (CAST(n_tokens AS DOUBLE) / tok_total), 6) AS os
+      |  FROM s, tot)
+      |SELECT d.doc_id, d.lang, os AS oversample,
+      |       CAST(floor(os) +
+      |            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|mix-v1'), 1, 6)
+      |                      < printf('%06x', CAST(floor((os - floor(os)) * 16777216) AS BIGINT))
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+      |FROM documents d JOIN w USING (lang)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val perLang = docs(s, d).groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = perLang.agg(
+      sum(col("n_tokens")).cast("double").as("tok_total"),
+      sum(pow(col("n_tokens").cast("double"), lit(0.3))).as("pow_total"))
+    val w = perLang.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        oround((pow(col("n_tokens").cast("double"), lit(0.3)) / col("pow_total"))
+          / (col("n_tokens").cast("double") / col("tok_total")), 6).as("os"))
+    val thrHex = lower(lpad(hex(
+      floor((col("os") - floor(col("os"))) * lit(16777216)).cast("long")), 6, "0"))
+    docs(s, d).join(broadcast(w), "lang")
+      .select(col("doc_id"), col("lang"), col("os").as("oversample"),
+        (floor(col("os")) +
+          when(substring(md5(concat(col("doc_id").cast("string"), lit("|mix-v1"))), 1, 6)
+            < thrHex, 1).otherwise(0)).cast("long").as("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One BPE MERGE iteration — the tokenizer-training inner loop: words
+    * (whitespace pre-tokenization) carry their corpus frequency, every
+    * adjacent character pair inside a word contributes that frequency, and
+    * the top pair is the next merge rule. Two vocab-sized aggregations
+    * (corpus tokens never leave the first two-phase count); top-20 shown
+    * with a deterministic tie-break. */
+  val q116BpeMergeStep: QueryDef = sql(
+    "q116_bpe_merge_step",
+    """WITH words AS (
+      |  SELECT tok, count(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |pairs AS (
+      |  SELECT substr(tok, CAST(i AS INT), 2) AS pair, freq
+      |  FROM (SELECT tok, freq, unnest(range(1, length(tok))) AS i
+      |        FROM words WHERE length(tok) >= 2))
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+      |FROM pairs
+      |GROUP BY pair
+      |ORDER BY n DESC, pair
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val words = docs(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    words.filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"), col("freq"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
+  /** SemDeDup — semantic dedup at cluster granularity: within-bucket
+    * cosine pairs (q58's oracle-proven kernel, label as the coarse
+    * bucket) → connected components → min-id canonical per semantic
+    * cluster. DuckDB replays the whole chain with a recursive CTE (q103's
+    * pattern, pairwise recomputed instead of scratch-passed — the
+    * label-scoped self-join is cheap for the oracle at test scale). */
+  val q117SemanticCanonical: QueryDef = sql(
+    "q117_semantic_canonical",
+    """WITH RECURSIVE
+      |e AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND b.vec_id > a.vec_id
+      |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])) >= 0.3),
+      |bidir AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+      |nodes AS (SELECT DISTINCT a AS id FROM bidir),
+      |reach AS (
+      |  SELECT id AS src, id AS dst FROM nodes
+      |  UNION
+      |  SELECT r.src, e2.b FROM reach r JOIN bidir e2 ON e2.a = r.dst),
+      |comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+      |SELECT v.vec_id,
+      |       COALESCE(comp.component, v.vec_id) AS keep_id,
+      |       CAST(COALESCE(comp.component, v.vec_id) <> v.vec_id AS INTEGER) AS is_duplicate
+      |FROM embeddings v
+      |LEFT JOIN comp ON comp.id = v.vec_id
+      |ORDER BY v.vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val pairs = graft.dedup.Dedup
+      .embeddingNearDup(emb, "vec_id", "embedding", "label", threshold = 0.3)
+      .select(col("id_a"), col("id_b"))
+    graft.dedup.Dedup.canonicalize(pairs, emb, "vec_id")
+      .select(col("vec_id"), col("keep_id"),
+        col("is_duplicate").cast("int").as("is_duplicate"))
+      .orderBy(col("vec_id"))
   }
 }

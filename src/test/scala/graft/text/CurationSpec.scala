@@ -83,4 +83,56 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(counts.values.sum === 5L && counts.size === 5)
   }
+
+  test("q115 mixture apply: copies bounded by floor/ceil and mean ≈ oversample") {
+    val rows = graft.SparkEntry.queries("q115_mixture_apply")(spark, sf)
+      .select("lang", "oversample", "n_copies")
+      .as[(String, Double, Long)].collect()
+    assert(rows.forall { case (_, os, n) =>
+      n == math.floor(os).toLong || n == math.ceil(os).toLong })
+    // per-lang mean replication converges on the oversample factor
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val os = rs.head._2
+      val mean = rs.map(_._3).sum.toDouble / rs.size
+      assert(math.abs(mean - os) < 0.25, s"mean $mean vs oversample $os")
+    }
+  }
+
+  test("q116 BPE merge step: agrees with an in-memory recount") {
+    val spark2 = spark
+    val out = graft.SparkEntry.queries("q116_bpe_merge_step")(spark2, sf)
+      .as[(String, Long)].collect()
+    val freqs = scala.collection.mutable.Map.empty[String, Long]
+    spark2.read.parquet(s"$sf/documents.parquet")
+      .select("text").as[String].collect()
+      .flatMap(_.split(" "))
+      .groupBy(identity).foreach { case (tok, occ) =>
+        if (tok.length >= 2)
+          tok.sliding(2).foreach(p => freqs(p) = freqs.getOrElse(p, 0L) + occ.size)
+      }
+    val expected = freqs.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(out.toSeq === expected)
+  }
+
+  test("q117 semantic canonical: agrees with union-find over the q58 pairs") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val pairs = graft.dedup.Dedup
+      .embeddingNearDup(emb, "vec_id", "embedding", "label", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val out = graft.SparkEntry.queries("q117_semantic_canonical")(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    out.foreach { case (id, keep, isDup) =>
+      assert(keep === find(id))
+      assert(isDup === (if (keep != id) 1 else 0))
+    }
+  }
 }
