@@ -15,7 +15,8 @@ object CurationQueries {
 
   def all: Seq[QueryDef] = Seq(
     q111SpanDedup, q112HashSplit, q113UnigramLogprob, q114FilterFunnel,
-    q115MixtureApply, q116BpeMergeStep, q117SemanticCanonical)
+    q115MixtureApply, q116BpeMergeStep, q117SemanticCanonical,
+    q118SpanDedupOverlap)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -236,5 +237,35 @@ object CurationQueries {
       .select(col("vec_id"), col("keep_id"),
         col("is_duplicate").cast("int").as("is_duplicate"))
       .orderBy(col("vec_id"))
+  }
+
+  /** q111 at the OVERLAPPING operating point (width 8, stride 4) — the
+    * shifted-duplicate catcher: a repeated region misaligned with the
+    * stride-8 grid still shares a window with its source. Value-checks the
+    * stride parameter surface the way q97/q98 do for the LSH thresholds.
+    * With overlap, n_tokens_kept is a retention weight (adjacent kept
+    * windows share tokens), documented on Curation.spanDedupStats. */
+  val q118SpanDedupOverlap: QueryDef = sql(
+    "q118_span_dedup_overlap",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sp AS (
+      |  SELECT doc_id, i AS pos,
+      |         md5(array_to_string(w[CAST(i * 4 + 1 AS INT):CAST(i * 4 + 8 AS INT)], ' ')) AS h,
+      |         len(w[CAST(i * 4 + 1 AS INT):CAST(i * 4 + 8 AS INT)]) AS span_len,
+      |         doc_id * 100000 + i AS okey
+      |  FROM (SELECT doc_id, w,
+      |               unnest(range(CAST(ceil(greatest(len(w) - 8, 0) / 4.0) AS BIGINT) + 1)) AS i
+      |        FROM t)),
+      |f AS (SELECT h, min(okey) AS first_key FROM sp GROUP BY h)
+      |SELECT sp.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_spans,
+      |       CAST(sum(CASE WHEN okey <> first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+      |       CAST(sum(CASE WHEN okey = first_key THEN span_len ELSE 0 END) AS BIGINT) AS n_tokens_kept
+      |FROM sp JOIN f USING (h)
+      |GROUP BY sp.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.spanDedupStats(docs(s, d), "doc_id", "text",
+        spanTokens = 8, strideOpt = Some(4))
+      .orderBy(col("doc_id"))
   }
 }

@@ -36,15 +36,27 @@ object Curation {
     *
     * `idCol` must be integral and < ~9e13 so the first-occurrence encoding
     * id·100000+pos cannot overflow a long (pos < 100000 ⇔ docs shorter
-    * than 100000·spanTokens tokens).
+    * than 100000·stride tokens).
+    *
+    * `stride` < `spanTokens` gives OVERLAPPING windows — the shifted-dup
+    * catcher (a duplicate region misaligned with the stride-8 grid still
+    * shares some window with its source). With overlap, `n_tokens_kept`
+    * sums first-occurrence window lengths and so double-counts tokens
+    * shared by adjacent kept windows — read it as a retention weight, not
+    * a token count, in that regime.
     */
   def spanDedupStats(df: DataFrame, idCol: String, textCol: String,
-      spanTokens: Int = 8): DataFrame = {
+      spanTokens: Int = 8, strideOpt: Option[Int] = None): DataFrame = {
+    val stride = strideOpt.getOrElse(spanTokens)
+    require(stride >= 1 && stride <= spanTokens,
+      s"stride must be in [1, spanTokens]; got $stride / $spanTokens")
     val toks = df.select(col(idCol), split(col(textCol), " ").as("w"))
+    // window offsets i·stride for i in [0, ceil(max(n − spanTokens, 0) / stride)];
+    // the final window is ragged when stride does not divide the tail
     val spans = toks
       .select(col(idCol), posexplode(expr(
-        s"""transform(sequence(0, cast(ceil(size(w) / ${spanTokens}.0) as int) - 1),
-           |          i -> concat_ws(' ', slice(w, i * $spanTokens + 1, $spanTokens)))"""
+        s"""transform(sequence(0, cast(ceil(greatest(size(w) - $spanTokens, 0) / ${stride}.0) as int)),
+           |          i -> concat_ws(' ', slice(w, i * $stride + 1, $spanTokens)))"""
           .stripMargin)))
       .select(col(idCol), col("pos"),
         md5(col("col")).as("h"),

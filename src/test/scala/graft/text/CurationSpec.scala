@@ -31,6 +31,19 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === Seq(Row(1L, 3L, 2L, 2L)))
   }
 
+  test("spanDedupStats: overlapping stride catches a shifted duplicate") {
+    // doc 2 repeats doc 1's region misaligned with the non-overlap grid
+    val df = Seq((1L, "p q r s t u"), (2L, "z z p q r s t u")).toDF("doc_id", "text")
+    // stride = width (4): doc1 [p q r s][t u], doc2 [z z p q][r s t u] — miss
+    val aligned = Curation.spanDedupStats(df, "doc_id", "text", spanTokens = 4)
+      .orderBy("doc_id").collect()
+    assert(aligned.map(_.getLong(2)).toSeq === Seq(0L, 0L))
+    // stride 2: doc2's window at offset 2 = [p q r s] = doc1's first — caught
+    val overlap = Curation.spanDedupStats(df, "doc_id", "text",
+        spanTokens = 4, strideOpt = Some(2)).orderBy("doc_id").collect()
+    assert(overlap.map(_.getLong(2)).toSeq === Seq(0L, 2L))
+  }
+
   test("hashSplit: deterministic, seed-sensitive, growth-stable") {
     val a = Curation.hashSplit(spark.range(1000).toDF("id"), "id", "s1")
       .select("id", "split").as[(Long, String)].collect().toMap
