@@ -70,15 +70,18 @@ object CurationQueries {
     * pretraining quality filter sorts by. */
   val q113UnigramLogprob: QueryDef = sql(
     "q113_unigram_logprob",
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-      |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    """WITH dt AS (
+      |  SELECT doc_id, tok, count(*) AS k
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |vocab AS (SELECT tok, CAST(sum(k) AS BIGINT) AS cnt FROM dt GROUP BY tok),
       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab)
-      |SELECT t.doc_id,
-      |       CAST(count(*) AS BIGINT) AS n_tokens,
-      |       round(sum(log10(CAST(cnt AS DOUBLE) / n)) / count(*), 6) AS mean_logprob
-      |FROM toks t JOIN vocab USING (tok) CROSS JOIN tot
-      |GROUP BY t.doc_id
+      |SELECT dt.doc_id,
+      |       CAST(sum(k) AS BIGINT) AS n_tokens,
+      |       round(sum(CAST(k AS DOUBLE) * log10(CAST(cnt AS DOUBLE) / n)) / sum(k), 6)
+      |         AS mean_logprob
+      |FROM dt JOIN vocab USING (tok) CROSS JOIN tot
+      |GROUP BY dt.doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val scored = Curation.unigramLogprob(docs(s, d), "doc_id", "text")
     scored.select(col("doc_id"), col("n_tokens"),

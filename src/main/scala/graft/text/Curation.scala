@@ -94,21 +94,27 @@ object Curation {
   /** Self-trained unigram LM document scoring: token counts over the whole
     * corpus define p(t) = count(t)/N, and each document scores the mean
     * log10 p over its token occurrences — the cheap stand-in for the
-    * KenLM perplexity rank a pretraining quality filter uses. Two-phase
-    * count aggregate, an equi-join of the exploded corpus against the
-    * vocabulary (both shuffled on the token — AQE broadcasts the
-    * vocabulary when it is small), and a 1-row total broadcast. */
+    * KenLM perplexity rank a pretraining quality filter uses.
+    *
+    * The token stream is pre-aggregated to (doc, token, k) BEFORE anything
+    * shuffles — the vocabulary, its total, and the per-document score all
+    * derive from that one frame, so the wide join ships one row per
+    * distinct token per document (each occurrence weighted by k at the
+    * join output), not one per occurrence. AQE broadcasts the vocabulary
+    * side when it is small; the grand total is a 1-row broadcast. */
   def unigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val docTok = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("k"))
+    val vocab = docTok.groupBy(col("tok")).agg(sum(col("k")).as("cnt"))
     val tot = vocab.agg(sum(col("cnt")).as("n"))
-    toks.join(vocab, "tok")
+    docTok.join(vocab, "tok")
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).cast("long").as("n_tokens"),
-        (sum(log10(col("cnt").cast("double") / col("n")))
-          / count(lit(1))).as("mean_logprob"))
+        sum(col("k")).cast("long").as("n_tokens"),
+        (sum(col("k").cast("double") * log10(col("cnt").cast("double") / col("n")))
+          / sum(col("k"))).as("mean_logprob"))
   }
 
   /** Sequential quality-filter funnel with first-failing-rule attribution
