@@ -16,7 +16,7 @@ object CurationQueries {
   def all: Seq[QueryDef] = Seq(
     q111SpanDedup, q112HashSplit, q113UnigramLogprob, q114FilterFunnel,
     q115MixtureApply, q116BpeMergeStep, q117SemanticCanonical,
-    q118SpanDedupOverlap)
+    q118SpanDedupOverlap, q119HeldoutLogprob)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -269,6 +269,44 @@ object CurationQueries {
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     Curation.spanDedupStats(docs(s, d), "doc_id", "text",
         spanTokens = 8, strideOpt = Some(4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q112 + q113 composed as actually used: the unigram LM trains on the
+    * q112 TRAIN split only, and the held-out (valid/test) documents score
+    * against it with add-0.5 smoothing — unseen tokens fall into the OOV
+    * bucket, p = 0.5 / (N + 0.5·(V+1)) — so the evaluation split never
+    * leaks into the model it is scored by. */
+  val q119HeldoutLogprob: QueryDef = sql(
+    "q119_heldout_logprob",
+    """WITH h AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split-v1'), 1, 2) < 'fa' THEN 'train'
+      |              WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split-v1'), 1, 2) < 'fd' THEN 'valid'
+      |              ELSE 'test' END AS split
+      |  FROM documents),
+      |dt AS (
+      |  SELECT doc_id, split, tok, count(*) AS k
+      |  FROM (SELECT doc_id, split, unnest(string_split(text, ' ')) AS tok FROM h)
+      |  GROUP BY doc_id, split, tok),
+      |vocab AS (SELECT tok, CAST(sum(k) AS BIGINT) AS cnt
+      |          FROM dt WHERE split = 'train' GROUP BY tok),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+      |        FROM vocab)
+      |SELECT e.doc_id, e.split,
+      |       CAST(sum(k) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN cnt IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_oov,
+      |       round(sum(CAST(k AS DOUBLE)
+      |                 * log10((COALESCE(cnt, 0) + 0.5) / (n + 0.5 * (v + 1))))
+      |             / sum(k), 6) AS mean_logprob
+      |FROM dt e LEFT JOIN vocab USING (tok) CROSS JOIN tot
+      |WHERE e.split <> 'train'
+      |GROUP BY e.doc_id, e.split
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val withSplit = Curation.hashSplit(docs(s, d), "doc_id", seed = "split-v1")
+    Curation.heldOutUnigramScore(withSplit, "doc_id", "text", "split")
+      .select(col("doc_id"), col("split"), col("n_tokens"), col("n_oov"),
+        oround(col("mean_logprob"), 6).as("mean_logprob"))
       .orderBy(col("doc_id"))
   }
 }

@@ -117,6 +117,40 @@ object Curation {
           / sum(col("k"))).as("mean_logprob"))
   }
 
+  /** Held-out unigram scoring — q112 + q113 composed the way they are
+    * actually used: the LM trains on the rows whose `splitCol` equals
+    * `trainValue`, and every OTHER row is scored against it with add-k
+    * smoothing, p(t) = (cnt(t) + k) / (N + k·(V+1)) — the +1 is the OOV
+    * bucket, which unseen tokens fall into with probability k/denominator.
+    * Output per held-out document: `n_tokens`, `n_oov` (token occurrences
+    * absent from the train vocabulary), `mean_logprob`.
+    *
+    * Same scale shape as [[unigramLogprob]]: per-(doc, token) counts feed
+    * both the train vocabulary and the eval join (left join — OOV must
+    * survive it), with a 1-row (N, V) broadcast. */
+  def heldOutUnigramScore(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String, trainValue: String = "train",
+      addK: Double = 0.5): DataFrame = {
+    val docTok = df
+      .select(col(idCol), col(splitCol),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol), col(splitCol), col("tok"))
+      .agg(count(lit(1)).as("k"))
+    val vocab = docTok.filter(col(splitCol) === trainValue)
+      .groupBy(col("tok")).agg(sum(col("k")).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+    val logp = log10((coalesce(col("cnt"), lit(0L)) + lit(addK))
+      / (col("n") + lit(addK) * (col("v") + lit(1))))
+    docTok.filter(col(splitCol) =!= trainValue)
+      .join(vocab, Seq("tok"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol), col(splitCol))
+      .agg(
+        sum(col("k")).cast("long").as("n_tokens"),
+        sum(when(col("cnt").isNull, col("k")).otherwise(0L)).cast("long").as("n_oov"),
+        (sum(col("k").cast("double") * logp) / sum(col("k"))).as("mean_logprob"))
+  }
+
   /** Sequential quality-filter funnel with first-failing-rule attribution
     * (the Gopher/RefinedWeb cascade): every document lands in exactly one
     * stage — too_short, too_long, low_stopword, repetitive (3-gram

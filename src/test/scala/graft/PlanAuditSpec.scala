@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     "q99_sketch_bounds", // cross join of four 1-row sub-aggregates (the no-Expand shape)
     "q110_mixture_weights", // per-lang aggs × broadcast 1-row totals (q99's shape)
     "q113_unigram_logprob", // token stream × broadcast 1-row vocab total (q99's shape)
-    "q115_mixture_apply") // per-lang aggs × broadcast 1-row totals (q110's weight table)
+    "q115_mixture_apply", // per-lang aggs × broadcast 1-row totals (q110's weight table)
+    "q119_heldout_logprob") // eval stream × broadcast 1-row (N, V) train totals (q113's shape)
 
   /** Queries whose run function EXECUTES side-effectful work (index build,
     * store writes, a scratch-table write, a streaming tick) before

@@ -97,6 +97,21 @@ class CurationSpec extends SparkSpec {
     assert(counts.values.sum === 5L && counts.size === 5)
   }
 
+  test("heldOutUnigramScore: hand-computed smoothing and OOV bucket") {
+    val df = Seq(
+      (1L, "a a b", "train"),
+      (2L, "a c", "valid")
+    ).toDF("doc_id", "text", "split")
+    val out = Curation.heldOutUnigramScore(df, "doc_id", "text", "split")
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(out.length === 1)
+    val (id, split, nTok, nOov, lp) = out.head
+    assert(id === 2L && split === "valid" && nTok === 2L && nOov === 1L)
+    // vocab {a:2, b:1}, N=3, V=2, denom = 3 + 0.5·3 = 4.5
+    val expected = (math.log10(2.5 / 4.5) + math.log10(0.5 / 4.5)) / 2
+    assert(math.abs(lp - expected) < 1e-12)
+  }
+
   test("q115 mixture apply: copies bounded by floor/ceil and mean ≈ oversample") {
     val rows = graft.SparkEntry.queries("q115_mixture_apply")(spark, sf)
       .select("lang", "oversample", "n_copies")
