@@ -159,6 +159,32 @@ object Dedup {
         (coalesce(col("component"), col(idCol)) =!= col(idCol)).as("is_duplicate"))
   }
 
+  /** [[canonicalize]] with the PRODUCTION keep-rule: each duplicate
+    * cluster keeps its highest-`scoreCol` member (longest / best-quality
+    * document — what a real pretraining dedup retains) instead of the
+    * smallest id; ties break to the smallest id so the choice is total.
+    * One extra aggregate + broadcast-friendly join over the per-component
+    * argmax (a row per CLUSTER, not per document) on top of the
+    * [[canonicalize]] shuffles. `scoreCol` must be orderable; the
+    * argmax is max(struct(score, −id)).
+    *
+    * @return (`idCol`, keep_id, is_duplicate) for EVERY input row */
+  def canonicalizeBy(verifiedPairs: DataFrame, df: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val edges = verifiedPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = graft.operators.ConnectedComponents.components(edges)
+    val member = df.select(col(idCol), col(scoreCol))
+      .join(comp, col(idCol) === col("id"), "left")
+      .select(col(idCol), col(scoreCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+    val best = member.groupBy(col("component"))
+      .agg(max(struct(col(scoreCol), (-col(idCol)).as("neg_id"))).as("b"))
+      .select(col("component"), (-col("b.neg_id")).as("keep_id"))
+    member.join(best, "component")
+      .select(col(idCol), col("keep_id"),
+        (col("keep_id") =!= col(idCol)).as("is_duplicate"))
+  }
+
   /** MinHash-LSH near-dup end to end at cluster granularity:
     * [[minhashLshCandidates]] → [[jaccardVerify]] → [[canonicalize]]. */
   def nearDupCanonical(df: DataFrame, idCol: String, textCol: String,

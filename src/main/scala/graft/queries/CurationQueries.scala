@@ -16,7 +16,8 @@ object CurationQueries {
   def all: Seq[QueryDef] = Seq(
     q111SpanDedup, q112HashSplit, q113UnigramLogprob, q114FilterFunnel,
     q115MixtureApply, q116BpeMergeStep, q117SemanticCanonical,
-    q118SpanDedupOverlap, q119HeldoutLogprob)
+    q118SpanDedupOverlap, q119HeldoutLogprob, q120BigramLogprob,
+    q121DedupKeepBest)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -308,5 +309,93 @@ object CurationQueries {
       .select(col("doc_id"), col("split"), col("n_tokens"), col("n_oov"),
         oround(col("mean_logprob"), 6).as("mean_logprob"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Order-2 LM scoring (q113 one order up): add-0.5-smoothed
+    * p(t₂|t₁) from corpus bigram counts, per-doc mean log10 over token
+    * transitions; context counts derive from the bigram table itself so
+    * the conditional is consistent by construction. */
+  val q120BigramLogprob: QueryDef = sql(
+    "q120_bigram_logprob",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |vt AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      |       FROM (SELECT unnest(w) AS tok FROM t)),
+      |dbg AS (
+      |  SELECT doc_id, array_to_string(w[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS g,
+      |         count(*) AS k
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+      |        FROM t WHERE len(w) >= 2)
+      |  GROUP BY doc_id, g),
+      |bg AS (SELECT g, CAST(sum(k) AS BIGINT) AS c12 FROM dbg GROUP BY g),
+      |ctx AS (SELECT split_part(g, ' ', 1) AS t1, CAST(sum(c12) AS BIGINT) AS c1
+      |        FROM bg GROUP BY t1)
+      |SELECT dbg.doc_id,
+      |       CAST(sum(k) AS BIGINT) AS n_transitions,
+      |       round(sum(CAST(k AS DOUBLE)
+      |                 * log10((c12 + 0.5) / (c1 + 0.5 * (v + 1))))
+      |             / sum(k), 6) AS mean_logprob
+      |FROM dbg JOIN bg USING (g)
+      |JOIN ctx ON ctx.t1 = split_part(dbg.g, ' ', 1)
+      |CROSS JOIN vt
+      |GROUP BY dbg.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.bigramLogprob(docs(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("n_transitions"),
+        oround(col("mean_logprob"), 6).as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q103's dedup graph with the PRODUCTION keep-rule: each near-dup
+    * cluster keeps its LONGEST member (max n_chars, ties to min doc_id)
+    * instead of the min id — what a pretraining dedup actually retains.
+    * Same scratch-candidate mechanism as q103: the engine's LSH candidate
+    * pairs go to parquet, and DuckDB replays Jaccard verification,
+    * connected components (recursive CTE), and the per-cluster argmax. */
+  val q121DedupKeepBest: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q121_dedup_keep_best")
+    QueryDef.sql(
+      "q121_dedup_keep_best",
+      s"""WITH RECURSIVE
+         |c AS (SELECT id_a, id_b FROM read_parquet('$p/*.parquet')),
+         |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+         |      FROM documents),
+         |e AS (
+         |  SELECT c.id_a AS src, c.id_b AS dst
+         |  FROM c
+         |  JOIN t a ON a.doc_id = c.id_a
+         |  JOIN t b ON b.doc_id = c.id_b
+         |  WHERE CAST(len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS DOUBLE)
+         |        / len(list_distinct(a.tok || b.tok)) >= 0.2),
+         |bidir AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+         |nodes AS (SELECT DISTINCT a AS id FROM bidir),
+         |reach AS (
+         |  SELECT id AS src, id AS dst FROM nodes
+         |  UNION
+         |  SELECT r.src, e2.b FROM reach r JOIN bidir e2 ON e2.a = r.dst),
+         |comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+         |m AS (SELECT d.doc_id, d.n_chars,
+         |             COALESCE(comp.component, d.doc_id) AS component
+         |      FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+         |best AS (
+         |  SELECT component, doc_id AS keep_id,
+         |         row_number() OVER (PARTITION BY component
+         |                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |  FROM m)
+         |SELECT m.doc_id, b.keep_id,
+         |       CAST(b.keep_id <> m.doc_id AS INTEGER) AS is_duplicate
+         |FROM m JOIN (SELECT component, keep_id FROM best WHERE rn = 1) b
+         |  USING (component)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docsDf = docs(s, d)
+      val path = graft.core.Scratch.dir("q121_dedup_keep_best", d)
+      graft.dedup.Dedup.minhashLshCandidates(docsDf, "doc_id", "text")
+        .write.mode("overwrite").parquet(path)
+      val verified = graft.dedup.Dedup.jaccardVerify(s.read.parquet(path),
+        docsDf, "doc_id", "text", threshold = 0.2)
+      graft.dedup.Dedup.canonicalizeBy(verified, docsDf, "doc_id", "n_chars")
+        .select(col("doc_id"), col("keep_id"),
+          col("is_duplicate").cast("int").as("is_duplicate"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

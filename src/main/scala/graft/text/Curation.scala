@@ -117,6 +117,44 @@ object Curation {
           / sum(col("k"))).as("mean_logprob"))
   }
 
+  /** Order-2 LM scoring — the KenLM-style step past [[unigramLogprob]]:
+    * p(t₂|t₁) = (c(t₁t₂) + k) / (c(t₁) + k·(V+1)) with add-k smoothing
+    * over corpus bigram counts, and each document scores the mean log10
+    * over its token transitions. Context counts derive from the bigram
+    * table itself (c(t₁) = Σ_t₂ c(t₁t₂) — occurrences in non-final
+    * position), so the conditional is consistent by construction.
+    *
+    * Scale shape: per-(doc, bigram) pre-aggregation feeds the corpus
+    * bigram count, the context count, AND the scoring join — the wide
+    * shuffles carry one row per distinct bigram per document; V is a
+    * 1-row broadcast. Documents with fewer than two tokens have no
+    * transitions and drop out. */
+  def bigramLogprob(df: DataFrame, idCol: String, textCol: String,
+      addK: Double = 0.5): DataFrame = {
+    val w = split(col(textCol), " ")
+    val vTot = df.select(explode(w).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val docBg = df.select(col(idCol), w.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
+        .as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("k"))
+    val bg = docBg.groupBy(col("g")).agg(sum(col("k")).as("c12"))
+    val ctx = bg.select(substring_index(col("g"), " ", 1).as("t1"), col("c12"))
+      .groupBy(col("t1")).agg(sum(col("c12")).as("c1"))
+    val logp = log10((col("c12") + lit(addK))
+      / (col("c1") + lit(addK) * (col("v") + lit(1))))
+    docBg.join(bg, "g")
+      .withColumn("t1", substring_index(col("g"), " ", 1))
+      .join(ctx, "t1")
+      .crossJoin(broadcast(vTot))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("k")).cast("long").as("n_transitions"),
+        (sum(col("k").cast("double") * logp) / sum(col("k"))).as("mean_logprob"))
+  }
+
   /** Held-out unigram scoring — q112 + q113 composed the way they are
     * actually used: the LM trains on the rows whose `splitCol` equals
     * `trainValue`, and every OTHER row is scored against it with add-k

@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "q110_mixture_weights", // per-lang aggs × broadcast 1-row totals (q99's shape)
     "q113_unigram_logprob", // token stream × broadcast 1-row vocab total (q99's shape)
     "q115_mixture_apply", // per-lang aggs × broadcast 1-row totals (q110's weight table)
-    "q119_heldout_logprob") // eval stream × broadcast 1-row (N, V) train totals (q113's shape)
+    "q119_heldout_logprob", // eval stream × broadcast 1-row (N, V) train totals (q113's shape)
+    "q120_bigram_logprob") // bigram stream × broadcast 1-row V total (q113's shape)
 
   /** Queries whose run function EXECUTES side-effectful work (index build,
     * store writes, a scratch-table write, a streaming tick) before
@@ -50,7 +51,9 @@ class PlanAuditSpec extends SparkSpec {
     "q106_ivf_upsert_serve",
     // scratch-candidate ANN upgrades (round 8): candidate joins pinned in
     // KnnSpec "candidate generation plans" instead
-    "q34_lsh_topk", "q35_ivf_topk")
+    "q34_lsh_topk", "q35_ivf_topk",
+    // q103's scratch mechanism with the keep-best canonical rule
+    "q121_dedup_keep_best")
 
   private def auditable: Seq[String] =
     SparkEntry.allQueries.map(_.name).filterNot(sideEffecting)
@@ -84,6 +87,17 @@ class PlanAuditSpec extends SparkSpec {
   test("small dimension joins broadcast (q04)") {
     val plan = planOf("q04_broadcast_dim_join")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("column pruning reaches the parquet scan (q112)") {
+    // q112 derives everything from doc_id: the documents scan must not
+    // read text (the fat column) — ReadSchema should be doc_id alone
+    val plan = planOf("q112_hash_split")
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(schemas.nonEmpty, plan.take(2000))
+    assert(schemas.forall(s => s.contains("doc_id") && !s.contains("text")),
+      s"unpruned scan schemas: $schemas")
   }
 
   test("partial aggregation precedes the shuffle in q01") {

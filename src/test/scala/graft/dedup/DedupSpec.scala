@@ -88,6 +88,27 @@ class DedupSpec extends SparkSpec {
       (1L, 1L, false), (2L, 1L, true), (3L, 1L, true), (9L, 9L, false)))
   }
 
+  test("canonicalizeBy keeps the best-scored member; ties break to min id") {
+    // same transitive chain, but doc 3 has the highest score → whole
+    // cluster maps to 3, not to min-id 1; the singleton keeps itself
+    val chain = Seq(
+      (1L, "a b c d", 10L), (2L, "a b c e", 20L), (3L, "a b e f", 30L),
+      (9L, "x y z w", 99L))
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val verified = Dedup.jaccardVerify(pairs, chain, "doc_id", "text", 0.5)
+    val got = Dedup.canonicalizeBy(verified, chain, "doc_id", "score")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 3L, true), (2L, 3L, true), (3L, 3L, false), (9L, 9L, false)))
+    // score tie across the whole cluster → smallest id wins
+    val tied = chain.withColumn("score", lit(7L))
+    val gotTied = Dedup.canonicalizeBy(verified, tied, "doc_id", "score")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(gotTied.toSeq === Seq(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, true), (9L, 9L, false)))
+  }
+
   test("embedding near-dup respects bucket boundary and threshold") {
     val vecs = Seq(
       (1L, 0, Seq(1f, 0f, 0f)),

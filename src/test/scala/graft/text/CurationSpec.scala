@@ -97,6 +97,19 @@ class CurationSpec extends SparkSpec {
     assert(counts.values.sum === 5L && counts.size === 5)
   }
 
+  test("bigramLogprob: hand-computed smoothed conditionals") {
+    val df = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val out = Curation.bigramLogprob(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    // transitions: "a b"×2, "b a"×1; V=2; c(a)=2, c(b)=1
+    // p(a b) = 2.5/(2+1.5), p(b a) = 1.5/(1+1.5)
+    val expected =
+      (2 * math.log10(2.5 / 3.5) + math.log10(1.5 / 2.5)) / 3
+    assert(out.length === 1)
+    assert(out.head._2 === 3L)
+    assert(math.abs(out.head._3 - expected) < 1e-12)
+  }
+
   test("heldOutUnigramScore: hand-computed smoothing and OOV bucket") {
     val df = Seq(
       (1L, "a a b", "train"),
