@@ -17,7 +17,7 @@ object CurationQueries {
     q111SpanDedup, q112HashSplit, q113UnigramLogprob, q114FilterFunnel,
     q115MixtureApply, q116BpeMergeStep, q117SemanticCanonical,
     q118SpanDedupOverlap, q119HeldoutLogprob, q120BigramLogprob,
-    q121DedupKeepBest)
+    q121DedupKeepBest, q122FuzzyDecontam)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -397,5 +397,66 @@ object CurationQueries {
           col("is_duplicate").cast("int").as("is_duplicate"))
         .orderBy(col("doc_id"))
     }
+  }
+
+  /** FUZZY benchmark decontamination — q91's near-dup complement: training
+    * docs (doc_id ≥ 10) that are MinHash-LSH near-duplicates of the
+    * benchmark set (doc_id < 10), not just 5-gram-overlapping. Four
+    * 1-hash bands of the q43 salted-md5 signatures generate candidates
+    * across the two corpora (never within either — no self-join), then
+    * exact token Jaccard ≥ 0.6 verifies. Whole chain is SQL-expressible
+    * (the q43/q45 signature scheme), so DuckDB replays signatures, bands,
+    * the cross join, and verification with no scratch table. Scale: the
+    * benchmark band table is tiny → broadcast; the corpus streams past it;
+    * verification touches candidates only. */
+  val q122FuzzyDecontam: QueryDef = sql(
+    "q122_fuzzy_decontam",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |sh AS (SELECT doc_id,
+      |              CASE WHEN len(tok) >= 3
+      |                   THEN list_transform(range(len(tok) - 2),
+      |                        i -> tok[i + 1] || ' ' || tok[i + 2] || ' ' || tok[i + 3])
+      |                   ELSE [] END AS shingles
+      |       FROM t),
+      |sigs AS (SELECT doc_id,
+      |                [list_aggregate(list_transform(shingles, s -> md5('0' || s)), 'min'),
+      |                 list_aggregate(list_transform(shingles, s -> md5('1' || s)), 'min'),
+      |                 list_aggregate(list_transform(shingles, s -> md5('2' || s)), 'min'),
+      |                 list_aggregate(list_transform(shingles, s -> md5('3' || s)), 'min')] AS sigl
+      |         FROM sh WHERE len(shingles) > 0),
+      |bands AS (SELECT doc_id, CAST(i AS VARCHAR) || '|' || sigl[i + 1] AS band
+      |          FROM sigs, unnest(range(4)) AS u(i)),
+      |cand AS (SELECT DISTINCT tr.doc_id AS train_id, be.doc_id AS bench_id
+      |         FROM bands tr JOIN bands be USING (band)
+      |         WHERE tr.doc_id >= 10 AND be.doc_id < 10),
+      |tt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+      |       FROM documents)
+      |SELECT c.train_id, c.bench_id,
+      |       round(CAST(len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS DOUBLE)
+      |             / len(list_distinct(a.tok || b.tok)), 6) AS jaccard
+      |FROM cand c
+      |JOIN tt a ON a.doc_id = c.train_id
+      |JOIN tt b ON b.doc_id = c.bench_id
+      |WHERE CAST(len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS DOUBLE)
+      |      / len(list_distinct(a.tok || b.tok)) >= 0.6
+      |ORDER BY train_id, bench_id""".stripMargin) { (s, d) =>
+    def sig(salt: String) = graft.functions.salted_md5_min(col("tok"), salt)
+    val bands = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"), explode(array(
+        concat(lit("0|"), sig("0")), concat(lit("1|"), sig("1")),
+        concat(lit("2|"), sig("2")), concat(lit("3|"), sig("3")))).as("band"))
+    val bench = bands.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("id_b"), col("band"))
+    val cand = bands.filter(col("doc_id") >= 10)
+      .select(col("doc_id").as("id_a"), col("band"))
+      .join(broadcast(bench), "band")
+      .select(col("id_a"), col("id_b")).distinct()
+    graft.dedup.Dedup.jaccardVerify(cand, docs(s, d), "doc_id", "text",
+        threshold = 0.6)
+      .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
+        oround(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("train_id"), col("bench_id"))
   }
 }
