@@ -36,6 +36,14 @@ object PipelinePrefix {
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  // engine-assigned per-SparkSession id (SparkSession.sessionUUID is not
+  // public API): weak keys so a collected session doesn't pin its entry
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Long]())
+  private val nextSessionId = new java.util.concurrent.atomic.AtomicLong()
+  private def sessionId(s: SparkSession): Long =
+    sessionIds.computeIfAbsent(s, _ => nextSessionId.incrementAndGet())
+
   def enabled(spark: SparkSession): Boolean =
     spark.conf.get(Flag, "false").toBoolean
 
@@ -69,14 +77,25 @@ object PipelinePrefix {
       classNames: String*): String = {
     // canonicalized analyzed plan = structural identity of the INPUT, so
     // two consumers building the same activity frame from the same tables
-    // hit the same entry regardless of expression ids
+    // hit the same entry regardless of expression ids. The owning
+    // SparkSession's UUID is part of the key: a second (or restarted)
+    // session computing the same plan must NOT receive a DataFrame bound
+    // to another — possibly stopped — session.
     val plan = activity.queryExecution.analyzed.canonicalized.toString
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(plan.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    (Seq(stage, digest, chunkSize.toString) ++ classNames).mkString("|")
+    (Seq(stage, s"s${sessionId(activity.sparkSession)}", digest,
+      chunkSize.toString) ++ classNames).mkString("|")
   }
 
   private def memoized(spark: SparkSession, k: String)(build: => DataFrame): DataFrame =
     if (!enabled(spark)) build
-    else memo.computeIfAbsent(k, _ => build.cache())
+    else {
+      // evict entries whose owning context has stopped — they can never be
+      // served again (their key embeds the dead session's UUID) and would
+      // otherwise accumulate across session restarts in this JVM
+      memo.entrySet().removeIf(e =>
+        e.getValue.sparkSession.sparkContext.isStopped)
+      memo.computeIfAbsent(k, _ => build.cache())
+    }
 }

@@ -128,9 +128,11 @@ object CurationQueries {
     * probability frac(oversample), decided by an md5 hex bucket — the step
     * that turns mixture weights into an actual epoch composition. The
     * oversample factor is rounded to 6 decimals BEFORE the floor/frac
-    * split (q110 hash-proves both engines agree on the rounded value, so
-    * the integer threshold below is engine-independent); the per-lang
-    * weight table is a broadcast join against the corpus. */
+    * split (and this query is itself hash-checked, so both engines
+    * provably agree on the rounded value and the integer threshold below
+    * is engine-independent; q110 additionally pins the same weights as
+    * fixed-point ppm integers); the per-lang weight table is a broadcast
+    * join against the corpus. */
   val q115MixtureApply: QueryDef = sql(
     "q115_mixture_apply",
     """WITH s AS (

@@ -578,7 +578,15 @@ object TextQueries {
     * Declarative (one per-shard running-sum window, no sequential loop),
     * and value-checked end to end: token counts, offsets, and window ids
     * must all agree with DuckDB's replay. Scale: partitioned by shard like
-    * q107 — the running sum never crosses shard boundaries. */
+    * q107 — the running sum never crosses shard boundaries.
+    *
+    * Cross-engine hygiene: the windowed SUM is CAST back to BIGINT in the
+    * oracle (DuckDB widens SUM(BIGINT) to HUGEINT, which the driver's
+    * comparator hashes differently from Spark's long), and the window ids
+    * use pure integer division (`//` / `div`) — the plan contains zero
+    * floating-point operations, so no engine round/floor delta can flip
+    * the hash. All offsets are non-negative, so floor- and
+    * truncate-division agree. */
   val q108TokenPacking: QueryDef = sql(
     "q108_token_packing",
     """WITH t AS (
@@ -587,12 +595,13 @@ object TextQueries {
       |  FROM documents),
       |o AS (
       |  SELECT doc_id, shard, n_tokens,
-      |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-      |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+      |            AS BIGINT) AS start_off
       |  FROM t)
       |SELECT doc_id, shard, n_tokens, start_off,
-      |       CAST(floor(start_off / 512.0) AS BIGINT) AS first_window,
-      |       CAST(floor((start_off + n_tokens - 1) / 512.0) AS BIGINT) AS last_window
+      |       start_off // 512 AS first_window,
+      |       (start_off + n_tokens - 1) // 512 AS last_window
       |FROM o
       |ORDER BY shard, doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
@@ -601,11 +610,10 @@ object TextQueries {
     docs(s, d).select(col("doc_id"),
         (col("doc_id") % 8).as("shard"),
         size(tokens).cast("long").as("n_tokens"))
-      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .withColumn("first_window",
-        floor(col("start_off") / lit(512.0)).cast("long"))
-      .withColumn("last_window",
-        floor((col("start_off") + col("n_tokens") - lit(1)) / lit(512.0)).cast("long"))
+      .withColumn("start_off",
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
+      .withColumn("first_window", expr("start_off div 512"))
+      .withColumn("last_window", expr("(start_off + n_tokens - 1) div 512"))
       .orderBy(col("shard"), col("doc_id"))
   }
 
@@ -617,7 +625,12 @@ object TextQueries {
     * arithmetic, no shuffle beyond the per-shard running sum; DuckDB
     * replays via generate_series. The invariant that every window is
     * exactly full (except each shard's last) falls out of the checked
-    * values. */
+    * values.
+    *
+    * Cross-engine hygiene (same as q108): windowed SUM CAST back to
+    * BIGINT (no HUGEINT widening), window bounds via integer division,
+    * and the derived doc_from/tokens_in CAST to BIGINT explicitly — the
+    * plan is pure integer arithmetic end to end. */
   val q109WindowManifest: QueryDef = sql(
     "q109_window_manifest",
     """WITH t AS (
@@ -626,19 +639,21 @@ object TextQueries {
       |  FROM documents),
       |o AS (
       |  SELECT doc_id, shard, n_tokens,
-      |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-      |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+      |            AS BIGINT) AS start_off
       |  FROM t),
       |seg AS (
       |  SELECT doc_id, shard, n_tokens, start_off,
-      |         unnest(generate_series(CAST(floor(start_off / 512.0) AS BIGINT),
-      |                                CAST(floor((start_off + n_tokens - 1) / 512.0) AS BIGINT)))
+      |         unnest(generate_series(start_off // 512,
+      |                                (start_off + n_tokens - 1) // 512))
       |           AS window_id
       |  FROM o)
       |SELECT shard, window_id, doc_id,
-      |       greatest(start_off, window_id * 512) - start_off AS doc_from,
-      |       least(start_off + n_tokens, (window_id + 1) * 512)
-      |         - greatest(start_off, window_id * 512) AS tokens_in
+      |       CAST(greatest(start_off, window_id * 512) - start_off AS BIGINT)
+      |         AS doc_from,
+      |       CAST(least(start_off + n_tokens, (window_id + 1) * 512)
+      |            - greatest(start_off, window_id * 512) AS BIGINT) AS tokens_in
       |FROM seg
       |ORDER BY shard, window_id, doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
@@ -647,15 +662,17 @@ object TextQueries {
     docs(s, d).select(col("doc_id"),
         (col("doc_id") % 8).as("shard"),
         size(tokens).cast("long").as("n_tokens"))
-      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("start_off",
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
       .withColumn("window_id", explode(sequence(
-        floor(col("start_off") / lit(512.0)).cast("long"),
-        floor((col("start_off") + col("n_tokens") - lit(1)) / lit(512.0)).cast("long"))))
+        expr("start_off div 512"),
+        expr("(start_off + n_tokens - 1) div 512"))))
       .select(col("shard"), col("window_id"), col("doc_id"),
         (greatest(col("start_off"), col("window_id") * 512) - col("start_off"))
-          .as("doc_from"),
+          .cast("long").as("doc_from"),
         (least(col("start_off") + col("n_tokens"), (col("window_id") + 1) * 512)
-          - greatest(col("start_off"), col("window_id") * 512)).as("tokens_in"))
+          - greatest(col("start_off"), col("window_id") * 512))
+          .cast("long").as("tokens_in"))
       .orderBy(col("shard"), col("window_id"), col("doc_id"))
   }
 
@@ -666,22 +683,35 @@ object TextQueries {
     * loader applies to low-resource sources. One per-lang aggregation
     * cross-joined with its 1-row totals (the q99 no-Expand shape — a
     * broadcast of one row, allowlisted in the plan audit); scale is the
-    * token-count scan, the mixture math is O(|languages|). */
+    * token-count scan, the mixture math is O(|languages|).
+    *
+    * Cross-engine hygiene: the per-lang token SUM is CAST to BIGINT in
+    * the oracle (DuckDB would widen to HUGEINT and hash differently),
+    * and the weights are emitted as fixed-point parts-per-million
+    * BIGINTs via `floor(x * 1e6 + 0.5)` — the identical IEEE double
+    * operation sequence in both engines (all values are positive), so no
+    * engine `round` half-up/half-even or `pow` rendering delta can flip
+    * the hash. Consumers divide by 1e6 (q115 recomputes its own
+    * operating-point rounding and is unaffected). */
   val q110MixtureWeights: QueryDef = sql(
     "q110_mixture_weights",
     """WITH s AS (
       |  SELECT lang, count(*) AS n_docs,
-      |         sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+      |         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+      |           AS n_tokens
       |  FROM documents GROUP BY lang),
       |tot AS (
-      |  SELECT sum(n_tokens) AS tok_total,
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
       |         sum(power(CAST(n_tokens AS DOUBLE), 0.3)) AS pow_total
       |  FROM s)
       |SELECT lang, n_docs, n_tokens,
-      |       round(CAST(n_tokens AS DOUBLE) / tok_total, 6) AS p_raw,
-      |       round(power(CAST(n_tokens AS DOUBLE), 0.3) / pow_total, 6) AS p_temp,
-      |       round((power(CAST(n_tokens AS DOUBLE), 0.3) / pow_total)
-      |             / (CAST(n_tokens AS DOUBLE) / tok_total), 6) AS oversample
+      |       CAST(floor(CAST(n_tokens AS DOUBLE) / tok_total * 1000000.0 + 0.5)
+      |            AS BIGINT) AS p_raw_ppm,
+      |       CAST(floor(power(CAST(n_tokens AS DOUBLE), 0.3) / pow_total
+      |                  * 1000000.0 + 0.5) AS BIGINT) AS p_temp_ppm,
+      |       CAST(floor((power(CAST(n_tokens AS DOUBLE), 0.3) / pow_total)
+      |                  / (CAST(n_tokens AS DOUBLE) / tok_total)
+      |                  * 1000000.0 + 0.5) AS BIGINT) AS oversample_ppm
       |FROM s, tot
       |ORDER BY lang""".stripMargin) { (s, d) =>
     val perLang = docs(s, d).groupBy(col("lang"))
@@ -692,11 +722,12 @@ object TextQueries {
       sum(pow(col("n_tokens").cast("double"), lit(0.3))).as("pow_total"))
     val pTempRaw = pow(col("n_tokens").cast("double"), lit(0.3)) / col("pow_total")
     val pRawRaw = col("n_tokens").cast("double") / col("tok_total")
+    def ppm(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)).cast("long")
     perLang.crossJoin(broadcast(tot))
       .select(col("lang"), col("n_docs"), col("n_tokens"),
-        oround(pRawRaw, 6).as("p_raw"),
-        oround(pTempRaw, 6).as("p_temp"),
-        oround(pTempRaw / pRawRaw, 6).as("oversample"))
+        ppm(pRawRaw).as("p_raw_ppm"),
+        ppm(pTempRaw).as("p_temp_ppm"),
+        ppm(pTempRaw / pRawRaw).as("oversample_ppm"))
       .orderBy(col("lang"))
   }
 }

@@ -50,14 +50,22 @@ final class IvfIndex(spark: SparkSession, path: String) {
     val touchedCids = assignments
       .join(changedIds, Seq("id"), "left_semi").select("cid")
       .union(assigned.select("cid")).distinct()
-    // cache the merge result: it feeds the drained-partition diff AND the
-    // write — uncached, the touched-partition join would recompute per
-    // action (the pre-write files it reads are about to be overwritten, so
-    // the cache is a correctness barrier too, not just a cost saver)
+    // Materialize the merge result DURABLY before overwriting the files
+    // its plan reads: `.cache()` is only best-effort — if cached blocks
+    // are evicted or lost (memory pressure, executor failure) after the
+    // overwrite starts, recomputation would reread the now-overwritten
+    // assignment files and silently corrupt the merge. A staging-parquet
+    // write is a real barrier: the read-back plan depends only on the
+    // staging files, never on the pre-write assignment files. Cost is one
+    // extra write+read of the touched partitions (bounded by the change
+    // set's centroid fan-out, not the corpus).
     val touched = assignments.join(touchedCids, Seq("cid"), "left_semi")
-    val merged = touched.join(changedIds, Seq("id"), "left_anti")
+    val staging = s"$path/assignments_staging"
+    touched.join(changedIds, Seq("id"), "left_anti")
       .unionByName(assigned)
-      .cache()
+      .select(col("id"), col("vec"), col("cid"))
+      .write.mode("overwrite").parquet(staging)
+    val merged = spark.read.parquet(staging)
     // Dynamic overwrite only rewrites partitions that RECEIVE rows: a
     // centroid whose last occupant moved away would keep its stale file.
     // Both cid sets here are bounded by nCentroids (small by construction),
@@ -70,9 +78,9 @@ final class IvfIndex(spark: SparkSession, path: String) {
       .write.mode("overwrite").partitionBy("cid")
       .option("partitionOverwriteMode", "dynamic") // write-scoped, no session leak
       .parquet(s"$path/assignments")
-    merged.unpersist()
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     drained.foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/assignments/cid=$c"), true)
     }

@@ -20,7 +20,8 @@ object Curation {
   /** Span-level exact-dedup statistics: the text is cut into consecutive
     * `spanTokens`-token windows (stride = width, last span ragged), every
     * span occurrence is keyed by its md5 digest, and only the globally
-    * FIRST occurrence (min (id, position), encoded as id·100000+pos) of
+    * FIRST occurrence (lexicographic min of (id, position), computed as
+    * `min(struct(id, pos))` — overflow-free at any id/pos magnitude) of
     * each distinct span is kept — the concatenate-then-cut twin of C4's
     * three-sentence-span rule for corpora without sentence structure.
     *
@@ -34,9 +35,10 @@ object Curation {
     * by document id. No pairwise comparison exists anywhere: a span
     * duplicated a million times is one grouped row.
     *
-    * `idCol` must be integral and < ~9e13 so the first-occurrence encoding
-    * id·100000+pos cannot overflow a long (pos < 100000 ⇔ docs shorter
-    * than 100000·stride tokens).
+    * (The DuckDB oracles for q111/q118 express the same argmin as
+    * `min(id·100000 + pos)` — equivalent whenever pos < 100000, which the
+    * test corpora satisfy by orders of magnitude; the engine side carries
+    * no such constraint.)
     *
     * `stride` < `spanTokens` gives OVERLAPPING windows — the shifted-dup
     * catcher (a duplicate region misaligned with the stride-8 grid still
@@ -60,16 +62,20 @@ object Curation {
           .stripMargin)))
       .select(col(idCol), col("pos"),
         md5(col("col")).as("h"),
-        size(split(col("col"), " ")).cast("long").as("span_len"),
-        (col(idCol) * lit(100000L) + col("pos")).as("okey"))
-    val first = spans.groupBy(col("h")).agg(min(col("okey")).as("first_key"))
+        size(split(col("col"), " ")).cast("long").as("span_len"))
+    // first occurrence = lexicographic min of (id, pos) as a struct — the
+    // same argmin canonicalizeBy uses for its per-cluster argmax; unlike an
+    // arithmetic encoding it cannot overflow or collide at any magnitude
+    val occ = struct(col(idCol).cast("long").as("oid"),
+      col("pos").cast("long").as("opos"))
+    val first = spans.groupBy(col("h")).agg(min(occ).as("first_occ"))
     spans.join(first, "h")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).cast("long").as("n_spans"),
-        sum(when(col("okey") =!= col("first_key"), 1L).otherwise(0L))
+        sum(when(occ =!= col("first_occ"), 1L).otherwise(0L))
           .cast("long").as("n_dup_spans"),
-        sum(when(col("okey") === col("first_key"), col("span_len")).otherwise(0L))
+        sum(when(occ === col("first_occ"), col("span_len")).otherwise(0L))
           .cast("long").as("n_tokens_kept"))
   }
 
