@@ -21,7 +21,7 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(
     q50Sessions, q51Merged, q52Graph, q53Interests, q54Clusters, q55GraphStats,
     q85Takeout, q86Metrics, q89Discovery, q93PcaClusters, q100Hdbscan,
-    q102PcaHdbscan, q104HdbscanExact, q105HdbscanCoreDist)
+    q102PcaHdbscan, q104HdbscanExact, q105HdbscanCoreDist, q123PcaHdbscanExact)
 
   /** events → activity frame (user_id, ts, title). */
   def activity(s: SparkSession, d: String): DataFrame =
@@ -187,8 +187,29 @@ object PipelineQueries {
     * in-blob mr edge past ε and flip the labels → hash red. */
   val q105HdbscanCoreDist: QueryDef = hdbscanExactCut("q105_hdbscan_coredist", minSamples = 5)
 
-  private def hdbscanExactCut(name: String, minSamples: Int): QueryDef = {
-    def root = graft.core.Fixtures.resolve("clusters", "GRAFT_CLUSTER_FIXTURES")
+  /** The COMPOSITION reduce→cluster, oracle-checked at label level
+    * (VERDICT r8 item 2 — upgrading q93/q102 from rows-only): on the
+    * committed PCA fixture — antipodally mirrored 16-dim groups whose
+    * coordinates are dyadic with EXACTLY-zero group means (PCA centering
+    * is the identity) and whose support spans exactly the 8 reduced
+    * dimensions (the top-8 projection is an isometry on the data, max
+    * |Δdist| ≈ 9e-10 vs decision margins ≥ 0.82) — per-group
+    * LocalPca(8) → HDBSCAN(minClusterSize=5, minSamples=5, ε=0.01)
+    * provably equals the flat ε-cut of the RAW 16-dim cosine distances,
+    * which DuckDB replays with no PCA at all via the q104 recursive-CTE
+    * shape. tools/GenPcaClusterFixture discharges every property on the
+    * committed data, including running the actual engine path
+    * (LocalPca.reduce → toFloat → Hdbscan.labels) against an independent
+    * raw-distance union-find. Reference shape: assets/old_history.py:155-176. */
+  val q123PcaHdbscanExact: QueryDef =
+    hdbscanExactCut("q123_pca_hdbscan_exact", minSamples = 5,
+      fixture = "pca_clusters", envVar = "GRAFT_PCA_FIXTURES",
+      reduceTo = Some(8))
+
+  private def hdbscanExactCut(name: String, minSamples: Int,
+      fixture: String = "clusters", envVar: String = "GRAFT_CLUSTER_FIXTURES",
+      reduceTo: Option[Int] = None): QueryDef = {
+    def root = graft.core.Fixtures.resolve(fixture, envVar)
     QueryDef.sql(
       name,
       s"""WITH RECURSIVE
@@ -226,7 +247,8 @@ object PipelineQueries {
           col("embedding"))
       graft.cluster.LocalCluster.hdbscanPerKey(
           pts, "group_id", "point_id", "embedding",
-          minClusterSize = 5, minSamples = minSamples, clusterSelectionEpsilon = 0.01)
+          minClusterSize = 5, minSamples = minSamples,
+          clusterSelectionEpsilon = 0.01, reduceTo = reduceTo)
         .select(col("group_id"), col("point_id"), col("cluster_label"))
         .orderBy(col("group_id"), col("point_id"))
     }
