@@ -37,7 +37,7 @@ object LocalCluster {
     while (i < n) {
       var j = i + 1
       while (j < n) {
-        if (cosineDistance(vecs(i), vecs(j)) <= eps) union(i, j)
+        if (round9(cosineDistance(vecs(i), vecs(j))) <= eps) union(i, j)
         j += 1
       }
       i += 1
@@ -49,6 +49,14 @@ object LocalCluster {
     val labelOf = clusterRoots.zipWithIndex.toMap
     roots.map(r => labelOf.getOrElse(r, -1))
   }
+
+  /** Repo float policy (round-then-compare): distances are rounded to 9
+    * decimals before the ε threshold, with the same FP op sequence DuckDB's
+    * `round(x, 9)` performs (`std::round` half away from zero; distances
+    * are non-negative so `floor(x·1e9 + 0.5)` is identical) — the oracle
+    * rounds its side too, so a last-bit cosine difference between engines
+    * cannot flip a pair sitting within 1 ulp of ε. */
+  private def round9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
 
   def cosineDistance(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0

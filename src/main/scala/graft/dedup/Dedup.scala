@@ -194,7 +194,15 @@ object Dedup {
 
   /** Embedding cosine near-dup within coarse buckets (IVF-style): only
     * same-bucket pairs are scored. `bucketCol` is any coarse assignment
-    * (cluster label, LSH band of the vector, shard key). */
+    * (cluster label, LSH band of the vector, shard key).
+    *
+    * Float policy: the threshold compares the similarity ROUNDED to 9
+    * decimals (`oround`, the DuckDB-parity rounding), not the raw double —
+    * a last-bit difference between two engines' cosine accumulations can
+    * otherwise flip a pair sitting within 1 ulp of the threshold. 9
+    * decimals is far below any semantic tolerance and collapses the
+    * fragile zone from "within 1 ulp of the threshold" to "within 1 ulp
+    * of a 0.5e-9 rounding boundary". */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, threshold: Double): DataFrame = {
     val v = df.select(col(bucketCol).as("bucket"), col(idCol).as("id"), col(vecCol).as("vec"))
@@ -204,6 +212,6 @@ object Dedup {
       .filter(col("id_b") > col("id_a"))
       .select(col("id_a"), col("id_b"),
         cosine_similarity(col("vec_a"), col("vec_b")).as("sim"))
-      .filter(col("sim") >= threshold)
+      .filter(graft.queries.oround(col("sim"), 9) >= threshold)
   }
 }

@@ -23,10 +23,12 @@ object InterestsExtract {
     firstPrompt(rows) + "\n[SECOND_TURN] Previous analysis: " + firstResponse +
       "\nReply with a single bracketed list of interest keywords."
 
-  /** @return per-day frame `(user_id, date, chunked_interests
-    *         array<array<string>>, interests array<string>,
-    *         count_invalid_responses)` */
-  def interests(activity: DataFrame, llm: LLMClient, chunkSize: Int = 15): DataFrame = {
+  /** The per-chunk parsed responses with the `observe("interests", …)`
+    * counters attached — [[interests]] aggregates it; q86 dumps the
+    * `response` column to a scratch table so its DuckDB oracle can replay
+    * the same `\[(.*?)\]` capture rule and hash-compare the counts. */
+  private[graft] def parsedResponses(activity: DataFrame, llm: LLMClient,
+      chunkSize: Int = 15): DataFrame = {
     val spark = activity.sparkSession
     import spark.implicits._
 
@@ -57,6 +59,13 @@ object InterestsExtract {
         sum(when(col("chunk_interests").isNull, 1).otherwise(0)).as("invalid_responses"))
 
     parsed
+  }
+
+  /** @return per-day frame `(user_id, date, chunked_interests
+    *         array<array<string>>, interests array<string>,
+    *         count_invalid_responses)` */
+  def interests(activity: DataFrame, llm: LLMClient, chunkSize: Int = 15): DataFrame =
+    parsedResponses(activity, llm, chunkSize)
       .groupBy(col("user_id"), col("date"))
       .agg(
         sort_array(collect_list(struct(col("chunk_id"), col("chunk_interests")))).as("ci"),
@@ -68,5 +77,4 @@ object InterestsExtract {
         expr("array_sort(array_distinct(flatten(filter(transform(ci, x -> x.chunk_interests), x -> x is not null))))")
           .as("interests"),
         col("count_invalid_responses"))
-  }
 }

@@ -47,9 +47,13 @@ object Sessionize {
       "time_start, time_end, description, interests:\n" + table
   }
 
-  /** @return sessions `(user_id, date, time_start "HH:mm", time_end "HH:mm",
-    *         start_s, end_s, description, interests)` */
-  def sessions(activity: DataFrame, llm: LLMClient, chunkSize: Int = 15): DataFrame = {
+  /** The exploded snippet stream with its validation flags and the
+    * `observe("sessionize", …)` counters attached — [[sessions]] filters
+    * it; q86 dumps the `snippet` column to a scratch table so its DuckDB
+    * oracle can replay the SAME drop rules (key-set + HH:mm regex checks,
+    * utils/recent_history_utils.py:138-186) and hash-compare the counts. */
+  private[graft] def validatedSnippets(activity: DataFrame, llm: LLMClient,
+      chunkSize: Int = 15): DataFrame = {
     val spark = activity.sparkSession
     import spark.implicits._
 
@@ -81,6 +85,12 @@ object Sessionize {
         sum(when(col("keys_ok") && !col("times_ok"), 1).otherwise(0)).as("invalid_times"))
 
     exploded
+  }
+
+  /** @return sessions `(user_id, date, time_start "HH:mm", time_end "HH:mm",
+    *         start_s, end_s, description, interests)` */
+  def sessions(activity: DataFrame, llm: LLMClient, chunkSize: Int = 15): DataFrame =
+    validatedSnippets(activity, llm, chunkSize)
       .filter(col("keys_ok") && col("times_ok"))
       .select(
         col("user_id"), col("date"),
@@ -90,5 +100,4 @@ object Sessionize {
         seconds_of_day(col("parsed.time_end")).as("end_s"),
         col("parsed.description").as("description"),
         col("parsed.interests").as("interests"))
-  }
 }

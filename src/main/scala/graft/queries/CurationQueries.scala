@@ -220,8 +220,8 @@ object CurationQueries {
       |  SELECT a.vec_id AS src, b.vec_id AS dst
       |  FROM embeddings a JOIN embeddings b
       |    ON a.label = b.label AND b.vec_id > a.vec_id
-      |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-      |                               CAST(b.embedding AS DOUBLE[])) >= 0.3),
+      |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                     CAST(b.embedding AS DOUBLE[])), 9) >= 0.3),
       |bidir AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
       |nodes AS (SELECT DISTINCT a AS id FROM bidir),
       |reach AS (

@@ -182,8 +182,8 @@ object DedupQueries {
       |                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
       |FROM embeddings a JOIN embeddings b
       |  ON a.label = b.label AND b.vec_id > a.vec_id
-      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-      |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                   CAST(b.embedding AS DOUBLE[])), 9) >= 0.3
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", threshold = 0.3)

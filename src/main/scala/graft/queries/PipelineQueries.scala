@@ -81,7 +81,7 @@ object PipelineQueries {
       |edges AS (
       |  SELECT a.grp, a.ord AS s, b.ord AS t
       |  FROM nodes a JOIN nodes b ON a.grp = b.grp AND a.ord <> b.ord
-      |  WHERE 1 - list_cosine_similarity(a.e, b.e) <= 0.7),
+      |  WHERE round(1 - list_cosine_similarity(a.e, b.e), 9) <= 0.7),
       |reach AS (
       |  SELECT grp, ord AS src, ord AS dst FROM nodes
       |  UNION
@@ -360,26 +360,80 @@ object PipelineQueries {
     * 2-decimal error_rate per materialization): the `Dataset.observe`
     * counters from sessionize + interests, flattened to (stage, metric,
     * value) rows, plus a derived per-stage error_rate = Σ invalid_* / n_*.
-    * Rows-only (counts come from stub-LLM output); the counter semantics
-    * are pinned in SessionizeSpec. */
-  val q86Metrics: QueryDef = rowsOnly("q86_pipeline_metrics") { (s, d) =>
-    import graft.operators.{InterestsExtract, ObservedMetrics, Sessionize}
-    val act = activity(s, d)
-    // ONE pass fills both stages' counters (collectAll unions the observed
-    // plans under a single action) — not a sequential full enrichment pass
-    // per stage; the reference likewise publishes metadata from the
-    // materialization it already ran (assets/recent_history.py:107-120).
-    val base = ObservedMetrics.collectAll(Seq(
-      Sessionize.sessions(act, new StubSessionsLLM),
-      InterestsExtract.interests(act, new StubInterestsLLM)))
-    val totals = base.filter(col("metric").startsWith("n_"))
-      .groupBy("stage").agg(first(col("value")).as("total"))
-    val invalid = base.filter(col("metric").startsWith("invalid_"))
-      .groupBy("stage").agg(sum(col("value")).as("bad"))
-    val rates = totals.join(invalid, "stage")
-      .select(col("stage"), lit("error_rate").as("metric"),
-        oround(col("bad") / col("total"), 2).as("value"))
-    base.unionByName(rates).orderBy(col("stage"), col("metric"))
+    *
+    * UPGRADED from rows-only (VERDICT r8 item 3) via the q56/q97 scratch
+    * mechanism: the engine dumps the stub-deterministic intermediates the
+    * drop rules inspect — the extracted session snippets and the raw
+    * interests responses — and DuckDB independently REPLAYS the validation
+    * rules (key-set check via json_keys, HH:mm regex, `\[(.*?)\]` capture
+    * — utils/recent_history_utils.py:138-186) over them, recomputing every
+    * counter and the error rates from first principles. The Spark values
+    * still come from the live `observe` counters, so the hash compare
+    * validates the observe mechanism itself, not a shared computation. */
+  val q86Metrics: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q86_pipeline_metrics")
+    QueryDef.sql(
+      "q86_pipeline_metrics",
+      s"""WITH sflag AS (
+         |  SELECT CASE WHEN json_valid(snippet)
+         |              THEN list_sort(json_keys(snippet)) =
+         |                   ['description','interests','time_end','time_start']
+         |              ELSE NULL END AS keys_ok,
+         |         CASE WHEN json_valid(snippet)
+         |              THEN regexp_matches(json_extract_string(snippet, '$$.time_start'),
+         |                                  '^\\d{2}:\\d{2}$$')
+         |               AND regexp_matches(json_extract_string(snippet, '$$.time_end'),
+         |                                  '^\\d{2}:\\d{2}$$')
+         |              ELSE NULL END AS times_ok
+         |  FROM read_parquet('$p/sessionize/*.parquet')),
+         |scount AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_snippets,
+         |         CAST(sum(CASE WHEN NOT keys_ok THEN 1 ELSE 0 END) AS DOUBLE)
+         |           AS invalid_keys,
+         |         CAST(sum(CASE WHEN keys_ok AND NOT times_ok THEN 1 ELSE 0 END)
+         |              AS DOUBLE) AS invalid_times
+         |  FROM sflag),
+         |icount AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_chunks,
+         |         CAST(sum(CASE WHEN COALESCE(regexp_extract(response,
+         |                        '\\[(.*?)\\]', 1), '') = '' THEN 1 ELSE 0 END)
+         |              AS DOUBLE) AS invalid_responses
+         |  FROM read_parquet('$p/interests/*.parquet')),
+         |rows AS (
+         |  SELECT 'sessionize' AS stage, 'n_snippets' AS metric, n_snippets AS value FROM scount
+         |  UNION ALL SELECT 'sessionize', 'invalid_keys', invalid_keys FROM scount
+         |  UNION ALL SELECT 'sessionize', 'invalid_times', invalid_times FROM scount
+         |  UNION ALL SELECT 'sessionize', 'error_rate',
+         |    round((invalid_keys + invalid_times) / n_snippets, 2) FROM scount
+         |  UNION ALL SELECT 'interests', 'n_chunks', n_chunks FROM icount
+         |  UNION ALL SELECT 'interests', 'invalid_responses', invalid_responses FROM icount
+         |  UNION ALL SELECT 'interests', 'error_rate',
+         |    round(invalid_responses / n_chunks, 2) FROM icount)
+         |SELECT stage, metric, value FROM rows
+         |ORDER BY stage, metric""".stripMargin) { (s, d) =>
+      import graft.operators.{InterestsExtract, ObservedMetrics, Sessionize}
+      val act = activity(s, d)
+      val sess = Sessionize.validatedSnippets(act, new StubSessionsLLM)
+      val ints = InterestsExtract.parsedResponses(act, new StubInterestsLLM)
+      // dump the intermediates the oracle replays; the stub clients are
+      // deterministic, so the observe pass below sees identical rows
+      val path = graft.core.Scratch.dir("q86_pipeline_metrics", d)
+      sess.select(col("snippet")).write.mode("overwrite").parquet(s"$path/sessionize")
+      ints.select(col("response")).write.mode("overwrite").parquet(s"$path/interests")
+      // ONE pass fills both stages' counters (collectAll unions the observed
+      // plans under a single action) — not a sequential full enrichment pass
+      // per stage; the reference likewise publishes metadata from the
+      // materialization it already ran (assets/recent_history.py:107-120).
+      val base = ObservedMetrics.collectAll(Seq(sess, ints))
+      val totals = base.filter(col("metric").startsWith("n_"))
+        .groupBy("stage").agg(first(col("value")).as("total"))
+      val invalid = base.filter(col("metric").startsWith("invalid_"))
+        .groupBy("stage").agg(sum(col("value")).as("bad"))
+      val rates = totals.join(invalid, "stage")
+        .select(col("stage"), lit("error_rate").as("metric"),
+          oround(col("bad") / col("total"), 2).as("value"))
+      base.unionByName(rates).orderBy(col("stage"), col("metric"))
+    }
   }
 
   /** The reference's UMAP→HDBSCAN shape (assets/old_history.py:157-187)

@@ -100,6 +100,39 @@ class PlanAuditSpec extends SparkSpec {
       s"unpruned scan schemas: $schemas")
   }
 
+  // Queries whose plan legitimately embeds a driver-materialized table —
+  // either driver-authored constants, or a GATED bounded collect with a
+  // documented distributed fallback. Anything else growing a LocalTableScan
+  // means a computation silently moved to the driver — the regression class
+  // the IvfIndex probed-centroid collects could invite (VERDICT r8 item 5).
+  private val localScanAllowed = Set(
+    "q95_text_hash_goldens", // authored golden input strings, by design
+    // ConnectedComponents union-find fast path: edges collected ONLY below
+    // the 2^20 gate; above it the star-contraction loop runs distributed
+    // (ConnectedComponents.scala). The bound is data-independent config.
+    "q51_pipeline_merged", "q55_graph_stats", "q117_semantic_canonical",
+    // SketchTopK: the verify side re-counts a candidate list bounded by k
+    // (sketch width), never by corpus size (SketchTopK.scala).
+    "q96_sketch_topk_tokens", "q101_sketch_topk_exactfallback")
+
+  test("LocalTableScan only for driver-authored literal inputs") {
+    val offenders = auditable.filter { n =>
+      !localScanAllowed.contains(n) && planOf(n).contains("LocalTableScan")
+    }
+    assert(offenders.isEmpty, s"driver-materialized tables in: $offenders")
+  }
+
+  test("isin literal lists stay bounded (no unbounded driver round-trips)") {
+    // probed-centroid pruning collects AT MOST nCentroids ids into an isin
+    // literal; any list beyond that bound means a driver collect over data
+    // that scales with the corpus, not the index
+    val inList = "(?s) IN \\(([^)]*)\\)".r
+    val offenders = auditable.flatMap { n =>
+      inList.findAllMatchIn(planOf(n)).map(m => (n, m.group(1).count(_ == ',') + 1))
+    }.filter(_._2 > 64)
+    assert(offenders.isEmpty, s"oversized isin literal lists: $offenders")
+  }
+
   test("partial aggregation precedes the shuffle in q01") {
     // HashAggregate(partial) → Exchange → HashAggregate(final): the
     // map-side-combine shape every big groupBy needs at scale

@@ -20,6 +20,30 @@ class QueryDeterminismSpec extends SparkSpec {
     }
   }
 
+  test("oracle float boundaries keep a margin after 9-decimal rounding") {
+    // Repo float policy (round-then-compare): every place a computed double
+    // crosses an oracle threshold compares the 9-decimal-rounded value on
+    // BOTH engines (oround / DuckDB round), so a last-bit accumulation
+    // difference can only flip a pair sitting within ~1 ulp of a 0.5e-9
+    // rounding boundary AND within 1e-9 of the threshold. This canary
+    // asserts the data keeps a real margin from the one similarity
+    // boundary the oracle-checked surface uses — sim 0.3, shared by q31/
+    // q58/q117 (near-dup threshold) and q54 (ε = 0.7 on distance ⇔ sim ≥
+    // 0.3) — so a future datagen change that lands values near the
+    // boundary is flagged here instead of as a driver hash flake.
+    // (Jaccard thresholds are NOT fragile: a single int/int division is
+    // correctly rounded identically in both engines.)
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val a = emb.select(col("label"), col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = emb.select(col("label"), col("vec_id").as("ib"), col("embedding").as("eb"))
+    val margin = a.join(b, "label").filter(col("ib") > col("ia"))
+      .select(graft.functions.cosine_similarity(col("ea"), col("eb")).as("sim"))
+      .agg(min(abs(col("sim") - lit(0.3)))).head.getDouble(0)
+    assert(margin > 1e-7,
+      f"a same-bucket pair sits $margin%.3g from the 0.3 similarity boundary")
+  }
+
   test("all queries are partition-count invariant at sf0.001") {
     spark.catalog.clearCache()
     val a = runAll(3)
