@@ -72,12 +72,22 @@ object LocalCluster {
     else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Which local algorithm `reduceTo` runs (SURVEY §2.9 op 58): [[Umap]]
+    * is the reference-faithful reduction (assets/old_history.py:157-161);
+    * [[Pca]] is the deterministic closed-form alternative retained for the
+    * oracle-checked composition proof (q123's fixture discharge relies on
+    * PCA's top-k projection being an isometry on that data, which no
+    * SGD layout can promise). */
+  sealed trait Reducer extends Serializable
+  case object Pca extends Reducer
+  case object Umap extends Reducer
+
   /** Cluster `df` per `keyCol` group. Input needs `keyCol: long`,
     * `itemCol: string`, `vecCol: array<float>`; output adds
     * `cluster_label: int` (−1 = noise). Rows within a group are ordered by
     * `itemCol` before clustering so labels are reproducible.
-    * `reduceTo = Some(k)` runs per-group PCA to k dims first — the
-    * reference's UMAP→cluster shape (SURVEY §2.9 op 58, LocalPca). */
+    * `reduceTo = Some(k)` runs the per-group `reducer` to k dims first —
+    * the reference's UMAP→cluster shape (SURVEY §2.9 op 58). */
   def clusterPerKey(
       df: DataFrame,
       keyCol: String,
@@ -85,8 +95,9 @@ object LocalCluster {
       vecCol: String,
       eps: Double = 0.02,
       minClusterSize: Int = 5,
-      reduceTo: Option[Int] = None): DataFrame =
-    labelPerKey(df, keyCol, itemCol, vecCol, reduceTo,
+      reduceTo: Option[Int] = None,
+      reducer: Reducer = Pca): DataFrame =
+    labelPerKey(df, keyCol, itemCol, vecCol, reduceTo, reducer,
       clusterVectors(_, eps, minClusterSize))
 
   /** TRUE HDBSCAN per `keyCol` group ([[Hdbscan]]: MST → condensed tree →
@@ -103,11 +114,12 @@ object LocalCluster {
       minClusterSize: Int = 5,
       minSamples: Int = 0,
       clusterSelectionEpsilon: Double = 0.02,
-      reduceTo: Option[Int] = None): DataFrame =
-    labelPerKey(df, keyCol, itemCol, vecCol, reduceTo,
+      reduceTo: Option[Int] = None,
+      reducer: Reducer = Pca): DataFrame =
+    labelPerKey(df, keyCol, itemCol, vecCol, reduceTo, reducer,
       Hdbscan.labels(_, minClusterSize, minSamples, clusterSelectionEpsilon))
 
-  /** Shared per-key plumbing: deterministic in-group order, optional PCA
+  /** Shared per-key plumbing: deterministic in-group order, optional
     * reduction, one local labeling call per group inside `flatMapGroups`. */
   private def labelPerKey(
       df: DataFrame,
@@ -115,6 +127,7 @@ object LocalCluster {
       itemCol: String,
       vecCol: String,
       reduceTo: Option[Int],
+      reducer: Reducer,
       labelFn: Array[Array[Float]] => Array[Int]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -127,7 +140,12 @@ object LocalCluster {
         val rows = it.toVector.sortBy(r => (r._2, r._3.headOption.getOrElse(0f)))
         val raw = rows.map(_._3.toArray).toArray
         val vecs = reduceTo match {
-          case Some(k) => LocalPca.reduce(raw, k).map(_.map(_.toFloat))
+          case Some(k) =>
+            val reduced = reducer match {
+              case Pca => LocalPca.reduce(raw, k)
+              case Umap => LocalUmap.reduce(raw, k)
+            }
+            reduced.map(_.map(_.toFloat))
           case None => raw
         }
         val labels = labelFn(vecs)

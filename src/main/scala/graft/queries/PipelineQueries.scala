@@ -21,7 +21,8 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(
     q50Sessions, q51Merged, q52Graph, q53Interests, q54Clusters, q55GraphStats,
     q85Takeout, q86Metrics, q89Discovery, q93PcaClusters, q100Hdbscan,
-    q102PcaHdbscan, q104HdbscanExact, q105HdbscanCoreDist, q123PcaHdbscanExact)
+    q102PcaHdbscan, q104HdbscanExact, q105HdbscanCoreDist, q123PcaHdbscanExact,
+    q124UmapClusterExact)
 
   /** events → activity frame (user_id, ts, title). */
   def activity(s: SparkSession, d: String): DataFrame =
@@ -140,11 +141,11 @@ object PipelineQueries {
   }
 
   /** The reference's FULL per-user cluster stage end-to-end with the true
-    * algorithm: dimensionality reduction → pairwise cosine → HDBSCAN
-    * (`assets/old_history.py:155-187` — UMAP stands in as per-group PCA,
-    * the op-58 documented substitute; everything downstream is the real
-    * thing at the reference's parameters). q93 keeps the same shape on the
-    * flat ε-cut; q100 is un-reduced HDBSCAN. Rows-only like both. */
+    * algorithms at every step: UMAP reduction → pairwise cosine → HDBSCAN
+    * (`assets/old_history.py:155-187`, all at the reference's parameters —
+    * LocalUmap is the real fuzzy-simplicial-set + SGD algorithm). q93
+    * keeps the same shape on the flat ε-cut; q100 is un-reduced HDBSCAN.
+    * Rows-only like both. */
   val q102PcaHdbscan: QueryDef = rowsOnly("q102_pca_hdbscan") { (s, d) =>
     val emb = Tables.embeddings(s, d)
       .select(col("label").cast("long").as("user_id"),
@@ -153,7 +154,7 @@ object PipelineQueries {
     graft.cluster.LocalCluster.hdbscanPerKey(
         emb, "user_id", "interest", "embedding",
         minClusterSize = 5, minSamples = 5, clusterSelectionEpsilon = 0.02,
-        reduceTo = Some(8))
+        reduceTo = Some(8), reducer = graft.cluster.LocalCluster.Umap)
       .select(col("user_id").as("label"), col("interest").as("vec_id"),
         col("cluster_label"))
       .orderBy(col("label"), col("vec_id"))
@@ -205,6 +206,63 @@ object PipelineQueries {
     hdbscanExactCut("q123_pca_hdbscan_exact", minSamples = 5,
       fixture = "pca_clusters", envVar = "GRAFT_PCA_FIXTURES",
       reduceTo = Some(8))
+
+  /** The TRUE op-58 reduction composed with clustering, oracle-checked at
+    * label level: on the committed UMAP fixture — orthogonal-axis blob
+    * cones whose 15-NN graphs are provably blob-contained, so LocalUmap's
+    * fuzzy graph has no cross-blob edge and the SGD layout cannot merge
+    * blobs — per-group UMAP(4) → ε=0.2 cut of reduced cosine distances
+    * equals the ε=0.3 cut of the RAW 16-dim cosine distances, which DuckDB
+    * replays with no UMAP at all (q123's trick for the real algorithm;
+    * tools/GenUmapClusterFixture discharges every property on the
+    * committed data, including running the actual engine path against an
+    * independent raw-distance union-find). Reference shape:
+    * assets/old_history.py:157-176. */
+  val q124UmapClusterExact: QueryDef = {
+    def root = graft.core.Fixtures.resolve("umap_clusters", "GRAFT_UMAP_FIXTURES")
+    QueryDef.sql(
+      "q124_umap_cluster_exact",
+      s"""WITH RECURSIVE
+         |nodes AS (
+         |  SELECT group_id AS grp, CAST(point_id AS VARCHAR) AS item,
+         |         row_number() OVER (PARTITION BY group_id
+         |                            ORDER BY CAST(point_id AS VARCHAR)) - 1 AS ord,
+         |         CAST(embedding AS DOUBLE[]) AS e
+         |  FROM read_parquet('$root/points.parquet/*.parquet')),
+         |edges AS (
+         |  SELECT a.grp, a.ord AS s, b.ord AS t
+         |  FROM nodes a JOIN nodes b ON a.grp = b.grp AND a.ord <> b.ord
+         |  WHERE 1 - list_cosine_similarity(a.e, b.e) <= 0.3),
+         |reach AS (
+         |  SELECT grp, ord AS src, ord AS dst FROM nodes
+         |  UNION
+         |  SELECT r.grp, r.src, e.t FROM reach r
+         |  JOIN edges e ON e.grp = r.grp AND e.s = r.dst),
+         |comp AS (
+         |  SELECT grp, src AS ord, min(dst) AS root FROM reach GROUP BY grp, src),
+         |clusters AS (
+         |  SELECT grp, root,
+         |         row_number() OVER (PARTITION BY grp ORDER BY root) - 1 AS lbl
+         |  FROM (SELECT grp, root, count(*) AS n FROM comp GROUP BY grp, root)
+         |  WHERE n >= 5)
+         |SELECT n.grp AS group_id, n.item AS point_id,
+         |       CAST(COALESCE(c.lbl, -1) AS INTEGER) AS cluster_label
+         |FROM nodes n
+         |JOIN comp ON comp.grp = n.grp AND comp.ord = n.ord
+         |LEFT JOIN clusters c ON c.grp = comp.grp AND c.root = comp.root
+         |ORDER BY group_id, point_id""".stripMargin) { (s, _) =>
+      val pts = s.read.parquet(s"$root/points.parquet")
+        .select(col("group_id").cast("long").as("group_id"),
+          col("point_id").cast("string").as("point_id"),
+          col("embedding"))
+      graft.cluster.LocalCluster.clusterPerKey(
+          pts, "group_id", "point_id", "embedding",
+          eps = 0.2, minClusterSize = 5,
+          reduceTo = Some(4), reducer = graft.cluster.LocalCluster.Umap)
+        .select(col("group_id"), col("point_id"), col("cluster_label"))
+        .orderBy(col("group_id"), col("point_id"))
+    }
+  }
 
   private def hdbscanExactCut(name: String, minSamples: Int,
       fixture: String = "clusters", envVar: String = "GRAFT_CLUSTER_FIXTURES",
@@ -436,24 +494,27 @@ object PipelineQueries {
     }
   }
 
-  /** The reference's UMAP→HDBSCAN shape (assets/old_history.py:157-187)
-    * with the engine's documented substitutes: per-group PCA reduction to 8
-    * dims (LocalPca — deterministic power iteration, stable sign
-    * convention) feeding ε-single-linkage clustering. Rows-only: PCA isn't
-    * expressible in the oracle; determinism across partitionings/JVMs is
-    * LocalPca's contract, pinned in LocalPcaSpec, and q54 oracle-checks the
-    * same clustering without the reduction. */
+  /** The reference's UMAP→cluster shape (assets/old_history.py:157-187)
+    * with the TRUE reduction: per-group UMAP to 8 dims (LocalUmap — the
+    * real fuzzy-simplicial-set + SGD algorithm at the reference's
+    * n_neighbors=15/min_dist=0.1/cosine parameters, deterministic by
+    * seeded RNG + PCA init) feeding ε-single-linkage clustering on the
+    * reduced cosine distances. Rows-only: an SGD layout isn't expressible
+    * in the oracle; determinism across partitionings/JVMs is LocalUmap's
+    * contract (LocalUmapSpec), and q54 oracle-checks the same clustering
+    * without the reduction, q123 the composed reduce→cluster path via the
+    * PCA-isometry fixture. */
   val q93PcaClusters: QueryDef = rowsOnly("q93_pca_clusters") { (s, d) =>
     val emb = Tables.embeddings(s, d)
       .select(col("label").cast("long").as("user_id"),
         col("vec_id").cast("string").as("interest"),
         col("embedding"))
-    // eps is tighter than q54's 0.7: PCA concentrates variance in the top
-    // components, shrinking cosine distances — 0.7 in reduced space merges
-    // everything into one cluster (checked at sf0.01)
+    // eps is tighter than q54's 0.7: UMAP pulls mutual-neighbor points
+    // onto a tight layout, shrinking in-cluster cosine distances — 0.7 in
+    // reduced space merges everything into one cluster (checked at sf0.01)
     graft.cluster.LocalCluster.clusterPerKey(
         emb, "user_id", "interest", "embedding", eps = 0.45, minClusterSize = 5,
-        reduceTo = Some(8))
+        reduceTo = Some(8), reducer = graft.cluster.LocalCluster.Umap)
       .select(col("user_id").as("label"), col("interest").as("vec_id"),
         col("cluster_label"))
       .orderBy(col("label"), col("vec_id"))
