@@ -17,7 +17,7 @@ object CurationQueries {
     q111SpanDedup, q112HashSplit, q113UnigramLogprob, q114FilterFunnel,
     q115MixtureApply, q116BpeMergeStep, q117SemanticCanonical,
     q118SpanDedupOverlap, q119HeldoutLogprob, q120BigramLogprob,
-    q121DedupKeepBest, q122FuzzyDecontam)
+    q121DedupKeepBest, q122FuzzyDecontam, q125DsirWeights)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -460,5 +460,50 @@ object CurationQueries {
       .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
         oround(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("train_id"), col("bench_id"))
+  }
+
+  /** DSIR importance weights (arXiv:2302.03169) with the corpus's English
+    * documents standing in as the in-domain target: hashed unigram+bigram
+    * bucket LMs (256 md5-prefix buckets, add-0.5 smoothing), per-doc
+    * log-likelihood ratio. DuckDB replays features, bucketing, both LMs,
+    * and the ratio from first principles; both engines sum identical
+    * per-bucket doubles, so the only float op is the final round-6.
+    * Selection is deliberately downstream (top-k = ops 34/35, md5
+    * acceptance = q115) — this query owns the statistic. */
+  val q125DsirWeights: QueryDef = sql(
+    "q125_dsir_weights",
+    """WITH base AS (
+      |  SELECT doc_id, lang = 'en' AS is_target, string_split(text, ' ') AS w
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, is_target, substr(md5(f), 1, 2) AS b
+      |  FROM (
+      |    SELECT doc_id, is_target, unnest(w) AS f FROM base
+      |    UNION ALL
+      |    SELECT doc_id, is_target,
+      |           unnest(list_transform(range(1, len(w)),
+      |                                 i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)])) AS f
+      |    FROM base WHERE len(w) >= 2)),
+      |docb AS (
+      |  SELECT doc_id, is_target, b, count(*) AS k FROM feats
+      |  GROUP BY doc_id, is_target, b),
+      |tgt AS (SELECT b, CAST(sum(k) AS BIGINT) AS ct FROM docb WHERE is_target GROUP BY b),
+      |src AS (SELECT b, CAST(sum(k) AS BIGINT) AS cs FROM docb WHERE NOT is_target GROUP BY b),
+      |tots AS (
+      |  SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS nt,
+      |         (SELECT CAST(sum(cs) AS BIGINT) FROM src) AS ns)
+      |SELECT doc_id, is_target,
+      |       CAST(sum(k) AS BIGINT) AS n_feats,
+      |       round(sum(CAST(k AS DOUBLE)
+      |                 * (log10((COALESCE(ct, 0) + 0.5) / (nt + 128.0))
+      |                    - log10((COALESCE(cs, 0) + 0.5) / (ns + 128.0)))), 6)
+      |         AS log_weight
+      |FROM docb LEFT JOIN tgt USING (b) LEFT JOIN src USING (b) CROSS JOIN tots
+      |GROUP BY doc_id, is_target
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.dsirWeights(docs(s, d), "doc_id", "text", col("lang") === "en")
+      .select(col("doc_id"), col("is_target"), col("n_feats"),
+        oround(col("log_weight"), 6).as("log_weight"))
+      .orderBy(col("doc_id"))
   }
 }

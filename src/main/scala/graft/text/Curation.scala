@@ -195,6 +195,59 @@ object Curation {
         (sum(col("k").cast("double") * logp) / sum(col("k"))).as("mean_logprob"))
   }
 
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023, arXiv:2302.03169): score every document by how much
+    * more likely its hashed-n-gram profile is under a target ("in-domain")
+    * corpus than under the raw source corpus. Features are word unigrams +
+    * adjacent bigrams hashed into 256 buckets (the first two hex chars of
+    * the feature's md5 — the same engine-independent bucketing q112's
+    * hash split uses); both bucket LMs are add-k smoothed, and
+    *
+    *   log_weight(x) = Σ_b c_b(x) · (log10 p_target(b) − log10 p_source(b))
+    *
+    * with p(b) = (c(b) + k) / (N + 256k). Downstream selection is the
+    * existing surface (top-k by weight = ops 34/35, probabilistic
+    * acceptance = q115's md5-threshold mechanism) — this operator owns
+    * the statistic, not the sampling.
+    *
+    * Scale shape: the feature stream is pre-aggregated to (doc, bucket, k)
+    * BEFORE anything wide — per document at most 256 rows regardless of
+    * length. Both bucket LMs are ≤ 256-row broadcasts, the (N_t, N_s)
+    * totals a 1-row broadcast, so the only corpus-sized shuffles are the
+    * two (doc, bucket) aggregations. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, addK: Double = 0.5): DataFrame = {
+    val base = df.select(col(idCol), isTarget.as("is_target"),
+      split(col(textCol), " ").as("w"))
+    val uni = base.select(col(idCol), col("is_target"), explode(col("w")).as("f"))
+    val bi = base.filter(size(col("w")) >= 2)
+      .select(col(idCol), col("is_target"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
+        .as("f"))
+    val docB = uni.unionByName(bi)
+      .select(col(idCol), col("is_target"), substring(md5(col("f")), 1, 2).as("b"))
+      .groupBy(col(idCol), col("is_target"), col("b"))
+      .agg(count(lit(1)).as("k"))
+    val tgt = docB.filter(col("is_target")).groupBy(col("b"))
+      .agg(sum(col("k")).as("ct"))
+    val src = docB.filter(!col("is_target")).groupBy(col("b"))
+      .agg(sum(col("k")).as("cs"))
+    val tots = tgt.agg(sum(col("ct")).as("nt"))
+      .crossJoin(src.agg(sum(col("cs")).as("ns")))
+    val denom = lit(addK * 256)
+    val logRatio =
+      log10((coalesce(col("ct"), lit(0L)) + lit(addK)) / (col("nt") + denom)) -
+        log10((coalesce(col("cs"), lit(0L)) + lit(addK)) / (col("ns") + denom))
+    docB
+      .join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(src), Seq("b"), "left")
+      .crossJoin(broadcast(tots))
+      .groupBy(col(idCol), col("is_target"))
+      .agg(
+        sum(col("k")).cast("long").as("n_feats"),
+        sum(col("k").cast("double") * logRatio).as("log_weight"))
+  }
+
   /** Sequential quality-filter funnel with first-failing-rule attribution
     * (the Gopher/RefinedWeb cascade): every document lands in exactly one
     * stage — too_short, too_long, low_stopword, repetitive (3-gram

@@ -125,6 +125,51 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(lp - expected) < 1e-12)
   }
 
+  test("dsirWeights: agrees with an in-memory recount of the bucket LMs") {
+    val rows = Seq(
+      (1L, "the cat sat", true),
+      (2L, "the dog ran far", true),
+      (3L, "le chat noir", false),
+      (4L, "der hund lief weg schnell", false),
+      (5L, "the cat ran", false)) // source doc with target-like n-grams
+    val df = rows.toDF("doc_id", "text", "tgt")
+    val got = Curation.dsirWeights(df, "doc_id", "text", $"tgt")
+      .orderBy("doc_id").collect()
+
+    // independent recount: same features, same bucketing, plain Scala
+    def feats(t: String): Seq[String] = {
+      val w = t.split(" ").toSeq
+      w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def bucket(f: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x"
+    }
+    val byDoc = rows.map { case (id, t, tg) =>
+      (id, tg, feats(t).map(bucket).groupBy(identity).map { case (b, o) => b -> o.size })
+    }
+    val ct = byDoc.filter(_._2).flatMap(_._3).groupBy(_._1)
+      .map { case (b, ks) => b -> ks.map(_._2).sum }
+    val cs = byDoc.filter(!_._2).flatMap(_._3).groupBy(_._1)
+      .map { case (b, ks) => b -> ks.map(_._2).sum }
+    val (nt, ns) = (ct.values.sum, cs.values.sum)
+    got.foreach { r =>
+      val (id, tg) = (r.getLong(0), r.getBoolean(1))
+      val buckets = byDoc.find(_._1 == id).get._3
+      assert(r.getLong(2) === buckets.values.sum.toLong, s"doc $id n_feats")
+      val expect = buckets.map { case (b, k) =>
+        k * (math.log10((ct.getOrElse(b, 0) + 0.5) / (nt + 128.0)) -
+          math.log10((cs.getOrElse(b, 0) + 0.5) / (ns + 128.0)))
+      }.sum
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9, s"doc $id log_weight")
+    }
+    // the target-overlapping source doc outranks the disjoint source docs
+    val w = got.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(w(5L) > w(3L) && w(5L) > w(4L),
+      s"doc 5 (target-like) should outweigh docs 3/4: $w")
+  }
+
   test("q115 mixture apply: copies bounded by floor/ceil and mean ≈ oversample") {
     val rows = graft.SparkEntry.queries("q115_mixture_apply")(spark, sf)
       .select("lang", "oversample", "n_copies")
