@@ -52,6 +52,24 @@ object ScaleSmoke {
         graft.text.Curation.spanDedupStats(docs, "doc_id", "text"))
       time("unigram_logprob", k)(
         graft.text.Curation.unigramLogprob(docs, "doc_id", "text"))
+      time("dsir_weights", k)(
+        graft.text.Curation.dsirWeights(docs, "doc_id", "text",
+          col("lang") === "en"))
+      time("umap_cluster_groups", k) {
+        // per-group UMAP→ε-cut: group COUNT scales with the corpus while
+        // group SIZE stays bounded (the per-user contract) — wall should
+        // track rows because groups parallelize across cores
+        val grouped = docs
+          .select((col("doc_id") % lit(50 * k)).as("user_id"),
+            col("doc_id").cast("string").as("interest"),
+            expr("transform(sequence(1, 16), " +
+              "i -> cast(pmod(hash(doc_id * 31 + i), 1000) / 1000.0 as float))")
+              .as("embedding"))
+        graft.cluster.LocalCluster.clusterPerKey(
+          grouped, "user_id", "interest", "embedding",
+          eps = 0.2, minClusterSize = 5, reduceTo = Some(4),
+          reducer = graft.cluster.LocalCluster.Umap)
+      }
       time("token_packing", k) {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
