@@ -35,34 +35,240 @@ object PipelineQueries {
   /** Array columns are flattened to CSV strings in the q50/q51/q53 outputs:
     * the driver's rows-only check sorts the frame in pandas, where
     * array-typed cells are unsortable (numpy.ndarray is unhashable). */
-  val q50Sessions: QueryDef = rowsOnly("q50_pipeline_sessions") { (s, d) =>
-    // PipelinePrefix delegates straight to Sessionize.sessions unless the
-    // user opted into graft.pipeline.cachePrefix (then q50/q51/q52 share
-    // one materialized Sessionize pass)
-    graft.pipeline.PipelinePrefix.sessions(activity(s, d), new StubSessionsLLM)
-      .withColumn("interests", concat_ws(",", col("interests")))
-      .orderBy(col("user_id"), col("date"), col("time_start"), col("description"))
+
+  /** The full sessionize stage, oracle-checked since round 9 via the q86
+    * scratch-replay mechanism: the engine dumps the stub-deterministic
+    * validated-snippet stream and DuckDB independently REPLAYS the entire
+    * downstream — drop rules (key-set, HH:mm regex), field extraction, the
+    * seconds-of-day codec, and the interests CSV — so the hash compare
+    * covers everything between the LLM seam and the session frame
+    * (utils/recent_history_utils.py:138-186). The Spark result still comes
+    * from the live enrichment path (PipelinePrefix → Sessionize). */
+  val q50Sessions: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q50_pipeline_sessions")
+    QueryDef.sql(
+      "q50_pipeline_sessions",
+      s"""WITH ok AS (
+         |  SELECT user_id, date,
+         |         json_extract_string(snippet, '$$.time_start') AS time_start,
+         |         json_extract_string(snippet, '$$.time_end') AS time_end,
+         |         json_extract_string(snippet, '$$.description') AS description,
+         |         COALESCE(array_to_string(
+         |           json_transform(snippet -> '$$.interests', '["VARCHAR"]'), ','), '')
+         |           AS interests
+         |  FROM read_parquet('$p/snippets/*.parquet')
+         |  WHERE json_valid(snippet)
+         |    AND list_sort(json_keys(snippet)) =
+         |        ['description', 'interests', 'time_end', 'time_start']
+         |    AND regexp_matches(json_extract_string(snippet, '$$.time_start'),
+         |                       '^\\d{2}:\\d{2}$$')
+         |    AND regexp_matches(json_extract_string(snippet, '$$.time_end'),
+         |                       '^\\d{2}:\\d{2}$$'))
+         |SELECT user_id, date, time_start, time_end,
+         |       CAST(CAST(substr(time_start, 1, 2) AS INT) * 3600
+         |            + CAST(substr(time_start, 4, 2) AS INT) * 60 AS BIGINT) AS start_s,
+         |       CAST(CAST(substr(time_end, 1, 2) AS INT) * 3600
+         |            + CAST(substr(time_end, 4, 2) AS INT) * 60 AS BIGINT) AS end_s,
+         |       description, interests
+         |FROM ok
+         |ORDER BY user_id, date, time_start, description""".stripMargin) { (s, d) =>
+      val act = activity(s, d)
+      // dump the validated-snippet stream the oracle replays (one extra
+      // enrichment pass, the q86 trade; stub clients are deterministic)
+      val path = graft.core.Scratch.dir("q50_pipeline_sessions", d)
+      graft.operators.Sessionize.validatedSnippets(act, new StubSessionsLLM)
+        .select(col("user_id"), col("date"), col("snippet"))
+        .write.mode("overwrite").parquet(s"$path/snippets")
+      // PipelinePrefix delegates straight to Sessionize.sessions unless the
+      // user opted into graft.pipeline.cachePrefix (then q50/q51/q52 share
+      // one materialized Sessionize pass)
+      graft.pipeline.PipelinePrefix.sessions(act, new StubSessionsLLM)
+        .withColumn("interests", concat_ws(",", col("interests")))
+        .withColumn("start_s", col("start_s").cast("long"))
+        .withColumn("end_s", col("end_s").cast("long"))
+        .orderBy(col("user_id"), col("date"), col("time_start"), col("description"))
+    }
   }
 
-  val q51Merged: QueryDef = rowsOnly("q51_pipeline_merged") { (s, d) =>
-    val out = RecentPath.run(activity(s, d), new StubSessionsLLM, new StubEmbedder)
-    out.merged
-      .withColumn("interests", concat_ws(",", col("interests")))
-      .orderBy(col("user_id"), col("id"))
+  /** The session-merge stage, oracle-checked since round 9: from the same
+    * embedded-session dump as q52, DuckDB independently replays the WHOLE
+    * merge chain — both adaptive thresholds (p10 gap / p90 adjacent
+    * similarity, interpolation parity per q10/q18), the banded candidate
+    * predicate (ordering + gap ∈ [−86400, 86400] + both threshold
+    * filters), connected components via a recursive CTE, and the
+    * GREATEST/LEAST interval merge with the min-id representative
+    * (assets/recent_history.py:244-445). Same float posture as q52:
+    * sim-vs-threshold compares raw (q30's accepted risk class), gaps are
+    * exact integers. */
+  val q51Merged: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q51_pipeline_merged")
+    QueryDef.sql(
+      "q51_pipeline_merged",
+      s"""WITH RECURSIVE
+         |s AS (
+         |  SELECT user_id, id, date, start_s, end_s, start_ts, end_ts,
+         |         description, interests, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM read_parquet('$p/sessions/*.parquet')),
+         |th AS (
+         |  SELECT user_id,
+         |         quantile_cont(gap_s, 0.1) AS t_th,
+         |         quantile_cont(adj_sim, 0.9) AS s_th
+         |  FROM (
+         |    SELECT user_id,
+         |           CAST(start_ts - lag(end_ts) OVER w AS DOUBLE) AS gap_s,
+         |           list_cosine_similarity(e, lag(e) OVER w) AS adj_sim
+         |    FROM s
+         |    WINDOW w AS (PARTITION BY user_id ORDER BY date, start_s, id))
+         |  GROUP BY user_id),
+         |cand AS (
+         |  SELECT a.id AS a_id, b.id AS b_id
+         |  FROM s a
+         |  JOIN s b ON b.user_id = a.user_id AND b.id <> a.id
+         |  JOIN th ON th.user_id = a.user_id
+         |  WHERE (b.date > a.date OR (b.date = a.date AND b.start_s >= a.end_s))
+         |    AND b.start_ts - a.end_ts BETWEEN -86400 AND 86400
+         |    AND b.start_ts - a.end_ts <= th.t_th
+         |    AND list_cosine_similarity(a.e, b.e) >= th.s_th),
+         |bidir AS (SELECT a_id AS a, b_id AS b FROM cand
+         |          UNION SELECT b_id, a_id FROM cand),
+         |nodes AS (SELECT DISTINCT a AS id FROM bidir),
+         |reach AS (
+         |  SELECT id AS src, id AS dst FROM nodes
+         |  UNION
+         |  SELECT r.src, e2.b FROM reach r JOIN bidir e2 ON e2.a = r.dst),
+         |comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+         |lbl AS (
+         |  SELECT s.*, COALESCE(comp.component, s.id) AS component
+         |  FROM s LEFT JOIN comp ON comp.id = s.id)
+         |SELECT user_id, component AS id,
+         |       arg_min(date, id) AS date,
+         |       CAST(min(start_s) AS BIGINT) AS start_s,
+         |       CAST(max(end_s) AS BIGINT) AS end_s,
+         |       arg_min(description, id) AS description,
+         |       arg_min(interests, id) AS interests,
+         |       CAST(count(*) AS BIGINT) AS n_merged
+         |FROM lbl
+         |GROUP BY user_id, component
+         |ORDER BY user_id, id""".stripMargin) { (s, d) =>
+      val out = RecentPath.run(activity(s, d), new StubSessionsLLM, new StubEmbedder)
+      val path = graft.core.Scratch.dir("q51_pipeline_merged", d)
+      out.sessions
+        .select(col("user_id"), col("id"), col("date"), col("start_s"),
+          col("end_s"), col("start_ts"), col("end_ts"), col("description"),
+          concat_ws(",", col("interests")).as("interests"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$path/sessions")
+      out.merged
+        .withColumn("interests", concat_ws(",", col("interests")))
+        .withColumn("start_s", col("start_s").cast("long"))
+        .withColumn("end_s", col("end_s").cast("long"))
+        .orderBy(col("user_id"), col("id"))
+    }
   }
 
-  val q52Graph: QueryDef = rowsOnly("q52_pipeline_graph") { (s, d) =>
-    val out = RecentPath.run(activity(s, d), new StubSessionsLLM, new StubEmbedder)
-    out.graph.orderBy(col("user_id"), col("parent_id"))
+  /** The similarity graph, oracle-checked since round 9: the engine dumps
+    * the embedded-session frame (the enrichment boundary — ids, intervals,
+    * stub embeddings) and DuckDB independently replays EVERYTHING
+    * downstream: the per-user p90 adjacent-similarity threshold
+    * (interpolation parity pinned by q10/q18), the ordered all-pairs form,
+    * the rank-1-per-parent argmax, the threshold filter, and the
+    * `1 − similarity` edge weight (assets/recent_history.py:450-527).
+    *
+    * The oracle replays the EXACT branch of similarityGraph — valid while
+    * no test-SF user exceeds exactUserLimit sessions (~200/user vs 5000;
+    * a datagen change crossing that line would fail the row compare, not
+    * silently weaken it). Float note: sims and the interpolated threshold
+    * are compared raw (q30's accepted risk class — hash-random embeddings
+    * put negligible mass within ulps of the boundary); the output weight
+    * is round-6 on both engines. */
+  val q52Graph: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q52_pipeline_graph")
+    QueryDef.sql(
+      "q52_pipeline_graph",
+      s"""WITH s AS (
+         |  SELECT user_id, id, date, start_s, end_s,
+         |         CAST(embedding AS DOUBLE[]) AS e
+         |  FROM read_parquet('$p/sessions/*.parquet')),
+         |th AS (
+         |  SELECT user_id, quantile_cont(adj_sim, 0.9) AS sim_th
+         |  FROM (
+         |    SELECT user_id,
+         |           list_cosine_similarity(e,
+         |             lag(e) OVER (PARTITION BY user_id
+         |                          ORDER BY date, start_s, id)) AS adj_sim
+         |    FROM s)
+         |  WHERE adj_sim IS NOT NULL
+         |  GROUP BY user_id),
+         |pairs AS (
+         |  SELECT a.user_id, a.id AS parent_id, b.id AS child_id,
+         |         list_cosine_similarity(a.e, b.e) AS sim
+         |  FROM s a JOIN s b ON a.user_id = b.user_id AND a.id <> b.id
+         |  WHERE b.date > a.date OR (b.date = a.date AND b.start_s >= a.end_s)),
+         |ranked AS (
+         |  SELECT user_id, parent_id, child_id, sim,
+         |         row_number() OVER (PARTITION BY user_id, parent_id
+         |                            ORDER BY sim DESC, child_id) AS rn
+         |  FROM pairs)
+         |SELECT r.user_id, r.parent_id, r.child_id,
+         |       round(1 - r.sim, 6) AS weight
+         |FROM ranked r JOIN th USING (user_id)
+         |WHERE rn = 1 AND sim > sim_th
+         |ORDER BY user_id, parent_id""".stripMargin) { (s, d) =>
+      val out = RecentPath.run(activity(s, d), new StubSessionsLLM, new StubEmbedder)
+      val path = graft.core.Scratch.dir("q52_pipeline_graph", d)
+      out.sessions
+        .select(col("user_id"), col("id"), col("date"), col("start_s"),
+          col("end_s"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$path/sessions")
+      out.graph
+        .withColumn("weight", oround(col("weight"), 6))
+        .orderBy(col("user_id"), col("parent_id"))
+    }
   }
 
-  val q53Interests: QueryDef = rowsOnly("q53_pipeline_interests") { (s, d) =>
-    import graft.operators.InterestsExtract
-    InterestsExtract.interests(activity(s, d), new StubInterestsLLM)
-      .withColumn("chunked_interests",
-        expr("concat_ws('|', transform(chunked_interests, x -> concat_ws(',', x)))"))
-      .withColumn("interests", concat_ws(",", col("interests")))
-      .orderBy(col("user_id"), col("date"))
+  /** The two-turn interests stage, oracle-checked since round 9 (q50's
+    * scratch-replay mechanism): the engine dumps the per-chunk raw
+    * responses and DuckDB independently replays the `\[(.*?)\]` capture,
+    * the trim/empty-filter, the chunk_id-ordered per-day aggregation, the
+    * distinct flatten, and the invalid count
+    * (utils/old_history_utils.py:55-126). */
+  val q53Interests: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q53_pipeline_interests")
+    QueryDef.sql(
+      "q53_pipeline_interests",
+      s"""WITH parsed AS (
+         |  SELECT user_id, date, chunk_id,
+         |         CASE WHEN regexp_extract(response, '\\[(.*?)\\]', 1) = ''
+         |              THEN NULL
+         |              ELSE list_filter(
+         |                     list_transform(
+         |                       string_split(regexp_extract(response, '\\[(.*?)\\]', 1), ','),
+         |                       x -> trim(x)),
+         |                     x -> x != '') END AS ci
+         |  FROM read_parquet('$p/responses/*.parquet'))
+         |SELECT user_id, date,
+         |       string_agg(COALESCE(array_to_string(ci, ','), ''), '|'
+         |                  ORDER BY chunk_id) AS chunked_interests,
+         |       array_to_string(
+         |         list_sort(list_distinct(flatten(
+         |           list_filter(list(ci ORDER BY chunk_id), x -> x IS NOT NULL)))), ',')
+         |         AS interests,
+         |       CAST(sum(CASE WHEN ci IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS count_invalid_responses
+         |FROM parsed
+         |GROUP BY user_id, date
+         |ORDER BY user_id, date""".stripMargin) { (s, d) =>
+      import graft.operators.InterestsExtract
+      val act = activity(s, d)
+      val path = graft.core.Scratch.dir("q53_pipeline_interests", d)
+      InterestsExtract.parsedResponses(act, new StubInterestsLLM)
+        .select(col("user_id"), col("date"), col("chunk_id"), col("response"))
+        .write.mode("overwrite").parquet(s"$path/responses")
+      InterestsExtract.interests(act, new StubInterestsLLM)
+        .withColumn("chunked_interests",
+          expr("concat_ws('|', transform(chunked_interests, x -> concat_ws(',', x)))"))
+        .withColumn("interests", concat_ws(",", col("interests")))
+        .orderBy(col("user_id"), col("date"))
+    }
   }
 
   /** Oracle-checked: ε-single-linkage clustering = connected components of
