@@ -17,7 +17,8 @@ object CurationQueries {
     q111SpanDedup, q112HashSplit, q113UnigramLogprob, q114FilterFunnel,
     q115MixtureApply, q116BpeMergeStep, q117SemanticCanonical,
     q118SpanDedupOverlap, q119HeldoutLogprob, q120BigramLogprob,
-    q121DedupKeepBest, q122FuzzyDecontam, q125DsirWeights)
+    q121DedupKeepBest, q122FuzzyDecontam, q125DsirWeights,
+    q126PerplexityBuckets, q127QualityClassifier)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -505,5 +506,98 @@ object CurationQueries {
       .select(col("doc_id"), col("is_target"), col("n_feats"),
         oround(col("log_weight"), 6).as("log_weight"))
       .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style perplexity bucketing (arXiv:1911.00359): per-language
+    * head/middle/tail thirds by the per-language-LM mean-logprob
+    * distribution (higher logprob ⇔ lower perplexity ⇒ head). Thresholds
+    * are exact interpolated percentiles (the q10/q18 parity surface); every
+    * threshold compare is round-9 both engines per the repo float policy,
+    * so last-ulp log/percentile drift cannot flip a bucket. DuckDB replays
+    * the per-language LM, the quantile_cont cuts, and the bucket CASE. */
+  val q126PerplexityBuckets: QueryDef = sql(
+    "q126_perplexity_buckets",
+    """WITH dt AS (
+      |  SELECT doc_id, lang, tok, count(*) AS k
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, lang, tok),
+      |vocab AS (SELECT lang, tok, CAST(sum(k) AS BIGINT) AS cnt
+      |          FROM dt GROUP BY lang, tok),
+      |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM vocab GROUP BY lang),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |         sum(CAST(k AS DOUBLE) * log10(CAST(cnt AS DOUBLE) / n)) / sum(k) AS score,
+      |         round(sum(CAST(k AS DOUBLE) * log10(CAST(cnt AS DOUBLE) / n)) / sum(k), 9) AS s9
+      |  FROM dt JOIN vocab USING (lang, tok) JOIN tot USING (lang)
+      |  GROUP BY doc_id, lang),
+      |cuts AS (
+      |  SELECT lang,
+      |         round(quantile_cont(s9, 1.0/3), 9) AS t_lo,
+      |         round(quantile_cont(s9, 2.0/3), 9) AS t_hi
+      |  FROM scored GROUP BY lang)
+      |SELECT doc_id, lang, round(score, 6) AS mean_logprob,
+      |       CASE WHEN s9 >= t_hi THEN 'head'
+      |            WHEN s9 >= t_lo THEN 'middle'
+      |            ELSE 'tail' END AS bucket
+      |FROM scored JOIN cuts USING (lang)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.perplexityBuckets(docs(s, d), "doc_id", "text", "lang")
+      .orderBy(col("doc_id"))
+  }
+
+  /** fastText-style quality-classifier inference (arXiv:1607.01759): bag
+    * of hashed unigram+bigram features (4096 md5-prefix buckets), mean
+    * pooling against a broadcast per-bucket weight table, sigmoid on top.
+    * The weight table is a model ARTIFACT: the query materializes a
+    * deterministic stub model (w(b) from md5("w|"+b), uniform in [−1, 1))
+    * to scratch, and DuckDB reads those weights back and replays the
+    * whole inference — features, bucketing, the weighted mean, sigmoid,
+    * and the round-9 decision boundary — from first principles. */
+  val q127QualityClassifier: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q127_quality_classifier")
+    sql(
+      "q127_quality_classifier",
+      s"""WITH wt AS (SELECT b, w AS wgt FROM read_parquet('$p/weights/*.parquet')),
+         |base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |feats AS (
+         |  SELECT doc_id, substr(md5(f), 1, 3) AS b
+         |  FROM (
+         |    SELECT doc_id, unnest(w) AS f FROM base
+         |    UNION ALL
+         |    SELECT doc_id,
+         |           unnest(list_transform(range(1, len(w)),
+         |                                 i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)])) AS f
+         |    FROM base WHERE len(w) >= 2)),
+         |docb AS (SELECT doc_id, b, count(*) AS k FROM feats GROUP BY doc_id, b),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_feats,
+         |         sum(CAST(k AS DOUBLE) * wgt) / sum(k) AS logit
+         |  FROM docb JOIN wt USING (b)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_feats,
+         |       round(logit, 6) AS logit,
+         |       round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+         |       CAST(round(logit, 9) >= 0 AS BIGINT) AS label
+         |FROM sc
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // deterministic stub model: 4096 buckets, w(b) ∈ [−1, 1) from the
+      // first 4 hex chars of md5("w|" + b) — an artifact any trained model
+      // would replace; dumped to scratch so the oracle reads the SAME table
+      val b = format_string("%03x", col("id"))
+      val wts = s.range(4096).select(b.as("b"),
+        (conv(substring(md5(concat(lit("w|"), b)), 1, 4), 16, 10)
+          .cast("double") / 32768.0 - 1.0).as("w"))
+      val path = graft.core.Scratch.dir("q127_quality_classifier", d)
+      wts.coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+      Curation.linearClassifierScore(
+          docs(s, d), "doc_id", "text",
+          s.read.parquet(s"$path/weights"))
+        .select(col("doc_id"), col("n_feats"),
+          oround(col("logit"), 6).as("logit"),
+          oround(col("prob"), 6).as("prob"),
+          (oround(col("logit"), 9) >= 0).cast("long").as("label"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

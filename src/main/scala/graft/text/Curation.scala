@@ -248,6 +248,96 @@ object Curation {
         sum(col("k").cast("double") * logRatio).as("log_weight"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): each language's corpus is cut into head / middle /
+    * tail thirds by the per-language distribution of an LM quality score —
+    * CCNet ranks by KenLM perplexity; here the score is [[unigramLogprob]]
+    * trained PER LANGUAGE (higher mean log10 p ⇔ lower perplexity, so
+    * `head` = the most-probable third). Thresholds are exact interpolated
+    * percentiles (the q10/q18 interpolation-parity surface), and every
+    * threshold compare goes through the repo float policy — round(score, 9)
+    * and round(threshold, 9) before the ≥ — so an engine's last-ulp drift
+    * in the log/percentile math cannot flip a bucket.
+    *
+    * Scale shape: the per-language LM reuses [[unigramLogprob]]'s
+    * pre-aggregation ((doc, lang, token, k) before any wide shuffle); the
+    * threshold table is one row per language — a broadcast join — and the
+    * per-language totals a ≤|langs|-row broadcast. Nothing is ever
+    * corpus × corpus. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val docTok = df
+      .select(col(idCol), col(langCol).as("lang"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("k"))
+    val vocab = docTok.groupBy(col("lang"), col("tok"))
+      .agg(sum(col("k")).as("cnt"))
+    val tot = vocab.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+    val scored = docTok
+      .join(vocab, Seq("lang", "tok"))
+      .join(broadcast(tot), "lang")
+      .groupBy(col(idCol), col("lang"))
+      .agg((sum(col("k").cast("double")
+          * log10(col("cnt").cast("double") / col("n")))
+        / sum(col("k"))).as("score"))
+      .withColumn("s9", graft.queries.oround(col("score"), 9))
+    val cuts = scored.groupBy(col("lang")).agg(
+      graft.queries.oround(expr("percentile(s9, 1.0d/3)"), 9).as("t_lo"),
+      graft.queries.oround(expr("percentile(s9, 2.0d/3)"), 9).as("t_hi"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col(idCol), col("lang"),
+        graft.queries.oround(col("score"), 6).as("mean_logprob"),
+        when(col("s9") >= col("t_hi"), "head")
+          .when(col("s9") >= col("t_lo"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** fastText-style linear classifier inference (Joulin et al. 2016,
+    * arXiv:1607.01759) — the quality-classifier scoring step of the
+    * LLaMA/CCNet-lineage curation pipelines, with the model reduced to
+    * its inference-relevant skeleton: bag of word unigrams + adjacent
+    * bigrams, hashed into `substr(md5(f), 1, 3)` buckets (4096, the same
+    * engine-independent bucketing the DSIR/hash-split family uses), mean
+    * pooling over feature occurrences, a per-bucket scalar weight from the
+    * caller-supplied table, and a sigmoid on top:
+    *
+    *   logit(x) = bias + Σ_b c_b(x)·w(b) / Σ_b c_b(x),  p = σ(logit)
+    *
+    * The weight table is an input ARTIFACT (a trained model's parameters),
+    * not something derived from the corpus — callers load it from wherever
+    * the training run wrote it. Output per doc: `n_feats`, `logit`,
+    * `prob`, and `label` (logit ≥ 0 after the round-9 float policy).
+    *
+    * Scale shape: features pre-aggregate to (doc, bucket, k) — at most
+    * 4096 rows per document regardless of length — and the weight table
+    * is ≤4096 rows, explicitly broadcast. The only corpus-sized shuffle
+    * is the (doc, bucket) aggregation; a trillion-token corpus ships one
+    * row per distinct bucket per doc. */
+  def linearClassifierScore(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, bias: Double = 0.0): DataFrame = {
+    val base = df.select(col(idCol), split(col(textCol), " ").as("w"))
+    val uni = base.select(col(idCol), explode(col("w")).as("f"))
+    val bi = base.filter(size(col("w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
+        .as("f"))
+    val docB = uni.unionByName(bi)
+      .select(col(idCol), substring(md5(col("f")), 1, 3).as("b"))
+      .groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("k"))
+    val logit = (lit(bias)
+      + sum(col("k").cast("double") * col("w")) / sum(col("k")))
+    docB.join(broadcast(weights.select(col("b"), col("w"))), "b")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("k")).cast("long").as("n_feats"),
+        logit.as("logit"))
+      .select(col(idCol), col("n_feats"), col("logit"),
+        (lit(1.0) / (lit(1.0) + exp(-col("logit")))).as("prob"),
+        (graft.queries.oround(col("logit"), 9) >= 0).as("label"))
+  }
+
   /** Sequential quality-filter funnel with first-failing-rule attribution
     * (the Gopher/RefinedWeb cascade): every document lands in exactly one
     * stage — too_short, too_long, low_stopword, repetitive (3-gram

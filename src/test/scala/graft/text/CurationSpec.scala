@@ -221,4 +221,61 @@ class CurationSpec extends SparkSpec {
       assert(isDup === (if (keep != id) 1 else 0))
     }
   }
+
+  test("perplexityBuckets: per-language thirds, most-probable docs head") {
+    // lang x: doc i carries i copies of the common token t (p = 1/2) and
+    // 5−i singletons (p = 1/30) — six strictly increasing scores, and both
+    // interpolated cuts land strictly BETWEEN adjacent scores, so the
+    // thirds are exact: {1,2} tail, {3,4} middle, {5,6} head
+    val df = Seq(
+      (1L, "a1 a2 a3 a4 a5", "x"), (2L, "t b1 b2 b3 b4", "x"),
+      (3L, "t t c1 c2 c3", "x"), (4L, "t t t d1 d2", "x"),
+      (5L, "t t t t e1", "x"), (6L, "t t t t t", "x"),
+      // lang y: scored against y's OWN lm — all-singleton docs tie at
+      // uniform p, both cuts equal the tied score, every y doc is head
+      (7L, "q r s p", "y"), (8L, "m n o l", "y"), (9L, "g h i j", "y")
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.perplexityBuckets(df, "doc_id", "text", "lang")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(out(1L) === "tail" && out(2L) === "tail")
+    assert(out(3L) === "middle" && out(4L) === "middle")
+    assert(out(5L) === "head" && out(6L) === "head")
+    assert(Seq(7L, 8L, 9L).forall(out(_) === "head"))
+  }
+
+  test("linearClassifierScore: mean pooling against a known weight table") {
+    def bkt(f: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(f.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(3)
+    // the hashing trick is lossy BY DESIGN: "a" and "a b" collide at 3 hex
+    // chars (both 0cc...), so they SHARE one weight — the table is keyed by
+    // bucket, one row each
+    assert(bkt("a") === bkt("a b"))
+    assert(bkt("a") !== bkt("b"))
+    val df = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    val wts = Seq(bkt("a") -> 1.0, bkt("b") -> -0.5).toDF("b", "w")
+    val out = Curation.linearClassifierScore(df, "doc_id", "text", wts)
+      .orderBy("doc_id")
+      .select("doc_id", "n_feats", "logit", "prob", "label")
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    // doc 1 features a, b, "a b" → buckets (0cc k=2, 92e k=1):
+    // logit = (2·1.0 − 0.5) / 3 = 0.5 → label true
+    assert(out(0)._2 === 3L)
+    assert(math.abs(out(0)._3 - 0.5) < 1e-12)
+    assert(math.abs(out(0)._4 - 1.0 / (1.0 + math.exp(-0.5))) < 1e-12)
+    assert(out(0)._5)
+    // doc 2: single feature a → logit 1.0
+    assert(out(1) === ((2L, 1L, 1.0, 1.0 / (1.0 + math.exp(-1.0)), true)))
+  }
+
+  test("linearClassifierScore: bias shifts the decision boundary") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    val wts = Seq("a").toDF("f")
+      .select(org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5($"f"), 1, 3).as("b"))
+      .withColumn("w", org.apache.spark.sql.functions.lit(0.3))
+    val neg = Curation.linearClassifierScore(df, "doc_id", "text", wts,
+      bias = -0.5).select("logit", "label").as[(Double, Boolean)].head()
+    assert(math.abs(neg._1 - (-0.2)) < 1e-12 && !neg._2)
+  }
 }
