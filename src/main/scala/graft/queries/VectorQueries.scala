@@ -23,7 +23,7 @@ object VectorQueries {
   def all: Seq[QueryDef] = Seq(
     q30Top1Similar, q31NearDupBucketed, q32KnnBruteForce, q33Centroids,
     q34LshTopK, q35IvfTopK, q36IvfIndexTopK, q88HofDot, q94IvfExactServe,
-    q106IvfUpsertServe)
+    q106IvfUpsertServe, q128PqAdcServe)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
@@ -332,5 +332,77 @@ object VectorQueries {
           6).as("hof_dot"),
         oround(graft.functions.vec_dot(col("qe"), col("ne")), 6).as("expr_dot"))
       .orderBy(col("qid"))
+  }
+
+  /** Product-quantization ANN serve (similarity.Pq): train 4 subspaces ×
+    * 16 codes on the corpus, encode every vector to 4 code ids, then serve
+    * by asymmetric distance computation — per-query lookup table of
+    * dot(q_sub, codeword), approximate score = Σ lookups over the CODES
+    * table (the 64×-narrower scan that is the point of PQ), top-40 ADC
+    * candidates re-ranked by exact cosine to the final top-10. The trained
+    * codebook and codes are dumped to scratch and DuckDB replays the WHOLE
+    * serve from those artifacts — LUT dots, the m-term ADC sum, the
+    * round-6 candidate rank, the cut at 40, and the exact re-rank — so a
+    * wrong encode, a stale codebook row, or a mis-summed lookup all flip
+    * the hash. Ranks are on round-6 scores (the IvfIndex.topK simDecimals
+    * contract), ties toward the smaller id. */
+  val q128PqAdcServe: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q128_pq_adc_serve")
+    sql(
+      "q128_pq_adc_serve",
+      s"""WITH cb AS (SELECT sub, code, CAST(cvec AS DOUBLE[]) AS cvec
+         |            FROM read_parquet('$p/codebook/*.parquet')),
+         |co AS (SELECT id, codes FROM read_parquet('$p/codes/*.parquet')),
+         |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |      FROM embeddings WHERE vec_id < 5),
+         |lut AS (
+         |  SELECT qid, sub, code,
+         |         list_inner_product(
+         |           qe[CAST(sub * 16 + 1 AS INT):CAST(sub * 16 + 16 AS INT)],
+         |           cvec) AS w
+         |  FROM q CROSS JOIN cb),
+         |ex AS (SELECT id, u.i AS sub, codes[CAST(u.i + 1 AS INT)] AS code
+         |       FROM co, unnest(range(4)) AS u(i)),
+         |adc AS (
+         |  SELECT qid, id, round(sum(w), 6) AS ascore
+         |  FROM ex JOIN lut USING (sub, code)
+         |  GROUP BY qid, id),
+         |cand AS (
+         |  SELECT qid, id,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY ascore DESC, id) AS arank
+         |  FROM adc WHERE id <> qid),
+         |rr AS (
+         |  SELECT c.qid, c.id AS nn,
+         |         round(list_cosine_similarity(CAST(qe2.embedding AS DOUBLE[]),
+         |                                      CAST(ne.embedding AS DOUBLE[])), 6) AS sim
+         |  FROM cand c
+         |  JOIN embeddings qe2 ON qe2.vec_id = c.qid
+         |  JOIN embeddings ne ON ne.vec_id = c.id
+         |  WHERE c.arank <= 40)
+         |SELECT qid, rank, nn, sim
+         |FROM (SELECT qid, nn, sim,
+         |             row_number() OVER (PARTITION BY qid
+         |                                ORDER BY sim DESC, nn) AS rank
+         |      FROM rr)
+         |WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      import graft.similarity.Pq
+      val e = emb(s, d)
+      val path = graft.core.Scratch.dir("q128_pq_adc_serve", d)
+      val cb = Pq.train(e, "vec_id", "embedding", dim = 64,
+        m = 4, nCodes = 16, iters = 2)
+      cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+      cb.unpersist()
+      val cbR = s.read.parquet(s"$path/codebook")
+      Pq.encode(e, "vec_id", "embedding", 64, cbR)
+        .write.mode("overwrite").parquet(s"$path/codes")
+      val codes = s.read.parquet(s"$path/codes")
+      val q = e.filter(col("vec_id") < 5)
+      Pq.topK(codes, cbR, q, e, "vec_id", "embedding", dim = 64,
+          k = 10, factor = 4)
+        .select(col("qid"), col("rank"), col("nn"), col("sim"))
+        .orderBy(col("qid"), col("rank"))
+    }
   }
 }

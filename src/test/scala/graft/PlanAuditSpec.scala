@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     "q115_mixture_apply", // per-lang aggs × broadcast 1-row totals (q110's weight table)
     "q119_heldout_logprob", // eval stream × broadcast 1-row (N, V) train totals (q113's shape)
     "q120_bigram_logprob", // bigram stream × broadcast 1-row V total (q113's shape)
-    "q125_dsir_weights") // bucket stream × broadcast 1-row (Nt, Ns) totals (q113's shape)
+    "q125_dsir_weights", // bucket stream × broadcast 1-row (Nt, Ns) totals (q113's shape)
+    "q128_pq_adc_serve") // ADC lookup table = queries × broadcast m·nCodes codebook, conditionless by design
 
   /** Queries whose run function EXECUTES side-effectful work (index build,
     * store writes, a scratch-table write, a streaming tick) before
