@@ -18,7 +18,7 @@ object CurationQueries {
     q115MixtureApply, q116BpeMergeStep, q117SemanticCanonical,
     q118SpanDedupOverlap, q119HeldoutLogprob, q120BigramLogprob,
     q121DedupKeepBest, q122FuzzyDecontam, q125DsirWeights,
-    q126PerplexityBuckets, q127QualityClassifier)
+    q126PerplexityBuckets, q127QualityClassifier, q129CurationPipeline)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -599,5 +599,123 @@ object CurationQueries {
           (oround(col("logit"), 9) >= 0).cast("long").as("label"))
         .orderBy(col("doc_id"))
     }
+  }
+
+  /** The END-TO-END curation pipeline, composed from the verified pieces
+    * the way a training-data run actually chains them:
+    * quality funnel (q114's rules, kept docs only) → MinHash-LSH near-dup
+    * canonicalization (the SQL-expressible q43/q122 salted-md5 scheme:
+    * 4 one-hash bands → candidate self-join → exact Jaccard ≥ 0.5 →
+    * connected components → min-id representative) → deterministic hash
+    * split (q112's buckets, seed pipe-v1) → per-split token/512-window
+    * accounting (q108's pure-integer math). Output: one row per split.
+    *
+    * DuckDB replays the WHOLE chain independently — funnel rules,
+    * signatures, banding, the candidate join, Jaccard verification,
+    * recursive-CTE components, the split thresholds, and the integer
+    * window count — so an error in ANY stage (or in how the stages
+    * compose: dedup must run on funnel survivors, the split on dedup
+    * survivors) flips the 3-row hash. No scratch table anywhere.
+    *
+    * Scale: every stage keeps its own audited shape — per-row funnel
+    * math, banded equi-join candidates (never all-pairs), star-contraction
+    * CC above the local gate, zero-shuffle split, one final 3-group
+    * aggregate. */
+  val q129CurationPipeline: QueryDef = sql(
+    "q129_curation_pipeline",
+    """WITH RECURSIVE
+      |s AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      |r AS (
+      |  SELECT doc_id, text, w, len(w) AS n_tok,
+      |         CAST(len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |           / len(w) AS stop_ratio,
+      |         CASE WHEN len(w) >= 3
+      |              THEN 1.0 - CAST(len(list_distinct(list_transform(range(len(w) - 2),
+      |                     i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]))) AS DOUBLE)
+      |                   / (len(w) - 2)
+      |              ELSE 0.0 END AS dup3
+      |  FROM s),
+      |kept AS (
+      |  SELECT doc_id, text, w FROM r
+      |  WHERE NOT (n_tok < 20) AND NOT (n_tok > 90)
+      |    AND NOT (stop_ratio < 0.02) AND NOT (dup3 > 0.02)),
+      |sh AS (SELECT doc_id,
+      |              CASE WHEN len(w) >= 3
+      |                   THEN list_transform(range(len(w) - 2),
+      |                        i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])
+      |                   ELSE [] END AS shingles
+      |       FROM kept),
+      |sigs AS (SELECT doc_id,
+      |                [list_aggregate(list_transform(shingles, x -> md5('0' || x)), 'min'),
+      |                 list_aggregate(list_transform(shingles, x -> md5('1' || x)), 'min'),
+      |                 list_aggregate(list_transform(shingles, x -> md5('2' || x)), 'min'),
+      |                 list_aggregate(list_transform(shingles, x -> md5('3' || x)), 'min')] AS sigl
+      |         FROM sh WHERE len(shingles) > 0),
+      |bands AS (SELECT doc_id, CAST(i AS VARCHAR) || '|' || sigl[i + 1] AS band
+      |          FROM sigs, unnest(range(4)) AS u(i)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bands a JOIN bands b USING (band)
+      |         WHERE b.doc_id > a.doc_id),
+      |tt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM kept),
+      |ver AS (SELECT id_a, id_b FROM cand
+      |        JOIN tt a ON a.doc_id = id_a
+      |        JOIN tt b ON b.doc_id = id_b
+      |        WHERE CAST(len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS DOUBLE)
+      |              / len(list_distinct(a.tok || b.tok)) >= 0.5),
+      |bidir AS (SELECT id_a AS a, id_b AS b FROM ver
+      |          UNION SELECT id_b, id_a FROM ver),
+      |nodes AS (SELECT DISTINCT a AS id FROM bidir),
+      |reach AS (
+      |  SELECT id AS src, id AS dst FROM nodes
+      |  UNION
+      |  SELECT r2.src, e.b FROM reach r2 JOIN bidir e ON e.a = r2.dst),
+      |comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+      |uniq AS (
+      |  SELECT k.doc_id, len(k.w) AS n_tokens FROM kept k
+      |  LEFT JOIN comp ON comp.id = k.doc_id
+      |  WHERE COALESCE(comp.component, k.doc_id) = k.doc_id),
+      |sp AS (
+      |  SELECT n_tokens,
+      |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|pipe-v1'), 1, 2) < 'fa' THEN 'train'
+      |              WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|pipe-v1'), 1, 2) < 'fd' THEN 'valid'
+      |              ELSE 'test' END AS split
+      |  FROM uniq)
+      |SELECT split,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST((CAST(sum(n_tokens) AS BIGINT) + 511) // 512 AS BIGINT) AS n_windows
+      |FROM sp GROUP BY split
+      |ORDER BY split""".stripMargin) { (s, d) =>
+    import graft.dedup.Dedup
+    val stop = Seq("the", "a", "of", "and", "to")
+    val kept = docs(s, d)
+      .withColumn("stage",
+        Curation.funnelStage(col("text"), 20, 90, 0.02, 0.02, stop))
+      .filter(col("stage") === "5_kept").drop("stage")
+    // SQL-replayable LSH (the q43/q122 salted-md5 scheme, one hash/band)
+    def sig(salt: String) = graft.functions.salted_md5_min(col("tok"), salt)
+    val bands = kept.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"), explode(array(
+        concat(lit("0|"), sig("0")), concat(lit("1|"), sig("1")),
+        concat(lit("2|"), sig("2")), concat(lit("3|"), sig("3")))).as("band"))
+    val cand = bands.select(col("band"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band"), col("doc_id").as("id_b")), "band")
+      .filter(col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val verified = Dedup.jaccardVerify(cand, kept, "doc_id", "text",
+      threshold = 0.5)
+    val uniq = kept.join(
+      Dedup.canonicalize(verified, kept, "doc_id")
+        .filter(!col("is_duplicate")).select("doc_id"),
+      "doc_id")
+    Curation.hashSplit(uniq, "doc_id", seed = "pipe-v1")
+      .select(col("split"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+      .withColumn("n_windows", expr("CAST((n_tokens + 511) DIV 512 AS BIGINT)"))
+      .orderBy(col("split"))
   }
 }
