@@ -25,7 +25,8 @@ object TextQueries {
     q64MinhashPairs, q65BpeTokens, q66Vocab, q83StableSample, q90Redact,
     q91Contamination, q92Repetition, q95TextHashGoldens, q96SketchTopkTokens,
     q101SketchTopkShingles, q107EpochShuffle, q108TokenPacking,
-    q109WindowManifest, q110MixtureWeights)
+    q109WindowManifest, q110MixtureWeights, q130LengthBatches,
+    q131WeightedSample)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -729,5 +730,105 @@ object TextQueries {
         ppm(pTempRaw).as("p_temp_ppm"),
         ppm(pTempRaw / pRawRaw).as("oversample_ppm"))
       .orderBy(col("lang"))
+  }
+
+  /** Length-bucketed batching manifest — the padding-efficient loader
+    * layout (fairseq/T5-style dynamic batching): docs bucket by token
+    * count (width-16 integer ranges), batches of 8 form within each
+    * bucket in doc_id order, and each batch reports its padded cost —
+    * `waste` = n_docs·max_len − sum_len, the padding a max-len-padded
+    * batch burns. Pure integer arithmetic end to end (the q108 hygiene):
+    * bucket = n_tokens div 16, batch = 0-based row_number div 8 — no
+    * float op exists in either plan.
+    *
+    * Scale: one shuffle on the bucket key for the row_number window, one
+    * (bucket, batch) aggregate; batches never cross buckets so skewed
+    * lengths cannot serialize the window (bucket count grows with the
+    * length range, not the corpus). */
+  val q130LengthBatches: QueryDef = sql(
+    "q130_length_batches",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, n_tokens, n_tokens // 16 AS len_bucket,
+      |         (row_number() OVER (PARTITION BY n_tokens // 16
+      |                             ORDER BY doc_id) - 1) // 8 AS batch_id
+      |  FROM t)
+      |SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+      |       CAST(batch_id AS BIGINT) AS batch_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(max(n_tokens) AS BIGINT) AS max_len,
+      |       CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+      |       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS waste
+      |FROM b
+      |GROUP BY len_bucket, batch_id
+      |ORDER BY len_bucket, batch_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("len_bucket")).orderBy(col("doc_id"))
+    docs(s, d).select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
+      .withColumn("len_bucket", expr("n_tokens div 16"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("batch_id", expr("(rn - 1) div 8"))
+      .groupBy(col("len_bucket"), col("batch_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        max(col("n_tokens")).cast("long").as("max_len"),
+        sum(col("n_tokens")).cast("long").as("sum_len"))
+      .withColumn("waste",
+        (col("n_docs") * col("max_len") - col("sum_len")).cast("long"))
+      .orderBy(col("len_bucket"), col("batch_id"))
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): every doc draws a
+    * deterministic uniform u from its id hash and ranks by the E–S key
+    * ln(u)/w (w = token count — longer docs proportionally likelier); the
+    * global top-k by key IS a weighted sample without replacement, and the
+    * hash-derived u makes the draw reproducible and growth-stable (the
+    * q112 property: adding docs never changes an existing doc's key). The
+    * one-shot distributed twin of reservoir sampling — no sequential
+    * state, one top-k.
+    *
+    * u = (('0x'+first 12 md5 hex chars) + 0.5) / 2^48 ∈ (0, 1) — both
+    * engines parse the same 48-bit integer, so u is bit-identical; the
+    * key is round-9 before ranking (repo float policy), ties → doc_id. */
+  val q131WeightedSample: QueryDef = sql(
+    "q131_weighted_sample",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|es-v1'), 1, 12))::BIGINT
+      |           AS u48
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, n_tokens,
+      |         round(ln((u48 + 0.5) / 281474976710656.0) / n_tokens, 9) AS es_key
+      |  FROM t)
+      |SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS rank,
+      |       doc_id, n_tokens, round(es_key, 6) AS es_key
+      |FROM k
+      |ORDER BY es_key DESC, doc_id
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val u48 = conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit("|es-v1"))), 1, 12),
+      16, 10).cast("long")
+    // top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-partition
+    // partial top-k, no global window over the corpus); the rank window
+    // then runs over the k surviving rows only
+    val top = docs(s, d)
+      .select(col("doc_id"), size(tokens).cast("long").as("n_tokens"),
+        u48.as("u48"))
+      .withColumn("es_key", graft.queries.oround(
+        log((col("u48") + lit(0.5)) / lit(281474976710656.0))
+          / col("n_tokens"), 9))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(100)
+    val w = Window.orderBy(col("es_key").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_tokens"),
+        graft.queries.oround(col("es_key"), 6).as("es_key"))
+      .orderBy(col("rank"))
   }
 }
