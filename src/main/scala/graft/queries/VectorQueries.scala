@@ -23,7 +23,7 @@ object VectorQueries {
   def all: Seq[QueryDef] = Seq(
     q30Top1Similar, q31NearDupBucketed, q32KnnBruteForce, q33Centroids,
     q34LshTopK, q35IvfTopK, q36IvfIndexTopK, q88HofDot, q94IvfExactServe,
-    q106IvfUpsertServe, q128PqAdcServe)
+    q106IvfUpsertServe, q128PqAdcServe, q132IvfAdcServe)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
@@ -401,6 +401,91 @@ object VectorQueries {
       val q = e.filter(col("vec_id") < 5)
       Pq.topK(codes, cbR, q, e, "vec_id", "embedding", dim = 64,
           k = 10, factor = 4)
+        .select(col("qid"), col("rank"), col("nn"), col("sim"))
+        .orderBy(col("qid"), col("rank"))
+    }
+  }
+
+  /** IVFADC — the FAISS coarse+fine serve architecture composed from the
+    * verified halves: the COARSE quantizer is the persisted IVF index
+    * (queries probe their 2 nearest centroids; candidates come from a
+    * literal-isin PRUNED scan of the probed assignment partitions — q36's
+    * shape), and the FINE stage is PQ asymmetric-distance scoring
+    * restricted to those candidates (Pq.adcWithin: the LUT join ships one
+    * row per candidate per subspace, never one per corpus row), top-40 by
+    * round-6 ADC, exact-cosine re-rank to the final top-10. The probed
+    * candidate set, the PQ codebook, and the codes are dumped to scratch;
+    * DuckDB replays everything downstream of the coarse probe — the ADC
+    * sum over candidates, the cut, and the re-rank (the probe half is
+    * value-checked by the q35/q36 family; ADC-from-artifacts by q128). */
+  val q132IvfAdcServe: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q132_ivfadc_serve")
+    sql(
+      "q132_ivfadc_serve",
+      s"""WITH cb AS (SELECT sub, code, CAST(cvec AS DOUBLE[]) AS cvec
+         |            FROM read_parquet('$p/codebook/*.parquet')),
+         |co AS (SELECT id, codes FROM read_parquet('$p/codes/*.parquet')),
+         |cand AS (SELECT qid, nn FROM read_parquet('$p/candidates/*.parquet')),
+         |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |      FROM embeddings WHERE vec_id < 5),
+         |lut AS (
+         |  SELECT qid, sub, code,
+         |         list_inner_product(
+         |           qe[CAST(sub * 16 + 1 AS INT):CAST(sub * 16 + 16 AS INT)],
+         |           cvec) AS w
+         |  FROM q CROSS JOIN cb),
+         |ex AS (SELECT c.qid, c.nn, u.i AS sub, co.codes[CAST(u.i + 1 AS INT)] AS code
+         |       FROM cand c JOIN co ON co.id = c.nn, unnest(range(4)) AS u(i)),
+         |adc AS (
+         |  SELECT qid, nn, round(sum(w), 6) AS ascore
+         |  FROM ex JOIN lut USING (qid, sub, code)
+         |  WHERE nn <> qid
+         |  GROUP BY qid, nn),
+         |top AS (
+         |  SELECT qid, nn,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY ascore DESC, nn) AS arank
+         |  FROM adc),
+         |rr AS (
+         |  SELECT t.qid, t.nn,
+         |         round(list_cosine_similarity(CAST(qe2.embedding AS DOUBLE[]),
+         |                                      CAST(ne.embedding AS DOUBLE[])), 6) AS sim
+         |  FROM top t
+         |  JOIN embeddings qe2 ON qe2.vec_id = t.qid
+         |  JOIN embeddings ne ON ne.vec_id = t.nn
+         |  WHERE t.arank <= 40)
+         |SELECT qid, rank, nn, sim
+         |FROM (SELECT qid, nn, sim,
+         |             row_number() OVER (PARTITION BY qid
+         |                                ORDER BY sim DESC, nn) AS rank
+         |      FROM rr)
+         |WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      import graft.similarity.Pq
+      import graft.sources.IvfIndex
+      val e = emb(s, d)
+      val path = graft.core.Scratch.dir("q132_ivfadc_serve", d)
+      val ivfPath =
+        java.nio.file.Files.createTempDirectory("ivfadc_q132").toString + "/idx"
+      val idx = IvfIndex.build(e, ivfPath, "vec_id", "embedding",
+        nCentroids = 8, iters = 1)
+      val q = e.filter(col("vec_id") < 5)
+      idx.candidates(q, "vec_id", "embedding", nprobe = 2)
+        .write.mode("overwrite").parquet(s"$path/candidates")
+      val cb = Pq.train(e, "vec_id", "embedding", dim = 64,
+        m = 4, nCodes = 16, iters = 2)
+      cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+      cb.unpersist()
+      val cbR = s.read.parquet(s"$path/codebook")
+      Pq.encode(e, "vec_id", "embedding", 64, cbR)
+        .write.mode("overwrite").parquet(s"$path/codes")
+      val cand = s.read.parquet(s"$path/candidates")
+      val codes = s.read.parquet(s"$path/codes")
+      val topCand = Pq.adcWithin(cand, codes, cbR, q, "vec_id", "embedding",
+          dim = 64, n = 40)
+        .select(col("qid"), col("nn"))
+      graft.similarity.Knn.exactRerank(topCand, e, "vec_id", "embedding",
+          k = 10, decimals = 6)
         .select(col("qid"), col("rank"), col("nn"), col("sim"))
         .orderBy(col("qid"), col("rank"))
     }

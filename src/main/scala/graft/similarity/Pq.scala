@@ -134,6 +134,37 @@ object Pq {
       .select(col("qid"), col("id").as("nn"), col("ascore"), col("arank"))
   }
 
+  /** ADC scoring RESTRICTED to a candidate set — the in-partition half of
+    * IVFADC (the FAISS coarse+fine architecture): a coarse quantizer (IVF
+    * probing, LSH buckets, any pruning) proposes (qid, nn) candidates, and
+    * only those pairs are ADC-scored — the LUT join ships one row per
+    * candidate per subspace, never one per corpus row. Same round-6 rank
+    * contract as [[adcCandidates]]. */
+  def adcWithin(cand: DataFrame, codes: DataFrame, codebook: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, dim: Int, n: Int,
+      m: Int = 4): DataFrame = {
+    val subDim = dim / m
+    val q = queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).cast("array<float>").as("qvec"))
+    val lut = q.join(broadcast(codebook))
+      .select(col("qid"), col("sub"), col("code"),
+        vec_dot(expr(s"slice(qvec, sub * $subDim + 1, $subDim)"), col("cvec"))
+          .as("w"))
+    val ex = cand.select(col("qid"), col("nn"))
+      .join(codes.select(col("id").as("nn"), col("codes")), "nn")
+      .select(col("qid"), col("nn"), posexplode(col("codes")))
+      .select(col("qid"), col("nn"), col("pos").as("sub"), col("col").as("code"))
+    val rk = Window.partitionBy(col("qid"))
+      .orderBy(col("ascore").desc, col("nn"))
+    ex.join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("nn"))
+      .agg(graft.queries.oround(sum(col("w")), 6).as("ascore"))
+      .filter(col("nn") =!= col("qid"))
+      .withColumn("arank", row_number().over(rk))
+      .filter(col("arank") <= n)
+      .select(col("qid"), col("nn"), col("ascore"), col("arank"))
+  }
+
   /** The full PQ serve: ADC candidates (factor·k per query) re-ranked by
     * EXACT cosine over the original vectors — the standard
     * compress-then-verify operating point. Output matches the other ANN

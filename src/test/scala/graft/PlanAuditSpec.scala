@@ -55,7 +55,13 @@ class PlanAuditSpec extends SparkSpec {
     // KnnSpec "candidate generation plans" instead
     "q34_lsh_topk", "q35_ivf_topk",
     // q103's scratch mechanism with the keep-best canonical rule
-    "q121_dedup_keep_best")
+    "q121_dedup_keep_best",
+    // IVFADC: IVF build + scratch dumps run in the query body; the
+    // candidate-restricted ADC join shape is pinned in PqSpec instead
+    "q132_ivfadc_serve",
+    // runs a real micro-batch stream (file staging + sentinel batches);
+    // stream==batch equivalence pinned in StatefulSessionizeSpec
+    "q133_stream_sessions")
 
   private def auditable: Seq[String] =
     SparkEntry.allQueries.map(_.name).filterNot(sideEffecting)

@@ -75,6 +75,35 @@ class PqSpec extends SparkSpec {
     cb.unpersist()
   }
 
+  test("adcWithin: scores exactly the candidate pairs, same values as full ADC") {
+    val q = emb.filter(col("vec_id") < 3)
+    val cb = Pq.train(emb, "vec_id", "embedding", dim = 64,
+      m = 4, nCodes = 8, iters = 1)
+    val codes = Pq.encode(emb, "vec_id", "embedding", 64, cb)
+    // a deliberately sparse candidate set: 20 specific pairs per query
+    val cand = q.select(col("vec_id").as("qid"))
+      .crossJoin(emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("nn")))
+    val within = Pq.adcWithin(cand, codes, cb, q, "vec_id", "embedding",
+        dim = 64, n = 1000)
+      .select("qid", "nn", "ascore").as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val full = Pq.adcCandidates(codes, cb, q, "vec_id", "embedding",
+        dim = 64, n = Int.MaxValue)
+      .select("qid", "nn", "ascore").as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val expected = cand.select("qid", "nn").as[(Long, Long)].collect()
+      .filter { case (a, b) => a != b }.toSet
+    assert(within.keySet === expected)
+    within.foreach { case (k, s) => assert(s === full(k)) }
+    // the candidate-restricted plan must be equi-join + broadcast, never
+    // a nested-loop over the corpus (the LUT cross join is query-side only)
+    val plan = Pq.adcWithin(cand, codes, cb, q, "vec_id", "embedding",
+      dim = 64, n = 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    cb.unpersist()
+  }
+
   test("recall against brute force is high at factor 4") {
     val q = emb.filter(col("vec_id") < 5)
     val cb = Pq.train(emb, "vec_id", "embedding", dim = 64,
