@@ -22,7 +22,7 @@ object EventQueries {
   def all: Seq[QueryDef] = Seq(
     q16RecencySplit, q17Sessionize, q18Thresholds, q19JsonExtract,
     q20IntervalOffset, q21TimeOfDay, q22Chunking, q23TumblingWindow,
-    q24SlidingWindow, q29AsOfJoin, q63Pivot)
+    q24SlidingWindow, q29AsOfJoin, q63Pivot, q133StreamSessions)
 
   /** Recency split vs per-user max timestamp (SURVEY §2.2 op 10,
     * assets/takeout.py:70-72): keep events within "-15d" of the user's
@@ -295,5 +295,78 @@ object EventQueries {
       .count()
       .na.fill(0, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy(col("user_id"))
+  }
+
+  /** Stateful streaming sessionization driver-checked END TO END (SURVEY
+    * §2.10; the incremental twin of q17): the events table replays through
+    * a file-source micro-batch stream into `StatefulSessionize`
+    * (`flatMapGroupsWithState`, EventTimeTimeout), the real incremental
+    * path a 100 TB deployment would run instead of re-sessionizing the
+    * full history each tick. Determinism of the emitted set — the part a
+    * stream normally can't promise — comes from two watermark-advancing
+    * sentinel batches appended after the corpus: the first jumps the
+    * watermark past every real session's timeout, the second is a DATA
+    * batch processed at that advanced watermark, so every open session is
+    * evicted through the state-timeout path regardless of whether the
+    * engine schedules a no-data batch. Emitted set ≡ batch sessionization
+    * exactly (successor-closed sessions from batch 0, each user's last via
+    * timeout), so DuckDB replays it scratch-free with q17's gap SQL plus
+    * the per-session ordered event-id digest the aggregate form can't
+    * carry (the reference keeps session members for the LLM prompt,
+    * assets/recent_history.py:244-341). */
+  val q133StreamSessions: QueryDef = sql(
+    "q133_stream_sessions",
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                        + INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |       epoch_us(min(ts)) AS start_us,
+      |       epoch_us(max(ts)) AS end_us,
+      |       count(*) AS n_events,
+      |       md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)) AS ids_md5
+      |FROM sessions
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin) { (s, d) =>
+    import graft.streaming.StatefulSessionize
+    val gapUs = 30L * 60 * 1000000
+    val tmp = java.nio.file.Files.createTempDirectory("q133stream").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
+    ev.write.parquet(inDir)
+    val mx = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val stream = StatefulSessionize.fromEventsFrame(
+      s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir))
+    val q = StatefulSessionize.sessionize(stream, gapUs)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    def sentinel(uid: Long, plusMs: Long): Unit = {
+      import s.implicits._
+      Seq((uid, new java.sql.Timestamp(mx.getTime + plusMs), -1L))
+        .toDF("user_id", "ts", "event_id")
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    }
+    sentinel(-1L, 315360000000L) // +10y: watermark passes every real timeout
+    sentinel(-2L, 315360001000L) // data batch AT that watermark: evicts all
+    q.stop()
+    s.read.parquet(outDir)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
+        md5(concat_ws(",", expr("transform(event_ids, x -> CAST(x AS STRING))")))
+          .as("ids_md5"))
+      .orderBy(col("user_id"), col("start_us"))
   }
 }
