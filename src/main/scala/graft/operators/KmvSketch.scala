@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** K-minimum-values (KMV) distinct-count sketch — the DETERMINISTIC member
+  * of the sketch family (SURVEY §2.5 / q62's HLL is engine-pinned; KMV over
+  * a shared 48-bit md5 prefix is bit-replayable by any engine, so the
+  * estimate itself can be oracle-checked, not just bounded).
+  *
+  * Estimator (Bar-Yossef et al. 2002): with h(k) the k-th smallest distinct
+  * hash mapped into [0, 2^48), D̂ = (k−1)·2^48 / h(k); relative error
+  * ≈ 1/√(k−2). If a group has fewer than k distinct hashes the sketch IS
+  * the exact distinct count.
+  *
+  * Scale design — no unbounded aggregation state anywhere: a naive per-group
+  * "sort all distinct hashes, take row k" shuffles the full distinct set at
+  * 100 TB. Instead, threshold refinement:
+  *   1. one fixed-memory pass estimates each group's cardinality
+  *      (`approx_count_distinct`, HLL, mergeable partials);
+  *   2. a per-group hash threshold τ ≈ factor·k/est·2^48 keeps only the
+  *      expected ~factor·k smallest hashes per group — the shuffle carries
+  *      O(groups·k) rows no matter the input size, and the filter is a
+  *      codegen'd long compare at the scan;
+  *   3. the k-th min over survivors equals the TRUE k-th min whenever ≥ k
+  *      hashes survive (the filter keeps *all* hashes below τ) — verified
+  *      per group, with a deterministic τ escalation (×8) for any group the
+  *      HLL pass under-guessed. The final answer is therefore exact —
+  *      independent of the HLL estimate — which is what makes it
+  *      oracle-checkable.
+  *
+  * Sketches are also mergeable artifacts: the k smallest of a union of
+  * per-shard k-min sets equal the global k smallest (every global minimum
+  * is a minimum of its own shard), so per-day/per-shard sketches combine
+  * without touching raw data — KmvSketchSpec pins the property.
+  */
+object KmvSketch {
+
+  /** Hash space size: 48-bit md5 prefix (the repo's shared uniform-hash
+    * convention, bit-identical in DuckDB via ('0x' || substr(md5(…),1,12))). */
+  val Space: Long = 1L << 48
+
+  def hash48(c: Column, salt: String): Column =
+    conv(substring(md5(concat(c.cast("string"), lit("|" + salt))), 1, 12),
+      16, 10).cast("long")
+
+  /** Per-group KMV sketch: the (up to) k smallest distinct 48-bit hashes of
+    * `valCol`, as a sorted array — the persistable/mergeable artifact. */
+  def sketch(df: DataFrame, grpCol: String, valCol: String, k: Int,
+      salt: String = "kmv-v1"): DataFrame =
+    survivors(df, grpCol, valCol, k, salt)
+      .groupBy(col("grp").as(grpCol))
+      .agg(slice(sort_array(collect_list(col("h"))), 1, k).as("mins"))
+
+  /** Merge per-shard sketches (union of min-sets → k smallest) without
+    * touching raw data. Input: (grpCol, mins) rows, multiple per group. */
+  def merge(sketches: DataFrame, grpCol: String, k: Int): DataFrame =
+    sketches
+      .select(col(grpCol), explode(col("mins")).as("h"))
+      .groupBy(col(grpCol))
+      .agg(slice(array_sort(array_distinct(collect_list(col("h")))), 1, k)
+        .as("mins"))
+
+  /** Distinct-count estimate from a sketch frame: exact count when the
+    * group holds fewer than k hashes, else (k−1)·2^48 DIV h(k). Integer
+    * arithmetic only — no float ever enters the estimate. */
+  def estimate(sketchDf: DataFrame, grpCol: String, k: Int): DataFrame =
+    sketchDf.select(col(grpCol), size(col("mins")).as("n_mins"),
+        element_at(col("mins"), size(col("mins"))).as("kth"))
+      .select(col(grpCol), col("kth").as("kth_min"),
+        when(col("n_mins") < k, col("n_mins").cast("long"))
+          .otherwise(expr(s"${(k - 1).toLong * Space}L DIV kth"))
+          .as("est_distinct"))
+
+  /** One-call path: per-group k-th min + estimate, shuffling only the
+    * thresholded survivor set. Output: (grpCol, kth_min, est_distinct). */
+  def estimateDistinct(df: DataFrame, grpCol: String, valCol: String, k: Int,
+      salt: String = "kmv-v1"): DataFrame = {
+    val rk = Window.partitionBy(col("grp")).orderBy(col("h"))
+    survivors(df, grpCol, valCol, k, salt)
+      .withColumn("rn", row_number().over(rk))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .filter(col("rn") === least(lit(k.toLong), col("nd")))
+      .select(col("grp").as(grpCol), col("h").as("kth_min"),
+        when(col("nd") < k, col("nd"))
+          .otherwise(expr(s"${(k - 1).toLong * Space}L DIV h"))
+          .as("est_distinct"))
+  }
+
+  /** All distinct (group, hash) pairs below a per-group threshold chosen so
+    * that ≥ k survive (or the group's full distinct set if smaller), with
+    * deterministic escalation when the cardinality guess was low. The
+    * per-group verification collects one row per GROUP (sketch grouping
+    * keys are low-cardinality by design — event types, languages, splits),
+    * never per value. */
+  private def survivors(df: DataFrame, grpCol: String, valCol: String,
+      k: Int, salt: String): DataFrame = {
+    val hashed = df.select(col(grpCol).as("grp"),
+      hash48(col(valCol), salt).as("h"))
+    val est = hashed.groupBy("grp")
+      .agg(approx_count_distinct(col("h")).as("est0"))
+      .localCheckpoint(true) // one HLL pass, reused across escalations
+    var factor = 4L
+    while (true) {
+      // τ = min(2^48, factor·k·2^48 / est0): expected factor·k survivors
+      val thr = est.select(col("grp"),
+        least(lit(Space),
+          expr(s"${factor * k}L * ${Space}L DIV greatest(est0, 1L)"))
+          .as("thr"))
+      val surv = hashed.join(broadcast(thr), "grp")
+        .filter(col("h") < col("thr"))
+        .select(col("grp"), col("h"), col("thr"))
+        .distinct()
+      // a group is proven only if ≥ k survived OR its threshold was open
+      // (τ = 2^48 ⇒ survivors = the full distinct set)
+      val short = surv.groupBy(col("grp"), col("thr"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") < k && col("thr") < Space)
+        .limit(1).collect()
+      if (short.isEmpty) return surv.select(col("grp"), col("h"))
+      factor *= 8
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

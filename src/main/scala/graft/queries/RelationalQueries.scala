@@ -25,7 +25,7 @@ object RelationalQueries {
     q04BroadcastDimJoin, q05SemiJoin, q06AntiJoin, q07OuterJoinAgg,
     q08WindowTopk, q09WindowLagMs, q10Percentile, q11DistinctCounts,
     q12SetOps, q13RunningSum, q14ConditionalAgg, q15Rollup, q62Sketches,
-    q99SketchBounds)
+    q99SketchBounds, q134KmvDistinct)
 
   /** TPC-H Q1-style pricing summary (SURVEY §2.4 ops 20,25; §2.2 op 9-11).
     * Scale: map-side partial aggregation → tiny shuffle (6 groups). */
@@ -373,5 +373,50 @@ object RelationalQueries {
         element_at(col("aps"), 3)
           .between(element_at(col("ps"), 7), element_at(col("ps"), 9))
           .cast("int").as("p75_within"))
+  }
+
+  /** KMV distinct sketch, ESTIMATE oracle-checked (the deterministic
+    * counterpart to q62's engine-pinned HLL): per-event-type distinct-user
+    * estimate from the k = 64 smallest shared 48-bit md5 hashes —
+    * `operators.KmvSketch`'s thresholded two-pass keeps the shuffle at
+    * O(groups·k) rows while producing the EXACT k-th minimum, so DuckDB
+    * replays the whole estimator (hash, k-th min, (k−1)·2^48 DIV h(k))
+    * bit-for-bit; the exact count rides along and the oracle pins the
+    * |est−exact| ≤ exact/2 bound at 1 (q99's bound-flag pattern, ~4σ for
+    * k = 64). Integer arithmetic end to end — no float in either plan. */
+  val q134KmvDistinct: QueryDef = sql(
+    "q134_kmv_distinct",
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|kmv-v1'), 1, 12))::BIGINT AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, h,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM h),
+      |kth AS (
+      |  SELECT event_type, h AS kth_min,
+      |         CASE WHEN nd < 64 THEN nd
+      |              ELSE 17732923532771328 // h END AS est_users
+      |  FROM r
+      |  WHERE rn = CASE WHEN nd < 64 THEN nd ELSE 64 END),
+      |e AS (SELECT event_type, count(DISTINCT user_id) AS n_users
+      |      FROM events GROUP BY event_type)
+      |SELECT e.event_type, kth.kth_min, kth.est_users, e.n_users,
+      |       1 AS within_bound
+      |FROM e JOIN kth USING (event_type)
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    import graft.operators.KmvSketch
+    val ev = Tables.events(s, d)
+    val est = KmvSketch.estimateDistinct(ev, "event_type", "user_id", 64)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("kth_min"),
+        col("est_distinct").as("est_users"), col("n_users"),
+        (abs(col("est_distinct") - col("n_users")) * 2 <= col("n_users"))
+          .cast("int").as("within_bound"))
+      .orderBy(col("event_type"))
   }
 }

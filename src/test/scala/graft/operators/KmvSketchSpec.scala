@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Tables.events(spark, sf)
+
+  /** Brute-force truth: the k-th smallest distinct hash per group via a
+    * full window over ALL distinct hashes (the shuffle-everything plan the
+    * operator exists to avoid). */
+  private def brute(k: Int): Map[String, (Long, Long)] = {
+    val h = events.select(col("event_type").as("grp"),
+        KmvSketch.hash48(col("user_id"), "kmv-v1").as("h")).distinct()
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
+    h.withColumn("rn", row_number().over(w))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .filter(col("rn") === least(lit(k.toLong), col("nd")))
+      .select(col("grp"), col("h"), col("nd"))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, h2, nd) => g -> (h2, nd) }.toMap
+  }
+
+  test("estimateDistinct: thresholded k-th min equals the brute-force k-th min") {
+    val k = 64
+    val got = KmvSketch.estimateDistinct(events, "event_type", "user_id", k)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val truth = brute(k)
+    assert(got.keySet === truth.keySet)
+    got.foreach { case (g, (kth, est)) =>
+      val (bKth, nd) = truth(g)
+      assert(kth === bKth, s"group $g kth-min mismatch")
+      val expect = if (nd < k) nd else (k - 1).toLong * KmvSketch.Space / bKth
+      assert(est === expect, s"group $g estimate mismatch")
+    }
+  }
+
+  test("fewer than k distinct values → the sketch is the exact count") {
+    val small = events.filter(col("user_id") < 7) // ≪ k distinct users
+    val got = KmvSketch.estimateDistinct(small, "event_type", "user_id", 1000)
+      .select(col("event_type"), col("est_distinct"))
+      .as[(String, Long)].collect().toMap
+    val exact = small.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got === exact)
+  }
+
+  test("estimate lands within the 1/√(k−2) error regime") {
+    val k = 64
+    val got = KmvSketch.estimateDistinct(events, "event_type", "user_id", k)
+      .select(col("event_type"), col("est_distinct"))
+      .as[(String, Long)].collect().toMap
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    got.foreach { case (g, est) =>
+      val n = exact(g).toDouble
+      assert(math.abs(est - n) <= n / 2,
+        s"group $g: est $est vs exact $n outside the 4σ bound")
+    }
+  }
+
+  test("per-shard sketches merge to the global sketch (mergeability)") {
+    val k = 32
+    val a = events.filter(col("event_id") % 2 === 0)
+    val b = events.filter(col("event_id") % 2 === 1)
+    val shards = KmvSketch.sketch(a, "event_type", "user_id", k)
+      .union(KmvSketch.sketch(b, "event_type", "user_id", k))
+    val merged = KmvSketch.merge(shards, "event_type", k)
+      .select(col("event_type"), col("mins"))
+      .as[(String, Seq[Long])].collect().toMap
+    val global = KmvSketch.sketch(events, "event_type", "user_id", k)
+      .select(col("event_type"), col("mins"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged === global)
+  }
+}
