@@ -386,15 +386,64 @@ object TextQueries {
       .limit(50)
   }
 
-  /** Winnowing fingerprints (rolling-hash k-grams, window minima).
-    * Output is scalarized (size + md5 digest of the signature) — the
-    * driver's rows-only check sorts the frame in pandas, and raw
-    * array<long> columns are unsortable there. */
-  val q48Fingerprint: QueryDef = rowsOnly("q48_fingerprint") { (s, d) =>
+  /** Byte-wise FNV-1a-64 of an 8-char gram as a DuckDB HUGEINT expression:
+    * 8 unrolled (xor → ×prime mod 2^64) steps. The corpus is ASCII (the
+    * oracle-checked langid/regex family already relies on it), so
+    * `ord(char)` IS the UTF-8 byte and the replay is bit-exact against
+    * `functions.Fnv1a64`. */
+  private def fnvExpr(gram: String): String =
+    (1 to 8).foldLeft("14695981039346656037::HUGEINT")((acc, i) =>
+      s"((xor($acc, ord(substr($gram,$i,1))::HUGEINT)) * 1099511628211) % 18446744073709551616")
+
+  /** Winnowing fingerprints (rolling-hash k-grams, window minima) — FULL
+    * oracle since round 9: the FNV-1a-64 rolling hash is plain integer
+    * arithmetic, so DuckDB replays the entire signature pipeline in
+    * 128-bit SQL — per-position gram hashes, UNSIGNED window-of-16 minima
+    * (HUGEINT values live in [0,2^64), so plain min is the unsigned min),
+    * the distinct-set collapse, and the SIGNED ascending signature order
+    * (two's-complement fold before the digest). Output is scalarized
+    * (size + md5 digest of the comma-joined signed signature) — the
+    * driver's compare can't sort raw array<long> columns. */
+  val q48Fingerprint: QueryDef = sql(
+    "q48_fingerprint",
+    s"""WITH g AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+       |         substr(text, CAST(u.i AS INT), 8) AS gram
+       |  FROM documents, unnest(range(1, len(text) - 6)) AS u(i)),
+       |h AS (
+       |  SELECT doc_id, pos, ${fnvExpr("gram")} AS hv,
+       |         count(*) OVER (PARTITION BY doc_id) AS ngrams
+       |  FROM g),
+       |wm AS (
+       |  SELECT doc_id,
+       |         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mh
+       |  FROM h
+       |  QUALIFY ngrams > 16 AND pos <= ngrams - 15),
+       |sm AS (
+       |  SELECT doc_id, min(hv) AS mh FROM h WHERE ngrams <= 16 GROUP BY doc_id),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, mh FROM wm
+       |  UNION ALL
+       |  SELECT doc_id, mh FROM sm),
+       |sg AS (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN mh >= 9223372036854775808
+       |                   THEN mh - 18446744073709551616 ELSE mh END AS BIGINT) AS sv
+       |  FROM fp),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS fp_size,
+       |         md5(string_agg(CAST(sv AS VARCHAR), ',' ORDER BY sv)) AS fp_digest
+       |  FROM sg GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       COALESCE(a.fp_size, 0) AS fp_size,
+       |       COALESCE(a.fp_digest, md5('')) AS fp_digest
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     docs(s, d)
       .select(col("doc_id"), winnow_fingerprint(col("text")).as("fp"))
       .select(col("doc_id"),
-        size(col("fp")).as("fp_size"),
+        size(col("fp")).cast("long").as("fp_size"),
         md5(concat_ws(",", col("fp").cast("array<string>"))).as("fp_digest"))
       .orderBy(col("doc_id"))
   }
