@@ -175,13 +175,53 @@ object TextQueries {
       .orderBy(col("band"))
   }
 
-  /** SimHash fingerprints (engine-pinned FNV-1a bit votes — not
-    * SQL-expressible, rows-only check at sfDir scale; the VALUES of the
-    * same expression are hash-checked against committed goldens in q95). */
-  val q46Simhash: QueryDef = rowsOnly("q46_simhash") { (s, d) =>
-    docs(s, d)
-      .select(col("doc_id"), simhash64(tokens).as("simhash"))
-      .orderBy(col("doc_id"))
+  /** SimHash fingerprints — FULL oracle since round 9 (was rows-only +
+    * q95 goldens): the FNV-1a bit-vote fingerprint is integer arithmetic,
+    * so DuckDB replays it end to end in 128-bit SQL — variable-length
+    * FNV-1a per token, per-bit ±1 votes over all token instances, strict
+    * votes>0 bit set, two's-complement fold to the signed simhash. */
+  val q46Simhash: QueryDef = {
+    // Variable-length FNV-1a as 16 CHAINED CTEs (one guarded mix step per
+    // char position) — chaining keeps the SQL linear where a folded nested
+    // expression would double per step. Tokens are ASCII and ≤ 8 chars in
+    // the driver corpus; 16 covers headroom, and a longer token would fail
+    // the hash compare loudly rather than silently truncate.
+    val mixSteps = (1 to 16).map { i =>
+      s"""h$i AS (
+         |  SELECT doc_id, tok,
+         |         CASE WHEN len(tok) >= $i
+         |              THEN ((xor(h, ord(substr(tok,$i,1))::HUGEINT))
+         |                    * 1099511628211) % 18446744073709551616
+         |              ELSE h END AS h
+         |  FROM h${i - 1})""".stripMargin
+    }.mkString(",\n")
+    sql(
+      "q46_simhash",
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h0 AS (
+         |  SELECT doc_id, tok, 14695981039346656037::HUGEINT AS h FROM t),
+         |$mixSteps,
+         |v AS (
+         |  SELECT doc_id, CAST(u.b AS INT) AS b,
+         |         sum(CASE WHEN ((h >> CAST(u.b AS INT)) & 1) = 1
+         |                  THEN 1 ELSE -1 END) AS votes
+         |  FROM h16, unnest(range(64)) AS u(b)
+         |  GROUP BY doc_id, u.b),
+         |sh AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN votes > 0 THEN (1::HUGEINT << b)
+         |                  ELSE 0::HUGEINT END) AS uh
+         |  FROM v GROUP BY doc_id)
+         |SELECT doc_id,
+         |       CAST(CASE WHEN uh >= 9223372036854775808
+         |                 THEN uh - 18446744073709551616 ELSE uh END AS BIGINT)
+         |         AS simhash
+         |FROM sh ORDER BY doc_id""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), simhash64(tokens).as("simhash"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** The engine-pinned hash functions, VALUE-checked: recompute SimHash and
