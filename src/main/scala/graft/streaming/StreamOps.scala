@@ -27,10 +27,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamOps {
 
+  /** Normalize the event-time column to TIMESTAMP (LTZ). Parquet written
+    * by pandas/pyarrow carries `isAdjustedToUTC=false`, which Spark 4
+    * infers as TIMESTAMP_NTZ — a type `withWatermark` rejects outright.
+    * The engine pins the session time zone to UTC (EngineConf), so the
+    * cast is value-identical; applying it on BOTH the stream and its
+    * batch twin keeps the stream == batch contract exact. */
+  private def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ts", col("ts").cast("timestamp"))
+
   /** Tumbling-window counts/sums per event_type. */
   def tumblingAgg(events: DataFrame, width: String = "10 minutes",
       watermark: String = "30 minutes"): DataFrame =
-    events
+    withEventTime(events)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
@@ -41,7 +50,7 @@ object StreamOps {
   /** Sliding-window aggregation (width/slide). */
   def slidingAgg(events: DataFrame, width: String = "10 minutes",
       slide: String = "5 minutes", watermark: String = "30 minutes"): DataFrame =
-    events
+    withEventTime(events)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width, slide), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -52,7 +61,7 @@ object StreamOps {
   /** Gap-based session windows per user — streaming sessionization. */
   def sessionAgg(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame =
-    events
+    withEventTime(events)
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
@@ -72,10 +81,11 @@ object StreamOps {
     * needed) — StreamingSpec asserts stream == batch. */
   def intervalJoin(left: DataFrame, right: DataFrame, horizon: String,
       watermark: String = "1 hour"): DataFrame = {
-    val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left)
+    val lt = withEventTime(left); val rt = withEventTime(right)
+    val l = (if (lt.isStreaming) lt.withWatermark("ts", watermark) else lt)
       .select(col("user_id"), col("ts").as("l_ts"),
         col("event_id").as("l_event_id"), col("event_type").as("l_type"))
-    val r = (if (right.isStreaming) right.withWatermark("ts", watermark) else right)
+    val r = (if (rt.isStreaming) rt.withWatermark("ts", watermark) else rt)
       .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
         col("event_id").as("r_event_id"), col("event_type").as("r_type"))
     l.join(r,
@@ -102,9 +112,9 @@ object StreamOps {
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
       watermark: String = "1 hour"): DataFrame =
     if (events.isStreaming)
-      events.withWatermark("ts", watermark)
+      withEventTime(events).withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keys)
-    else events.dropDuplicates(keys)
+    else withEventTime(events).dropDuplicates(keys)
 
   /** File-source discovery stream over a takeout-style user tree
     * (`<root>/<user>/MyActivity.json`): the Dagster sensor, Spark-native.
