@@ -22,7 +22,8 @@ object EventQueries {
   def all: Seq[QueryDef] = Seq(
     q16RecencySplit, q17Sessionize, q18Thresholds, q19JsonExtract,
     q20IntervalOffset, q21TimeOfDay, q22Chunking, q23TumblingWindow,
-    q24SlidingWindow, q29AsOfJoin, q63Pivot, q133StreamSessions)
+    q24SlidingWindow, q29AsOfJoin, q63Pivot, q133StreamSessions,
+    q138FunnelSteps, q139RetentionCohorts)
 
   /** Recency split vs per-user max timestamp (SURVEY §2.2 op 10,
     * assets/takeout.py:70-72): keep events within "-15d" of the user's
@@ -368,5 +369,104 @@ object EventQueries {
         md5(concat_ws(",", expr("transform(event_ids, x -> CAST(x AS STRING))")))
           .as("ids_md5"))
       .orderBy(col("user_id"), col("start_us"))
+  }
+
+  /** Ordered conversion funnel — view → click → purchase with strict
+    * temporal order per user (the product-analytics sequence operator):
+    * stage 1 = the user's first view; stage 2 = first click strictly AFTER
+    * that view; stage 3 = first purchase strictly after that click.
+    * Output: one row per active user with the stage reached and the three
+    * stage timestamps (−1 when not reached — nulls deliberately avoided in
+    * hash-compared output).
+    *
+    * Scale shape: each stage is a per-user aggregate of a pushed-down
+    * event_type scan joined back on user_id — three partial-aggregated
+    * equi-joins, no window over the full event stream and no per-event
+    * state. The reference's per-user-partition discipline applies: at
+    * 100 TB each join shuffles (user, ts) pairs only. */
+  val q138FunnelSteps: QueryDef = sql(
+    "q138_funnel_steps",
+    """WITH t1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN t1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+      |  GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN t2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      |  GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT u.user_id,
+      |       CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+      |                 WHEN t2.t2 IS NOT NULL THEN 2
+      |                 WHEN t1.t1 IS NOT NULL THEN 1
+      |                 ELSE 0 END AS BIGINT) AS stage,
+      |       COALESCE(epoch_us(t1.t1), -1) AS t1_us,
+      |       COALESCE(epoch_us(t2.t2), -1) AS t2_us,
+      |       COALESCE(epoch_us(t3.t3), -1) AS t3_us
+      |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+      |       LEFT JOIN t3 USING (user_id)
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    ev.select(col("user_id")).distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"),
+        coalesce(unix_micros(col("t1")), lit(-1L)).as("t1_us"),
+        coalesce(unix_micros(col("t2")), lit(-1L)).as("t2_us"),
+        coalesce(unix_micros(col("t3")), lit(-1L)).as("t3_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Retention cohort grid — users cohorted by first-activity DAY, counted
+    * as retained in each later WEEK offset they appear in (the standard
+    * product-retention triangle, integer-only output).
+    *
+    * Scale shape: the cohort anchor is one per-user min; activity rows
+    * join to it on user_id (partial-agg both sides), the grid is a
+    * (cohort_day, week) count-distinct — two shuffles total, the grid
+    * itself is days × offsets regardless of event volume. */
+  val q139RetentionCohorts: QueryDef = sql(
+    "q139_retention_cohorts",
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT e.user_id, f.d0,
+      |         date_diff('day', f.d0, CAST(e.ts AS DATE)) // 7 AS wk
+      |  FROM events e JOIN f USING (user_id))
+      |SELECT CAST(d0 AS VARCHAR) AS cohort_day, CAST(wk AS BIGINT) AS week_offset,
+      |       CAST(count(*) AS BIGINT) AS n_active
+      |FROM a
+      |GROUP BY d0, wk
+      |ORDER BY cohort_day, week_offset""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+    val f = ev.groupBy(col("user_id"))
+      .agg(min(col("ts").cast("date")).as("d0"))
+    ev.join(f, "user_id")
+      .select(col("user_id"), col("d0"),
+        expr("datediff(CAST(ts AS DATE), d0) div 7").as("wk"))
+      .distinct()
+      .groupBy(date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+        col("wk").cast("long").as("week_offset"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+      .orderBy(col("cohort_day"), col("week_offset"))
   }
 }

@@ -25,7 +25,7 @@ object RelationalQueries {
     q04BroadcastDimJoin, q05SemiJoin, q06AntiJoin, q07OuterJoinAgg,
     q08WindowTopk, q09WindowLagMs, q10Percentile, q11DistinctCounts,
     q12SetOps, q13RunningSum, q14ConditionalAgg, q15Rollup, q62Sketches,
-    q99SketchBounds, q134KmvDistinct)
+    q99SketchBounds, q134KmvDistinct, q136HllRegisters, q137OrderStats)
 
   /** TPC-H Q1-style pricing summary (SURVEY §2.4 ops 20,25; §2.2 op 9-11).
     * Scale: map-side partial aggregation → tiny shuffle (6 groups). */
@@ -418,5 +418,83 @@ object RelationalQueries {
         (abs(col("est_distinct") - col("n_users")) * 2 <= col("n_users"))
           .cast("int").as("within_bound"))
       .orderBy(col("event_type"))
+  }
+
+  /** HyperLogLog register table, oracle-replayed (q62's `approx_count_
+    * distinct` registers are engine-pinned; these are the textbook FFGM
+    * registers over the shared 48-bit md5 hash, so DuckDB recomputes every
+    * register AND the raw estimate bit-for-bit — see
+    * [[graft.operators.HllSketch]] for the integer leading-zero trick
+    * (`len(bin(x))`) and the dyadic-sum determinism argument).
+    *
+    * Scale: one pass, no distinct shuffle — registers are a partial-
+    * aggregatable max, shuffle rows ≤ groups × 64; per-shard register
+    * tables merge by the same max (HllSketchSpec pins the merge law). */
+  val q136HllRegisters: QueryDef = sql(
+    "q136_hll_registers",
+    """WITH h AS (
+      |  SELECT event_type,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|hll-v1'), 1, 12))::BIGINT AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, h // 4398046511104 AS reg,
+      |         CASE WHEN h % 4398046511104 = 0 THEN CAST(43 AS BIGINT)
+      |              ELSE 43 - length(bin(h % 4398046511104)) END AS rho
+      |  FROM h),
+      |m AS (
+      |  SELECT event_type, reg, CAST(max(rho) AS BIGINT) AS max_rho
+      |  FROM r GROUP BY event_type, reg),
+      |e AS (
+      |  SELECT event_type, sum(power(2.0, -max_rho)) AS s,
+      |         count(*) AS nreg
+      |  FROM m GROUP BY event_type),
+      |est AS (
+      |  SELECT event_type,
+      |         CAST(floor(0.709 * 4096.0 / (s + (64 - nreg))) AS BIGINT) AS raw_est,
+      |         CAST(64 - nreg AS BIGINT) AS n_empty
+      |  FROM e)
+      |SELECT m.event_type, m.reg, m.max_rho, est.raw_est, est.n_empty
+      |FROM m JOIN est USING (event_type)
+      |ORDER BY event_type, reg""".stripMargin) { (s, d) =>
+    import graft.operators.HllSketch
+    val regs = HllSketch.registers(Tables.events(s, d), "event_type", "user_id")
+    regs.join(broadcast(HllSketch.rawEstimate(regs, "event_type")), "event_type")
+      .select(col("event_type"), col("reg"), col("max_rho"),
+        col("raw_est"), col("n_empty"))
+      .orderBy(col("event_type"), col("reg"))
+  }
+
+  /** Whole-table EXACT order statistics without a global sort — p50/p90/p99
+    * of `o_totalprice` by histogram-locate + bucket-local top-k
+    * ([[graft.operators.IterativeQuantile]]): the quantile path that still
+    * works when the column has 10^11 rows and `ORDER BY` doesn't. Ranks use
+    * pure integer math (`(p_ppm·n + 999999) div 10^6`) so no engine
+    * `ceil(0.9·n)` float boundary can shift k, and the emitted value is an
+    * existing data value (no arithmetic) — bit-exact against DuckDB's
+    * row_number replay. */
+  val q137OrderStats: QueryDef = sql(
+    "q137_order_stats",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+      |ks AS (
+      |  SELECT CAST(p_ppm AS BIGINT) AS p_ppm,
+      |         (p_ppm * n + 999999) // 1000000 AS k
+      |  FROM (VALUES (500000), (900000), (990000)) v(p_ppm), n),
+      |o AS (
+      |  SELECT o_totalprice AS v,
+      |         row_number() OVER (ORDER BY o_totalprice) AS rn
+      |  FROM orders)
+      |SELECT ks.p_ppm, ks.k, o.v AS value
+      |FROM ks JOIN o ON o.rn = ks.k
+      |ORDER BY p_ppm""".stripMargin) { (s, d) =>
+    import graft.operators.IterativeQuantile
+    val orders = Tables.orders(s, d)
+    val n = orders.count()
+    val pk = Seq(500000L, 900000L, 990000L)
+      .map(p => p -> ((p * n + 999999L) / 1000000L))
+    import s.implicits._
+    IterativeQuantile.orderStatistics(orders, "o_totalprice", pk.map(_._2))
+      .join(broadcast(pk.toDF("p_ppm", "k")), "k")
+      .select(col("p_ppm"), col("k"), col("value"))
+      .orderBy(col("p_ppm"))
   }
 }

@@ -26,7 +26,7 @@ object TextQueries {
     q91Contamination, q92Repetition, q95TextHashGoldens, q96SketchTopkTokens,
     q101SketchTopkShingles, q107EpochShuffle, q108TokenPacking,
     q109WindowManifest, q110MixtureWeights, q130LengthBatches,
-    q131WeightedSample)
+    q131WeightedSample, q135TfidfTerms)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -919,5 +919,58 @@ object TextQueries {
       .select(col("rank"), col("doc_id"), col("n_tokens"),
         graft.queries.oround(col("es_key"), 6).as("es_key"))
       .orderBy(col("rank"))
+  }
+
+  /** Per-document top-3 TF-IDF terms — the keyword-extraction step of a
+    * corpus indexing / topic-labeling pass. IDF uses the RATIONAL variant
+    * idf = N/df in parts-per-million INTEGER arithmetic (`(N·10^6) div
+    * df`) instead of log(N/df): the ranking this produces is the same
+    * monotone-in-df order within a fixed tf, and the score is pure BIGINT
+    * math — no cross-engine `ln` last-ulp risk anywhere (the q108 hygiene
+    * applied to scoring). Ties break lexicographically on the term.
+    *
+    * Scale shape (the q113 discipline): the token stream collapses to
+    * (doc, term, tf) FIRST — the only corpus-sized shuffle; df is a
+    * vocab-sized second-phase aggregate of that table; N is a broadcast
+    * 1-row cross join; the rank window partitions by doc. No per-token
+    * wide join ever happens. */
+  val q135TfidfTerms: QueryDef = sql(
+    "q135_tfidf_terms",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, term, tf, df, tf * ((n * 1000000) // df) AS score
+      |  FROM tf JOIN df USING (term), n),
+      |r AS (
+      |  SELECT doc_id, term, tf, df, score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, term) AS rn
+      |  FROM s)
+      |SELECT doc_id, CAST(rn AS BIGINT) AS rnk, term, tf, df,
+      |       CAST(score AS BIGINT) AS score
+      |FROM r WHERE rn <= 3
+      |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(tokens).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfT = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val n = docs(s, d).agg(count(lit(1)).cast("long").as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfT, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr("(n * 1000000) div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        col("score").cast("long").as("score"))
+      .orderBy(col("doc_id"), col("rnk"))
   }
 }
