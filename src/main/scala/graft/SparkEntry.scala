@@ -14,7 +14,8 @@ object SparkEntry {
   def allQueries: Seq[QueryDef] =
     RelationalQueries.all ++ EventQueries.all ++ VectorQueries.all ++
       TextQueries.all ++ PipelineQueries.all ++ DedupQueries.all ++
-      SqlSurfaceQueries.all ++ ExtendedQueries.all ++ CurationQueries.all
+      SqlSurfaceQueries.all ++ ExtendedQueries.all ++ CurationQueries.all ++
+      WarehouseQueries.all
 
   /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
     * reference's recent path end-to-end — activity → stub-LLM sessions →

@@ -53,6 +53,40 @@ object GraphOps {
     graft.operators.ConnectedComponents.components(
       edges.select(col("parent_id").as("src"), col("child_id").as("dst")))
 
+  /** PageRank in parts-per-million INTEGER fixed point — deterministic by
+    * construction: float PageRank depends on Spark's partition-level
+    * summation order; integer contributions (`r div outdeg`, summed as
+    * BIGINT) are order-independent, so the iterate is bit-reproducible and
+    * a second engine can replay every iteration exactly (q140's oracle
+    * unrolls the same recurrence in SQL).
+    *
+    *   r₀ = 10^6;  r_{t+1}(v) = (10^6 − d) + (d · Σ_{u→v} r_t(u) div out(u)) div 10^6
+    *
+    * with d the damping in ppm. Dangling mass is dropped (the standard
+    * simplification) — identically on both sides.
+    *
+    * Scale: each iteration is one equi-join (edges ⋈ ranks on src, ranks
+    * broadcast when nodes are small) + one partial-aggregated sum by dst —
+    * the classic pregel-as-joins shape; lineage is cut per round. */
+  def pagerankPpm(edges: DataFrame, nodes: DataFrame, iters: Int = 3,
+      dampingPpm: Long = 850000L): DataFrame = {
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(outdeg, "src")
+    val base = 1000000L - dampingPpm
+    var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      ranks = nodes.join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"(${dampingPpm}L * coalesce(cs, 0L)) div 1000000L"))
+            .as("r"))
+        .localCheckpoint(false)
+    }
+    ranks
+  }
+
   /** Chains: maximal parent→child paths where each node has ≤1 out-edge
     * and ≤1 in-edge (the top-1 similarity graph is near-functional, so its
     * structure is mostly chains) — labeled by component. */

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.QueryDef.sql
+import graft.core.Tables
+
+/** Warehouse/lakehouse operator surface (round 9 additions): iterative
+  * graph ranking, space-filling-curve data layout, Bloom-filter join
+  * pruning, and SCD2 history construction — the operations a large-scale
+  * lakehouse runs AROUND the query engine (layout, runtime filters,
+  * dimension history), each expressed Spark-first and each a full DuckDB
+  * oracle.
+  *
+  * The shared determinism discipline: every float-bearing algorithm here
+  * is re-expressed in integer fixed point (ppm ranks, bit-interleaved
+  * longs, hash positions), so cross-engine replay is exact. */
+object WarehouseQueries {
+
+  def all: Seq[QueryDef] = Seq(
+    q140PagerankNations, q141ZorderLayout, q142BloomPrune, q143Scd2History)
+
+  /** The nation→nation supply graph: an edge when a customer of nation
+    * `src` ordered a line item supplied from nation `dst`. Fact-fact join
+    * on orderkey with BROADCAST dims — the 100 TB shape. */
+  private def supplyEdges(s: SparkSession, d: String): DataFrame = {
+    val byCust = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    val bySupp = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("s_nationkey"))
+    byCust.join(bySupp, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  private def pagerankIterSql(i: Int): String =
+    s"""r$i AS (
+       |  SELECT n.id, 150000 + (850000 * COALESCE(c.cs, 0)) // 1000000 AS r
+       |  FROM n LEFT JOIN (
+       |    SELECT e.dst, sum(r${i - 1}.r // e.outdeg) AS cs
+       |    FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src GROUP BY e.dst) c
+       |  ON c.dst = n.id)""".stripMargin
+
+  /** Integer-fixed-point PageRank (3 iterations, d = 0.85) over the
+    * nation supply graph — see [[graft.graph.GraphOps.pagerankPpm]] for
+    * why ppm integers (order-independent sums → bit-reproducible, and the
+    * oracle unrolls the identical recurrence). */
+  val q140PagerankNations: QueryDef = sql(
+    "q140_pagerank_nations",
+    s"""WITH edges AS (
+       |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |        FROM edges GROUP BY src),
+       |e AS (SELECT edges.src, edges.dst, deg.outdeg
+       |      FROM edges JOIN deg USING (src)),
+       |n AS (SELECT n_nationkey AS id, n_name FROM nation),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+       |${pagerankIterSql(1)},
+       |${pagerankIterSql(2)},
+       |${pagerankIterSql(3)}
+       |SELECT n.id AS nation_key, n.n_name AS nation,
+       |       CAST(r3.r AS BIGINT) AS rank_ppm
+       |FROM n JOIN r3 USING (id)
+       |ORDER BY nation_key""".stripMargin) { (s, d) =>
+    import graft.graph.GraphOps
+    val nodes = Tables.nation(s, d)
+      .select(col("n_nationkey").as("id"), col("n_name"))
+    val ranks = GraphOps.pagerankPpm(supplyEdges(s, d), nodes.select("id"))
+    nodes.join(ranks, "id")
+      .select(col("id").as("nation_key"), col("n_name").as("nation"),
+        col("r").cast("long").as("rank_ppm"))
+      .orderBy(col("nation_key"))
+  }
+
+  /** Bit-interleave SQL for two 8-bit values — pure integer arithmetic,
+    * parameterized on the engine's integer-division spelling so Spark
+    * (`div`) and DuckDB (`//`) evaluate the IDENTICAL formula. */
+  private def interleave8(x: String, y: String, divOp: String): String =
+    (0 until 8).flatMap { i =>
+      Seq(s"(($x $divOp ${1L << i}) % 2) * ${1L << (2 * i)}",
+        s"(($y $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
+
+  /** Z-ORDER data layout: each order's (custkey, order-day) pair maps to
+    * an interleaved-bit Morton code; writing files sorted by `zval` gives
+    * every file a tight min/max envelope in BOTH dimensions, so zone-map
+    * pruning works for range predicates on either column — the multi-
+    * dimensional clustering trick (Delta/Iceberg OPTIMIZE ZORDER) that
+    * single-column sorting cannot provide at 100 TB. The query emits the
+    * code and its 64-way file bucket; the layout itself is a plain
+    * `orderBy(zval)` write. 8+8 bits is the demo grid — the operator
+    * composes to any width. */
+  val q141ZorderLayout: QueryDef = sql(
+    "q141_zorder_layout",
+    s"""WITH b AS (
+       |  SELECT o_orderkey,
+       |         o_custkey % 256 AS x,
+       |         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256 AS y
+       |  FROM orders),
+       |z AS (
+       |  SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       |         CAST(${interleave8("x", "y", "//")} AS BIGINT) AS zval
+       |  FROM b)
+       |SELECT o_orderkey, x, y, zval, zval // 1024 AS zbucket
+       |FROM z
+       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        (col("o_custkey") % 256).as("x"),
+        (datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          % 256).cast("long").as("y"))
+      .withColumn("zval", expr(interleave8("x", "y", "div")).cast("long"))
+      .select(col("o_orderkey"), col("x").cast("long").as("x"), col("y"),
+        col("zval"), expr("zval div 1024").as("zbucket"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Bloom-filter join pruning, hash-replayed: the build side (customers
+    * with negative balance) sets k=3 md5-derived positions in a 2^16-bit
+    * array; the probe side keeps only orders whose custkey passes all
+    * three membership tests. This is the runtime-filter shape (a broadcast
+    * bitset applied at the scan) that turns a 100 TB fact⋈selective-dim
+    * join into a pre-filtered scan; false positives are visible in the
+    * output (`actual_in = 0`) and bounded by the exact join that follows.
+    * Every position is integer md5 arithmetic — DuckDB replays the filter
+    * AND its false-positive set exactly. */
+  val q142BloomPrune: QueryDef = sql(
+    "q142_bloom_prune",
+    """WITH build AS (
+      |  SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+      |bloom AS (
+      |  SELECT DISTINCT
+      |         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|bloom-' || CAST(j AS VARCHAR)), 1, 12))::BIGINT % 65536 AS pos
+      |  FROM build, (VALUES (1), (2), (3)) s(j)),
+      |probe AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '|bloom-' || CAST(j AS VARCHAR)), 1, 12))::BIGINT % 65536 AS pos
+      |  FROM orders, (VALUES (1), (2), (3)) s(j)),
+      |pass AS (
+      |  SELECT o_orderkey, o_custkey
+      |  FROM probe JOIN bloom USING (pos)
+      |  GROUP BY o_orderkey, o_custkey
+      |  HAVING count(*) = 3)
+      |SELECT p.o_orderkey, p.o_custkey,
+      |       CAST(CASE WHEN b.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |         AS actual_in
+      |FROM pass p LEFT JOIN build b ON p.o_custkey = b.c_custkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import graft.operators.KmvSketch.hash48
+    def positions(key: org.apache.spark.sql.Column) =
+      array((1 to 3).map(j => hash48(key, s"bloom-$j") % 65536): _*)
+    val build = Tables.customer(s, d)
+      .filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    val bloom = build.select(explode(positions(col("c_custkey"))).as("pos"))
+      .distinct()
+    val pass = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        explode(positions(col("o_custkey"))).as("pos"))
+      .join(broadcast(bloom), "pos")
+      .groupBy(col("o_orderkey"), col("o_custkey"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === 3)
+    pass.join(build.withColumn("actual", lit(1L)),
+        pass("o_custkey") === build("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"),
+        coalesce(col("actual"), lit(0L)).as("actual_in"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** SCD TYPE-2 history build from a change stream: per user, each run of
+    * consecutive equal `event_type` values becomes one dimension version
+    * with [valid_from, valid_to) bounds (open interval → −1) — the
+    * lakehouse dimension-history op (MERGE-built in warehouses, window-
+    * built here). Per-user windows only — the reference's per-user
+    * partition discipline; no global sort. */
+  val q143Scd2History: QueryDef = sql(
+    "q143_scd2_history",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(event_type) OVER w IS NULL
+      |                OR lag(event_type) OVER w <> event_type
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |v AS (
+      |  SELECT user_id, ts, event_type,
+      |         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+      |         min(ts) AS vfrom, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM v GROUP BY user_id, version, event_type)
+      |SELECT user_id, version, event_type,
+      |       epoch_us(vfrom) AS from_us,
+      |       COALESCE(epoch_us(lead(vfrom) OVER
+      |         (PARTITION BY user_id ORDER BY version)), -1) AS to_us,
+      |       n_events
+      |FROM g
+      |ORDER BY user_id, version""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val versions = ev
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("version").cast("long").as("version"),
+        col("event_type"))
+      .agg(min(col("ts")).as("vfrom"), count(lit(1)).cast("long").as("n_events"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    versions
+      .select(col("user_id"), col("version"), col("event_type"),
+        unix_micros(col("vfrom")).as("from_us"),
+        coalesce(unix_micros(lead(col("vfrom"), 1).over(wv)), lit(-1L))
+          .as("to_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+}

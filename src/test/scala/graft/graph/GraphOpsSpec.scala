@@ -55,4 +55,31 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq
     assert(a == b)
   }
+
+  test("pagerankPpm matches the hand-unrolled integer recurrence") {
+    // 1→2, 1→3, 2→3, 3→1: hand-roll r1 with r0 = 1e6
+    //   out(1)=2, out(2)=1, out(3)=1
+    //   r1(1) = 150000 + 850000*(1000000 div 1)          div 1e6 = 1000000
+    //   r1(2) = 150000 + 850000*(1000000 div 2)          div 1e6 = 575000
+    //   r1(3) = 150000 + 850000*(500000 + 1000000)       div 1e6 = 1425000
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val n = Seq(1L, 2L, 3L).toDF("id")
+    val r1 = GraphOps.pagerankPpm(e, n, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 1000000L, 2L -> 575000L, 3L -> 1425000L))
+    // deterministic across runs and partitionings; mass stays bounded
+    val a = GraphOps.pagerankPpm(e.repartition(4), n, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = GraphOps.pagerankPpm(e, n, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a.values.forall(r => r >= 150000L && r <= 3000000L))
+  }
+
+  test("pagerankPpm: node with no in-edges settles at the base rank") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val n = Seq(1L, 2L).toDF("id")
+    val r = GraphOps.pagerankPpm(e, n, iters = 3).as[(Long, Long)].collect().toMap
+    assert(r(1L) == 150000L)
+  }
 }
