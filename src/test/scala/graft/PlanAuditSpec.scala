@@ -31,7 +31,8 @@ class PlanAuditSpec extends SparkSpec {
     "q119_heldout_logprob", // eval stream × broadcast 1-row (N, V) train totals (q113's shape)
     "q120_bigram_logprob", // bigram stream × broadcast 1-row V total (q113's shape)
     "q125_dsir_weights", // bucket stream × broadcast 1-row (Nt, Ns) totals (q113's shape)
-    "q128_pq_adc_serve") // ADC lookup table = queries × broadcast m·nCodes codebook, conditionless by design
+    "q128_pq_adc_serve", // ADC lookup table = queries × broadcast m·nCodes codebook, conditionless by design
+    "q135_tfidf_terms") // (doc,term,tf) stream × broadcast 1-row corpus count N (q113's shape)
 
   /** Queries whose run function EXECUTES side-effectful work (index build,
     * store writes, a scratch-table write, a streaming tick) before
@@ -122,7 +123,12 @@ class PlanAuditSpec extends SparkSpec {
     "q129_curation_pipeline", // same CC union-find fast path under the gate
     // SketchTopK: the verify side re-counts a candidate list bounded by k
     // (sketch width), never by corpus size (SketchTopK.scala).
-    "q96_sketch_topk_tokens", "q101_sketch_topk_exactfallback")
+    "q96_sketch_topk_tokens", "q101_sketch_topk_exactfallback",
+    // IterativeQuantile: driver-authored (p_ppm, k) constant table; the
+    // histogram locate collects ≤ `buckets` aggregate rows (data-
+    // independent bound, IterativeQuantile.scala) — the selected values
+    // themselves never visit the driver.
+    "q137_order_stats")
 
   test("LocalTableScan only for driver-authored literal inputs") {
     val offenders = auditable.filter { n =>
