@@ -20,7 +20,8 @@ import graft.core.Tables
 object WarehouseQueries {
 
   def all: Seq[QueryDef] = Seq(
-    q140PagerankNations, q141ZorderLayout, q142BloomPrune, q143Scd2History)
+    q140PagerankNations, q141ZorderLayout, q142BloomPrune, q143Scd2History,
+    q144CountMinHeavy, q145EventTransitions, q146MergeTombstones)
 
   /** The nation→nation supply graph: an edge when a customer of nation
     * `src` ordered a line item supplied from nation `dst`. Fact-fact join
@@ -233,5 +234,137 @@ object WarehouseQueries {
           .as("to_us"),
         col("n_events"))
       .orderBy(col("user_id"), col("version"))
+  }
+
+  /** COUNT-MIN SKETCH heavy-hitter estimates, hash-replayed — completing
+    * the oracle-checkable sketch family (KMV q134, HLL q136, sketch-verify
+    * top-k q96/q101, no-sort quantiles q137): depth-3 × width-1024 CMS
+    * rows are per-row sums over md5-derived buckets (pure BIGINT — every
+    * cell, and therefore every min-estimate, replays exactly), and the
+    * output pins est ≥ exact for the exact top-20 tokens with the
+    * overestimate visible.
+    *
+    * Scale shape: the CMS builds from the (token, count) VOCAB table, not
+    * the raw token stream — same cell values (sums are associative), one
+    * corpus-sized shuffle total; each sketch row is a 1024-row broadcast
+    * at probe time. */
+  val q144CountMinHeavy: QueryDef = sql(
+    "q144_countmin_heavy",
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |vocab AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+      |b AS (
+      |  SELECT tok, cnt, j,
+      |         ('0x' || substr(md5(tok || '|cms-' || CAST(j AS VARCHAR)), 1, 12))::BIGINT % 1024 AS bucket
+      |  FROM vocab, (VALUES (1), (2), (3)) s(j)),
+      |cells AS (
+      |  SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+      |  FROM b GROUP BY j, bucket),
+      |top AS (
+      |  SELECT tok, cnt FROM vocab ORDER BY cnt DESC, tok LIMIT 20),
+      |est AS (
+      |  SELECT b.tok, min(cells.cell) AS est
+      |  FROM b JOIN top USING (tok) JOIN cells USING (j, bucket)
+      |  GROUP BY b.tok)
+      |SELECT top.tok, top.cnt AS exact_cnt, est.est AS est_cnt,
+      |       est.est - top.cnt AS overest
+      |FROM top JOIN est USING (tok)
+      |ORDER BY exact_cnt DESC, tok""".stripMargin) { (s, d) =>
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("cnt"))
+    val b = vocab.select(col("tok"), col("cnt"),
+        explode(array((1 to 3).map(lit): _*)).as("j"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("tok"), lit("|cms-"),
+          col("j").cast("string"))), 1, 12), 16, 10).cast("long") % 1024)
+    val cells = b.groupBy(col("j"), col("bucket"))
+      .agg(sum(col("cnt")).as("cell"))
+    val top = vocab.orderBy(col("cnt").desc, col("tok")).limit(20)
+    val est = b.join(top.select("tok"), "tok")
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(col("tok")).agg(min(col("cell")).as("est"))
+    top.join(est, "tok")
+      .select(col("tok"), col("cnt").as("exact_cnt"), col("est").as("est_cnt"),
+        (col("est") - col("cnt")).as("overest"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral-analytics twin of q133's sessionization: consecutive
+    * (prev → next) event-type pairs counted per user timeline, with the
+    * row-conditional probability in INTEGER ppm. Per-user LAG windows only
+    * (the reference's partition discipline); the matrix is
+    * |event_types|² regardless of volume. */
+  val q145EventTransitions: QueryDef = sql(
+    "q145_event_transitions",
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |t AS (
+      |  SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+      |  FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type)
+      |SELECT prev, next, n,
+      |       (n * 1000000) // sum(n) OVER (PARTITION BY prev) AS p_ppm
+      |FROM t
+      |ORDER BY prev, next""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    t.withColumn("p_ppm",
+        expr("(n * 1000000) div sum(n) OVER (PARTITION BY prev)"))
+      .orderBy(col("prev"), col("next"))
+  }
+
+  /** MERGE with tombstones — the CDC compaction step q87's partition
+    * overwrite feeds: a change feed (upserts + deletes, versioned) folds
+    * into a base snapshot; latest change per key wins (max version),
+    * deletes drop the key, upserts replace the payload. The change feed is
+    * derived deterministically from `orders` (latest order per customer;
+    * custkey % 10 = 0 → delete) so both engines construct the identical
+    * feed. Pick-latest is a partial-aggregatable max(struct), not a window
+    * sort; the apply is one full-outer equi-join on the key — the 100 TB
+    * MERGE shape. */
+  val q146MergeTombstones: QueryDef = sql(
+    "q146_merge_tombstones",
+    """WITH chg AS (
+      |  SELECT o_custkey AS key,
+      |         max_by(o_totalprice, o_orderkey) AS new_bal,
+      |         max(o_orderkey) AS version,
+      |         CASE WHEN o_custkey % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op
+      |  FROM orders GROUP BY o_custkey),
+      |m AS (
+      |  SELECT c.c_custkey,
+      |         CASE WHEN chg.key IS NULL THEN c.c_acctbal ELSE chg.new_bal END AS acctbal,
+      |         CASE WHEN chg.key IS NULL THEN 'base'
+      |              ELSE 'v' || CAST(chg.version AS VARCHAR) END AS provenance
+      |  FROM customer c LEFT JOIN chg ON c.c_custkey = chg.key
+      |  WHERE chg.op IS NULL OR chg.op <> 'delete')
+      |SELECT c_custkey, acctbal, provenance
+      |FROM m
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val chg = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(max_by(col("o_totalprice"), col("o_orderkey")).as("new_bal"),
+        max(col("o_orderkey")).as("version"))
+      .withColumn("op",
+        when(col("key") % 10 === 0, "delete").otherwise("upsert"))
+    Tables.customer(s, d)
+      .join(chg, col("c_custkey") === col("key"), "left")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col("c_custkey"),
+        when(col("key").isNull, col("c_acctbal"))
+          .otherwise(col("new_bal")).as("acctbal"),
+        when(col("key").isNull, lit("base"))
+          .otherwise(concat(lit("v"), col("version").cast("string")))
+          .as("provenance"))
+      .orderBy(col("c_custkey"))
   }
 }
