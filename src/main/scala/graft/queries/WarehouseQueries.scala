@@ -99,10 +99,15 @@ object WarehouseQueries {
     * every file a tight min/max envelope in BOTH dimensions, so zone-map
     * pruning works for range predicates on either column — the multi-
     * dimensional clustering trick (Delta/Iceberg OPTIMIZE ZORDER) that
-    * single-column sorting cannot provide at 100 TB. The query emits the
-    * code and its 64-way file bucket; the layout itself is a plain
-    * `orderBy(zval)` write. 8+8 bits is the demo grid — the operator
-    * composes to any width. */
+    * single-column sorting cannot provide at 100 TB.
+    *
+    * The PRODUCTION layout operator is [[graft.sources.ZOrder]] (codegen'd
+    * `ZInterleave` Expression over equal-frequency quantile buckets +
+    * range repartition; ZOrderSpec measures the pruning win). This query
+    * is its ORACLE-CHECKABLE twin: `approxQuantile` boundaries are
+    * engine-pinned, so here the buckets are fixed modulo grids and the
+    * interleave is spelled in shared integer arithmetic — DuckDB replays
+    * the exact Morton code (and WarehouseSpec decodes it back). */
   val q141ZorderLayout: QueryDef = sql(
     "q141_zorder_layout",
     s"""WITH b AS (
