@@ -23,7 +23,7 @@ object VectorQueries {
   def all: Seq[QueryDef] = Seq(
     q30Top1Similar, q31NearDupBucketed, q32KnnBruteForce, q33Centroids,
     q34LshTopK, q35IvfTopK, q36IvfIndexTopK, q88HofDot, q94IvfExactServe,
-    q106IvfUpsertServe, q128PqAdcServe, q132IvfAdcServe)
+    q106IvfUpsertServe, q128PqAdcServe, q132IvfAdcServe, q147RetrievalChunks)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
@@ -489,5 +489,81 @@ object VectorQueries {
         .select(col("qid"), col("rank"), col("nn"), col("sim"))
         .orderBy(col("qid"), col("rank"))
     }
+  }
+
+  /** Deterministic 16-dim chunk "embedding": dim j reads a 16-bit hex
+    * window of md5(chunk || "|e<j div 8>") and maps it to [−1, 1] —
+    * the cross-engine-replayable stand-in for the model-embedding seam
+    * (the real seam is `enrich.Enrich`; this one exists so the FULL
+    * retrieval composition can be hash-checked, not just row-counted). */
+  private def embedDimSql(j: Int): String = {
+    val salt = j / 8; val p = (j % 8) * 4 + 1
+    s"CAST((('0x' || substr(md5(chunk || '|e$salt'), $p, 4))::BIGINT % 2001) - 1000 AS DOUBLE) / 1000.0"
+  }
+
+  /** RAG-prep retrieval composition, end-to-end and hash-checked: token-
+    * window chunking (the q111 grid) → deterministic embedding (seam
+    * above) → brute cosine top-5 per probe chunk. The brute scan is the
+    * oracle-checkable BASELINE of the ANN family — the same composition
+    * serves from IVF (q35/q36), PQ-ADC (q128/q132) or LSH (q34) at scale;
+    * probes broadcast, the chunk corpus streams, rank-window per probe.
+    * Chunk explosion is a generator (no shuffle before the per-probe
+    * rank), and the embedding is 16 codegen'd md5 windows per chunk. */
+  val q147RetrievalChunks: QueryDef = sql(
+    "q147_retrieval_chunks",
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 1),
+       |c AS (
+       |  SELECT doc_id, i AS chunk_id,
+       |         array_to_string(w[CAST(i * 32 + 1 AS INT):CAST(i * 32 + 32 AS INT)], ' ') AS chunk
+       |  FROM (SELECT doc_id, w, unnest(range(CAST(ceil(len(w) / 32.0) AS BIGINT))) AS i
+       |        FROM t)),
+       |e AS (
+       |  SELECT doc_id, chunk_id,
+       |         [${(0 until 16).map(embedDimSql).mkString(",\n       |          ")}] AS emb
+       |  FROM c),
+       |q AS (
+       |  SELECT doc_id AS qdoc, emb AS qe FROM e
+       |  WHERE doc_id < 3 AND chunk_id = 0),
+       |scored AS (
+       |  SELECT q.qdoc, e.doc_id, e.chunk_id,
+       |         round(list_cosine_similarity(q.qe, e.emb), 6) AS sim
+       |  FROM q CROSS JOIN e
+       |  WHERE e.doc_id <> q.qdoc),
+       |ranked AS (
+       |  SELECT qdoc, doc_id, chunk_id, sim,
+       |         row_number() OVER (PARTITION BY qdoc
+       |                            ORDER BY sim DESC, doc_id, chunk_id) AS rn
+       |  FROM scored)
+       |SELECT qdoc, CAST(rn AS BIGINT) AS rnk, doc_id, chunk_id, sim
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY qdoc, rnk""".stripMargin) { (s, d) =>
+    def embedDim(j: Int): org.apache.spark.sql.Column = {
+      val salt = j / 8; val p = (j % 8) * 4 + 1
+      ((conv(substring(md5(concat(col("chunk"), lit(s"|e$salt"))), p, 4),
+        16, 10).cast("long") % 2001) - 1000).cast("double") / lit(1000.0)
+    }
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(w) - 1) div 32), " +
+          "i -> concat_ws(' ', slice(w, i * 32 + 1, 32)))"))
+        .as(Seq("chunk_id", "chunk")))
+      .withColumn("emb", array((0 until 16).map(embedDim): _*))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("emb"))
+    val probes = chunks.filter(col("doc_id") < 3 && col("chunk_id") === 0)
+      .select(col("doc_id").as("qdoc"), col("emb").as("qe"))
+    val w = Window.partitionBy(col("qdoc"))
+      .orderBy(col("sim").desc, col("doc_id"), col("chunk_id"))
+    broadcast(probes).join(chunks, col("doc_id") =!= col("qdoc"))
+      .select(col("qdoc"), col("doc_id"), col("chunk_id"),
+        oround(cosine_similarity(col("qe"), col("emb")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qdoc"), col("rnk"), col("doc_id"), col("chunk_id"), col("sim"))
+      .orderBy(col("qdoc"), col("rnk"))
   }
 }

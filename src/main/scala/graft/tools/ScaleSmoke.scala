@@ -98,6 +98,46 @@ object ScaleSmoke {
             floor(col("start_off") / lit(512.0)).cast("long"),
             floor((col("start_off") + col("n_tokens") - lit(1)) / lit(512.0)).cast("long"))))
       }
+      time("hll_cms_sketches", k) {
+        // one-pass mergeable sketches over the token stream: registers /
+        // cells are fixed-size per group, so wall must track the scan
+        val toks = docs.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        val hll = graft.operators.HllSketch.registers(toks, "lang", "tok")
+        val cms = toks.groupBy(col("lang"), col("tok")).count()
+          .select(col("lang"),
+            explode(array((1 to 3).map(lit): _*)).as("j"),
+            (conv(substring(md5(concat(col("tok"), lit("|cms-"))), 1, 12),
+              16, 10).cast("long") % 1024).as("bucket"), col("count"))
+          .groupBy(col("lang"), col("j"), col("bucket"))
+          .agg(sum(col("count")).as("cell"))
+        hll.unionByName(cms.select(col("lang"), col("bucket").as("reg"),
+          col("cell").as("max_rho")))
+      }
+      time("order_statistics", k) {
+        // histogram-locate + bucket-local top-k on a k·5M-row synthetic
+        // skewed column (80% of mass in 1% of the range): the two bounded
+        // aggregation passes must track the scan, never a global sort
+        val n = 5_000_000L * k
+        val v = spark.range(n).select(col("id"),
+          when(col("id") % 5 === 0,
+            (pmod(hash(col("id")), lit(1000000)).cast("double") / 1e6) * 99.0 + 1.0)
+            .otherwise(pmod(hash(col("id") * 7), lit(10000)).cast("double") / 1e4)
+            .as("v"))
+        graft.operators.IterativeQuantile.orderStatistics(
+          v, "v", Seq(n / 2, (9 * n) / 10, n - 1))
+      }
+      time("pagerank_ppm", k) {
+        // ppm-integer PageRank on a k·500k-node power-law-ish graph
+        // (hash edges, ~4 out per node): 3 iterations = 3 join+agg rounds;
+        // wall must track edges, not explode with iteration count
+        val n = 500_000L * k
+        val nodes = spark.range(n).select(col("id"))
+        val edges = spark.range(4 * n).select(
+          (col("id") % n).as("src"),
+          pmod(hash(col("id") * 13), lit(n)).cast("long").as("dst"))
+          .where(col("src") =!= col("dst"))
+        graft.graph.GraphOps.pagerankPpm(edges, nodes, iters = 3)
+      }
       docs.unpersist()
     }
     spark.stop()
