@@ -26,7 +26,8 @@ object TextQueries {
     q91Contamination, q92Repetition, q95TextHashGoldens, q96SketchTopkTokens,
     q101SketchTopkShingles, q107EpochShuffle, q108TokenPacking,
     q109WindowManifest, q110MixtureWeights, q130LengthBatches,
-    q131WeightedSample, q135TfidfTerms)
+    q131WeightedSample, q135TfidfTerms, q148Curriculum,
+    q149StratifiedExact)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -919,6 +920,89 @@ object TextQueries {
       .select(col("rank"), col("doc_id"), col("n_tokens"),
         graft.queries.oround(col("es_key"), 6).as("es_key"))
       .orderBy(col("rank"))
+  }
+
+  /** CURRICULUM ordering — the pacing step of curriculum learning
+    * (Bengio et al. 2009 applied to corpus prep): documents feed the
+    * trainer easy-first, stage = stopword-density band (integer ppm —
+    * high density ≈ simple prose first; fixed thresholds 80000/60000/
+    * 40000 chosen with wide margins around the observed ~40k/62k/84k
+    * quartiles at all three SFs, the q114 fixed-threshold discipline),
+    * order WITHIN a stage = the q107 seeded md5 shuffle (curriculum must
+    * not introduce length/topic correlation inside a stage).
+    *
+    * Scale: the score and stage are per-row columnar math (no global
+    * rank — a quantile-staged variant would use q137's order statistics
+    * for the bounds); the position window partitions by stage, and a
+    * production writer would sub-shard it (stage, shard) exactly like
+    * q107. Exact integer compares — no boundary can drift between
+    * engines. */
+  val q148Curriculum: QueryDef = sql(
+    "q148_curriculum",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |         (CAST(len(list_filter(string_split(text, ' '),
+      |                    t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+      |          * 1000000) // len(string_split(text, ' ')) AS sw_ppm
+      |  FROM documents),
+      |staged AS (
+      |  SELECT doc_id, sw_ppm,
+      |         CAST(CASE WHEN sw_ppm >= 80000 THEN 0
+      |                   WHEN sw_ppm >= 60000 THEN 1
+      |                   WHEN sw_ppm >= 40000 THEN 2
+      |                   ELSE 3 END AS BIGINT) AS stage,
+      |         md5(CAST(doc_id AS VARCHAR) || '|curr-v1') AS skey
+      |  FROM s)
+      |SELECT doc_id, sw_ppm, stage,
+      |       row_number() OVER (PARTITION BY stage ORDER BY skey, doc_id) AS pos
+      |FROM staged
+      |ORDER BY stage, pos""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    docs(s, d).select(col("doc_id"),
+        expr("(CAST(size(filter(split(text, ' '), " +
+          "t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) * 1000000) " +
+          "div size(split(text, ' '))").as("sw_ppm"))
+      .withColumn("stage",
+        when(col("sw_ppm") >= 80000, 0L).when(col("sw_ppm") >= 60000, 1L)
+          .when(col("sw_ppm") >= 40000, 2L).otherwise(3L))
+      .withColumn("skey",
+        md5(concat(col("doc_id").cast("string"), lit("|curr-v1"))))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("stage")).orderBy(col("skey"), col("doc_id"))))
+      .select(col("doc_id"), col("sw_ppm"), col("stage"), col("pos"))
+      .orderBy(col("stage"), col("pos"))
+  }
+
+  /** EXACT-ALLOCATION stratified sample — exactly 10 docs per language by
+    * content-addressed md5 order (completing the sampling family: q83 is
+    * rate-based membership, q131 is weight-proportional): equal per-stratum
+    * allocation is how eval/calibration sets are actually drawn, and the
+    * hash order makes the draw reproducible and growth-stable per stratum.
+    * One per-lang window over hash order; at scale the rank prunes with
+    * TakeOrdered per stratum rather than a global sort. */
+  val q149StratifiedExact: QueryDef = sql(
+    "q149_stratified_exact",
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |         md5(CAST(doc_id AS VARCHAR) || '|strat-v1') AS hkey
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang, hkey,
+      |         row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rn
+      |  FROM h)
+      |SELECT lang, CAST(rn AS BIGINT) AS rnk, doc_id
+      |FROM r WHERE rn <= 10
+      |ORDER BY lang, rnk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(col("doc_id").cast("string"), lit("|strat-v1"))).as("hkey"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("hkey"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("lang"), col("rnk"), col("doc_id"))
+      .orderBy(col("lang"), col("rnk"))
   }
 
   /** Per-document top-3 TF-IDF terms — the keyword-extraction step of a
