@@ -21,7 +21,8 @@ object WarehouseQueries {
 
   def all: Seq[QueryDef] = Seq(
     q140PagerankNations, q141ZorderLayout, q142BloomPrune, q143Scd2History,
-    q144CountMinHeavy, q145EventTransitions, q146MergeTombstones)
+    q144CountMinHeavy, q145EventTransitions, q146MergeTombstones,
+    q150IncrementalAgg)
 
   /** The nation→nation supply graph: an edge when a customer of nation
     * `src` ordered a line item supplied from nation `dst`. Fact-fact join
@@ -371,5 +372,69 @@ object WarehouseQueries {
           .otherwise(concat(lit("v"), col("version").cast("string")))
           .as("provenance"))
       .orderBy(col("c_custkey"))
+  }
+
+  /** INCREMENTAL aggregate maintenance — the materialized-view fold the
+    * streaming/foreachBatch sinks rely on: a per-user aggregate STATE
+    * built from events before a cutoff absorbs the post-cutoff DELTA by
+    * pure state algebra (count: +, sum: +, max: max — the mergeable-
+    * partial contract), and the query emits the folded state NEXT TO a
+    * full recompute with an integer equality flag per row, so the
+    * maintenance invariant itself is hash-checked, not assumed. Float
+    * sums cross the engines through the q01 discipline (oround 4).
+    *
+    * Scale: state and delta are partial-aggregated before their one
+    * full-outer merge join on the key — at 100 TB the delta side is a
+    * day's partition, never the full history (that is the point). */
+  val q150IncrementalAgg: QueryDef = sql(
+    "q150_incremental_agg",
+    """WITH st AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n, sum(value) AS s,
+      |         max(value) AS mx
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY user_id),
+      |dl AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n, sum(value) AS s,
+      |         max(value) AS mx
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-20' GROUP BY user_id),
+      |merged AS (
+      |  SELECT COALESCE(st.user_id, dl.user_id) AS user_id,
+      |         COALESCE(st.n, 0) + COALESCE(dl.n, 0) AS n,
+      |         COALESCE(st.s, 0) + COALESCE(dl.s, 0) AS s,
+      |         greatest(COALESCE(st.mx, -1e18), COALESCE(dl.mx, -1e18)) AS mx
+      |  FROM st FULL OUTER JOIN dl ON st.user_id = dl.user_id),
+      |full_ AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n, sum(value) AS s,
+      |         max(value) AS mx
+      |  FROM events GROUP BY user_id)
+      |SELECT f.user_id, f.n AS n_full, m.n AS n_merged,
+      |       round(f.s, 4) AS s_full, round(m.s, 4) AS s_merged,
+      |       round(f.mx, 6) AS mx_full, round(m.mx, 6) AS mx_merged,
+      |       CAST(CASE WHEN f.n = m.n AND round(f.s, 4) = round(m.s, 4)
+      |                  AND f.mx = m.mx THEN 1 ELSE 0 END AS BIGINT) AS ok
+      |FROM full_ f JOIN merged m USING (user_id)
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp")
+    def agg(df: DataFrame) = df.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("value")).as("s"),
+        max(col("value")).as("mx"))
+    val st = agg(ev.filter(col("ts") < cut))
+      .select(col("user_id"), col("n").as("n1"), col("s").as("s1"), col("mx").as("m1"))
+    val dl = agg(ev.filter(col("ts") >= cut))
+      .select(col("user_id"), col("n").as("n2"), col("s").as("s2"), col("mx").as("m2"))
+    val merged = st.join(dl, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("nm"),
+        (coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))).as("sm"),
+        greatest(coalesce(col("m1"), lit(-1e18)), coalesce(col("m2"), lit(-1e18)))
+          .as("mm"))
+    agg(ev).join(merged, "user_id")
+      .select(col("user_id"), col("n").as("n_full"), col("nm").as("n_merged"),
+        oround(col("s"), 4).as("s_full"), oround(col("sm"), 4).as("s_merged"),
+        oround(col("mx"), 6).as("mx_full"), oround(col("mm"), 6).as("mx_merged"),
+        (col("n") === col("nm") && oround(col("s"), 4) === oround(col("sm"), 4)
+          && col("mx") === col("mm")).cast("long").as("ok"))
+      .orderBy(col("user_id"))
   }
 }
