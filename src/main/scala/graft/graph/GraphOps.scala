@@ -78,9 +78,16 @@ object GraphOps {
       val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      // (d·cs) div 10^6 via the split cs = q·10^6 + r ⇒ d·q + (d·r) div 10^6:
+      // identical value in exact integer math, but never overflows Long —
+      // the naive product wraps once a hub's contribution sum passes
+      // Long.MaxValue/d ≈ 1.08e13 (reachable at 10^7+ nodes with mass
+      // concentrated on one node). d·q can't overflow (q ≤ total mass div
+      // 10^6 = node count), d·r < 10^6·10^6.
       ranks = nodes.join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + expr(s"(${dampingPpm}L * coalesce(cs, 0L)) div 1000000L"))
+          (lit(base) + expr(s"${dampingPpm}L * (coalesce(cs, 0L) div 1000000L) " +
+            s"+ (${dampingPpm}L * (coalesce(cs, 0L) % 1000000L)) div 1000000L"))
             .as("r"))
         .localCheckpoint(false)
     }

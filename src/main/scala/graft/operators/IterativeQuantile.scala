@@ -42,8 +42,11 @@ object IterativeQuantile {
     val v = col(valueCol).cast("double")
     val stats = df.agg(min(v).as("mn"), max(v).as("mx"),
       count(v).as("n")).head()
-    val (mn, mx, n) = (stats.getDouble(0), stats.getDouble(1), stats.getLong(2))
+    // read n FIRST: on an empty/all-null column min/max are null, and the
+    // rank-range require below must fire (k > n = 0), not an opaque NPE
+    val n = stats.getLong(2)
     ks.foreach(k => require(k >= 1 && k <= n, s"rank $k out of [1, $n]"))
+    val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
 
     // bin id: monotone in v, every non-null row in exactly one of [0, buckets)
     val width = (mx - mn) / buckets
@@ -59,6 +62,12 @@ object IterativeQuantile {
 
     ks.map { k =>
       val (bin, before) = binIndex.takeWhile(_._2 < k).last
+      // `limit` takes an Int: a single bin holding > 2^31 rows needs an
+      // in-bin refinement pass (a second histogram inside [bin]) that is
+      // not built — fail loudly rather than wrap the offset
+      require(k - before <= Int.MaxValue,
+        s"bin $bin holds rank offset ${k - before} > Int.MaxValue — " +
+          "raise `buckets` or add an in-bin refinement pass")
       df.filter(v.isNotNull && binOf(v) === bin)
         .orderBy(v.asc)
         .limit((k - before).toInt)

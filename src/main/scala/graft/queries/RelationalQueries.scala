@@ -492,7 +492,11 @@ object RelationalQueries {
     val pk = Seq(500000L, 900000L, 990000L)
       .map(p => p -> ((p * n + 999999L) / 1000000L))
     import s.implicits._
-    IterativeQuantile.orderStatistics(orders, "o_totalprice", pk.map(_._2))
+    // distinct ranks: on tiny tables two percentiles can share a k, and a
+    // duplicated k in orderStatistics' output would fan the join out past
+    // the oracle's one-row-per-p_ppm shape
+    IterativeQuantile.orderStatistics(orders, "o_totalprice",
+        pk.map(_._2).distinct)
       .join(broadcast(pk.toDF("p_ppm", "k")), "k")
       .select(col("p_ppm"), col("k"), col("value"))
       .orderBy(col("p_ppm"))

@@ -114,7 +114,8 @@ object WarehouseQueries {
     s"""WITH b AS (
        |  SELECT o_orderkey,
        |         o_custkey % 256 AS x,
-       |         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256 AS y
+       |         ((date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256)
+       |          + 256) % 256 AS y
        |  FROM orders),
        |z AS (
        |  SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
@@ -123,11 +124,14 @@ object WarehouseQueries {
        |SELECT o_orderkey, x, y, zval, zval // 1024 AS zbucket
        |FROM z
        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    // pmod-style day bucket: both engines' % truncates toward zero, so an
+    // orderdate before the anchor would give a NEGATIVE y and a garbage
+    // Morton code on both sides (parity would hide it) — normalize.
     Tables.orders(s, d)
       .select(col("o_orderkey"),
         (col("o_custkey") % 256).as("x"),
-        (datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
-          % 256).cast("long").as("y"))
+        (((datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          % 256) + 256) % 256).cast("long").as("y"))
       .withColumn("zval", expr(interleave8("x", "y", "div")).cast("long"))
       .select(col("o_orderkey"), col("x").cast("long").as("x"), col("y"),
         col("zval"), expr("zval div 1024").as("zbucket"))

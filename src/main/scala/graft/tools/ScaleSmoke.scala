@@ -104,10 +104,11 @@ object ScaleSmoke {
         val toks = docs.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
         val hll = graft.operators.HllSketch.registers(toks, "lang", "tok")
         val cms = toks.groupBy(col("lang"), col("tok")).count()
-          .select(col("lang"),
-            explode(array((1 to 3).map(lit): _*)).as("j"),
-            (conv(substring(md5(concat(col("tok"), lit("|cms-"))), 1, 12),
-              16, 10).cast("long") % 1024).as("bucket"), col("count"))
+          .select(col("lang"), col("tok"), col("count"),
+            explode(array((1 to 3).map(lit): _*)).as("j"))
+          .withColumn("bucket",
+            conv(substring(md5(concat(col("tok"), lit("|cms-"),
+              col("j").cast("string"))), 1, 12), 16, 10).cast("long") % 1024)
           .groupBy(col("lang"), col("j"), col("bucket"))
           .agg(sum(col("count")).as("cell"))
         hll.unionByName(cms.select(col("lang"), col("bucket").as("reg"),

@@ -104,11 +104,8 @@ class WarehouseSpec extends SparkSpec {
   * against a synthetic sf dir (the driver contract passes any dir). */
 private object SparkEntryFixture {
   def funnel(s: org.apache.spark.sql.SparkSession, dir: String) =
-    graft.queries.WarehouseQueries.all.find(_.name == "q138_funnel_steps") match {
-      case Some(q) => q.run(s, dir)
-      case None => graft.queries.EventQueries.all
-        .find(_.name == "q138_funnel_steps").get.run(s, dir)
-    }
+    graft.queries.EventQueries.all
+      .find(_.name == "q138_funnel_steps").get.run(s, dir)
   def scd2(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.queries.WarehouseQueries.all.find(_.name == "q143_scd2_history").get
       .run(s, dir)
