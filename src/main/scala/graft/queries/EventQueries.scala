@@ -23,7 +23,8 @@ object EventQueries {
     q16RecencySplit, q17Sessionize, q18Thresholds, q19JsonExtract,
     q20IntervalOffset, q21TimeOfDay, q22Chunking, q23TumblingWindow,
     q24SlidingWindow, q29AsOfJoin, q63Pivot, q133StreamSessions,
-    q138FunnelSteps, q139RetentionCohorts)
+    q138FunnelSteps, q139RetentionCohorts, q151StreamIntervalJoin,
+    q152StreamDedup)
 
   /** Recency split vs per-user max timestamp (SURVEY §2.2 op 10,
     * assets/takeout.py:70-72): keep events within "-15d" of the user's
@@ -369,6 +370,88 @@ object EventQueries {
         md5(concat_ws(",", expr("transform(event_ids, x -> CAST(x AS STRING))")))
           .as("ids_md5"))
       .orderBy(col("user_id"), col("start_us"))
+  }
+
+  /** Stream-stream interval join driver-checked END TO END (SURVEY §2.10;
+    * q133's mechanism applied to the second stateful streaming operator):
+    * the events table replays through TWO file-source micro-batch streams
+    * (clicks and purchases) into `StreamOps.intervalJoin` — each click
+    * paired with the same user's purchases within [click, click + 30 min].
+    * Both sides are watermarked and the join carries the time-range
+    * condition, so buffered state is bounded on each side — the
+    * unbounded-state trap this operator exists to avoid at 100 TB. An
+    * INNER time-interval join emits matches eagerly (watermarks only gate
+    * state eviction), so AvailableNow + processAllAvailable drains the
+    * complete result with no sentinel batches. DuckDB replays the join
+    * scratch-free; StreamingSpec separately pins stream ≡ batch on the
+    * same operator. */
+  val q151StreamIntervalJoin: QueryDef = sql(
+    "q151_stream_interval_join",
+    """SELECT c.user_id, c.event_id AS l_event_id, p.event_id AS r_event_id,
+      |       epoch_us(CAST(c.ts AS TIMESTAMP)) AS l_us,
+      |       epoch_us(CAST(p.ts AS TIMESTAMP)) AS r_us
+      |FROM events c JOIN events p
+      |  ON p.user_id = c.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY c.user_id, l_event_id, r_event_id""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamOps
+    val tmp = java.nio.file.Files.createTempDirectory("q151stream").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    ev.write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    def src() = s.readStream.schema(schema).parquet(inDir)
+    val joined = StreamOps.intervalJoin(
+      src().filter(col("event_type") === "click"),
+      src().filter(col("event_type") === "purchase"),
+      horizon = "30 MINUTES")
+    val q = joined
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        unix_micros(col("l_ts")).as("l_us"), unix_micros(col("r_ts")).as("r_us"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(outDir)
+      .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
+  }
+
+  /** Streaming exact dedup with bounded state, driver-checked END TO END
+    * (the q133/q151 mechanism on `dropDuplicatesWithinWatermark`): the
+    * events table is doubled (every row written twice to the staging dir)
+    * and replayed through a file-source stream into
+    * `StreamOps.dedupWithinWatermark` keyed by event_id — duplicates
+    * arriving within the watermark horizon collapse to one occurrence,
+    * and Spark evicts each key's state once the watermark passes it (a
+    * plain streaming dropDuplicates keeps every key forever — the
+    * unbounded-state trap). Only the KEY columns are emitted, so the
+    * result is the deterministic distinct key set regardless of which
+    * physical duplicate row survived; DuckDB replays it as SELECT
+    * DISTINCT. StreamingSpec separately pins stream ≡ batch. */
+  val q152StreamDedup: QueryDef = sql(
+    "q152_stream_dedup",
+    """SELECT DISTINCT user_id, event_id FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamOps
+    val tmp = java.nio.file.Files.createTempDirectory("q152stream").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
+    ev.unionAll(ev).write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    val deduped = StreamOps.dedupWithinWatermark(
+      s.readStream.schema(schema).parquet(inDir), keys = Seq("event_id"))
+    val q = deduped
+      .select(col("user_id"), col("event_id"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(outDir)
+      .orderBy(col("user_id"), col("event_id"))
   }
 
   /** Ordered conversion funnel — view → click → purchase with strict

@@ -97,9 +97,10 @@ object PipelineQueries {
     * predicate (ordering + gap ∈ [−86400, 86400] + both threshold
     * filters), connected components via a recursive CTE, and the
     * GREATEST/LEAST interval merge with the min-id representative
-    * (assets/recent_history.py:244-445). Same float posture as q52:
-    * sim-vs-threshold compares raw (q30's accepted risk class), gaps are
-    * exact integers. */
+    * (assets/recent_history.py:244-445). Same float posture as q52 since
+    * round 10: both threshold compares run on the 1e-9 integer grid in
+    * BOTH engines (candidatePairs mirrors this oracle exactly); gaps are
+    * exact integers scaled to the same grid. */
   val q51Merged: QueryDef = {
     def p = graft.core.Scratch.lastDir("q51_pipeline_merged")
     QueryDef.sql(
@@ -127,8 +128,11 @@ object PipelineQueries {
          |  JOIN th ON th.user_id = a.user_id
          |  WHERE (b.date > a.date OR (b.date = a.date AND b.start_s >= a.end_s))
          |    AND b.start_ts - a.end_ts BETWEEN -86400 AND 86400
-         |    AND b.start_ts - a.end_ts <= th.t_th
-         |    AND list_cosine_similarity(a.e, b.e) >= th.s_th),
+         |    AND (b.start_ts - a.end_ts) * 1000000000
+         |        <= CAST(round(th.t_th * 1000000000) AS BIGINT)
+         |    AND CAST(round(list_cosine_similarity(a.e, b.e) * 1000000000)
+         |             AS BIGINT)
+         |        >= CAST(round(th.s_th * 1000000000) AS BIGINT)),
          |bidir AS (SELECT a_id AS a, b_id AS b FROM cand
          |          UNION SELECT b_id, a_id FROM cand),
          |nodes AS (SELECT DISTINCT a AS id FROM bidir),
@@ -176,10 +180,13 @@ object PipelineQueries {
     * The oracle replays the EXACT branch of similarityGraph — valid while
     * no test-SF user exceeds exactUserLimit sessions (~200/user vs 5000;
     * a datagen change crossing that line would fail the row compare, not
-    * silently weaken it). Float note: sims and the interpolated threshold
-    * are compared raw (q30's accepted risk class — hash-random embeddings
-    * put negligible mass within ulps of the boundary); the output weight
-    * is round-6 on both engines. */
+    * silently weaken it). Float policy (round-then-compare, round 10):
+    * BOTH engines rank and threshold-compare on integer fixed point
+    * sim_i9 = round(sim·1e9) AS BIGINT — raw-double ranking let a last-ulp
+    * delta in the driver DuckDB's list_cosine_similarity/quantile_cont
+    * flip a rank-1 winner while preserving the row count (the observed
+    * r9 driver-hash failure signature). The emitted weight is the exact
+    * integer weight_ppb = 1e9 − sim_i9 (BIGINT in both engines). */
   val q52Graph: QueryDef = {
     def p = graft.core.Scratch.lastDir("q52_pipeline_graph")
     QueryDef.sql(
@@ -189,7 +196,9 @@ object PipelineQueries {
          |         CAST(embedding AS DOUBLE[]) AS e
          |  FROM read_parquet('$p/sessions/*.parquet')),
          |th AS (
-         |  SELECT user_id, quantile_cont(adj_sim, 0.9) AS sim_th
+         |  SELECT user_id,
+         |         CAST(round(quantile_cont(adj_sim, 0.9) * 1000000000)
+         |              AS BIGINT) AS th_i9
          |  FROM (
          |    SELECT user_id,
          |           list_cosine_similarity(e,
@@ -200,18 +209,19 @@ object PipelineQueries {
          |  GROUP BY user_id),
          |pairs AS (
          |  SELECT a.user_id, a.id AS parent_id, b.id AS child_id,
-         |         list_cosine_similarity(a.e, b.e) AS sim
+         |         CAST(round(list_cosine_similarity(a.e, b.e) * 1000000000)
+         |              AS BIGINT) AS sim_i9
          |  FROM s a JOIN s b ON a.user_id = b.user_id AND a.id <> b.id
          |  WHERE b.date > a.date OR (b.date = a.date AND b.start_s >= a.end_s)),
          |ranked AS (
-         |  SELECT user_id, parent_id, child_id, sim,
+         |  SELECT user_id, parent_id, child_id, sim_i9,
          |         row_number() OVER (PARTITION BY user_id, parent_id
-         |                            ORDER BY sim DESC, child_id) AS rn
+         |                            ORDER BY sim_i9 DESC, child_id) AS rn
          |  FROM pairs)
          |SELECT r.user_id, r.parent_id, r.child_id,
-         |       round(1 - r.sim, 6) AS weight
+         |       CAST(1000000000 - r.sim_i9 AS BIGINT) AS weight_ppb
          |FROM ranked r JOIN th USING (user_id)
-         |WHERE rn = 1 AND sim > sim_th
+         |WHERE rn = 1 AND sim_i9 > th_i9
          |ORDER BY user_id, parent_id""".stripMargin) { (s, d) =>
       val out = RecentPath.run(activity(s, d), new StubSessionsLLM, new StubEmbedder)
       val path = graft.core.Scratch.dir("q52_pipeline_graph", d)
@@ -220,7 +230,7 @@ object PipelineQueries {
           col("end_s"), col("embedding"))
         .write.mode("overwrite").parquet(s"$path/sessions")
       out.graph
-        .withColumn("weight", oround(col("weight"), 6))
+        .select(col("user_id"), col("parent_id"), col("child_id"), col("weight_ppb"))
         .orderBy(col("user_id"), col("parent_id"))
     }
   }

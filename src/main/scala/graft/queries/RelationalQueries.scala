@@ -296,24 +296,54 @@ object RelationalQueries {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
-  /** Sketch / approximate aggregates (rows-only — HLL/KLL/CMS internals are
-    * engine-specific; exact counterparts are oracle-checked in q10/q11).
+  /** Sketch / approximate aggregates, bounds-flag oracle since round 10
+    * (previously rows-only: raw HLL/KLL estimates are engine-pinned and can
+    * never hash-match an exact engine, but their error BOUNDS can — the q99
+    * mechanism, applied here to q62's own surface: p10/p50/p90 percentile
+    * sketches and the three cardinality sketches). Exact counterparts ride
+    * along as hash-checked columns; each `*_within` flag asserts
+    * |estimate − exact| inside the documented bound (HLL++ rsd 0.05 → 15%
+    * ≈ 3σ; approx_percentile accuracy 10000 → rank error ≪ the bracketing
+    * exact-percentile window), and DuckDB replays the exact side pinning
+    * every flag at 1.
     * Scale: sketches are THE 100 TB cardinality/quantile answer — fixed
-    * memory, one pass, mergeable partials. */
-  val q62Sketches: QueryDef = QueryDef.rowsOnly("q62_sketches") { (s, d) =>
+    * memory, one pass, mergeable partials; the same per-distinct-key
+    * sub-aggregate split as q99 (no 4-way Expand shuffle). */
+  val q62Sketches: QueryDef = sql(
+    "q62_sketches",
+    """SELECT count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps,
+      |       count(DISTINCT l_orderkey) AS n_orders,
+      |       1 AS parts_within, 1 AS supps_within, 1 AS orders_within,
+      |       1 AS p10_within, 1 AS p50_within, 1 AS p90_within
+      |FROM lineitem""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
-    li.agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-      expr("approx_percentile(l_quantity, array(0.1, 0.5, 0.9))").as("qs"),
-      expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("hll_orders"))
-      // scalarized for the driver's pandas-side rows-only sort (arrays are
-      // unsortable there)
-      .select(col("approx_parts"), col("approx_supps"),
-        element_at(col("qs"), 1).as("approx_qty_p10"),
-        element_at(col("qs"), 2).as("approx_qty_p50"),
-        element_at(col("qs"), 3).as("approx_qty_p90"),
-        col("hll_orders"))
+    def within(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      (abs(est - exact) <= exact * 0.15).cast("int")
+    val parts = li.agg(countDistinct(col("l_partkey")).as("n_parts"),
+      approx_count_distinct(col("l_partkey")).as("ap"))
+    val supps = li.agg(countDistinct(col("l_suppkey")).as("n_supps"),
+      approx_count_distinct(col("l_suppkey")).as("asup"))
+    val orders = li.agg(countDistinct(col("l_orderkey")).as("n_orders"),
+      expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("ao"))
+    val quant = li.agg(
+      expr("percentile(l_quantity, array(0.02, 0.1, 0.18, 0.4, 0.5, 0.6, 0.82, 0.9, 0.98))").as("ps"),
+      expr("approx_percentile(l_quantity, array(0.1, 0.5, 0.9))").as("aps"))
+    parts.crossJoin(supps).crossJoin(orders).crossJoin(quant)
+      .select(
+        col("n_parts"), col("n_supps"), col("n_orders"),
+        within(col("ap"), col("n_parts")).as("parts_within"),
+        within(col("asup"), col("n_supps")).as("supps_within"),
+        within(col("ao"), col("n_orders")).as("orders_within"),
+        element_at(col("aps"), 1)
+          .between(element_at(col("ps"), 1), element_at(col("ps"), 3))
+          .cast("int").as("p10_within"),
+        element_at(col("aps"), 2)
+          .between(element_at(col("ps"), 4), element_at(col("ps"), 6))
+          .cast("int").as("p50_within"),
+        element_at(col("aps"), 3)
+          .between(element_at(col("ps"), 7), element_at(col("ps"), 9))
+          .cast("int").as("p90_within"))
   }
 
   /** q62's oracle companion (VERDICT r6 item 3): sketch ESTIMATES can't

@@ -318,7 +318,8 @@ object WarehouseQueries {
       |  SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
       |  FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type)
       |SELECT prev, next, n,
-      |       (n * 1000000) // sum(n) OVER (PARTITION BY prev) AS p_ppm
+      |       CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev)
+      |            AS BIGINT) AS p_ppm
       |FROM t
       |ORDER BY prev, next""".stripMargin) { (s, d) =>
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

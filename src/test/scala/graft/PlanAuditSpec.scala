@@ -25,6 +25,7 @@ class PlanAuditSpec extends SparkSpec {
     "q94_ivf_exact_serve", // q36's shape with nprobe=all (the oracle-checkable degenerate)
     "q75_edit_distance", // vocabulary² (150×150) theta join, bounded by design
     "q99_sketch_bounds", // cross join of four 1-row sub-aggregates (the no-Expand shape)
+    "q62_sketches", // q99's bounds-flag mechanism on q62's surface (round 10)
     "q110_mixture_weights", // per-lang aggs × broadcast 1-row totals (q99's shape)
     "q113_unigram_logprob", // token stream × broadcast 1-row vocab total (q99's shape)
     "q115_mixture_apply", // per-lang aggs × broadcast 1-row totals (q110's weight table)
@@ -63,7 +64,13 @@ class PlanAuditSpec extends SparkSpec {
     "q132_ivfadc_serve",
     // runs a real micro-batch stream (file staging + sentinel batches);
     // stream==batch equivalence pinned in StatefulSessionizeSpec
-    "q133_stream_sessions")
+    "q133_stream_sessions",
+    // runs a real two-source stream-stream interval join (file staging);
+    // stream==batch equivalence pinned in StreamingSpec
+    "q151_stream_interval_join",
+    // runs a real bounded-state streaming dedup (file staging);
+    // stream==batch equivalence pinned in StreamingSpec
+    "q152_stream_dedup")
 
   private def auditable: Seq[String] =
     SparkEntry.allQueries.map(_.name).filterNot(sideEffecting)

@@ -388,6 +388,20 @@ class LocalClusterSpec extends SparkSpec {
       eps = 0.01, minClusterSize = 2).collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
     assert(a == b) // partitioning-independent
   }
+
+  test("per-key clustering fails fast on a group over the row cap") {
+    // the O(n²) local pass is only safe for bounded groups — an unbounded
+    // group must die loudly at group entry, not OOM three stages later
+    val big = (0 to LocalCluster.MaxGroupRows).map(i => (1L, s"i$i", Seq(1f, i.toFloat)))
+    val e = intercept[Exception] {
+      LocalCluster.clusterPerKey(big.toDF("user_id", "interest", "embedding"),
+        "user_id", "interest", "embedding", eps = 0.01, minClusterSize = 2)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains(s"cap ${LocalCluster.MaxGroupRows}")), e.toString)
+  }
 }
 
 class TakeoutIngestSpec extends SparkSpec {

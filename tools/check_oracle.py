@@ -33,7 +33,21 @@ def main():
             n_fail += 1
             continue
         try:
-            odf = con.execute(sql).fetchdf()
+            rel = con.sql(sql)
+            # Output-type gate (round-10 rule, from the q108/q145 recurrence):
+            # DuckDB silently widens integer arithmetic over aggregate/window
+            # results to HUGEINT (and division literals to DECIMAL); pandas
+            # renders those as float64/object, which can NEVER hash-match
+            # Spark's BIGINT/DOUBLE. Any such type in an oracle's OUTPUT
+            # schema is an immediate local failure — cast it in the SQL.
+            widened = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                       if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()]
+            if widened:
+                print(f"FAIL {name}: widened oracle output types {widened} "
+                      f"(add CAST(... AS BIGINT/DOUBLE) in the oracle SQL)")
+                n_fail += 1
+                continue
+            odf = rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
