@@ -18,7 +18,8 @@ object CurationQueries {
     q115MixtureApply, q116BpeMergeStep, q117SemanticCanonical,
     q118SpanDedupOverlap, q119HeldoutLogprob, q120BigramLogprob,
     q121DedupKeepBest, q122FuzzyDecontam, q125DsirWeights,
-    q126PerplexityBuckets, q127QualityClassifier, q129CurationPipeline)
+    q126PerplexityBuckets, q127QualityClassifier, q129CurationPipeline,
+    q153LrTrain)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -598,6 +599,66 @@ object CurationQueries {
           oround(col("prob"), 6).as("prob"),
           (oround(col("logit"), 9) >= 0).cast("long").as("label"))
         .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Quality-classifier TRAINING, oracle-checked exactly (the training
+    * complement of q127's inference): 3 full-batch gradient-descent steps
+    * of a hashed-unigram hard-sigmoid logistic regression
+    * (`Curation.hardLrTrain`) over `documents` with label lang = 'en'.
+    * The entire loop is ppm INTEGER arithmetic — hard sigmoid
+    * clamp(1/2 + t/4), truncating division, integer gradient sums — so a
+    * training loop that would normally be a cross-engine
+    * float-accumulation minefield is order-independent and exactly
+    * replayable: the oracle unrolls all three steps as CTE chains with
+    * the identical integer ops (DuckDB's `//` floors, so every signed
+    * division is wrapped as -((-a) // b) to match Spark's
+    * truncate-toward-zero `div`). Output: the 64-bucket trained weight
+    * vector in ppm. */
+  val q153LrTrain: QueryDef = {
+    def dt(a: String, b: String): String =
+      s"CASE WHEN ($a) < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END"
+    def step(i: Int, prev: String): String =
+      s"""s$i AS (
+         |  SELECT f.doc_id, CAST(sum(f.x * w.w) AS BIGINT) AS z
+         |  FROM feats f JOIN $prev w USING (b) GROUP BY f.doc_id),
+         |p$i AS (
+         |  SELECT s.doc_id,
+         |         LEAST(1000000, GREATEST(0,
+         |           500000 + ${dt(dt("s.z", "nd.n"), "4")})) AS p
+         |  FROM s$i s JOIN nd USING (doc_id)),
+         |e$i AS (
+         |  SELECT lab.doc_id, lab.y * 1000000 - p.p AS err
+         |  FROM lab JOIN p$i p USING (doc_id)),
+         |g$i AS (
+         |  SELECT f.b, CAST(sum(${dt("e.err * f.x", "nd.n")}) AS BIGINT) AS g
+         |  FROM feats f JOIN e$i e USING (doc_id) JOIN nd USING (doc_id)
+         |  GROUP BY f.b),
+         |w$i AS (
+         |  SELECT w.b,
+         |         CAST(w.w + ${dt(s"500000 * (${dt("COALESCE(g.g, 0)", "tot.m")})", "1000000")} AS BIGINT) AS w
+         |  FROM $prev w LEFT JOIN g$i g USING (b) CROSS JOIN tot)""".stripMargin
+    sql(
+      "q153_lr_train",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |feats AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 2))::BIGINT % 64 AS b,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM toks GROUP BY doc_id, 2),
+         |nd AS (SELECT doc_id, CAST(sum(x) AS BIGINT) AS n FROM feats GROUP BY doc_id),
+         |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |        FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM documents),
+         |w0 AS (SELECT unnest(range(0, 64)) AS b, CAST(0 AS BIGINT) AS w),
+         |${step(1, "w0")},
+         |${step(2, "w1")},
+         |${step(3, "w2")}
+         |SELECT b, w AS w_ppm FROM w3 ORDER BY b""".stripMargin) { (s, d) =>
+      Curation.hardLrTrain(docs(s, d), "doc_id", "text",
+          col("lang") === "en", buckets = 64, steps = 3)
+        .select(col("b"), col("w_ppm"))
+        .orderBy(col("b"))
     }
   }
 

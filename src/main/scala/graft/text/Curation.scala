@@ -338,6 +338,78 @@ object Curation {
         (graft.queries.oround(col("logit"), 9) >= 0).as("label"))
   }
 
+  /** Quality-classifier TRAINING in pure integer fixed point — the
+    * training-side complement of [[linearClassifierScore]] (which scores
+    * with an existing weight artifact). Trains a hashed-unigram
+    * logistic-regression classifier by full-batch gradient descent with a
+    * HARD sigmoid (σ̂(t) = clamp(1/2 + t/4, 0, 1), the piecewise-linear
+    * sigmoid of the quantized-training literature), entirely in ppm
+    * integers:
+    *
+    *   x_{d,f} = token count of doc d in bucket f (md5-prefix mod
+    *             `buckets`); n_d = Σ_f x_{d,f}
+    *   logit_d = (Σ_f w_f·x_{d,f}) divT n_d          (mean pooling, ppm)
+    *   p_d     = clamp(500000 + logit_d divT 4, 0, 1e6)
+    *   grad_f  = Σ_d (y_d·1e6 − p_d)·x_{d,f} divT n_d
+    *   w_f    += (lrPpm·(grad_f divT m)) divT 1e6     (m = doc count)
+    *
+    * divT is division TRUNCATING TOWARD ZERO on both engines (Spark `div`
+    * truncates; DuckDB `//` floors, so the oracle wraps negatives as
+    * −((−a) // b)). Every sum is over integers, so the result is
+    * order-independent and bit-reproducible across partitionings and
+    * engines — no float enters the computation anywhere, which is what
+    * makes a TRAINING loop (normally a float-accumulation minefield
+    * across engines) exactly DuckDB-replayable.
+    *
+    * Scale shape: each step is one broadcast join of the `buckets`-row
+    * weight table against the (doc, bucket, count) pre-aggregate, one
+    * per-doc aggregate, and one per-bucket aggregate — all partial-agg
+    * map-side-combined; the feature frame is computed once and reused
+    * (steps chain declaratively, no driver collect of anything but the
+    * plan). */
+  def hardLrTrain(df: DataFrame, idCol: String, textCol: String,
+      labelCol: Column, buckets: Int = 64, steps: Int = 3,
+      lrPpm: Long = 500000L): DataFrame = {
+    val spark = df.sparkSession
+    // Spark's `div` is integral division truncating toward zero (Java long
+    // division); the oracle mirrors it in DuckDB (whose `//` FLOORS) as
+    // CASE WHEN a < 0 THEN -((-a) // b) ELSE a // b END
+    def divT(a: Column, b: Column): Column =
+      call_function("div", a.cast("long"), b.cast("long"))
+    val feats = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol),
+        (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long")
+          % buckets).as("b"))
+      .groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    val nd = feats.groupBy(col(idCol)).agg(sum(col("x")).cast("long").as("n"))
+    val lab = df.select(col(idCol),
+      when(labelCol, 1L).otherwise(0L).as("y"))
+    val m = df.select(count(lit(1)).cast("long").as("m"))
+    var w = spark.range(buckets.toLong)
+      .select(col("id").as("b"), lit(0L).as("w_ppm"))
+    for (_ <- 1 to steps) {
+      val scored = feats.join(broadcast(w), "b")
+        .groupBy(col(idCol))
+        .agg(sum(col("x") * col("w_ppm")).cast("long").as("z"))
+        .join(nd, idCol)
+        .select(col(idCol),
+          least(lit(1000000L), greatest(lit(0L),
+            lit(500000L) + divT(divT(col("z"), col("n")), lit(4L)))).as("p"))
+      val err = lab.join(scored, idCol)
+        .select(col(idCol), (col("y") * 1000000L - col("p")).as("err"))
+      val grads = feats.join(err, idCol).join(nd, idCol)
+        .groupBy(col("b"))
+        .agg(sum(divT(col("err") * col("x"), col("n"))).cast("long").as("g"))
+      w = w.join(grads, Seq("b"), "left").crossJoin(broadcast(m))
+        .select(col("b"),
+          (col("w_ppm") + divT(lit(lrPpm) * divT(coalesce(col("g"), lit(0L)),
+            col("m")), lit(1000000L))).as("w_ppm"))
+    }
+    w
+  }
+
   /** Sequential quality-filter funnel with first-failing-rule attribution
     * (the Gopher/RefinedWeb cascade): every document lands in exactly one
     * stage — too_short, too_long, low_stopword, repetitive (3-gram

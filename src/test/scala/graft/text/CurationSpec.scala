@@ -278,4 +278,52 @@ class CurationSpec extends SparkSpec {
       bias = -0.5).select("logit", "label").as[(Double, Boolean)].head()
     assert(math.abs(neg._1 - (-0.2)) < 1e-12 && !neg._2)
   }
+
+  test("hardLrTrain: exact agreement with an independent integer reference") {
+    // independent in-memory reimplementation of the ppm integer GD loop —
+    // any divergence (division rounding, clamp, join semantics) fails exact
+    val corpus = Seq(
+      (1L, "aaa aaa aaa bbb", "en"), (2L, "aaa aaa ccc", "en"),
+      (3L, "bbb bbb bbb", "de"), (4L, "ccc bbb ddd ddd", "de"),
+      (5L, "aaa ddd", "en"))
+    def bucket(tok: String, buckets: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 2), 16) % buckets
+    }
+    def reference(buckets: Int, steps: Int, lrPpm: Long): Map[Long, Long] = {
+      val feats = corpus.flatMap { case (id, text, _) =>
+        text.split(" ").map(t => (id, bucket(t, buckets)))
+      }.groupBy(identity).map { case ((id, b), g) => (id, b, g.size.toLong) }.toSeq
+      val nd = feats.groupBy(_._1).map { case (id, fs) => id -> fs.map(_._3).sum }
+      val lab = corpus.map { case (id, _, l) => id -> (if (l == "en") 1L else 0L) }.toMap
+      val m = corpus.size.toLong
+      var w = (0L until buckets).map(_ -> 0L).toMap
+      for (_ <- 1 to steps) {
+        val z = feats.groupBy(_._1).map { case (id, fs) =>
+          id -> fs.map { case (_, b, x) => x * w(b) }.sum }
+        val p = z.map { case (id, zz) =>
+          id -> math.min(1000000L, math.max(0L, 500000L + zz / nd(id) / 4)) }
+        val err = p.map { case (id, pp) => id -> (lab(id) * 1000000L - pp) }
+        val g = feats.groupBy(_._2).map { case (b, fs) =>
+          b -> fs.map { case (id, _, x) => err(id) * x / nd(id) }.sum }
+        w = w.map { case (b, wv) =>
+          b -> (wv + lrPpm * (g.getOrElse(b, 0L) / m) / 1000000L) }
+      }
+      w
+    }
+    val df = corpus.toDF("doc_id", "text", "lang")
+    for (steps <- Seq(1, 3)) {
+      val got = Curation.hardLrTrain(df, "doc_id", "text", $"lang" === "en",
+          buckets = 8, steps = steps)
+        .as[(Long, Long)].collect().toMap
+      assert(got === reference(8, steps, 500000L), s"steps=$steps")
+    }
+    // direction: after training, the en-dominant token's bucket weight is
+    // positive and the de-dominant token's is negative
+    val w3 = Curation.hardLrTrain(df, "doc_id", "text", $"lang" === "en",
+      buckets = 8, steps = 3).as[(Long, Long)].collect().toMap
+    assert(w3(bucket("aaa", 8)) > 0, s"aaa weight ${w3(bucket("aaa", 8))}")
+    assert(w3(bucket("bbb", 8)) < 0, s"bbb weight ${w3(bucket("bbb", 8))}")
+  }
 }
