@@ -23,7 +23,8 @@ object VectorQueries {
   def all: Seq[QueryDef] = Seq(
     q30Top1Similar, q31NearDupBucketed, q32KnnBruteForce, q33Centroids,
     q34LshTopK, q35IvfTopK, q36IvfIndexTopK, q88HofDot, q94IvfExactServe,
-    q106IvfUpsertServe, q128PqAdcServe, q132IvfAdcServe, q147RetrievalChunks)
+    q106IvfUpsertServe, q128PqAdcServe, q132IvfAdcServe, q147RetrievalChunks,
+    q154KmeansTrain)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
@@ -130,6 +131,57 @@ object VectorQueries {
       .agg(oround(avg(col("x").cast("double")), 6).as("centroid"), count(lit(1)).as("n"))
       .select(col("label"), col("i").cast("long").as("dim"), col("centroid"), col("n"))
       .orderBy(col("label"), col("dim"))
+  }
+
+  /** k-means TRAINING oracle-checked exactly (the q153 integer-training
+    * pattern applied to clustering — the trainable core under the IVF/PQ
+    * index builds, whose float k-means can only oracle-check its serve
+    * side): 2 Lloyd iterations over 1e-6-grid quantized vectors, integer
+    * squared-L2 assignment with id tiebreak, truncating-division centroid
+    * update (DuckDB's flooring `//` wrapped for negative sums to match
+    * Spark's truncate-toward-zero `div`), seeds = the k smallest vec_ids.
+    * Both iterations unroll as CTE chains; output is the final centroid
+    * table in long format. */
+  val q154KmeansTrain: QueryDef = {
+    def sdiv(a: String, b: String): String =
+      s"CASE WHEN ($a) < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END"
+    def iter(i: Int, prev: String): String =
+      s"""a$i AS (
+         |  SELECT q.vid, c.k, sum((q.x - c.c) * (q.x - c.c)) AS d
+         |  FROM qx q JOIN $prev c USING (j) GROUP BY q.vid, c.k),
+         |b$i AS (
+         |  SELECT vid, k FROM (
+         |    SELECT vid, k, row_number() OVER (PARTITION BY vid
+         |                                      ORDER BY d, k) AS rn
+         |    FROM a$i) WHERE rn = 1),
+         |s$i AS (
+         |  SELECT b.k, q.j, CAST(sum(q.x) AS BIGINT) AS s,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM qx q JOIN b$i b USING (vid) GROUP BY b.k, q.j),
+         |c$i AS (
+         |  SELECT c.k, c.j,
+         |         CAST(COALESCE(${sdiv("s.s", "s.n")}, c.c) AS BIGINT) AS c
+         |  FROM $prev c LEFT JOIN s$i s USING (k, j))""".stripMargin
+    sql(
+      "q154_kmeans_train",
+      s"""WITH qx AS (
+         |  SELECT vec_id AS vid, CAST(i AS BIGINT) AS j,
+         |         CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+         |                    * 1000000) AS BIGINT) AS x
+         |  FROM embeddings CROSS JOIN range(64) t(i)),
+         |seeds AS (
+         |  SELECT vid, rn - 1 AS k FROM (
+         |    SELECT vid, row_number() OVER (ORDER BY vid) AS rn
+         |    FROM (SELECT DISTINCT vid FROM qx)) WHERE rn <= 4),
+         |c0 AS (SELECT s.k, q.j, q.x AS c FROM qx q JOIN seeds s USING (vid)),
+         |${iter(1, "c0")},
+         |${iter(2, "c1")}
+         |SELECT k, j, c AS c_ppm FROM c2 ORDER BY k, j""".stripMargin) { (s, d) =>
+      graft.cluster.KmeansPpm.train(emb(s, d), "vec_id", "embedding",
+          k = 4, iters = 2)
+        .select(col("k"), col("j"), col("c").as("c_ppm"))
+        .orderBy(col("k"), col("j"))
+    }
   }
 
   /** Shared oracle SQL for the scratch-candidate ANN queries: DuckDB
