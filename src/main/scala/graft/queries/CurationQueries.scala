@@ -19,7 +19,7 @@ object CurationQueries {
     q118SpanDedupOverlap, q119HeldoutLogprob, q120BigramLogprob,
     q121DedupKeepBest, q122FuzzyDecontam, q125DsirWeights,
     q126PerplexityBuckets, q127QualityClassifier, q129CurationPipeline,
-    q153LrTrain)
+    q153LrTrain, q155BpeTrain)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -659,6 +659,59 @@ object CurationQueries {
           col("lang") === "en", buckets = 64, steps = 3)
         .select(col("b"), col("w_ppm"))
         .orderBy(col("b"))
+    }
+  }
+
+  /** Iterative BPE tokenizer training, oracle-checked exactly — q116's
+    * single merge step run as the REAL 3-iteration training loop
+    * (`Curation.bpeTrain`): per step the top-frequency adjacent symbol
+    * pair (lexicographic tiebreak) becomes a merge rule and is applied
+    * to every word state by leftmost non-overlapping space-delimited
+    * replace — integer counts and string ops only, so DuckDB unrolls
+    * all three iterations as CTE chains and the learned rules
+    * hash-match. Completes the integer-exact training trilogy
+    * (q153 classifier, q154 k-means, q155 tokenizer). */
+  val q155BpeTrain: QueryDef = {
+    def step(i: Int, prev: String): String =
+      s"""pc$i AS (
+         |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
+         |         CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT f, syms, unnest(range(1, len(syms))) AS i
+         |    FROM (SELECT f, string_split(s, ' ') AS syms FROM $prev)
+         |    WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, cnt FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |st$i AS (
+         |  SELECT f, trim(regexp_replace(
+         |           replace(' ' || replace(s, ' ', '  ') || ' ',
+         |                   ' ' || b.a || '  ' || b.b || ' ',
+         |                   ' ' || b.a || b.b || ' '),
+         |           ' +', ' ', 'g')) AS s
+         |  FROM $prev CROSS JOIN b$i b)""".stripMargin
+    sql(
+      "q155_bpe_train",
+      s"""WITH words AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY tok),
+         |st0 AS (
+         |  SELECT f, array_to_string(list_transform(range(1, len(tok) + 1),
+         |           i -> substr(tok, CAST(i AS INT), 1)), ' ') AS s
+         |  FROM words),
+         |${step(1, "st0")},
+         |${step(2, "st1")},
+         |${step(3, "st2")}
+         |SELECT CAST(1 AS BIGINT) AS step, a || b AS merged,
+         |       a AS l_sym, b AS r_sym, cnt FROM b1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), a || b, a, b, cnt FROM b2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), a || b, a, b, cnt FROM b3
+         |ORDER BY step""".stripMargin) { (s, d) =>
+      Curation.bpeTrain(docs(s, d), "text", merges = 3)
+        .select(col("step"), col("merged"), col("l_sym"), col("r_sym"), col("cnt"))
+        .orderBy(col("step"))
     }
   }
 

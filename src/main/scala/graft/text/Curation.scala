@@ -410,6 +410,59 @@ object Curation {
     w
   }
 
+  /** Iterative BPE tokenizer TRAINING (Sennrich et al., arXiv:1508.07909)
+    * — q116's single merge step run as the real training loop. Words
+    * (whitespace pre-tokenization) carry corpus frequencies; each word's
+    * tokenization state is a space-separated symbol string; per
+    * iteration the highest-frequency adjacent symbol pair (ties broken
+    * lexicographically) becomes the next merge rule, applied to every
+    * state by leftmost non-overlapping string replace over DOUBLED
+    * delimiters — pattern ' a  b ' in ' ' + s.replace(' ', '  ') + ' ',
+    * then collapse runs of spaces — so each match consumes only its own
+    * trailing space and a symbol RUN merges greedily left-to-right
+    * exactly like the reference algorithm ('a a a a' → 'aa aa';
+    * single-space-delimited replace consumes the shared boundary space
+    * and misses every other occurrence, yielding 'aa a a' — caught by
+    * the independent-reference spec). Both engines implement leftmost
+    * non-overlapping replace identically, so the whole loop is exactly
+    * DuckDB-replayable (no floats anywhere).
+    *
+    * Scale shape per iteration: two vocab-sized aggregations (pair count,
+    * argmax) + one broadcast of the single merge rule against the vocab
+    * state table; corpus tokens never leave the initial word count. Each
+    * state frame is cached so the declarative step chain doesn't
+    * re-derive earlier iterations per branch.
+    *
+    * @return one row per merge rule: (step, merged, l_sym, r_sym, cnt) */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int = 3): DataFrame = {
+    val words = df.select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("f"))
+    var st = words.select(col("f"),
+      concat_ws(" ", split(col("tok"), "")).as("s")).cache()
+    var out: Option[DataFrame] = None
+    for (i <- 1 to merges) {
+      val pairs = st
+        .withColumn("syms", split(col("s"), " "))
+        .filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).cast("long").as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).cache()
+      val rule = best.select(lit(i.toLong).as("step"),
+        concat(col("a"), col("b")).as("merged"),
+        col("a").as("l_sym"), col("b").as("r_sym"), col("cnt"))
+      out = Some(out.fold(rule)(_ unionByName rule))
+      st = st.crossJoin(broadcast(best.select(col("a"), col("b"))))
+        .select(col("f"), expr(
+          "trim(regexp_replace(replace(concat(' ', replace(s, ' ', '  '), ' '), " +
+            "concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' ')), ' +', ' '))").as("s"))
+        .cache()
+    }
+    out.get
+  }
+
   /** Sequential quality-filter funnel with first-failing-rule attribution
     * (the Gopher/RefinedWeb cascade): every document lands in exactly one
     * stage — too_short, too_long, low_stopword, repetitive (3-gram

@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     "q128_pq_adc_serve", // ADC lookup table = queries × broadcast m·nCodes codebook, conditionless by design
     "q135_tfidf_terms", // (doc,term,tf) stream × broadcast 1-row corpus count N (q113's shape)
     "q147_retrieval_chunks", // broadcast(3 probes) × chunk corpus, non-equi by design (q32's shape)
-    "q153_lr_train") // per-step weight update × broadcast 1-row doc count (q99's shape)
+    "q153_lr_train", // per-step weight update × broadcast 1-row doc count (q99's shape)
+    "q155_bpe_train") // per-step state rewrite × broadcast 1-row merge rule (q99's shape)
 
   /** Queries whose run function EXECUTES side-effectful work (index build,
     * store writes, a scratch-table write, a streaming tick) before

@@ -326,4 +326,45 @@ class CurationSpec extends SparkSpec {
     assert(w3(bucket("aaa", 8)) > 0, s"aaa weight ${w3(bucket("aaa", 8))}")
     assert(w3(bucket("bbb", 8)) < 0, s"bbb weight ${w3(bucket("bbb", 8))}")
   }
+
+  test("bpeTrain: exact agreement with an independent reference, incl. overlap") {
+    // "aaaa" forces the greedy-left overlap case: merging (a,a) must give
+    // [aa, aa], not [a, aa, a] — leftmost non-overlapping application
+    val texts = Seq("aaaa aaaa banana", "banana band aaaa", "band banana")
+    def reference(merges: Int): Seq[(Long, String, String, String, Long)] = {
+      val freqs = texts.flatMap(_.split(" ")).groupBy(identity)
+        .map { case (w, g) => w -> g.size.toLong }
+      var states: Map[Seq[String], Long] =
+        freqs.map { case (w, f) => w.map(_.toString).toSeq -> f }
+          .groupBy(_._1).map { case (s, g) => s -> g.values.sum }
+      val rules = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+      for (i <- 1 to merges) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, f) <- states; k <- 0 until syms.length - 1)
+          counts((syms(k), syms(k + 1))) = counts.getOrElse((syms(k), syms(k + 1)), 0L) + f
+        val ((a, b), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        rules += ((i.toLong, a + b, a, b, cnt))
+        def apply(s: Seq[String]): Seq[String] = {
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var k = 0
+          while (k < s.length) {
+            if (k + 1 < s.length && s(k) == a && s(k + 1) == b) { out += a + b; k += 2 }
+            else { out += s(k); k += 1 }
+          }
+          out.toSeq
+        }
+        states = states.toSeq.map { case (s, f) => apply(s) -> f }
+          .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+      }
+      rules.toSeq
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Curation.bpeTrain(df, "text", merges = 4)
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === reference(4))
+    // the corpus has 5 'a'-adjacencies in "aaaa"×3 words... sanity: first
+    // merge must be the lexicographically-least max-count pair and each
+    // rule's count must be positive
+    assert(got.forall(_._5 > 0))
+  }
 }
