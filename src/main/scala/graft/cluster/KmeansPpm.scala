@@ -26,34 +26,42 @@ import org.apache.spark.sql.functions._
   * only; this one oracle-checks the training iterations themselves.
   *
   * Scale shape per iteration: one broadcast of the k·dims centroid table
-  * against the (vec, dim, x) long-format frame, a per-vector argmin
-  * aggregate (map-side combinable min(struct)), and a per-(centroid, dim)
-  * sum — no pairwise vector materialization, no driver collect; the
-  * centroid frame stays k·dims rows regardless of corpus size.
+  * against the CACHED (vec, dim, x) long-format frame, a per-vector
+  * argmin aggregate (map-side combinable min(struct)), and a
+  * per-(centroid, dim) sum. The centroid state (k·dims rows, bounded by
+  * config, data-independent) iterates DRIVER-side per step — the
+  * IvfIndex seeding discipline — so the plan does not double per
+  * iteration and only the tiny centroid table ever visits the driver;
+  * assignment and the sums stay distributed.
   */
 object KmeansPpm {
 
-  private def i6(c: Column): Column = {
-    val s = c * lit(1e6)
-    (signum(s) * floor(abs(s) + lit(0.5))).cast("long")
-  }
+  private def i6(c: Column): Column = graft.functions.fixed_point(c, 1e6)
 
   /** Train `iters` Lloyd iterations over `df(idCol, vecCol)` (array of
     * float/double). Returns the final centroids in long format:
     * (k, j, c) — centroid id, dimension index, ppm-integer coordinate. */
   def train(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val qx = df.select(col(idCol).cast("long").as("vid"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "e")))
       .select(col("vid"), col("j").cast("long").as("j"), i6(col("e")).as("x"))
+      .cache()
     val seedIds = df.select(col(idCol).cast("long").as("vid"))
       .orderBy(col("vid")).limit(k)
-    var cent = qx.join(broadcast(seedIds), "vid")
-      .withColumn("k", dense_rank().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("vid"))) - 1)
-      .select(col("k").cast("long").as("k"), col("j"), col("x").as("c"))
+    // k·dims rows, bounded by config — the IvfIndex-style driver seed
+    var cent: Map[(Long, Long), Long] = qx.join(broadcast(seedIds), "vid")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+      .groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex
+      .flatMap { case ((_, rows), ki) =>
+        rows.map { case (_, j, x) => (ki.toLong, j) -> x }
+      }.toMap
     for (_ <- 1 to iters) {
-      val assign = qx.join(broadcast(cent), "j")
+      val centDf = cent.toSeq.map { case ((ki, j), c) => (ki, j, c) }
+        .toDF("k", "j", "c")
+      val assign = qx.join(broadcast(centDf), "j")
         .groupBy(col("vid"), col("k"))
         .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
         .groupBy(col("vid"))
@@ -64,9 +72,11 @@ object KmeansPpm {
         .agg(sum(col("x")).as("s"), count(lit(1)).cast("long").as("n"))
         .select(col("k"), col("j"),
           call_function("div", col("s"), col("n")).as("c2"))
-      cent = cent.join(sums, Seq("k", "j"), "left")
-        .select(col("k"), col("j"), coalesce(col("c2"), col("c")).as("c"))
+        .as[(Long, Long, Long)].collect() // k·dims rows, bounded by config
+        .map { case (ki, j, c2) => (ki, j) -> c2 }.toMap
+      cent = cent.map { case (kj, old) => kj -> sums.getOrElse(kj, old) }
     }
-    cent
+    qx.unpersist()
+    cent.toSeq.map { case ((ki, j), c) => (ki, j, c) }.sorted.toDF("k", "j", "c")
   }
 }

@@ -149,12 +149,16 @@ object LocalCluster {
       }
       .groupByKey(_._1)
       .flatMapGroups { (key, it) =>
-        val rows = it.toVector.sortBy(r => (r._2, r._3.headOption.getOrElse(0f)))
-        require(rows.length <= MaxGroupRows,
-          s"per-key local clustering group '$key' has ${rows.length} rows " +
-            s"(cap $MaxGroupRows): an upstream per-group row limit was " +
-            "dropped — cap the group before clustering (the O(n²) local " +
-            "pass is only safe for bounded groups)")
+        // cap check BEFORE materializing/sorting the group: take(cap + 1)
+        // is complete when the group is under the cap, and an over-cap
+        // group dies here instead of OOMing inside toVector/sortBy
+        val capped = it.take(MaxGroupRows + 1).toVector
+        require(capped.length <= MaxGroupRows,
+          s"per-key local clustering group '$key' exceeds the $MaxGroupRows-row " +
+            "cap: an upstream per-group row limit was dropped — cap the " +
+            "group before clustering (the O(n²) local pass is only safe " +
+            "for bounded groups)")
+        val rows = capped.sortBy(r => (r._2, r._3.headOption.getOrElse(0f)))
         val raw = rows.map(_._3.toArray).toArray
         val vecs = reduceTo match {
           case Some(k) =>

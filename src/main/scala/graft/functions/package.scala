@@ -67,6 +67,19 @@ package object functions {
   /** Apply a Polars offset string ("-15d", "-3mo", "1h30m") to a timestamp. */
   def offset_by(ts: Column, offset: String): Column = PolarsOffset.offsetBy(ts, offset)
 
+  /** Integer fixed point: round(c · scale) half away from zero, as a
+    * 64-bit integer — the ONE rounding primitive every oracle-boundary
+    * fixed-point compare must share (sim_i9 grids in SessionOps, the 1e-6
+    * vector grid in KmeansPpm). The op sequence (signum·floor(|s|+0.5))
+    * matches DuckDB's `CAST(round(x · scale) AS BIGINT)` bit for bit;
+    * Spark's own `round()` goes through BigDecimal HALF_UP on the decimal
+    * rendering and diverges on half-boundary doubles (see
+    * graft.queries.oround, the double-valued sibling of this helper). */
+  def fixed_point(col: Column, scale: Double): Column = {
+    val s = col * lit(scale)
+    (signum(s) * floor(abs(s) + lit(0.5))).cast("long")
+  }
+
   /** Seconds-of-day codec for the engine's time-of-day representation
     * (SURVEY §1.2: Spark has no TimeType; reference compares Postgres
     * `time` values — zero-padded "HH:mm" strings and seconds-of-day ints

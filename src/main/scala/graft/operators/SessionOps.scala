@@ -91,10 +91,7 @@ object SessionOps {
       leftVal = col("a_end_ts"), rightVal = col("b_start_ts"),
       lo = -86400L, hi = maxGapS,
       residual = col("a_id") =!= col("b_id") && ordering)
-    def i9(c: Column): Column = {
-      val s = c * lit(1e9)
-      (signum(s) * floor(abs(s) + lit(0.5))).cast("long")
-    }
+    def i9(c: Column): Column = graft.functions.fixed_point(c, 1e9)
     pairs
       .join(broadcast(thresholds), "user_id")
       .withColumn("gap_s", col("b_start_ts") - col("a_end_ts"))
@@ -179,10 +176,7 @@ object SessionOps {
     val ordering = (col("b_date") > col("a_date")) ||
       (col("b_date") === col("a_date") && col("b_start_s") >= col("a_end_s"))
     // integer fixed point at the rank/threshold boundary (see scaladoc)
-    def i9(c: Column): Column = {
-      val s = c * lit(1e9)
-      (signum(s) * floor(abs(s) + lit(0.5))).cast("long")
-    }
+    def i9(c: Column): Column = graft.functions.fixed_point(c, 1e9)
     val pairCols = Seq(col("user_id"), col("parent_id"), col("child_id"),
       i9(cosine_similarity(col("a_emb"), col("b_emb"))).as("sim_i9"))
     val exactPairs = small(a).join(small(b), Seq("user_id"))

@@ -408,14 +408,16 @@ object EventQueries {
       src().filter(col("event_type") === "click"),
       src().filter(col("event_type") === "purchase"),
       horizon = "30 MINUTES")
-    val q = joined
       .select(col("user_id"), col("l_event_id"), col("r_event_id"),
         unix_micros(col("l_ts")).as("l_us"), unix_micros(col("r_ts")).as("r_us"))
+    val q = joined
       .writeStream.format("parquet").option("path", outDir)
       .option("checkpointLocation", ckpt).outputMode("append").start()
     q.processAllAvailable()
     q.stop()
-    s.read.parquet(outDir)
+    // explicit schema: a zero-match run writes no parquet files, and a
+    // schema-inferring read would then fail instead of returning 0 rows
+    s.read.schema(joined.schema).parquet(outDir)
       .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
   }
 
@@ -423,13 +425,14 @@ object EventQueries {
     * (the q133/q151 mechanism on `dropDuplicatesWithinWatermark`): the
     * events table is doubled (every row written twice to the staging dir)
     * and replayed through a file-source stream into
-    * `StreamOps.dedupWithinWatermark` keyed by event_id — duplicates
-    * arriving within the watermark horizon collapse to one occurrence,
-    * and Spark evicts each key's state once the watermark passes it (a
-    * plain streaming dropDuplicates keeps every key forever — the
-    * unbounded-state trap). Only the KEY columns are emitted, so the
-    * result is the deterministic distinct key set regardless of which
-    * physical duplicate row survived; DuckDB replays it as SELECT
+    * `StreamOps.dedupWithinWatermark` keyed by (user_id, event_id) —
+    * duplicates arriving within the watermark horizon collapse to one
+    * occurrence, and Spark evicts each key's state once the watermark
+    * passes it (a plain streaming dropDuplicates keeps every key forever
+    * — the unbounded-state trap). Only the KEY columns are emitted, so
+    * the result is the deterministic distinct key set regardless of
+    * which physical duplicate row survived — and carries no assumption
+    * that event_id is globally unique; DuckDB replays it as SELECT
     * DISTINCT. StreamingSpec separately pins stream ≡ batch. */
   val q152StreamDedup: QueryDef = sql(
     "q152_stream_dedup",
@@ -443,14 +446,15 @@ object EventQueries {
     ev.unionAll(ev).write.parquet(inDir)
     val schema = s.read.parquet(inDir).schema
     val deduped = StreamOps.dedupWithinWatermark(
-      s.readStream.schema(schema).parquet(inDir), keys = Seq("event_id"))
-    val q = deduped
-      .select(col("user_id"), col("event_id"))
+      s.readStream.schema(schema).parquet(inDir),
+      keys = Seq("user_id", "event_id"))
+    val out = deduped.select(col("user_id"), col("event_id"))
+    val q = out
       .writeStream.format("parquet").option("path", outDir)
       .option("checkpointLocation", ckpt).outputMode("append").start()
     q.processAllAvailable()
     q.stop()
-    s.read.parquet(outDir)
+    s.read.schema(out.schema).parquet(outDir)
       .orderBy(col("user_id"), col("event_id"))
   }
 

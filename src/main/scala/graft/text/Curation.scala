@@ -362,17 +362,21 @@ object Curation {
     * across engines) exactly DuckDB-replayable.
     *
     * Scale shape: each step is one broadcast join of the `buckets`-row
-    * weight table against the (doc, bucket, count) pre-aggregate, one
-    * per-doc aggregate, and one per-bucket aggregate — all partial-agg
-    * map-side-combined; the feature frame is computed once and reused
-    * (steps chain declaratively, no driver collect of anything but the
-    * plan). */
+    * weight table against the CACHED (doc, bucket, count) pre-aggregate,
+    * one per-doc aggregate, and one per-bucket aggregate — all
+    * partial-agg map-side-combined. The model state (`buckets` rows,
+    * bounded by config, data-independent) iterates DRIVER-side per step
+    * — the IvfIndex seeding discipline — so the plan does not double per
+    * iteration and only the tiny gradient table ever visits the driver;
+    * the heavy aggregations stay distributed. */
   def hardLrTrain(df: DataFrame, idCol: String, textCol: String,
       labelCol: Column, buckets: Int = 64, steps: Int = 3,
       lrPpm: Long = 500000L): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
     // Spark's `div` is integral division truncating toward zero (Java long
-    // division); the oracle mirrors it in DuckDB (whose `//` FLOORS) as
+    // division, = Scala Long `/` used in the driver-side update below);
+    // the oracle mirrors it in DuckDB (whose `//` FLOORS) as
     // CASE WHEN a < 0 THEN -((-a) // b) ELSE a // b END
     def divT(a: Column, b: Column): Column =
       call_function("div", a.cast("long"), b.cast("long"))
@@ -383,14 +387,14 @@ object Curation {
           % buckets).as("b"))
       .groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).cast("long").as("x"))
-    val nd = feats.groupBy(col(idCol)).agg(sum(col("x")).cast("long").as("n"))
-    val lab = df.select(col(idCol),
-      when(labelCol, 1L).otherwise(0L).as("y"))
-    val m = df.select(count(lit(1)).cast("long").as("m"))
-    var w = spark.range(buckets.toLong)
-      .select(col("id").as("b"), lit(0L).as("w_ppm"))
+      .cache()
+    val nd = feats.groupBy(col(idCol)).agg(sum(col("x")).cast("long").as("n")).cache()
+    val lab = df.select(col(idCol), when(labelCol, 1L).otherwise(0L).as("y"))
+    val m = df.count()
+    var w: Map[Long, Long] = (0L until buckets.toLong).map(_ -> 0L).toMap
     for (_ <- 1 to steps) {
-      val scored = feats.join(broadcast(w), "b")
+      val wDf = w.toSeq.sortBy(_._1).toDF("b", "w_ppm")
+      val scored = feats.join(broadcast(wDf), "b")
         .groupBy(col(idCol))
         .agg(sum(col("x") * col("w_ppm")).cast("long").as("z"))
         .join(nd, idCol)
@@ -399,15 +403,16 @@ object Curation {
             lit(500000L) + divT(divT(col("z"), col("n")), lit(4L)))).as("p"))
       val err = lab.join(scored, idCol)
         .select(col(idCol), (col("y") * 1000000L - col("p")).as("err"))
-      val grads = feats.join(err, idCol).join(nd, idCol)
+      val g = feats.join(err, idCol).join(nd, idCol)
         .groupBy(col("b"))
         .agg(sum(divT(col("err") * col("x"), col("n"))).cast("long").as("g"))
-      w = w.join(grads, Seq("b"), "left").crossJoin(broadcast(m))
-        .select(col("b"),
-          (col("w_ppm") + divT(lit(lrPpm) * divT(coalesce(col("g"), lit(0L)),
-            col("m")), lit(1000000L))).as("w_ppm"))
+        .as[(Long, Long)].collect().toMap // `buckets` rows, bounded by config
+      w = w.map { case (b, wv) =>
+        b -> (wv + lrPpm * (g.getOrElse(b, 0L) / m) / 1000000L)
+      }
     }
-    w
+    feats.unpersist(); nd.unpersist()
+    w.toSeq.sortBy(_._1).toDF("b", "w_ppm")
   }
 
   /** Iterative BPE tokenizer TRAINING (Sennrich et al., arXiv:1508.07909)
@@ -428,20 +433,23 @@ object Curation {
     * DuckDB-replayable (no floats anywhere).
     *
     * Scale shape per iteration: two vocab-sized aggregations (pair count,
-    * argmax) + one broadcast of the single merge rule against the vocab
-    * state table; corpus tokens never leave the initial word count. Each
-    * state frame is cached so the declarative step chain doesn't
-    * re-derive earlier iterations per branch.
+    * argmax) over the CACHED state frame; corpus tokens never leave the
+    * initial word count. The single merge rule (1 row, bounded) iterates
+    * DRIVER-side; each new state frame is cached and materialized before
+    * its predecessor is unpersisted, so the chain neither recomputes
+    * earlier iterations nor leaks superseded cached frames.
     *
     * @return one row per merge rule: (step, merged, l_sym, r_sym, cnt) */
   def bpeTrain(df: DataFrame, textCol: String, merges: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val words = df.select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("f"))
     var st = words.select(col("f"),
       concat_ws(" ", split(col("tok"), "")).as("s")).cache()
-    var out: Option[DataFrame] = None
+    val rules = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
     for (i <- 1 to merges) {
-      val pairs = st
+      val (a, b, cnt) = st
         .withColumn("syms", split(col("s"), " "))
         .filter(size(col("syms")) >= 2)
         .select(col("f"), explode(expr(
@@ -449,18 +457,22 @@ object Curation {
             "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("f")).cast("long").as("cnt"))
-      val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).cache()
-      val rule = best.select(lit(i.toLong).as("step"),
-        concat(col("a"), col("b")).as("merged"),
-        col("a").as("l_sym"), col("b").as("r_sym"), col("cnt"))
-      out = Some(out.fold(rule)(_ unionByName rule))
-      st = st.crossJoin(broadcast(best.select(col("a"), col("b"))))
-        .select(col("f"), expr(
-          "trim(regexp_replace(replace(concat(' ', replace(s, ' ', '  '), ' '), " +
-            "concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' ')), ' +', ' '))").as("s"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .as[(String, String, Long)].head() // 1 row — the merge rule
+      rules += ((i.toLong, a + b, a, b, cnt))
+      val next = st.select(col("f"),
+        trim(regexp_replace(
+          replace(concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
+            concat(lit(" "), lit(a), lit("  "), lit(b), lit(" ")),
+            concat(lit(" "), lit(a + b), lit(" "))),
+          lit(" +"), lit(" "))).as("s"))
         .cache()
+      next.count() // materialize before dropping the parent cache
+      st.unpersist()
+      st = next
     }
-    out.get
+    st.unpersist()
+    rules.toSeq.toDF("step", "merged", "l_sym", "r_sym", "cnt")
   }
 
   /** Sequential quality-filter funnel with first-failing-rule attribution

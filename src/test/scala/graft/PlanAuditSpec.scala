@@ -34,9 +34,7 @@ class PlanAuditSpec extends SparkSpec {
     "q125_dsir_weights", // bucket stream × broadcast 1-row (Nt, Ns) totals (q113's shape)
     "q128_pq_adc_serve", // ADC lookup table = queries × broadcast m·nCodes codebook, conditionless by design
     "q135_tfidf_terms", // (doc,term,tf) stream × broadcast 1-row corpus count N (q113's shape)
-    "q147_retrieval_chunks", // broadcast(3 probes) × chunk corpus, non-equi by design (q32's shape)
-    "q153_lr_train", // per-step weight update × broadcast 1-row doc count (q99's shape)
-    "q155_bpe_train") // per-step state rewrite × broadcast 1-row merge rule (q99's shape)
+    "q147_retrieval_chunks") // broadcast(3 probes) × chunk corpus, non-equi by design (q32's shape)
 
   /** Queries whose run function EXECUTES side-effectful work (index build,
     * store writes, a scratch-table write, a streaming tick) before
@@ -72,7 +70,13 @@ class PlanAuditSpec extends SparkSpec {
     "q151_stream_interval_join",
     // runs a real bounded-state streaming dedup (file staging);
     // stream==batch equivalence pinned in StreamingSpec
-    "q152_stream_dedup")
+    "q152_stream_dedup",
+    // training loops iterate bounded model state driver-side (the
+    // IvfIndex seeding discipline): construction executes the per-step
+    // distributed aggregations and returns the config-bounded model
+    // table; the distributed step shapes are pinned by their specs
+    // (CurationSpec, KmeansPpmSpec)
+    "q153_lr_train", "q154_kmeans_train", "q155_bpe_train")
 
   private def auditable: Seq[String] =
     SparkEntry.allQueries.map(_.name).filterNot(sideEffecting)

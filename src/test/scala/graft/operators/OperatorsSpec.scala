@@ -400,7 +400,7 @@ class LocalClusterSpec extends SparkSpec {
     }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains(s"cap ${LocalCluster.MaxGroupRows}")), e.toString)
+    assert(messages(e).exists(_.contains(s"${LocalCluster.MaxGroupRows}-row cap")), e.toString)
   }
 }
 
