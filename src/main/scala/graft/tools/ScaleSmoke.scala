@@ -166,6 +166,25 @@ object ScaleSmoke {
         graft.operators.SessionOps.similarityGraph(
           sess, th, exactUserLimit = 0L)
       }
+      if (k == 1 && "similarity_graph_lsh_sweep".contains(opFilter)) {
+        // the nTables recall/cost dial, measured (NEXT r10 backlog item):
+        // same clustered-direction corpus, exact edge set as ground truth
+        val (sess, th) = lshSmokeSessions(spark, users = 4, perUser = 1000)
+        val exactE = graft.operators.SessionOps
+          .similarityGraph(sess, th, exactUserLimit = Long.MaxValue)
+          .select(col("parent_id"), col("child_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        for (t <- Seq(2, 4, 8, 16)) {
+          val t0 = System.nanoTime()
+          val e = graft.operators.SessionOps
+            .similarityGraph(sess, th, exactUserLimit = 0L, nTables = t)
+            .select(col("parent_id"), col("child_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val sec = (System.nanoTime() - t0) / 1e9
+          val agree = e.intersect(exactE).size.toDouble / exactE.size
+          println(f"""{"op":"similarity_graph_lsh_sweep","n_tables":$t,"agreement":$agree%.4f,"sec":$sec%.2f}""")
+        }
+      }
       if (k == 1 && "similarity_graph_lsh_recall".contains(opFilter)) {
         // recall assertion at the comparable scale: the pruned edge set
         // must agree with the exact all-pairs edge set on ≥90% of edges
