@@ -24,7 +24,7 @@ object EventQueries {
     q20IntervalOffset, q21TimeOfDay, q22Chunking, q23TumblingWindow,
     q24SlidingWindow, q29AsOfJoin, q63Pivot, q133StreamSessions,
     q138FunnelSteps, q139RetentionCohorts, q151StreamIntervalJoin,
-    q152StreamDedup)
+    q152StreamDedup, q156StreamOuterJoin)
 
   /** Recency split vs per-user max timestamp (SURVEY §2.2 op 10,
     * assets/takeout.py:70-72): keep events within "-15d" of the user's
@@ -418,6 +418,62 @@ object EventQueries {
     // explicit schema: a zero-match run writes no parquet files, and a
     // schema-inferring read would then fail instead of returning 0 rows
     s.read.schema(joined.schema).parquet(outDir)
+      .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
+  }
+
+  /** LEFT-OUTER stream-stream interval join driver-checked END TO END —
+    * the watermark-driven mechanism q151's inner join never exercises:
+    * an unmatched click emits its null-padded row only after the
+    * watermark passes `click.ts + horizon` AND a subsequent batch evicts
+    * its buffered state. Determinism of the emitted set comes from
+    * q133's sentinel mechanism: after the corpus drains, two
+    * watermark-advancing sentinel batches (each carrying a far-future
+    * click AND purchase so BOTH sources advance) flush every unmatched
+    * left row through the state-expiry path. Emitted set ≡ the batch
+    * left join exactly, which DuckDB replays scratch-free. */
+  val q156StreamOuterJoin: QueryDef = sql(
+    "q156_stream_outer_join",
+    """SELECT c.user_id, c.event_id AS l_event_id, p.event_id AS r_event_id,
+      |       epoch_us(CAST(c.ts AS TIMESTAMP)) AS l_us,
+      |       epoch_us(CAST(p.ts AS TIMESTAMP)) AS r_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON p.user_id = c.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY c.user_id, l_event_id, r_event_id""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamOps
+    val tmp = java.nio.file.Files.createTempDirectory("q156stream").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    ev.write.parquet(inDir)
+    val mx = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val schema = s.read.parquet(inDir).schema
+    def src() = s.readStream.schema(schema).parquet(inDir)
+    val joined = StreamOps.intervalJoin(
+      src().filter(col("event_type") === "click"),
+      src().filter(col("event_type") === "purchase"),
+      horizon = "30 MINUTES", joinType = "left_outer")
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        unix_micros(col("l_ts")).as("l_us"), unix_micros(col("r_ts")).as("r_us"))
+    val q = joined
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    def sentinel(uidBase: Long, plusMs: Long): Unit = {
+      import s.implicits._
+      Seq((uidBase, new java.sql.Timestamp(mx.getTime + plusMs), uidBase, "click"),
+          (uidBase - 1, new java.sql.Timestamp(mx.getTime + plusMs), uidBase - 1, "purchase"))
+        .toDF("user_id", "ts", "event_id", "event_type")
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    }
+    sentinel(-1L, 315360000000L) // +10y: watermark passes every real horizon
+    sentinel(-3L, 315360001000L) // batch AT that watermark: evicts all state
+    q.stop()
+    s.read.schema(joined.schema).parquet(outDir)
+      .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
   }
 

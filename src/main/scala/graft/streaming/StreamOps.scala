@@ -77,10 +77,17 @@ object StreamOps {
     * side — the unbounded-state trap of an unconstrained stream join is the
     * thing this operator exists to avoid at scale.
     *
+    * `joinType` "inner" (default) emits matches eagerly; "left_outer"
+    * additionally emits each unmatched left event with nulls — but only
+    * once the watermark passes `l_ts + horizon` and a subsequent batch
+    * evicts its state, so a finite stream needs watermark-advancing
+    * sentinel data (the q133 mechanism) for the unmatched tail to drain.
+    *
     * Works identically on batch frames (same code path, no watermark
-    * needed) — StreamingSpec asserts stream == batch. */
+    * needed; left_outer = a plain left join) — StreamingSpec asserts
+    * stream == batch for both types. */
   def intervalJoin(left: DataFrame, right: DataFrame, horizon: String,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour", joinType: String = "inner"): DataFrame = {
     val lt = withEventTime(left); val rt = withEventTime(right)
     val l = (if (lt.isStreaming) lt.withWatermark("ts", watermark) else lt)
       .select(col("user_id"), col("ts").as("l_ts"),
@@ -91,7 +98,8 @@ object StreamOps {
     l.join(r,
       col("user_id") === col("r_user_id") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("user_id"), col("l_event_id"), col("r_event_id"),
         col("l_ts"), col("r_ts"))
   }

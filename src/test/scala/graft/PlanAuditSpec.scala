@@ -71,6 +71,9 @@ class PlanAuditSpec extends SparkSpec {
     // runs a real bounded-state streaming dedup (file staging);
     // stream==batch equivalence pinned in StreamingSpec
     "q152_stream_dedup",
+    // runs a real left-outer stream-stream join (file staging + sentinel
+    // batches); stream==batch equivalence pinned in StreamingSpec
+    "q156_stream_outer_join",
     // training loops iterate bounded model state driver-side (the
     // IvfIndex seeding discipline): construction executes the per-step
     // distributed aggregations and returns the config-bounded model

@@ -63,6 +63,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("left-outer interval join: stream == batch after watermark sentinels") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+    val mx = events.agg(max(col("ts"))).head.getTimestamp(0)
+    val dir = java.nio.file.Files.createTempDirectory("souter").toString
+    events.write.mode("overwrite").parquet(dir)
+    def src() = spark.readStream.schema(events.schema).parquet(dir)
+    val joined = StreamOps.intervalJoin(
+      src().filter(col("event_type") === "click"),
+      src().filter(col("event_type") === "purchase"),
+      "30 MINUTES", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("souter")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // unmatched-left emission needs the watermark to pass l_ts + horizon
+    // AND a later batch to evict the state — two sentinel batches, each
+    // advancing BOTH sources (q133's mechanism)
+    def sentinel(uid: Long, plusMs: Long): Unit = {
+      Seq((uid, new java.sql.Timestamp(mx.getTime + plusMs), uid, "click"),
+          (uid - 1, new java.sql.Timestamp(mx.getTime + plusMs), uid - 1, "purchase"))
+        .toDF("user_id", "ts", "event_id", "event_type")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    }
+    sentinel(-1L, 315360000000L)
+    sentinel(-3L, 315360001000L)
+    q.stop()
+    val stream = spark.table("souter").filter(col("user_id") >= 0)
+    val batch = StreamOps.intervalJoin(
+      events.filter(col("event_type") === "click"),
+      events.filter(col("event_type") === "purchase"),
+      "30 MINUTES", joinType = "left_outer")
+    assert(canon(stream) == canon(batch))
+    // the outer join emits strictly more than the inner (unmatched clicks)
+    val inner = StreamOps.intervalJoin(
+      events.filter(col("event_type") === "click"),
+      events.filter(col("event_type") === "purchase"), "30 MINUTES")
+    assert(batch.count() > inner.count())
+  }
+
   test("dedup within watermark: stream == batch when dups are in-horizon") {
     val events = Tables.events(spark, sf)
     // duplicate a third of the events with identical (event_id, ts): the
