@@ -24,7 +24,7 @@ object EventQueries {
     q20IntervalOffset, q21TimeOfDay, q22Chunking, q23TumblingWindow,
     q24SlidingWindow, q29AsOfJoin, q63Pivot, q133StreamSessions,
     q138FunnelSteps, q139RetentionCohorts, q151StreamIntervalJoin,
-    q152StreamDedup, q156StreamOuterJoin)
+    q152StreamDedup, q156StreamOuterJoin, q157StreamTumbling)
 
   /** Recency split vs per-user max timestamp (SURVEY §2.2 op 10,
     * assets/takeout.py:70-72): keep events within "-15d" of the user's
@@ -475,6 +475,56 @@ object EventQueries {
     s.read.schema(joined.schema).parquet(outDir)
       .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
+  }
+
+  /** Watermarked tumbling-window aggregation driver-checked END TO END in
+    * APPEND mode — the watermark-gated emission q23's batch twin and the
+    * StreamingSpec complete-mode assertion never exercise: an append-mode
+    * window row emits only once the watermark passes window.end and a
+    * later batch finalizes it. q133's two-sentinel mechanism drains every
+    * real window; counts only (BIGINT) and epoch-us window bounds, so no
+    * float sum or timestamp dtype crosses the oracle boundary (the
+    * streaming sum's addition order differs from batch — integer counts
+    * are order-independent, a raw double sum is not). */
+  val q157StreamTumbling: QueryDef = sql(
+    "q157_stream_tumbling",
+    """SELECT epoch_us(time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP))) AS ws_us,
+      |       epoch_us(time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP))
+      |                + INTERVAL 10 MINUTE) AS we_us,
+      |       event_type, count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2, 3
+      |ORDER BY ws_us, event_type""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamOps
+    val tmp = java.nio.file.Files.createTempDirectory("q157stream").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val ev = Tables.events(s, d)
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+        col("value"))
+    ev.write.parquet(inDir)
+    val mx = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val schema = s.read.parquet(inDir).schema
+    val agg = StreamOps.tumblingAgg(
+        s.readStream.schema(schema).parquet(inDir))
+      .select(unix_micros(col("window_start")).as("ws_us"),
+        unix_micros(col("window_end")).as("we_us"),
+        col("event_type"), col("n"))
+    val q = agg.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    def sentinel(plusMs: Long): Unit = {
+      import s.implicits._
+      Seq((new java.sql.Timestamp(mx.getTime + plusMs), "zz_sentinel", 0.0))
+        .toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    }
+    sentinel(315360000000L) // +10y: watermark passes every real window end
+    sentinel(315360001000L) // batch AT that watermark: finalizes all windows
+    q.stop()
+    s.read.schema(agg.schema).parquet(outDir)
+      .filter(col("ws_us") <= lit(mx.getTime * 1000L))
+      .orderBy(col("ws_us"), col("event_type"))
   }
 
   /** Streaming exact dedup with bounded state, driver-checked END TO END

@@ -74,6 +74,9 @@ class PlanAuditSpec extends SparkSpec {
     // runs a real left-outer stream-stream join (file staging + sentinel
     // batches); stream==batch equivalence pinned in StreamingSpec
     "q156_stream_outer_join",
+    // runs a real append-mode windowed aggregation (file staging +
+    // sentinel batches); stream==batch equivalence pinned in StreamingSpec
+    "q157_stream_tumbling",
     // training loops iterate bounded model state driver-side (the
     // IvfIndex seeding discipline): construction executes the per-step
     // distributed aggregations and returns the config-bounded model
