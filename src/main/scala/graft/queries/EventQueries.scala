@@ -350,20 +350,22 @@ object EventQueries {
     val mx = ev.agg(max(col("ts"))).head.getTimestamp(0)
     val stream = StatefulSessionize.fromEventsFrame(
       s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir))
-    val q = StatefulSessionize.sessionize(stream, gapUs)
-      .writeStream.format("parquet").option("path", outDir)
-      .option("checkpointLocation", ckpt).outputMode("append").start()
-    q.processAllAvailable()
-    def sentinel(uid: Long, plusMs: Long): Unit = {
-      import s.implicits._
-      Seq((uid, new java.sql.Timestamp(mx.getTime + plusMs), -1L))
-        .toDF("user_id", "ts", "event_id")
-        .write.mode("append").parquet(inDir)
+    graft.streaming.StreamOps.withStatePartitions(s, 8) {
+      val q = StatefulSessionize.sessionize(stream, gapUs)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
       q.processAllAvailable()
+      def sentinel(uid: Long, plusMs: Long): Unit = {
+        import s.implicits._
+        Seq((uid, new java.sql.Timestamp(mx.getTime + plusMs), -1L))
+          .toDF("user_id", "ts", "event_id")
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      }
+      sentinel(-1L, 315360000000L) // +10y: watermark passes every real timeout
+      sentinel(-2L, 315360001000L) // data batch AT that watermark: evicts all
+      q.stop()
     }
-    sentinel(-1L, 315360000000L) // +10y: watermark passes every real timeout
-    sentinel(-2L, 315360001000L) // data batch AT that watermark: evicts all
-    q.stop()
     s.read.parquet(outDir)
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
@@ -410,11 +412,13 @@ object EventQueries {
       horizon = "30 MINUTES")
       .select(col("user_id"), col("l_event_id"), col("r_event_id"),
         unix_micros(col("l_ts")).as("l_us"), unix_micros(col("r_ts")).as("r_us"))
-    val q = joined
-      .writeStream.format("parquet").option("path", outDir)
-      .option("checkpointLocation", ckpt).outputMode("append").start()
-    q.processAllAvailable()
-    q.stop()
+    StreamOps.withStatePartitions(s, 8) {
+      val q = joined
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
     // explicit schema: a zero-match run writes no parquet files, and a
     // schema-inferring read would then fail instead of returning 0 rows
     s.read.schema(joined.schema).parquet(outDir)
@@ -457,21 +461,23 @@ object EventQueries {
       horizon = "30 MINUTES", joinType = "left_outer")
       .select(col("user_id"), col("l_event_id"), col("r_event_id"),
         unix_micros(col("l_ts")).as("l_us"), unix_micros(col("r_ts")).as("r_us"))
-    val q = joined
-      .writeStream.format("parquet").option("path", outDir)
-      .option("checkpointLocation", ckpt).outputMode("append").start()
-    q.processAllAvailable()
-    def sentinel(uidBase: Long, plusMs: Long): Unit = {
-      import s.implicits._
-      Seq((uidBase, new java.sql.Timestamp(mx.getTime + plusMs), uidBase, "click"),
-          (uidBase - 1, new java.sql.Timestamp(mx.getTime + plusMs), uidBase - 1, "purchase"))
-        .toDF("user_id", "ts", "event_id", "event_type")
-        .write.mode("append").parquet(inDir)
+    StreamOps.withStatePartitions(s, 8) {
+      val q = joined
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
       q.processAllAvailable()
+      def sentinel(uidBase: Long, plusMs: Long): Unit = {
+        import s.implicits._
+        Seq((uidBase, new java.sql.Timestamp(mx.getTime + plusMs), uidBase, "click"),
+            (uidBase - 1, new java.sql.Timestamp(mx.getTime + plusMs), uidBase - 1, "purchase"))
+          .toDF("user_id", "ts", "event_id", "event_type")
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      }
+      sentinel(-1L, 315360000000L) // +10y: watermark passes every real horizon
+      sentinel(-3L, 315360001000L) // batch AT that watermark: evicts all state
+      q.stop()
     }
-    sentinel(-1L, 315360000000L) // +10y: watermark passes every real horizon
-    sentinel(-3L, 315360001000L) // batch AT that watermark: evicts all state
-    q.stop()
     s.read.schema(joined.schema).parquet(outDir)
       .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
@@ -509,19 +515,21 @@ object EventQueries {
       .select(unix_micros(col("window_start")).as("ws_us"),
         unix_micros(col("window_end")).as("we_us"),
         col("event_type"), col("n"))
-    val q = agg.writeStream.format("parquet").option("path", outDir)
-      .option("checkpointLocation", ckpt).outputMode("append").start()
-    q.processAllAvailable()
-    def sentinel(plusMs: Long): Unit = {
-      import s.implicits._
-      Seq((new java.sql.Timestamp(mx.getTime + plusMs), "zz_sentinel", 0.0))
-        .toDF("ts", "event_type", "value")
-        .write.mode("append").parquet(inDir)
+    StreamOps.withStatePartitions(s, 8) {
+      val q = agg.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
       q.processAllAvailable()
+      def sentinel(plusMs: Long): Unit = {
+        import s.implicits._
+        Seq((new java.sql.Timestamp(mx.getTime + plusMs), "zz_sentinel", 0.0))
+          .toDF("ts", "event_type", "value")
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      }
+      sentinel(315360000000L) // +10y: watermark passes every real window end
+      sentinel(315360001000L) // batch AT that watermark: finalizes all windows
+      q.stop()
     }
-    sentinel(315360000000L) // +10y: watermark passes every real window end
-    sentinel(315360001000L) // batch AT that watermark: finalizes all windows
-    q.stop()
     s.read.schema(agg.schema).parquet(outDir)
       .filter(col("ws_us") <= lit(mx.getTime * 1000L))
       .orderBy(col("ws_us"), col("event_type"))
@@ -555,11 +563,13 @@ object EventQueries {
       s.readStream.schema(schema).parquet(inDir),
       keys = Seq("user_id", "event_id"))
     val out = deduped.select(col("user_id"), col("event_id"))
-    val q = out
-      .writeStream.format("parquet").option("path", outDir)
-      .option("checkpointLocation", ckpt).outputMode("append").start()
-    q.processAllAvailable()
-    q.stop()
+    StreamOps.withStatePartitions(s, 8) {
+      val q = out
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
     s.read.schema(out.schema).parquet(outDir)
       .orderBy(col("user_id"), col("event_id"))
   }

@@ -27,6 +27,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamOps {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the previous value after. A streaming query fixes its
+    * STATE STORE partition count from this setting at start, and every
+    * state partition pays per-micro-batch checkpoint I/O — so a stream's
+    * state partitioning should be sized to its throughput (a handful for
+    * a test-scale replay, hundreds for a production firehose), not
+    * inherited from the engine-wide batch-shuffle default. Batch plans
+    * constructed inside `body` are also affected; keep `body` to the
+    * stream run. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Normalize the event-time column to TIMESTAMP (LTZ). Parquet written
     * by pandas/pyarrow carries `isAdjustedToUTC=false`, which Spark 4
     * infers as TIMESTAMP_NTZ — a type `withWatermark` rejects outright.
