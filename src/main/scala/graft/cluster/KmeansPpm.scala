@@ -49,34 +49,35 @@ object KmeansPpm {
         posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "e")))
       .select(col("vid"), col("j").cast("long").as("j"), i6(col("e")).as("x"))
       .cache()
-    val seedIds = df.select(col(idCol).cast("long").as("vid"))
-      .orderBy(col("vid")).limit(k)
-    // k·dims rows, bounded by config — the IvfIndex-style driver seed
-    var cent: Map[(Long, Long), Long] = qx.join(broadcast(seedIds), "vid")
-      .as[(Long, Long, Long)].collect().sortBy(_._1)
-      .groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex
-      .flatMap { case ((_, rows), ki) =>
-        rows.map { case (_, j, x) => (ki.toLong, j) -> x }
-      }.toMap
-    for (_ <- 1 to iters) {
-      val centDf = cent.toSeq.map { case ((ki, j), c) => (ki, j, c) }
-        .toDF("k", "j", "c")
-      val assign = qx.join(broadcast(centDf), "j")
-        .groupBy(col("vid"), col("k"))
-        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
-        .groupBy(col("vid"))
-        .agg(min(struct(col("d"), col("k"))).as("m"))
-        .select(col("vid"), col("m.k").as("k"))
-      val sums = qx.join(assign, "vid")
-        .groupBy(col("k"), col("j"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).cast("long").as("n"))
-        .select(col("k"), col("j"),
-          call_function("div", col("s"), col("n")).as("c2"))
-        .as[(Long, Long, Long)].collect() // k·dims rows, bounded by config
-        .map { case (ki, j, c2) => (ki, j) -> c2 }.toMap
-      cent = cent.map { case (kj, old) => kj -> sums.getOrElse(kj, old) }
-    }
-    qx.unpersist()
-    cent.toSeq.map { case ((ki, j), c) => (ki, j, c) }.sorted.toDF("k", "j", "c")
+    try {
+      val seedIds = df.select(col(idCol).cast("long").as("vid"))
+        .orderBy(col("vid")).limit(k)
+      // k·dims rows, bounded by config — the IvfIndex-style driver seed
+      var cent: Map[(Long, Long), Long] = qx.join(broadcast(seedIds), "vid")
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex
+        .flatMap { case ((_, rows), ki) =>
+          rows.map { case (_, j, x) => (ki.toLong, j) -> x }
+        }.toMap
+      for (_ <- 1 to iters) {
+        val centDf = cent.toSeq.map { case ((ki, j), c) => (ki, j, c) }
+          .toDF("k", "j", "c")
+        val assign = qx.join(broadcast(centDf), "j")
+          .groupBy(col("vid"), col("k"))
+          .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+          .groupBy(col("vid"))
+          .agg(min(struct(col("d"), col("k"))).as("m"))
+          .select(col("vid"), col("m.k").as("k"))
+        val sums = qx.join(assign, "vid")
+          .groupBy(col("k"), col("j"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).cast("long").as("n"))
+          .select(col("k"), col("j"),
+            call_function("div", col("s"), col("n")).as("c2"))
+          .as[(Long, Long, Long)].collect() // k·dims rows, bounded by config
+          .map { case (ki, j, c2) => (ki, j) -> c2 }.toMap
+        cent = cent.map { case (kj, old) => kj -> sums.getOrElse(kj, old) }
+      }
+      cent.toSeq.map { case ((ki, j), c) => (ki, j, c) }.sorted.toDF("k", "j", "c")
+    } finally qx.unpersist()
   }
 }

@@ -616,8 +616,7 @@ object CurationQueries {
     * truncate-toward-zero `div`). Output: the 64-bucket trained weight
     * vector in ppm. */
   val q153LrTrain: QueryDef = {
-    def dt(a: String, b: String): String =
-      s"CASE WHEN ($a) < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END"
+    def dt(a: String, b: String): String = graft.queries.sqlDivT(a, b)
     def step(i: Int, prev: String): String =
       s"""s$i AS (
          |  SELECT f.doc_id, CAST(sum(f.x * w.w) AS BIGINT) AS z

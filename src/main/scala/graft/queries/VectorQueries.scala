@@ -143,8 +143,7 @@ object VectorQueries {
     * Both iterations unroll as CTE chains; output is the final centroid
     * table in long format. */
   val q154KmeansTrain: QueryDef = {
-    def sdiv(a: String, b: String): String =
-      s"CASE WHEN ($a) < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END"
+    def sdiv(a: String, b: String): String = graft.queries.sqlDivT(a, b)
     def iter(i: Int, prev: String): String =
       s"""a$i AS (
          |  SELECT q.vid, c.k, sum((q.x - c.c) * (q.x - c.c)) AS d

@@ -21,6 +21,15 @@ package object queries {
       .otherwise((signum(scaled) * floor(abs(scaled) + lit(0.5))).cast("double") / lit(p))
   }
 
+  /** DuckDB SQL for integer division TRUNCATING TOWARD ZERO — the
+    * semantics of Spark's `div` (Java long division) and Scala `Long./`.
+    * DuckDB's `//` FLOORS, so every signed oracle division must go
+    * through this wrapper or silently disagree on negative numerators.
+    * One definition; q153/q154 (and future integer-training oracles)
+    * share it. */
+  def sqlDivT(a: String, b: String): String =
+    s"CASE WHEN ($a) < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END"
+
   /** Epoch milliseconds of a parquet `TIMESTAMP_NTZ` column, interpreting the
     * wall-clock as UTC — matches DuckDB `epoch_ms(ts)` on naive timestamps.
     * (Session timezone is pinned to UTC by Verify/Bench/tests.) */

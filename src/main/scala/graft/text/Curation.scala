@@ -388,31 +388,36 @@ object Curation {
       .groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).cast("long").as("x"))
       .cache()
-    val nd = feats.groupBy(col(idCol)).agg(sum(col("x")).cast("long").as("n")).cache()
-    val lab = df.select(col(idCol), when(labelCol, 1L).otherwise(0L).as("y"))
-    val m = df.count()
-    var w: Map[Long, Long] = (0L until buckets.toLong).map(_ -> 0L).toMap
-    for (_ <- 1 to steps) {
-      val wDf = w.toSeq.sortBy(_._1).toDF("b", "w_ppm")
-      val scored = feats.join(broadcast(wDf), "b")
-        .groupBy(col(idCol))
-        .agg(sum(col("x") * col("w_ppm")).cast("long").as("z"))
-        .join(nd, idCol)
-        .select(col(idCol),
-          least(lit(1000000L), greatest(lit(0L),
-            lit(500000L) + divT(divT(col("z"), col("n")), lit(4L)))).as("p"))
-      val err = lab.join(scored, idCol)
-        .select(col(idCol), (col("y") * 1000000L - col("p")).as("err"))
-      val g = feats.join(err, idCol).join(nd, idCol)
-        .groupBy(col("b"))
-        .agg(sum(divT(col("err") * col("x"), col("n"))).cast("long").as("g"))
-        .as[(Long, Long)].collect().toMap // `buckets` rows, bounded by config
-      w = w.map { case (b, wv) =>
-        b -> (wv + lrPpm * (g.getOrElse(b, 0L) / m) / 1000000L)
-      }
-    }
-    feats.unpersist(); nd.unpersist()
-    w.toSeq.sortBy(_._1).toDF("b", "w_ppm")
+    try {
+      val nd = feats.groupBy(col(idCol)).agg(sum(col("x")).cast("long").as("n")).cache()
+      try {
+        val lab = df.select(col(idCol), when(labelCol, 1L).otherwise(0L).as("y"))
+        val m = df.count()
+        var w: Map[Long, Long] = (0L until buckets.toLong).map(_ -> 0L).toMap
+        // empty corpus: every gradient is an empty sum, so w stays zero —
+        // skip the loop instead of dividing by m = 0
+        for (_ <- 1 to steps; if m > 0) {
+          val wDf = w.toSeq.sortBy(_._1).toDF("b", "w_ppm")
+          val scored = feats.join(broadcast(wDf), "b")
+            .groupBy(col(idCol))
+            .agg(sum(col("x") * col("w_ppm")).cast("long").as("z"))
+            .join(nd, idCol)
+            .select(col(idCol),
+              least(lit(1000000L), greatest(lit(0L),
+                lit(500000L) + divT(divT(col("z"), col("n")), lit(4L)))).as("p"))
+          val err = lab.join(scored, idCol)
+            .select(col(idCol), (col("y") * 1000000L - col("p")).as("err"))
+          val g = feats.join(err, idCol).join(nd, idCol)
+            .groupBy(col("b"))
+            .agg(sum(divT(col("err") * col("x"), col("n"))).cast("long").as("g"))
+            .as[(Long, Long)].collect().toMap // `buckets` rows, bounded by config
+          w = w.map { case (b, wv) =>
+            b -> (wv + lrPpm * (g.getOrElse(b, 0L) / m) / 1000000L)
+          }
+        }
+        w.toSeq.sortBy(_._1).toDF("b", "w_ppm")
+      } finally nd.unpersist()
+    } finally feats.unpersist()
   }
 
   /** Iterative BPE tokenizer TRAINING (Sennrich et al., arXiv:1508.07909)
@@ -447,32 +452,43 @@ object Curation {
       .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("f"))
     var st = words.select(col("f"),
       concat_ws(" ", split(col("tok"), "")).as("s")).cache()
-    val rules = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
-    for (i <- 1 to merges) {
-      val (a, b, cnt) = st
-        .withColumn("syms", split(col("s"), " "))
-        .filter(size(col("syms")) >= 2)
-        .select(col("f"), explode(expr(
-          "transform(sequence(0, size(syms) - 2), " +
-            "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("f")).cast("long").as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        .as[(String, String, Long)].head() // 1 row — the merge rule
-      rules += ((i.toLong, a + b, a, b, cnt))
-      val next = st.select(col("f"),
-        trim(regexp_replace(
-          replace(concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
-            concat(lit(" "), lit(a), lit("  "), lit(b), lit(" ")),
-            concat(lit(" "), lit(a + b), lit(" "))),
-          lit(" +"), lit(" "))).as("s"))
-        .cache()
-      next.count() // materialize before dropping the parent cache
-      st.unpersist()
-      st = next
-    }
-    st.unpersist()
-    rules.toSeq.toDF("step", "merged", "l_sym", "r_sym", "cnt")
+    try {
+      val rules = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+      var exhausted = false
+      for (i <- 1 to merges; if !exhausted) {
+        // headOption: a corpus can run out of adjacent pairs before
+        // `merges` iterations (every word a single symbol) — stop with the
+        // rules learned so far, exactly like the oracle's empty-b$i CTEs
+        // (an empty best rule empties the state, so later steps find no
+        // pairs either and contribute no rule rows)
+        st.withColumn("syms", split(col("s"), " "))
+          .filter(size(col("syms")) >= 2)
+          .select(col("f"), explode(expr(
+            "transform(sequence(0, size(syms) - 2), " +
+              "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("f")).cast("long").as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .as[(String, String, Long)].collect().headOption match {
+          case None => exhausted = true
+          case Some((a, b, cnt)) =>
+            rules += ((i.toLong, a + b, a, b, cnt))
+            if (i < merges) { // the post-last-merge state is never read
+              val next = st.select(col("f"),
+                trim(regexp_replace(
+                  replace(concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
+                    concat(lit(" "), lit(a), lit("  "), lit(b), lit(" ")),
+                    concat(lit(" "), lit(a + b), lit(" "))),
+                  lit(" +"), lit(" "))).as("s"))
+                .cache()
+              next.count() // materialize before dropping the parent cache
+              st.unpersist()
+              st = next
+            }
+        }
+      }
+      rules.toSeq.toDF("step", "merged", "l_sym", "r_sym", "cnt")
+    } finally st.unpersist()
   }
 
   /** Sequential quality-filter funnel with first-failing-rule attribution

@@ -23,8 +23,11 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
-  private def canon(df: DataFrame): Set[String] =
-    df.collect().map(_.toString).toSet
+  // multiset, not set: join outputs can legitimately contain duplicate
+  // rows, and a multiplicity bug in a streaming emission path must not
+  // hide behind set semantics
+  private def canon(df: DataFrame): Map[String, Int] =
+    df.collect().map(_.toString).groupBy(identity).map { case (k, v) => k -> v.length }
 
   test("tumbling window: stream == batch") {
     val events = Tables.events(spark, sf)
