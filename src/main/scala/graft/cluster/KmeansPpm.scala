@@ -50,8 +50,11 @@ object KmeansPpm {
       .select(col("vid"), col("j").cast("long").as("j"), i6(col("e")).as("x"))
       .cache()
     try {
+      // DISTINCT before the limit: the q154 oracle seeds over DISTINCT vid,
+      // and duplicate input ids would otherwise yield fewer distinct seed
+      // vectors here than there (ADVICE r10)
       val seedIds = df.select(col(idCol).cast("long").as("vid"))
-        .orderBy(col("vid")).limit(k)
+        .distinct().orderBy(col("vid")).limit(k)
       // k·dims rows, bounded by config — the IvfIndex-style driver seed
       var cent: Map[(Long, Long), Long] = qx.join(broadcast(seedIds), "vid")
         .as[(Long, Long, Long)].collect()

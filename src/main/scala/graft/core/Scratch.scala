@@ -47,4 +47,23 @@ object Scratch {
     * query has not run in this process — matches the driver's compare sf). */
   def lastDir(query: String): String =
     path(query, lastSf.getOrDefault(query, "sf0.01"))
+
+  /** Per-run WORKING temp dir (stream in/out/checkpoint trees — never read
+    * by an oracle), recursively deleted at JVM shutdown so repeated bench
+    * reps / verify sweeps in one process cannot accumulate stray /tmp
+    * trees once the process exits. Oracle-read intermediates must use
+    * [[dir]] instead: they are read by a DuckDB process that outlives this
+    * JVM. */
+  def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
 }

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{cosine_similarity, simhash64}
 
@@ -12,9 +13,84 @@ import graft.functions.{cosine_similarity, simhash64}
   * algorithm reduces to (1) per-row signature computation (codegen'd column
   * expressions), (2) a groupBy/equi-join on a bucket key, (3) exact
   * verification only within buckets. The only shuffles are on signature
-  * keys; skewed buckets (boilerplate text) are handled by AQE skew splits.
+  * keys. Skew has TWO layers of defense: AQE skew splits repartition an
+  * oversized shuffle partition (a physical fix), and [[capBucketMembers]]
+  * bounds the MEMBER COUNT of any single bucket (an algorithmic fix) —
+  * without the latter, a boilerplate-heavy corpus putting B near-identical
+  * docs into one band bucket emits B² candidate pairs no matter how AQE
+  * splits the partitions.
   */
 object Dedup {
+
+  /** Default per-bucket member cap for every LSH/banded candidate
+    * generator. 4096 members → ≤ ~8.4M intra-bucket pairs, the same
+    * executor-memory rationale as `LocalCluster.MaxGroupRows`; the
+    * synthetic corpora (and any non-degenerate real bucket) sit orders of
+    * magnitude below it, so results are exact unless a bucket is
+    * genuinely pathological. */
+  val DefaultBucketCap: Int = 4096
+
+  /** Hybrid per-bucket cap — the guard that keeps one degenerate LSH
+    * bucket (B near-identical members → B² candidate pairs) from going
+    * quadratic regardless of AQE partition splitting.
+    *
+    * Members of each bucket (the group of `bucketCols`) are ranked by
+    * (xxhash64(`idCol`), `idCol`) — hash-ordered, so the split is not
+    * biased toward low ids and is identical across runs for the same id
+    * set. The first `cap` members return in `kept` and flow into the
+    * caller's standard intra-bucket self-join (≤ cap² pairs per bucket,
+    * EXACT semantics for every bucket at or below the cap); every member
+    * BEYOND the cap returns in `star` as ONE pair with the bucket's
+    * rank-1 representative (ids normalized `id_a < id_b`; the payload
+    * structs `pay_a`/`pay_b` swap to match), so an oversized bucket costs
+    * O(B) star pairs instead of B². Because same-bucket members share the
+    * band signature by construction, a boilerplate bucket of identical
+    * docs still verifies member-by-member against the representative and
+    * collapses to ONE canonical cluster — nothing is dropped, only
+    * non-representative pairings among the tail are skipped (pairs the
+    * verification stage would mostly confirm as copies of the kept ones).
+    *
+    * NEVER silent: the shared ranked frame carries a `Dataset.observe`
+    * counter `metricName` with `demoted_members` (members moved from
+    * all-pairs to star linkage) and `max_bucket_members` (the pre-cap
+    * maximum), harvestable via [[graft.operators.ObservedMetrics]]. The
+    * ranked frame is cached (kept is self-joined by every caller), so the
+    * counter fires once per materialization.
+    *
+    * @return (kept, star): kept = (`bucketCols`*, `idCol`, `payloadCols`*);
+    *         star = (`bucketCols`*, id_a, id_b, pay_a, pay_b) with
+    *         pay_a/pay_b structs of `payloadCols` (a dummy field when
+    *         empty — callers select only the ids). */
+  def capBucketsStar(df: DataFrame, bucketCols: Seq[String], idCol: String,
+      payloadCols: Seq[String], cap: Int, metricName: String)
+      : (DataFrame, DataFrame) = {
+    require(cap > 0, s"bucket cap must be positive, got $cap")
+    val pay = if (payloadCols.nonEmpty) struct(payloadCols.map(col): _*)
+              else struct(lit(0L).as("__none"))
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+      .orderBy(xxhash64(col("__id")), col("__id"))
+    val ranked = df
+      .select(bucketCols.map(col) ++ Seq(col(idCol).as("__id"), pay.as("__pay")): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rep_id", first(col("__id")).over(w))
+      .withColumn("__rep_pay", first(col("__pay")).over(w))
+      .observe(metricName,
+        sum(when(col("__rn") > cap, 1L).otherwise(0L)).as("demoted_members"),
+        max(col("__rn")).as("max_bucket_members"))
+      .cache()
+    val kept = ranked.filter(col("__rn") <= cap)
+      .select(bucketCols.map(col) ++ Seq(col("__id").as(idCol)) ++
+        payloadCols.map(p => col(s"__pay.$p").as(p)): _*)
+    val star = ranked.filter(col("__rn") > cap)
+      .select(bucketCols.map(col) ++ Seq(
+        least(col("__id"), col("__rep_id")).as("id_a"),
+        greatest(col("__id"), col("__rep_id")).as("id_b"),
+        when(col("__id") < col("__rep_id"), col("__pay"))
+          .otherwise(col("__rep_pay")).as("pay_a"),
+        when(col("__id") < col("__rep_id"), col("__rep_pay"))
+          .otherwise(col("__pay")).as("pay_b")): _*)
+    (kept, star)
+  }
 
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
@@ -53,8 +129,10 @@ object Dedup {
     * exact-Jaccard verification — token arrays never travel through the
     * band explode or the join. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame =
-    jaccardVerify(minhashLshCandidates(df, idCol, textCol, bands, rowsPerBand),
+      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.5,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    jaccardVerify(
+      minhashLshCandidates(df, idCol, textCol, bands, rowsPerBand, bucketCap),
       df, idCol, textCol, threshold)
 
   /** The bucketing half of [[minhashLsh]]: distinct (id_a, id_b) pairs
@@ -63,26 +141,29 @@ object Dedup {
     * the engine-pinned xxhash64 band hashing (q97 writes these pairs to a
     * scratch table both engines read). */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 2,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val nSig = bands * rowsPerBand
     // all nSig salted minima in ONE pass over the token array (single
     // expression — the per-salt HOF formulation was ~10s at sf0.1)
     val sigs = df.select(col(idCol).as("id"),
         graft.functions.minhash_signature(tokens(col(textCol)), nSig).as("sig"))
       .filter(size(col("sig")) > 0)
-    val banded = sigs.select(col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1))): _*).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .cache()
-    banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+    val (kept, star) = capBucketsStar(
+      sigs.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), b * rowsPerBand + r + 1))): _*).as("bucket"))
+        }: _*)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
+      Seq("band", "bucket"), "id", Nil, bucketCap, "minhash_bucket_cap")
+    kept.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(kept.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_b") > col("id_a"))
       .select(col("id_a"), col("id_b"))
+      .unionByName(star.select(col("id_a"), col("id_b")))
       .distinct()
   }
 
@@ -107,25 +188,30 @@ object Dedup {
     * ≤ 3 necessarily collides on some chunk — pigeonhole); exact hamming
     * check within buckets. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame =
-    hammingVerify(simhashCandidates(df, idCol, textCol), maxHamming)
+      maxHamming: Int = 3, bucketCap: Int = DefaultBucketCap): DataFrame =
+    hammingVerify(simhashCandidates(df, idCol, textCol, bucketCap), maxHamming)
 
   /** The bucketing half of [[simhashNearDup]]: distinct candidate pairs
     * carrying both fingerprints, so the hamming verification can be
     * value-checked from a scratch table (q98) without DuckDB re-deriving
     * the engine-pinned FNV-1a64 fingerprints. */
-  def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val fp = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("fp"))
-    val chunked = fp.select(col("id"), col("fp"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("chunk"),
-          shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("ck"))
-      .select(col("id"), col("fp"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    val a = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("fp").as("fp_b"))
+    val (kept, star) = capBucketsStar(
+      fp.select(col("id"), col("fp"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("chunk"),
+            shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("ck"))
+        .select(col("id"), col("fp"), col("ck.chunk").as("chunk"), col("ck.key").as("key")),
+      Seq("chunk", "key"), "id", Seq("fp"), bucketCap, "simhash_bucket_cap")
+    val a = kept.select(col("chunk"), col("key"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = kept.select(col("chunk"), col("key"), col("id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("chunk", "key"))
       .filter(col("id_b") > col("id_a"))
       .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
+      .unionByName(star.select(col("id_a"), col("id_b"),
+        col("pay_a.fp").as("fp_a"), col("pay_b.fp").as("fp_b")))
       .distinct()
   }
 
@@ -188,8 +274,10 @@ object Dedup {
   /** MinHash-LSH near-dup end to end at cluster granularity:
     * [[minhashLshCandidates]] → [[jaccardVerify]] → [[canonicalize]]. */
   def nearDupCanonical(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame =
-    canonicalize(minhashLsh(df, idCol, textCol, bands, rowsPerBand, threshold),
+      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.5,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    canonicalize(
+      minhashLsh(df, idCol, textCol, bands, rowsPerBand, threshold, bucketCap),
       df, idCol)
 
   /** Embedding cosine near-dup within coarse buckets (IVF-style): only
@@ -204,12 +292,18 @@ object Dedup {
     * fragile zone from "within 1 ulp of the threshold" to "within 1 ulp
     * of a 0.5e-9 rounding boundary". */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      bucketCol: String, threshold: Double): DataFrame = {
-    val v = df.select(col(bucketCol).as("bucket"), col(idCol).as("id"), col(vecCol).as("vec"))
-    val a = v.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = v.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+      bucketCol: String, threshold: Double,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val (kept, star) = capBucketsStar(
+      df.select(col(bucketCol).as("bucket"), col(idCol).as("id"), col(vecCol).as("vec")),
+      Seq("bucket"), "id", Seq("vec"), bucketCap, "embedding_bucket_cap")
+    val a = kept.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = kept.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+      .unionByName(star.select(col("id_a"), col("id_b"),
+        col("pay_a.vec").as("vec_a"), col("pay_b.vec").as("vec_b")))
       .select(col("id_a"), col("id_b"),
         cosine_similarity(col("vec_a"), col("vec_b")).as("sim"))
       .filter(graft.queries.oround(col("sim"), 9) >= threshold)

@@ -9,13 +9,16 @@ import org.apache.spark.sql.types._
   * operators shaped for batch execution.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape) is real.
-  * Behind the `MediaCodec` seam there are two implementations: a REAL
-  * pure-JVM image header decoder ([[ImageHeaderCodec]], javax.imageio —
-  * value-checked against a committed PNG/GIF/BMP fixture in q60) and a
-  * deterministic fake ([[StubCodec]]) standing in for the full pixel/
-  * audio/video decode, whose libraries are not in this container (at
-  * cluster scale that decode is a vectorized native/Python stage anyway).
-  * Swapping codecs changes ONE implementation, no plan shapes.
+  * Behind the `MediaCodec` seam there are three implementations: a REAL
+  * byte-level pixel decoder ([[PixelCodec]] over [[ImageDecode]] — a
+  * hand-rolled PNG chunk-walk/inflate/unfilter + BMP + PPM reader,
+  * value-checked end-to-end by q158's channel-sum oracle), a pure-JVM
+  * image HEADER decoder ([[ImageHeaderCodec]], javax.imageio — the cheap
+  * metadata pass, value-checked in q60), and a deterministic fake
+  * ([[StubCodec]]) standing in for audio/video decode, whose libraries
+  * are not in this container (at cluster scale that decode is a
+  * vectorized native/Python stage anyway). Swapping codecs changes ONE
+  * implementation, no plan shapes.
   *
   * Scale notes: media blobs dominate row size — operators repartition by
   * blob-count (not bytes-naive) before decode so a partition holds a
@@ -59,6 +62,29 @@ object Multimodal {
         i += 1
       }
       out
+    }
+  }
+
+  /** Real PIXEL codec: full byte-level decode via [[ImageDecode]]
+    * (PNG/BMP/PPM, pure JVM). features = [width, height, channels,
+    * sum_c0, sum_c1, sum_c2] where sum_cN is the EXACT per-channel sum of
+    * unsigned pixel bytes — an integer, order-independent statistic a SQL
+    * oracle can replay (float32 holds it exactly below 2^24, i.e. images
+    * up to ~65k RGB pixels; beyond that use a wider feature type).
+    * Channels absent from the raster (gray) report 0; non-images and
+    * undecodable blobs degrade to [-1, -1, 0, 0, 0, 0] rather than
+    * failing the batch. */
+  final class PixelCodec extends MediaCodec {
+    override def features(kind: String, format: String, bytes: Array[Byte]): Array[Float] = {
+      val bad = Array(-1f, -1f, 0f, 0f, 0f, 0f)
+      if (kind != "image") return bad
+      ImageDecode.decode(bytes) match {
+        case Some(d) =>
+          def s(c: Int): Float = if (c < d.channels) d.channelSum(c).toFloat else 0f
+          Array(d.width.toFloat, d.height.toFloat, d.channels.toFloat,
+            s(0), s(1), s(2))
+        case None => bad
+      }
     }
   }
 

@@ -76,6 +76,11 @@ object SessionOps {
     * candidate in or out — the [[similarityGraph]] rationale.
     */
   def candidatePairs(sessions: DataFrame, thresholds: DataFrame, maxGapS: Long = 86400L): DataFrame = {
+    // the ppb-grid compare below multiplies gap_s (≤ maxGapS) by 1e9; past
+    // this bound the product overflows Long and silently flips the filter
+    require(maxGapS <= Long.MaxValue / 1000000000L,
+      s"maxGapS=$maxGapS overflows the 1e-9-grid gap compare " +
+        s"(max ${Long.MaxValue / 1000000000L}s ≈ 292 years)")
     val a = sessions.select(
       col("user_id"), col("id").as("a_id"), col("date").as("a_date"),
       col("start_s").as("a_start_s"), col("end_s").as("a_end_s"),
@@ -161,7 +166,8 @@ object SessionOps {
     * retain; an oversized user's edge set is approximate only in that an
     * LSH miss can replace a parent's argmax with its best candidate. */
   def similarityGraph(sessions: DataFrame, thresholds: DataFrame,
-      exactUserLimit: Long = 5000L, nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
+      exactUserLimit: Long = 5000L, nPlanes: Int = 6, nTables: Int = 8,
+      bucketCap: Int = graft.dedup.Dedup.DefaultBucketCap): DataFrame = {
     val a = sessions.select(
       col("user_id"), col("id").as("parent_id"), col("date").as("a_date"),
       col("end_s").as("a_end_s"), col("embedding").as("a_emb"))
@@ -191,10 +197,44 @@ object SessionOps {
     def buckets(vec: Column): Column = explode(array((0 until nTables).map(t =>
       struct(lit(t).as("t"),
         graft.functions.hyperplane_lsh(vec, 4096, nPlanes, t.toLong).as("b"))): _*))
-    val prunedPairs = big(a).withColumn("tb", buckets(col("a_emb")))
-      .join(big(b).withColumn("tb", buckets(col("b_emb"))), Seq("user_id", "tb"))
+    // One bucketed frame (buckets computed once per session, not once per
+    // join side), capped per (user, table, bucket) via the hybrid star cap
+    // (Dedup.capBucketsStar): a hot user whose sessions are near-identical
+    // would otherwise put B of them into one hyperplane bucket and emit B²
+    // candidates — the exact quadratic the pruned branch exists to avoid.
+    // Members beyond the cap link to the bucket's representative (both
+    // temporal orientations, O(B) pairs), so every session still reaches
+    // the exact-cosine rank; the kept set keeps the all-pairs semantics.
+    val (kept, star) = graft.dedup.Dedup.capBucketsStar(
+      big(sessions.select(col("user_id"), col("id"), col("date"),
+          col("start_s"), col("end_s"), col("embedding")))
+        .withColumn("tb", buckets(col("embedding"))),
+      Seq("user_id", "tb"), "id",
+      Seq("date", "start_s", "end_s", "embedding"), bucketCap,
+      "simgraph_bucket_cap")
+    val pa = kept.select(col("user_id"), col("tb"),
+      col("id").as("parent_id"), col("date").as("a_date"),
+      col("end_s").as("a_end_s"), col("embedding").as("a_emb"))
+    val pb = kept.select(col("user_id"), col("tb"),
+      col("id").as("child_id"), col("date").as("b_date"),
+      col("start_s").as("b_start_s"), col("embedding").as("b_emb"))
+    val keptPairs = pa.join(pb, Seq("user_id", "tb"))
       .filter(col("parent_id") =!= col("child_id") && ordering)
       .select(pairCols: _*)
+    def orient(par: Column, parPay: Column, chi: Column, chiPay: Column) =
+      star.select(col("user_id"),
+        par.as("parent_id"), chi.as("child_id"),
+        parPay.getField("date").as("a_date"),
+        parPay.getField("end_s").as("a_end_s"),
+        parPay.getField("embedding").as("a_emb"),
+        chiPay.getField("date").as("b_date"),
+        chiPay.getField("start_s").as("b_start_s"),
+        chiPay.getField("embedding").as("b_emb"))
+    val starPairs = orient(col("id_a"), col("pay_a"), col("id_b"), col("pay_b"))
+      .unionByName(orient(col("id_b"), col("pay_b"), col("id_a"), col("pay_a")))
+      .filter(ordering)
+      .select(pairCols: _*)
+    val prunedPairs = keptPairs.unionByName(starPairs)
     // rank-1 per parent as a partial-aggregatable max(struct) instead of a
     // row_number window — map-side combine shrinks the O(pairs) shuffle to
     // one row per parent (and absorbs duplicate candidates from multiple

@@ -342,15 +342,16 @@ object EventQueries {
       |ORDER BY user_id, start_us""".stripMargin) { (s, d) =>
     import graft.streaming.StatefulSessionize
     val gapUs = 30L * 60 * 1000000
-    val tmp = java.nio.file.Files.createTempDirectory("q133stream").toString
+    val tmp = graft.core.Scratch.tempDir("q133stream")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
     ev.write.parquet(inDir)
     val mx = ev.agg(max(col("ts"))).head.getTimestamp(0)
-    val stream = StatefulSessionize.fromEventsFrame(
-      s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir))
-    graft.streaming.StreamOps.withStatePartitions(s, 8) {
+    val schema = s.read.parquet(inDir).schema
+    graft.streaming.StreamOps.withStatePartitions(s, 8) { ss =>
+      val stream = StatefulSessionize.fromEventsFrame(
+        ss.readStream.schema(schema).parquet(inDir))
       val q = StatefulSessionize.sessionize(stream, gapUs)
         .writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", ckpt).outputMode("append").start()
@@ -398,22 +399,24 @@ object EventQueries {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |ORDER BY c.user_id, l_event_id, r_event_id""".stripMargin) { (s, d) =>
     import graft.streaming.StreamOps
-    val tmp = java.nio.file.Files.createTempDirectory("q151stream").toString
+    val tmp = graft.core.Scratch.tempDir("q151stream")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
         col("event_id"), col("event_type"))
     ev.write.parquet(inDir)
     val schema = s.read.parquet(inDir).schema
-    def src() = s.readStream.schema(schema).parquet(inDir)
-    val joined = StreamOps.intervalJoin(
-      src().filter(col("event_type") === "click"),
-      src().filter(col("event_type") === "purchase"),
-      horizon = "30 MINUTES")
-      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
-        unix_micros(col("l_ts")).as("l_us"), unix_micros(col("r_ts")).as("r_us"))
-    StreamOps.withStatePartitions(s, 8) {
-      val q = joined
+    def joinedOn(sess: org.apache.spark.sql.SparkSession) = {
+      def src() = sess.readStream.schema(schema).parquet(inDir)
+      StreamOps.intervalJoin(
+        src().filter(col("event_type") === "click"),
+        src().filter(col("event_type") === "purchase"),
+        horizon = "30 MINUTES")
+        .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+          unix_micros(col("l_ts")).as("l_us"), unix_micros(col("r_ts")).as("r_us"))
+    }
+    StreamOps.withStatePartitions(s, 8) { ss =>
+      val q = joinedOn(ss)
         .writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", ckpt).outputMode("append").start()
       q.processAllAvailable()
@@ -421,7 +424,7 @@ object EventQueries {
     }
     // explicit schema: a zero-match run writes no parquet files, and a
     // schema-inferring read would then fail instead of returning 0 rows
-    s.read.schema(joined.schema).parquet(outDir)
+    s.read.schema(joinedOn(s).schema).parquet(outDir)
       .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
   }
 
@@ -446,7 +449,7 @@ object EventQueries {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |ORDER BY c.user_id, l_event_id, r_event_id""".stripMargin) { (s, d) =>
     import graft.streaming.StreamOps
-    val tmp = java.nio.file.Files.createTempDirectory("q156stream").toString
+    val tmp = graft.core.Scratch.tempDir("q156stream")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
@@ -454,15 +457,17 @@ object EventQueries {
     ev.write.parquet(inDir)
     val mx = ev.agg(max(col("ts"))).head.getTimestamp(0)
     val schema = s.read.parquet(inDir).schema
-    def src() = s.readStream.schema(schema).parquet(inDir)
-    val joined = StreamOps.intervalJoin(
-      src().filter(col("event_type") === "click"),
-      src().filter(col("event_type") === "purchase"),
-      horizon = "30 MINUTES", joinType = "left_outer")
-      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
-        unix_micros(col("l_ts")).as("l_us"), unix_micros(col("r_ts")).as("r_us"))
-    StreamOps.withStatePartitions(s, 8) {
-      val q = joined
+    def joinedOn(sess: org.apache.spark.sql.SparkSession) = {
+      def src() = sess.readStream.schema(schema).parquet(inDir)
+      StreamOps.intervalJoin(
+        src().filter(col("event_type") === "click"),
+        src().filter(col("event_type") === "purchase"),
+        horizon = "30 MINUTES", joinType = "left_outer")
+        .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+          unix_micros(col("l_ts")).as("l_us"), unix_micros(col("r_ts")).as("r_us"))
+    }
+    StreamOps.withStatePartitions(s, 8) { ss =>
+      val q = joinedOn(ss)
         .writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", ckpt).outputMode("append").start()
       q.processAllAvailable()
@@ -478,7 +483,7 @@ object EventQueries {
       sentinel(-3L, 315360001000L) // batch AT that watermark: evicts all state
       q.stop()
     }
-    s.read.schema(joined.schema).parquet(outDir)
+    s.read.schema(joinedOn(s).schema).parquet(outDir)
       .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
   }
@@ -502,7 +507,7 @@ object EventQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY ws_us, event_type""".stripMargin) { (s, d) =>
     import graft.streaming.StreamOps
-    val tmp = java.nio.file.Files.createTempDirectory("q157stream").toString
+    val tmp = graft.core.Scratch.tempDir("q157stream")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val ev = Tables.events(s, d)
       .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
@@ -510,13 +515,13 @@ object EventQueries {
     ev.write.parquet(inDir)
     val mx = ev.agg(max(col("ts"))).head.getTimestamp(0)
     val schema = s.read.parquet(inDir).schema
-    val agg = StreamOps.tumblingAgg(
-        s.readStream.schema(schema).parquet(inDir))
+    def aggOn(sess: org.apache.spark.sql.SparkSession) = StreamOps.tumblingAgg(
+        sess.readStream.schema(schema).parquet(inDir))
       .select(unix_micros(col("window_start")).as("ws_us"),
         unix_micros(col("window_end")).as("we_us"),
         col("event_type"), col("n"))
-    StreamOps.withStatePartitions(s, 8) {
-      val q = agg.writeStream.format("parquet").option("path", outDir)
+    StreamOps.withStatePartitions(s, 8) { ss =>
+      val q = aggOn(ss).writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", ckpt).outputMode("append").start()
       q.processAllAvailable()
       def sentinel(plusMs: Long): Unit = {
@@ -530,7 +535,7 @@ object EventQueries {
       sentinel(315360001000L) // batch AT that watermark: finalizes all windows
       q.stop()
     }
-    s.read.schema(agg.schema).parquet(outDir)
+    s.read.schema(aggOn(s).schema).parquet(outDir)
       .filter(col("ws_us") <= lit(mx.getTime * 1000L))
       .orderBy(col("ws_us"), col("event_type"))
   }
@@ -553,24 +558,25 @@ object EventQueries {
     """SELECT DISTINCT user_id, event_id FROM events
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
     import graft.streaming.StreamOps
-    val tmp = java.nio.file.Files.createTempDirectory("q152stream").toString
+    val tmp = graft.core.Scratch.tempDir("q152stream")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
     ev.unionAll(ev).write.parquet(inDir)
     val schema = s.read.parquet(inDir).schema
-    val deduped = StreamOps.dedupWithinWatermark(
-      s.readStream.schema(schema).parquet(inDir),
-      keys = Seq("user_id", "event_id"))
-    val out = deduped.select(col("user_id"), col("event_id"))
-    StreamOps.withStatePartitions(s, 8) {
-      val q = out
+    def outOn(sess: org.apache.spark.sql.SparkSession) =
+      StreamOps.dedupWithinWatermark(
+        sess.readStream.schema(schema).parquet(inDir),
+        keys = Seq("user_id", "event_id"))
+      .select(col("user_id"), col("event_id"))
+    StreamOps.withStatePartitions(s, 8) { ss =>
+      val q = outOn(ss)
         .writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", ckpt).outputMode("append").start()
       q.processAllAvailable()
       q.stop()
     }
-    s.read.schema(out.schema).parquet(outDir)
+    s.read.schema(outOn(s).schema).parquet(outDir)
       .orderBy(col("user_id"), col("event_id"))
   }
 

@@ -302,8 +302,10 @@ object RelationalQueries {
     * mechanism, applied here to q62's own surface: p10/p50/p90 percentile
     * sketches and the three cardinality sketches). Exact counterparts ride
     * along as hash-checked columns; each `*_within` flag asserts
-    * |estimate − exact| inside the documented bound (HLL++ rsd 0.05 → 15%
-    * ≈ 3σ; approx_percentile accuracy 10000 → rank error ≪ the bracketing
+    * |estimate − exact| inside the documented bound (HLL++ rsd 0.05 → 25%
+    * = 5σ, wide enough that near-boundary estimator drift in a future
+    * Spark/datagen cannot fail the hash compare on an accuracy fluke
+    * (ADVICE r10) while a broken sketch still trips it; approx_percentile accuracy 10000 → rank error ≪ the bracketing
     * exact-percentile window), and DuckDB replays the exact side pinning
     * every flag at 1.
     * Scale: sketches are THE 100 TB cardinality/quantile answer — fixed
@@ -319,7 +321,7 @@ object RelationalQueries {
       |FROM lineitem""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
     def within(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
-      (abs(est - exact) <= exact * 0.15).cast("int")
+      (abs(est - exact) <= exact * 0.25).cast("int")
     val parts = li.agg(countDistinct(col("l_partkey")).as("n_parts"),
       approx_count_distinct(col("l_partkey")).as("ap"))
     val supps = li.agg(countDistinct(col("l_suppkey")).as("n_supps"),
@@ -349,7 +351,7 @@ object RelationalQueries {
   /** q62's oracle companion (VERDICT r6 item 3): sketch ESTIMATES can't
     * hash-match an exact engine, but their error BOUNDS can — each
     * `*_within` flag asserts |estimate − exact| inside the bound Spark
-    * documents for the sketch (HLL++ rsd 0.05 → 15% ≈ 3σ; approx_percentile
+    * documents for the sketch (HLL++ rsd 0.05 → 25% = 5σ; approx_percentile
     * accuracy 10000 → rank error ≪ the ±p10 value window), computed
     * Spark-side against Spark's own EXACT aggregates, while DuckDB replays
     * the exact aggregates and pins every flag at 1. A sketch breaking its
@@ -377,7 +379,7 @@ object RelationalQueries {
       |FROM lineitem""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
     def within(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
-      (abs(est - exact) <= exact * 0.15).cast("int")
+      (abs(est - exact) <= exact * 0.25).cast("int")
     val parts = li.agg(countDistinct(col("l_partkey")).as("n_parts"),
       approx_count_distinct(col("l_partkey")).as("ap"))
     val supps = li.agg(countDistinct(col("l_suppkey")).as("n_supps"),

@@ -164,10 +164,12 @@ object VectorQueries {
     sql(
       "q154_kmeans_train",
       s"""WITH qx AS (
-         |  SELECT vec_id AS vid, CAST(i AS BIGINT) AS j,
-         |         CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
-         |                    * 1000000) AS BIGINT) AS x
-         |  FROM embeddings CROSS JOIN range(64) t(i)),
+         |  SELECT vid, CAST(i - 1 AS BIGINT) AS j,
+         |         CAST(round(e * 1000000) AS BIGINT) AS x
+         |  FROM (SELECT vec_id AS vid,
+         |               unnest(CAST(embedding AS DOUBLE[])) AS e,
+         |               generate_subscripts(embedding, 1) AS i
+         |        FROM embeddings)),
          |seeds AS (
          |  SELECT vid, rn - 1 AS k FROM (
          |    SELECT vid, row_number() OVER (ORDER BY vid) AS rn

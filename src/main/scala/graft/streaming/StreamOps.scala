@@ -27,20 +27,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamOps {
 
-  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
-    * `n`, restoring the previous value after. A streaming query fixes its
+  /** Run `body` against a CLONED session (`spark.newSession()` — same
+    * SparkContext and catalog, separate SQL conf) whose
+    * `spark.sql.shuffle.partitions` is `n`. A streaming query fixes its
     * STATE STORE partition count from this setting at start, and every
     * state partition pays per-micro-batch checkpoint I/O — so a stream's
     * state partitioning should be sized to its throughput (a handful for
     * a test-scale replay, hundreds for a production firehose), not
-    * inherited from the engine-wide batch-shuffle default. Batch plans
-    * constructed inside `body` are also affected; keep `body` to the
-    * stream run. */
-  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+    * inherited from the engine-wide batch-shuffle default. The clone
+    * isolates the override: anything running concurrently on the parent
+    * session (parallel suites, bench reps) keeps the engine-wide setting,
+    * and there is no save/restore to race. `body` must build its stream
+    * FROM the session it receives — a frame built on the parent session
+    * would silently keep the parent's partitioning. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: SparkSession => T): T = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(ss)
   }
 
   /** Normalize the event-time column to TIMESTAMP (LTZ). Parquet written

@@ -201,6 +201,39 @@ object ScaleSmoke {
         require(agree >= 0.9,
           f"LSH similarity-graph recall $agree%.4f below the 0.9 smoke floor")
       }
+      time("minhash_hot_bucket_cap", k) {
+        // Degenerate-corpus pressure (VERDICT r10 item 1): 80% of the
+        // corpus is VERBATIM boilerplate, so one band bucket holds 0.8·N
+        // docs — uncapped that is C(0.8N,2) candidate pairs (3.2e9 at
+        // 20×); the hybrid star cap must keep wall near-flat because the
+        // kept set is constant-size and the star tail is linear.
+        val hot = docs.select(col("doc_id"),
+          when(col("doc_id") % 10 < 8,
+            lit("the same boilerplate paragraph repeated verbatim across " +
+              "most of the corpus from start to end"))
+            .otherwise(col("text")).as("text"))
+        graft.dedup.Dedup.minhashLshCandidates(hot, "doc_id", "text")
+      }
+      if (k == 1 && "minhash_hot_bucket_pairs".contains(opFilter)) {
+        // candidate VOLUME bound, exact: an all-identical corpus of B docs
+        // must emit exactly C(min(B,cap),2) kept + max(B-cap,0) star pairs
+        val cap = graft.dedup.Dedup.DefaultBucketCap.toLong
+        for (m <- Seq(1, factor)) {
+          val b = n0 * m
+          val allSame = scaled(m).select(col("doc_id"),
+            lit("every document is this exact sentence").as("text"))
+          val t0 = System.nanoTime()
+          val pairs = graft.dedup.Dedup
+            .minhashLshCandidates(allSame, "doc_id", "text").count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val kept = math.min(b, cap)
+          val expected = kept * (kept - 1) / 2 + math.max(b - cap, 0L)
+          println(f"""{"op":"minhash_hot_bucket_pairs","scale":$m,"docs":$b,"pairs":$pairs,"expected":$expected,"sec":$sec%.2f}""")
+          require(pairs == expected,
+            s"hot-bucket pair volume $pairs != capped bound $expected for B=$b")
+          spark.catalog.clearCache()
+        }
+      }
       time("pagerank_ppm", k) {
         // ppm-integer PageRank on a k·500k-node power-law-ish graph
         // (hash edges, ~4 out per node): 3 iterations = 3 join+agg rounds;

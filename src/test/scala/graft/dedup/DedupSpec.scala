@@ -121,6 +121,91 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("capBucketsStar: deterministic split, payload orientation, observe counter") {
+    val df = (1L to 10L).map(i => (0, i, i * 10)).toDF("b", "id", "v")
+    val (kept, star) = Dedup.capBucketsStar(df, Seq("b"), "id", Seq("v"), 3, "t_cap")
+    val keptIds = kept.select("id").as[Long].collect().toSet
+    assert(keptIds.size == 3)
+    val starRows = star.select(col("id_a"), col("id_b"),
+      col("pay_a.v").as("va"), col("pay_b.v").as("vb")).collect()
+    assert(starRows.length == 7)
+    starRows.foreach { r =>
+      val (a, b2, va, vb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(a < b2)
+      assert(va == a * 10 && vb == b2 * 10) // payload follows its id through the swap
+      // one side of every star pair is the bucket's representative, which is kept
+      assert(keptIds.contains(a) || keptIds.contains(b2))
+    }
+    // exactly ONE representative: all star pairs share it
+    val reps = starRows.map(r => if (keptIds.contains(r.getLong(0))) r.getLong(0) else r.getLong(1)).toSet
+    assert(reps.size == 1)
+    // never silent: the observe counter reports the demoted members
+    val m = graft.operators.ObservedMetrics.collect(kept).collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(m("demoted_members") == 7.0)
+    assert(m("max_bucket_members") == 10.0)
+    // determinism: a second run splits identically
+    val (kept2, _) = Dedup.capBucketsStar(df, Seq("b"), "id", Seq("v"), 3, "t_cap2")
+    assert(kept2.select("id").as[Long].collect().toSet == keptIds)
+  }
+
+  test("bucket cap: degenerate all-identical corpus stays linear, still one canonical cluster") {
+    // VERDICT r10 item 1's fixture: N identical docs land in ONE bucket per
+    // band — uncapped, that is C(N,2) candidate pairs; capped, the kept set
+    // pairs exactly (C(cap,2)) and each tail member links once to the
+    // representative, so volume is C(cap,2) + (N - cap), linear in N.
+    val n = 60
+    val cap = 8
+    val boiler = (1L to n.toLong)
+      .map(i => (i, "exact same boilerplate text repeated across the whole corpus"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashLshCandidates(boiler, "doc_id", "text", bucketCap = cap)
+      .collect()
+    // identical docs share every band bucket and the hash order is
+    // band-independent, so the same cap ids are kept in all 4 bands and
+    // every band emits the same star pairs → distinct count is exact
+    assert(cands.length == cap * (cap - 1) / 2 + (n - cap))
+    // canonical result unchanged vs uncapped: ONE cluster keeping doc 1
+    val canon = Dedup.nearDupCanonical(boiler, "doc_id", "text", bucketCap = cap)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(canon.size == n)
+    assert(canon.values.map(_._1).toSet == Set(1L))
+    assert(canon.count(_._2._2) == n - 1)
+    // cap above the bucket size → exactly the uncapped all-pairs set
+    val uncapped = Dedup.minhashLshCandidates(boiler, "doc_id", "text", bucketCap = n + 1)
+    assert(uncapped.count() == n.toLong * (n - 1) / 2)
+  }
+
+  test("bucket cap: simhash star path keeps fingerprints consistent") {
+    val n = 30
+    val cap = 4
+    val boiler = (1L to n.toLong)
+      .map(i => (i, "identical words every single time for all documents"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(boiler, "doc_id", "text", maxHamming = 3,
+      bucketCap = cap).collect()
+    // identical text → identical fingerprints → hamming 0 everywhere; the
+    // pair count is capped-linear exactly as the minhash case
+    assert(pairs.length == cap * (cap - 1) / 2 + (n - cap))
+    assert(pairs.forall(_.getAs[Number]("hamming").longValue() == 0L))
+  }
+
+  test("bucket cap: embedding near-dup demotes an oversized bucket to star pairs") {
+    val n = 20
+    val cap = 3
+    val vecs = (1L to n.toLong).map(i => (i, 0, Seq(1f, 0f, 0f)))
+      .toDF("vid", "bucket", "vec")
+    val pairs = Dedup.embeddingNearDup(vecs, "vid", "vec", "bucket",
+      threshold = 0.9, bucketCap = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length == cap * (cap - 1) / 2 + (n - cap))
+    // all are sim-1 pairs; canonicalize still collapses everything to one keep
+    val canon = Dedup.canonicalize(
+      Dedup.embeddingNearDup(vecs, "vid", "vec", "bucket", 0.9, cap),
+      vecs, "vid").collect()
+    assert(canon.map(_.getLong(1)).toSet == Set(1L))
+  }
+
   // q56/q57/q97/q98/q103 materialize these candidate frames to scratch
   // parquet inside run(), so PlanAuditSpec only sees the trivial read-back
   // plan — the pair-generating joins are audited HERE instead: every one

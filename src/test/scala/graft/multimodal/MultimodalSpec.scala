@@ -117,6 +117,93 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() == 6)
   }
 
+  test("ImageDecode: PNG round-trip through every filter type, pixel-exact") {
+    val w = 23; val h = 11
+    val rgb = Array.tabulate(3 * w * h)(i => ((i * 37 + 5) % 256).toByte)
+    for (filter <- 0 to 4) {
+      val bytes = ImageDecode.encodePng(w, h, rgb, _ => filter)
+      val d = ImageDecode.decode(bytes)
+        .getOrElse(fail(s"decode failed for filter $filter"))
+      assert(d.width == w && d.height == h && d.channels == 3)
+      assert(d.pixels.sameElements(rgb), s"pixel mismatch for filter $filter")
+    }
+    // mixed filters per row (the realistic adaptive-encoder shape)
+    val mixed = ImageDecode.encodePng(w, h, rgb, y => y % 5)
+    assert(ImageDecode.decode(mixed).get.pixels.sameElements(rgb))
+  }
+
+  test("ImageDecode: decodes ImageIO-written PNG and BMP pixel-exactly") {
+    // independent writer: the JDK's own encoders produce the bytes, our
+    // decoder must reproduce getRGB exactly (catches BGR swaps, row order,
+    // padding, filter bugs)
+    val w = 19; val h = 13
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 17 + 77) & 0xffffff)
+    for (fmt <- Seq("png", "bmp")) {
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, buf), s"no $fmt writer")
+      val d = ImageDecode.decode(buf.toByteArray)
+        .getOrElse(fail(s"decode failed for $fmt"))
+      assert(d.width == w && d.height == h && d.channels == 3)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = img.getRGB(x, y)
+        val o = 3 * (y * w + x)
+        assert((d.pixels(o) & 0xff) == ((v >> 16) & 0xff), s"$fmt R at ($x,$y)")
+        assert((d.pixels(o + 1) & 0xff) == ((v >> 8) & 0xff), s"$fmt G at ($x,$y)")
+        assert((d.pixels(o + 2) & 0xff) == (v & 0xff), s"$fmt B at ($x,$y)")
+      }
+    }
+  }
+
+  test("ImageDecode: PPM round-trip, comment handling, gray PGM") {
+    val w = 7; val h = 5
+    val rgb = Array.tabulate(3 * w * h)(i => ((i * 13) % 256).toByte)
+    val d = ImageDecode.decode(ImageDecode.encodePpm(w, h, rgb)).get
+    assert(d.width == w && d.height == h && d.channels == 3)
+    assert(d.pixels.sameElements(rgb))
+    // header comments are legal PNM
+    val commented = ("P6\n# a comment line\n7 5\n# another\n255\n").getBytes("US-ASCII") ++ rgb
+    assert(ImageDecode.decode(commented).get.pixels.sameElements(rgb))
+    val gray = Array.tabulate(w * h)(i => (i % 251).toByte)
+    val pgm = s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ gray
+    val g = ImageDecode.decode(pgm).get
+    assert(g.channels == 1 && g.pixels.sameElements(gray))
+  }
+
+  test("ImageDecode: truncated/corrupt inputs degrade to None, never throw") {
+    val good = ImageDecode.encodePng(9, 9, Array.fill(3 * 81)(7.toByte))
+    for (cut <- Seq(0, 4, 10, 20, good.length / 2, good.length - 3))
+      assert(ImageDecode.decode(good.take(cut)).isEmpty
+        || cut == good.length, s"truncation at $cut must not decode")
+    assert(ImageDecode.decode(Array[Byte](0x42, 0x4d, 1, 2, 3)).isEmpty) // bad BMP
+    assert(ImageDecode.decode("P6\n0 0\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(ImageDecode.decode(Array.fill(100)(0x55.toByte)).isEmpty)
+  }
+
+  test("PixelCodec: channel sums match a driver-side recompute on the fixture") {
+    val root = graft.core.Fixtures.resolve("media", "GRAFT_MEDIA_FIXTURES")
+    val rows = spark.read.parquet(s"$root/images.parquet")
+      .filter(col("format").isin("png", "bmp")).collect()
+    assert(rows.nonEmpty)
+    val codec = new Multimodal.PixelCodec
+    rows.foreach { r =>
+      val i = r.getAs[Long]("media_id")
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      val f = codec.features("image", r.getAs[String]("format"),
+        r.getAs[Array[Byte]]("bytes"))
+      assert(f(0) == w.toFloat && f(1) == h.toFloat && f(2) == 3f)
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = (x * 31 + y * 17 + i * 131) & 0xffffff
+        rs += (v >> 16) & 0xff; gs += (v >> 8) & 0xff; bs += v & 0xff
+      }
+      assert(f(3) == rs.toFloat && f(4) == gs.toFloat && f(5) == bs.toFloat,
+        s"channel sums for media $i (${r.getAs[String]("format")})")
+    }
+  }
+
   test("frame sampling: midpoint-spaced offsets within duration") {
     val plan = Multimodal.frameSamplePlan(media, framesPerVideo = 4)
     val joined = plan.join(media.select(col("media_id"), col("duration_ms")), "media_id")

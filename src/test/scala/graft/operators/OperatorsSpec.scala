@@ -337,6 +337,41 @@ class SessionOpsSpec extends SparkSpec {
     assert(norm(SessionOps.similarityGraph(mixedSess, mixedT, exactUserLimit = 5L))
       == norm(SessionOps.similarityGraph(mixedSess, mixedT, exactUserLimit = Long.MaxValue)))
   }
+
+  test("similarity graph: hot-bucket cap keeps the pruned branch linear, edges stay valid") {
+    // all sessions of one direction → every LSH bucket of every table holds
+    // the whole user (the degenerate hot bucket); bucketCap=2 forces the
+    // star path for most members. Every emitted edge must still be a valid
+    // (later, sim-above-threshold) pair, parents are a subset of the exact
+    // run's parents, and identical vectors mean weight 0 everywhere.
+    val rows = for (i <- 0 until 12)
+      yield (1L, f"2024-01-${i + 1}%02d", 36000, 36600, s"s$i", Seq(1f, 0f, 0f))
+    val sess = SessionOps.withIds(sessionsDf(rows: _*))
+    val thresholds = Seq((1L, 0.0, 0.5)).toDF("user_id", "time_threshold_s", "similarity_threshold")
+    val exact = SessionOps.similarityGraph(sess, thresholds,
+        exactUserLimit = Long.MaxValue)
+      .select("parent_id").as[Long].collect().toSet
+    val cappedDf = SessionOps.similarityGraph(sess, thresholds,
+      exactUserLimit = 0L, bucketCap = 2)
+    val capped = cappedDf.select(col("parent_id"), col("weight")).collect()
+    assert(capped.nonEmpty)
+    capped.foreach { r =>
+      assert(exact.contains(r.getLong(0)))
+      assert(math.abs(r.getDouble(1)) < 1e-9)
+    }
+    // never silent: the cap reports its demotions through the observe
+    // counter the plan carries
+    val m = graft.operators.ObservedMetrics.collect(cappedDf).collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(m("demoted_members") > 0.0)
+    assert(m("max_bucket_members") == 12.0)
+    // a cap ABOVE the bucket size reproduces the uncapped pruned result
+    def norm2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("parent_id"), r.getAs[Long]("child_id"))).toSet
+    assert(norm2(SessionOps.similarityGraph(sess, thresholds, exactUserLimit = 0L,
+        bucketCap = 64))
+      == norm2(SessionOps.similarityGraph(sess, thresholds, exactUserLimit = 0L)))
+  }
 }
 
 class InterestsExtractSpec extends SparkSpec {
