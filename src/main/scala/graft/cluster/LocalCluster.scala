@@ -100,6 +100,37 @@ object LocalCluster {
     labelPerKey(df, keyCol, itemCol, vecCol, reduceTo, reducer,
       clusterVectors(_, eps, minClusterSize))
 
+  /** [[clusterPerKey]] with the per-point REDUCED vectors retained
+    * (`reduced: array<float>`) — the surface the layout-quality bound
+    * oracles (q93/q102) compute neighborhood preservation on. */
+  def clusterPerKeyReduced(
+      df: DataFrame,
+      keyCol: String,
+      itemCol: String,
+      vecCol: String,
+      eps: Double = 0.02,
+      minClusterSize: Int = 5,
+      reduceTo: Option[Int] = None,
+      reducer: Reducer = Pca): DataFrame =
+    labelPerKey(df, keyCol, itemCol, vecCol, reduceTo, reducer,
+      clusterVectors(_, eps, minClusterSize), keepReduced = true)
+
+  /** [[hdbscanPerKey]] with the per-point REDUCED vectors retained —
+    * see [[clusterPerKeyReduced]]. */
+  def hdbscanPerKeyReduced(
+      df: DataFrame,
+      keyCol: String,
+      itemCol: String,
+      vecCol: String,
+      minClusterSize: Int = 5,
+      minSamples: Int = 0,
+      clusterSelectionEpsilon: Double = 0.02,
+      reduceTo: Option[Int] = None,
+      reducer: Reducer = Pca): DataFrame =
+    labelPerKey(df, keyCol, itemCol, vecCol, reduceTo, reducer,
+      Hdbscan.labels(_, minClusterSize, minSamples, clusterSelectionEpsilon),
+      keepReduced = true)
+
   /** TRUE HDBSCAN per `keyCol` group ([[Hdbscan]]: MST → condensed tree →
     * EOM stability selection → epsilon search) — the reference's actual
     * per-user clusterer (`assets/old_history.py:169-176`), where
@@ -140,7 +171,8 @@ object LocalCluster {
       vecCol: String,
       reduceTo: Option[Int],
       reducer: Reducer,
-      labelFn: Array[Array[Float]] => Array[Int]): DataFrame = {
+      labelFn: Array[Array[Float]] => Array[Int],
+      keepReduced: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(df(keyCol), df(itemCol), df(vecCol))
@@ -170,10 +202,14 @@ object LocalCluster {
           case None => raw
         }
         val labels = labelFn(vecs)
-        rows.iterator.zip(labels.iterator).map { case ((k, item, vec), lbl) =>
-          (k, item, vec, lbl)
+        rows.iterator.zipWithIndex.map { case ((k, item, vec), i) =>
+          // reduced is empty unless requested, so the common path pays no
+          // extra serialization
+          val red: Seq[Float] = if (keepReduced) vecs(i).toSeq else Seq.empty
+          (k, item, vec, red, labels(i))
         }
       }
-      .toDF(keyCol, itemCol, vecCol, "cluster_label")
+      .toDF(keyCol, itemCol, vecCol, "reduced", "cluster_label")
+      .drop((if (keepReduced) Seq.empty[String] else Seq("reduced")): _*)
   }
 }

@@ -46,10 +46,16 @@ object EngineConf {
     *    value safe);
     *  - 128 MiB scan partitions: large enough to amortize task overhead,
     *    small enough that a partition's working set fits executor memory
-    *    alongside shuffle buffers (the spill-awareness knob). */
+    *    alongside shuffle buffers (the spill-awareness knob);
+    *  - GraftExtensions active: every engine session (Verify/Bench/tools)
+    *    runs with the custom SQL functions and the BandJoinRewrite
+    *    optimizer rule registered — the same `spark.sql.extensions` line a
+    *    cluster deployment uses, so the benched/verified plans are the
+    *    deployed plans. */
   def configure(b: org.apache.spark.sql.SparkSession.Builder,
       shufflePartitions: Int): org.apache.spark.sql.SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    b.config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

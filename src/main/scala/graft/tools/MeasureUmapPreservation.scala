@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measures the 10-NN neighborhood preservation of the q93/q102
+  * UMAP reductions per label group, so the `presFloorPct` pinned in their
+  * bounds-flag oracles (PipelineQueries.clusterBounds) is an evidence-based
+  * margin (~half the measured minimum), not a guess. Args: [sfDir]. */
+object MeasureUmapPreservation {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = graft.core.EngineConf.configure(
+        SparkSession.builder().master("local[8]"), 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long").as("user_id"),
+        col("vec_id").cast("string").as("interest"),
+        col("embedding"))
+    for ((name, reduced) <- Seq(
+      "q93_umap8_epscut" -> graft.cluster.LocalCluster.clusterPerKeyReduced(
+        emb, "user_id", "interest", "embedding", eps = 0.45, minClusterSize = 5,
+        reduceTo = Some(8), reducer = graft.cluster.LocalCluster.Umap),
+      "q102_umap8_hdbscan" -> graft.cluster.LocalCluster.hdbscanPerKeyReduced(
+        emb, "user_id", "interest", "embedding",
+        minClusterSize = 5, minSamples = 5, clusterSelectionEpsilon = 0.02,
+        reduceTo = Some(8), reducer = graft.cluster.LocalCluster.Umap))) {
+      val labeled = reduced.cache()
+      val a = labeled.select(col("user_id"), col("interest").as("item"),
+        col("embedding").as("e_a"), col("reduced").as("r_a"))
+      val b = labeled.select(col("user_id"), col("interest").as("other"),
+        col("embedding").as("e_b"), col("reduced").as("r_b"))
+      val pairs = a.join(b, Seq("user_id")).filter(col("item") =!= col("other"))
+        .select(col("user_id"), col("item"), col("other"),
+          (lit(1.0) - graft.functions.cosine_similarity(col("e_a"), col("e_b"))).as("d_raw"),
+          (lit(1.0) - graft.functions.cosine_similarity(col("r_a"), col("r_b"))).as("d_red"))
+      val wRaw = Window.partitionBy(col("user_id"), col("item"))
+        .orderBy(col("d_raw"), col("other"))
+      val wRed = Window.partitionBy(col("user_id"), col("item"))
+        .orderBy(col("d_red"), col("other"))
+      val ranked = pairs
+        .withColumn("rk_raw", row_number().over(wRaw))
+        .withColumn("rk_red", row_number().over(wRed)).cache()
+      for (k <- Seq(5, 10)) {
+        val rows = ranked
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("rk_raw") <= k && col("rk_red") <= k, 1L)
+              .otherwise(0L)).as("inter"),
+            sum(when(col("rk_raw") <= k, 1L).otherwise(0L)).as("denom"))
+          .orderBy(col("user_id")).collect()
+        val worst = rows.map(r => 100.0 * r.getLong(1) / r.getLong(2)).min
+        println(f"$name k=$k WORST=$worst%.1f%%")
+      }
+      ranked.unpersist()
+      labeled.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -78,6 +78,19 @@ class BandJoinRewriteSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("q159 declared query plans through the rewrite: bucketed, no BNLJ") {
+    // the declared driver query (SqlSurfaceQueries.q159BandJoinSql) builds
+    // its own no-broadcast clone of the session it receives; on an
+    // extension session the clone inherits the rule and the physical plan
+    // must carry the band bucket refining the user_id equi key
+    val q = graft.SparkEntry.queries("q159_band_join_sql")(ext, sf)
+    val plan = physical(q)
+    assert(plan.contains("__graft_band_bucket"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(q.count() > 0)
+  }
+
   test("raw-SQL band theta join plans as a hash join, not BNLJ") {
     tables()
     val q = ext.sql(
