@@ -67,20 +67,34 @@ object Dedup {
     require(cap > 0, s"bucket cap must be positive, got $cap")
     val pay = if (payloadCols.nonEmpty) struct(payloadCols.map(col): _*)
               else struct(lit(0L).as("__none"))
+    // Two-phase shape so the COMMON case (no bucket over the cap) pays no
+    // per-row window sort: a map-side-combined count finds the oversized
+    // bucket KEYS (≤ N/cap of them by pigeonhole — usually zero), and only
+    // rows in those buckets go through the ranked split. The observe
+    // counters ride on the aggregated counts — one row per bucket, exact.
+    val base = df
+      .select(bucketCols.map(col) ++ Seq(col(idCol).as("__id"), pay.as("__pay")): _*)
+      .cache()
+    val hot = base.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .observe(metricName,
+        sum(when(col("__n") > cap, col("__n") - cap).otherwise(0L))
+          .as("demoted_members"),
+        max(col("__n")).as("max_bucket_members"))
+      .filter(col("__n") > cap)
+      .select(bucketCols.map(col): _*)
+      .cache()
     val w = Window.partitionBy(bucketCols.map(col): _*)
       .orderBy(xxhash64(col("__id")), col("__id"))
-    val ranked = df
-      .select(bucketCols.map(col) ++ Seq(col(idCol).as("__id"), pay.as("__pay")): _*)
+    val ranked = base.join(hot, bucketCols, "left_semi")
       .withColumn("__rn", row_number().over(w))
       .withColumn("__rep_id", first(col("__id")).over(w))
       .withColumn("__rep_pay", first(col("__pay")).over(w))
-      .observe(metricName,
-        sum(when(col("__rn") > cap, 1L).otherwise(0L)).as("demoted_members"),
-        max(col("__rn")).as("max_bucket_members"))
-      .cache()
-    val kept = ranked.filter(col("__rn") <= cap)
-      .select(bucketCols.map(col) ++ Seq(col("__id").as(idCol)) ++
+    def unpack(d: DataFrame) =
+      d.select(bucketCols.map(col) ++ Seq(col("__id").as(idCol)) ++
         payloadCols.map(p => col(s"__pay.$p").as(p)): _*)
+    val kept = unpack(base.join(hot, bucketCols, "left_anti"))
+      .unionByName(unpack(ranked.filter(col("__rn") <= cap)))
     val star = ranked.filter(col("__rn") > cap)
       .select(bucketCols.map(col) ++ Seq(
         least(col("__id"), col("__rep_id")).as("id_a"),
