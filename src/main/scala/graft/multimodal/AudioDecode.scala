@@ -1,0 +1,108 @@
+package graft.multimodal
+
+/** Real byte-level WAV (RIFF PCM) audio decoding and encoding, pure JVM,
+  * zero dependencies — the audio half of making the multimodal surface
+  * first-class (the image half is [[ImageDecode]]). Scope: the format a
+  * training-data pipeline actually stages — linear PCM, 8/16-bit,
+  * mono/stereo — via a proper RIFF chunk walk (fmt / data, ancillary
+  * chunks skipped). Compressed codecs (MP3/AAC/…) stay behind the stub
+  * seam: they genuinely need native libraries.
+  *
+  * Encoder and decoder share only the constants; the spec additionally
+  * cross-checks the encoder's bytes through `javax.sound.sampled` (the
+  * JDK's own independent WAV reader) so a symmetric encode/decode bug
+  * cannot hide — the q158 ImageIO discipline applied to audio.
+  */
+object AudioDecode {
+
+  /** Decoded PCM: interleaved samples normalized to 16-bit signed
+    * (8-bit input is offset-binary, rescaled by <<8 − 32768). */
+  final case class DecodedAudio(sampleRate: Int, channels: Int,
+      samples: Array[Short]) {
+    def nFrames: Int = samples.length / channels
+    def durationMs: Long =
+      if (sampleRate <= 0) 0L else nFrames.toLong * 1000L / sampleRate
+  }
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def tag(b: Array[Byte], o: Int): String =
+    if (o + 4 <= b.length) new String(b, o, 4, "US-ASCII") else ""
+
+  /** RIFF chunk walk: fmt (PCM only) then data. Returns None for
+    * non-RIFF/non-PCM/truncated input rather than guessing. */
+  def decodeWav(bytes: Array[Byte]): Option[DecodedAudio] = {
+    try {
+      if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+        return None
+      var off = 12
+      var sampleRate = 0; var channels = 0; var bits = 0; var fmtSeen = false
+      var data: Array[Byte] = null
+      while (data == null && off + 8 <= bytes.length) {
+        val id = tag(bytes, off); val len = le32(bytes, off + 4)
+        val body = off + 8
+        if (len < 0 || body + len > bytes.length) return None
+        id match {
+          case "fmt " =>
+            if (len < 16) return None
+            val audioFormat = le16(bytes, body)
+            if (audioFormat != 1) return None // linear PCM only
+            channels = le16(bytes, body + 2)
+            sampleRate = le32(bytes, body + 4)
+            bits = le16(bytes, body + 14)
+            fmtSeen = true
+          case "data" =>
+            if (!fmtSeen) return None
+            data = java.util.Arrays.copyOfRange(bytes, body, body + len)
+          case _ => () // LIST/INFO/fact/...: skip
+        }
+        off = body + len + (len & 1) // chunks are word-aligned
+      }
+      if (data == null || channels <= 0 || sampleRate <= 0) return None
+      bits match {
+        case 16 =>
+          if (data.length % 2 != 0) return None
+          val out = new Array[Short](data.length / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          Some(DecodedAudio(sampleRate, channels, out))
+        case 8 =>
+          val out = new Array[Short](data.length)
+          var i = 0
+          while (i < out.length) {
+            out(i) = (((data(i) & 0xff) << 8) - 32768).toShort
+            i += 1
+          }
+          Some(DecodedAudio(sampleRate, channels, out))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Minimal PCM16 WAV encoder (canonical 44-byte header + data). */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, "sampleRate/channels must be positive")
+    require(samples.length % channels == 0, "samples must be whole frames")
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+}

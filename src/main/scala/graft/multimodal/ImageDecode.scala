@@ -297,6 +297,50 @@ object ImageDecode {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Integer area-average DOWNSCALE — the pixel-resample kernel behind
+    * [[Multimodal.resizePlan]]'s metadata planning. Output dims clamp to
+    * the input (never upscales, matching the plan's contract); input
+    * pixel (x, y) contributes to output cell (x·ow/w, y·oh/h) (floor),
+    * and each cell is the TRUNCATING integer mean of its contributors —
+    * all-integer arithmetic, so a SQL oracle replays it exactly (q160).
+    * With ow ≤ w the floor mapping is surjective: every output cell has
+    * at least one contributor. */
+  def resizeArea(d: Decoded, maxW: Int, maxH: Int): Decoded = {
+    require(maxW > 0 && maxH > 0, "resize dims must be positive")
+    val ow = math.min(maxW, d.width); val oh = math.min(maxH, d.height)
+    val c = d.channels
+    val sums = new Array[Long](ow * oh * c)
+    val counts = new Array[Long](ow * oh)
+    var y = 0
+    while (y < d.height) {
+      val oy = y * oh / d.height
+      var x = 0
+      while (x < d.width) {
+        val ox = x * ow / d.width
+        val cell = oy * ow + ox
+        counts(cell) += 1
+        var ch = 0
+        while (ch < c) {
+          sums(cell * c + ch) += d.pixels((y * d.width + x) * c + ch) & 0xff
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Byte](ow * oh * c)
+    var i = 0
+    while (i < ow * oh) {
+      var ch = 0
+      while (ch < c) {
+        out(i * c + ch) = (sums(i * c + ch) / counts(i)).toByte
+        ch += 1
+      }
+      i += 1
+    }
+    Decoded(ow, oh, c, out)
+  }
+
   /** Binary PPM (P6) encoder — the spec-side independent writer. */
   def encodePpm(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
     require(rgb.length == 3 * width * height, "rgb must be 3*w*h bytes")

@@ -88,6 +88,51 @@ object Multimodal {
     }
   }
 
+  /** Real pixel-RESAMPLE codec: decode ([[ImageDecode]]) then integer
+    * area-average downscale ([[ImageDecode.resizeArea]]) into a `maxW`×
+    * `maxH` box (clamped to the input — never upscales, the resizePlan
+    * contract). features = [out_w, out_h, sum_c0, sum_c1, sum_c2, wsum]
+    * over the RESIZED raster, where wsum = Σ (c0+c1+c2)·(position+1) — a
+    * positional checksum that pins every resized pixel value, in integers
+    * small enough to be float32-exact. q160 replays all of it in SQL from
+    * the fixture generator formula. */
+  final class ResizeCodec(maxW: Int = 8, maxH: Int = 8) extends MediaCodec {
+    override def features(kind: String, format: String, bytes: Array[Byte]): Array[Float] = {
+      val bad = Array(-1f, -1f, 0f, 0f, 0f, 0f)
+      if (kind != "image") return bad
+      ImageDecode.decode(bytes) match {
+        case Some(d0) =>
+          val d = ImageDecode.resizeArea(d0, maxW, maxH)
+          def s(c: Int): Long = if (c < d.channels) d.channelSum(c) else 0L
+          var wsum = 0L
+          var i = 0
+          while (i < d.width * d.height) {
+            var tot = 0L
+            var ch = 0
+            while (ch < d.channels) { tot += d.pixels(i * d.channels + ch) & 0xff; ch += 1 }
+            wsum += tot * (i + 1)
+            i += 1
+          }
+          Array(d.width.toFloat, d.height.toFloat, s(0).toFloat, s(1).toFloat,
+            s(2).toFloat, wsum.toFloat)
+        case None => bad
+      }
+    }
+  }
+
+  /** Real AUDIO codec: WAV (RIFF PCM) chunk walk via [[AudioDecode]].
+    * features = [sample_rate, channels, duration_ms]; non-audio and
+    * non-PCM blobs degrade like every other codec. */
+  final class WavCodec extends MediaCodec {
+    override def features(kind: String, format: String, bytes: Array[Byte]): Array[Float] = {
+      if (kind != "audio") return Array(-1f, -1f, -1f)
+      AudioDecode.decodeWav(bytes) match {
+        case Some(a) => Array(a.sampleRate.toFloat, a.channels.toFloat, a.durationMs.toFloat)
+        case None => Array(-1f, -1f, -1f)
+      }
+    }
+  }
+
   /** Real image codec (pure JVM, no new deps): header-only decode via
     * `javax.imageio` — the registered reader for the container format
     * (PNG/GIF/BMP/JPEG) parses just the header for `getWidth/getHeight(0)`,

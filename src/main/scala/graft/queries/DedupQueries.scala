@@ -15,7 +15,7 @@ object DedupQueries {
     q56MinhashLshPairs, q57SimhashNearDup, q58EmbeddingNearDup,
     q60MultimodalFeatures, q61FramePlan, q84ResizePlan,
     q97MinhashVerify, q98SimhashVerify, q103DedupCanonical,
-    q158PixelDecode)
+    q158PixelDecode, q160PixelResize, q161WavRoundtrip)
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
@@ -263,6 +263,113 @@ object DedupQueries {
           element_at(col("features"), 6).cast("long").as("b_sum"))
         .orderBy(col("media_id"))
     }
+  }
+
+  /** Real pixel RESAMPLE, value-checked END TO END (q158's mechanism one
+    * stage deeper): decode the committed blobs, integer area-average
+    * downscale into an 8×8 box ([[graft.multimodal.ImageDecode.resizeArea]]
+    * — input pixel (x,y) lands in output cell (x·ow/w, y·oh/h), cells are
+    * truncating integer means), then emit channel sums plus a positional
+    * checksum over the RESIZED raster. The oracle replays the whole
+    * pipeline — formula pixels → floor cell mapping → truncating means →
+    * sums — in SQL, so a wrong box boundary, a float mean, or a
+    * channel-order slip in the resample kernel hash-mismatches. This is
+    * the pixel stage q84's resize PLAN feeds at cluster scale. */
+  val q160PixelResize: QueryDef = {
+    def root = graft.core.Fixtures.resolve("media", "GRAFT_MEDIA_FIXTURES")
+    QueryDef.sql(
+      "q160_pixel_resize",
+      s"""WITH m AS (
+         |  SELECT media_id, width, height
+         |  FROM read_parquet('$root/images.parquet/*.parquet')
+         |  WHERE format IN ('png', 'bmp')),
+         |px AS (
+         |  SELECT media_id,
+         |         least(8, width) AS ow, least(8, height) AS oh,
+         |         (tx.x * least(8, width)) // width AS ox,
+         |         (ty.y * least(8, height)) // height AS oy,
+         |         ((tx.x * 31 + ty.y * 17 + media_id * 131) % 16777216) AS v
+         |  FROM m CROSS JOIN range(64) tx(x) CROSS JOIN range(48) ty(y)
+         |  WHERE tx.x < width AND ty.y < height),
+         |cell AS (
+         |  SELECT media_id, ow, oh, ox, oy,
+         |         sum((v // 65536) % 256) // count(*) AS r,
+         |         sum((v // 256) % 256) // count(*) AS g,
+         |         sum(v % 256) // count(*) AS b
+         |  FROM px GROUP BY media_id, ow, oh, ox, oy)
+         |SELECT media_id, CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+         |       CAST(sum(r) AS BIGINT) AS r_sum,
+         |       CAST(sum(g) AS BIGINT) AS g_sum,
+         |       CAST(sum(b) AS BIGINT) AS b_sum,
+         |       CAST(sum((r + g + b) * (oy * ow + ox + 1)) AS BIGINT) AS wsum
+         |FROM cell
+         |GROUP BY media_id, ow, oh
+         |ORDER BY media_id""".stripMargin) { (s, _) =>
+      val media = s.read.parquet(s"$root/images.parquet")
+        .filter(col("format").isin("png", "bmp"))
+      Multimodal.extractFeatures(media, new Multimodal.ResizeCodec(8, 8))
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("int").as("out_w"),
+          element_at(col("features"), 2).cast("int").as("out_h"),
+          element_at(col("features"), 3).cast("long").as("r_sum"),
+          element_at(col("features"), 4).cast("long").as("g_sum"),
+          element_at(col("features"), 5).cast("long").as("b_sum"),
+          element_at(col("features"), 6).cast("long").as("wsum"))
+        .orderBy(col("media_id"))
+    }
+  }
+
+  /** Real AUDIO decode, value-checked END TO END: per document a PCM16
+    * WAV blob is synthesized from an integer formula (sample i of doc d =
+    * (d·31 + i·7) mod 65536 − 32768; rate/channels/frames also
+    * formula-derived), ENCODED to real RIFF bytes, then decoded back
+    * through the independent chunk-walk reader
+    * ([[graft.multimodal.AudioDecode]]) — and the emitted header fields +
+    * integer sample statistics come from the DECODED stream, which the
+    * oracle recomputes from the formula alone. MultimodalSpec separately
+    * pins the encoder's bytes against `javax.sound.sampled` (the JDK's
+    * own WAV reader), so a symmetric encode/decode bug cannot hide. */
+  val q161WavRoundtrip: QueryDef = QueryDef.sql(
+    "q161_wav_roundtrip",
+    """WITH d AS (
+      |  SELECT doc_id, 8000 + (doc_id % 8) * 1000 AS sr,
+      |         1 + doc_id % 2 AS ch, 800 + doc_id % 400 AS frames
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, sr, ch, frames,
+      |         ((doc_id * 31 + t.i * 7) % 65536) - 32768 AS v
+      |  FROM d CROSS JOIN range(2400) t(i)
+      |  WHERE t.i < frames * ch)
+      |SELECT doc_id, CAST(sr AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+      |       CAST(frames * ch AS BIGINT) AS n_samples,
+      |       CAST((frames * 1000) // sr AS BIGINT) AS duration_ms,
+      |       CAST(sum(v) AS BIGINT) AS sum_samples,
+      |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+      |FROM s GROUP BY doc_id, sr, ch, frames
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val sr = (8000 + (id % 8) * 1000).toInt
+          val ch = (1 + id % 2).toInt
+          val frames = (800 + id % 400).toInt
+          val samples = Array.tabulate(frames * ch)(i =>
+            (((id * 31 + i.toLong * 7) % 65536) - 32768).toShort)
+          graft.multimodal.AudioDecode.decodeWav(
+            graft.multimodal.AudioDecode.encodeWav(sr, ch, samples)) match {
+            case Some(a) =>
+              var sum = 0L; var sabs = 0L
+              a.samples.foreach { v => sum += v; sabs += math.abs(v.toLong) }
+              (id, a.sampleRate, a.channels, a.samples.length.toLong,
+                a.durationMs, sum, sabs)
+            case None => (id, -1, -1, -1L, -1L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "sample_rate", "channels", "n_samples", "duration_ms",
+        "sum_samples", "sum_abs")
+      .orderBy(col("doc_id"))
   }
 
   /** Oracle-checked: the frame plan is pure column arithmetic over the

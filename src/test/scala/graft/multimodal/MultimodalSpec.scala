@@ -204,6 +204,89 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeArea: hand-computed box means, clamping, surjective mapping") {
+    // 4x2 RGB image downscaled to 2x1: each output cell is the truncating
+    // mean of a 2x2 box — hand-computed goldens
+    val px = Array.tabulate(4 * 2 * 3)(i => i.toByte) // values 0..23
+    val d = ImageDecode.Decoded(4, 2, 3, px)
+    val r = ImageDecode.resizeArea(d, 2, 1)
+    assert(r.width == 2 && r.height == 1 && r.channels == 3)
+    // cell 0 gathers (x,y) in {0,1}x{0,1}; cell 1 gathers {2,3}x{0,1}
+    def mean(vals: Seq[Int]) = vals.sum / vals.size
+    for (ch <- 0 until 3) {
+      val left = mean(for (x <- 0 to 1; y <- 0 to 1) yield px((y * 4 + x) * 3 + ch) & 0xff)
+      val right = mean(for (x <- 2 to 3; y <- 0 to 1) yield px((y * 4 + x) * 3 + ch) & 0xff)
+      assert((r.pixels(ch) & 0xff) == left, s"left cell ch$ch")
+      assert((r.pixels(3 + ch) & 0xff) == right, s"right cell ch$ch")
+    }
+    // clamping: a 3x2 image "resized" to 8x8 stays 3x2 (never upscales)
+    val small = ImageDecode.Decoded(3, 2, 3, Array.fill(18)(5.toByte))
+    val c = ImageDecode.resizeArea(small, 8, 8)
+    assert(c.width == 3 && c.height == 2)
+    assert(c.pixels.sameElements(small.pixels))
+    // surjectivity at awkward ratios: 7x5 -> 3x2 leaves no empty cell
+    val odd = ImageDecode.resizeArea(
+      ImageDecode.Decoded(7, 5, 1, Array.fill(35)(9.toByte)), 3, 2)
+    assert(odd.width == 3 && odd.height == 2)
+    assert(odd.pixels.forall(p => (p & 0xff) == 9))
+  }
+
+  test("WAV round-trip; encoder bytes verified by the JDK's own reader") {
+    val samples = Array.tabulate(480)(i => ((i * 997) % 65536 - 32768).toShort)
+    for (ch <- Seq(1, 2)) {
+      val bytes = AudioDecode.encodeWav(16000, ch, samples)
+      val d = AudioDecode.decodeWav(bytes).getOrElse(fail(s"decode failed ch=$ch"))
+      assert(d.sampleRate == 16000 && d.channels == ch)
+      assert(d.samples.sameElements(samples))
+      assert(d.nFrames == 480 / ch)
+      assert(d.durationMs == (480 / ch).toLong * 1000 / 16000)
+      // independent reference: javax.sound parses the same bytes
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate == 16000f && fmt.getChannels == ch
+        && fmt.getSampleSizeInBits == 16)
+      val raw = ais.readAllBytes()
+      assert(raw.length == samples.length * 2)
+      // javax delivers little-endian PCM16 here; compare sample-exact
+      for (i <- samples.indices) {
+        val v = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+        assert(v == samples(i), s"sample $i (ch=$ch)")
+      }
+    }
+  }
+
+  test("WAV decode: 8-bit rescale, ancillary chunk skip, corrupt inputs -> None") {
+    // 8-bit offset-binary WAV hand-built: values 0,128,255 -> -32768,0,32512
+    val hdr = java.nio.ByteBuffer.allocate(44 + 3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put("RIFF".getBytes).putInt(36 + 3).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      .put("data".getBytes).putInt(3)
+      .put(0.toByte).put(128.toByte).put(255.toByte)
+    val d8 = AudioDecode.decodeWav(hdr.array()).get
+    assert(d8.samples.toSeq == Seq(-32768, 0, 32512).map(_.toShort))
+    // a LIST chunk before data must be skipped
+    val samples = Array.tabulate(10)(i => (i * 100).toShort)
+    val base = AudioDecode.encodeWav(8000, 1, samples)
+    val withList = java.nio.ByteBuffer.allocate(base.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    withList.put(base, 0, 36) // RIFF..fmt chunk
+      .put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+      .put(base, 36, base.length - 36) // data chunk
+    val arr = withList.array()
+    // fix RIFF size
+    val bb = java.nio.ByteBuffer.wrap(arr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, arr.length - 8)
+    val dl = AudioDecode.decodeWav(arr).get
+    assert(dl.samples.sameElements(samples))
+    // corrupt/truncated inputs
+    assert(AudioDecode.decodeWav(base.take(30)).isEmpty)
+    assert(AudioDecode.decodeWav("RIFFxxxxWAVE".getBytes ++ Array.fill(40)(0.toByte)).isEmpty)
+    assert(AudioDecode.decodeWav(Array.fill(100)(0x41.toByte)).isEmpty)
+  }
+
   test("frame sampling: midpoint-spaced offsets within duration") {
     val plan = Multimodal.frameSamplePlan(media, framesPerVideo = 4)
     val joined = plan.join(media.select(col("media_id"), col("duration_ms")), "media_id")
