@@ -19,7 +19,7 @@ object CurationQueries {
     q118SpanDedupOverlap, q119HeldoutLogprob, q120BigramLogprob,
     q121DedupKeepBest, q122FuzzyDecontam, q125DsirWeights,
     q126PerplexityBuckets, q127QualityClassifier, q129CurationPipeline,
-    q153LrTrain, q155BpeTrain)
+    q153LrTrain, q155BpeTrain, q162BpeApply)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -711,6 +711,85 @@ object CurationQueries {
       Curation.bpeTrain(docs(s, d), "text", merges = 3)
         .select(col("step"), col("merged"), col("l_sym"), col("r_sym"), col("cnt"))
         .orderBy(col("step"))
+    }
+  }
+
+  /** BPE train→APPLY, oracle-checked end to end — the inference half that
+    * completes q155's training loop (a user of the reference tokenizes
+    * with the rules it learned, not just learns them): the engine trains
+    * 3 merges (`Curation.bpeTrain`, driver-held rules = the model
+    * artifact), then `Curation.bpeApply` folds them into every document's
+    * words with the SAME leftmost non-overlapping doubled-delimiter
+    * replace, emitting per-doc post-merge token counts and an md5
+    * fingerprint of the full tokenization. DuckDB re-derives the rules
+    * with q155's unrolled CTE chain AND re-applies them word-by-word
+    * (ordinality-ordered string_agg rebuilds the same fingerprint
+    * string), so a divergence in training, application order, or merge
+    * semantics flips the hash. */
+  val q162BpeApply: QueryDef = {
+    def trainStep(i: Int, prev: String): String =
+      s"""pc$i AS (
+         |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
+         |         CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT f, syms, unnest(range(1, len(syms))) AS i
+         |    FROM (SELECT f, string_split(s, ' ') AS syms FROM $prev)
+         |    WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, cnt FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |st$i AS (
+         |  SELECT f, trim(regexp_replace(
+         |           replace(' ' || replace(s, ' ', '  ') || ' ',
+         |                   ' ' || b.a || '  ' || b.b || ' ',
+         |                   ' ' || b.a || b.b || ' '),
+         |           ' +', ' ', 'g')) AS s
+         |  FROM $prev CROSS JOIN b$i b)""".stripMargin
+    def applyStep(i: Int, prev: String): String =
+      s"""ap$i AS (
+         |  SELECT doc_id, wi, trim(regexp_replace(
+         |           replace(' ' || replace(s, ' ', '  ') || ' ',
+         |                   ' ' || b.a || '  ' || b.b || ' ',
+         |                   ' ' || b.a || b.b || ' '),
+         |           ' +', ' ', 'g')) AS s
+         |  FROM $prev CROSS JOIN b$i b)""".stripMargin
+    sql(
+      "q162_bpe_apply",
+      s"""WITH words AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY tok),
+         |st0 AS (
+         |  SELECT f, array_to_string(list_transform(range(1, len(tok) + 1),
+         |           i -> substr(tok, CAST(i AS INT), 1)), ' ') AS s
+         |  FROM words),
+         |${trainStep(1, "st0")},
+         |${trainStep(2, "st1")},
+         |${trainStep(3, "st2")},
+         |docw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |         generate_subscripts(string_split(text, ' '), 1) AS wi
+         |  FROM documents),
+         |ap0 AS (
+         |  SELECT doc_id, wi, array_to_string(list_transform(range(1, len(tok) + 1),
+         |           i -> substr(tok, CAST(i AS INT), 1)), ' ') AS s
+         |  FROM docw),
+         |${applyStep(1, "ap0")},
+         |${applyStep(2, "ap1")},
+         |${applyStep(3, "ap2")}
+         |SELECT doc_id,
+         |       CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_tokens,
+         |       md5(string_agg(s, '|' ORDER BY wi)) AS toks_md5
+         |FROM ap3
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // the rules are the config-bounded model artifact (3 rows) — the
+      // q153/q154 driver-state discipline
+      val rules = Curation.bpeTrain(docs(s, d), "text", merges = 3)
+        .orderBy(col("step"))
+        .select(col("l_sym"), col("r_sym"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      Curation.bpeApply(docs(s, d), "doc_id", "text", rules)
+        .orderBy(col("doc_id"))
     }
   }
 

@@ -491,6 +491,42 @@ object Curation {
     } finally st.unpersist()
   }
 
+  /** BPE tokenizer APPLICATION — the inference half of [[bpeTrain]]
+    * (Sennrich 2016 §2.2: apply the learned merge rules, in training
+    * order, to each word): every word char-splits to a space-delimited
+    * symbol string and each rule folds in as the SAME leftmost
+    * non-overlapping doubled-delimiter replace the trainer used, so
+    * train and apply share merge semantics by construction.
+    *
+    * Scale shape: the rules are a MODEL ARTIFACT (config-bounded, held
+    * driver-side like the q153/q154 state) baked into codegen'd column
+    * expressions — zero joins, zero shuffles before the caller's
+    * aggregation; each doc tokenizes independently inside one projection.
+    * For production-sized rule sets (R in the tens of thousands) the same
+    * seam swaps to a broadcast merge table + `mapPartitions` fold; the
+    * column form keeps the small-R path whole-stage-codegen.
+    *
+    * @return (`idCol`, n_tokens, toks_md5): total post-merge symbol count
+    *         and an md5 over the '|'-joined per-word tokenizations — the
+    *         per-doc fingerprint a SQL oracle can replay. */
+  def bpeApply(df: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    def applyAll(sym: Column): Column = rules.foldLeft(sym) { case (c, (a, b)) =>
+      trim(regexp_replace(
+        replace(concat(lit(" "), replace(c, lit(" "), lit("  ")), lit(" ")),
+          concat(lit(" "), lit(a), lit("  "), lit(b), lit(" ")),
+          concat(lit(" "), lit(a + b), lit(" "))),
+        lit(" +"), lit(" ")))
+    }
+    df.select(col(idCol),
+        transform(split(col(textCol), " "),
+          w => applyAll(concat_ws(" ", split(w, "")))).as("toks"))
+      .select(col(idCol),
+        aggregate(transform(col("toks"), s => size(split(s, " "))),
+          lit(0L), (acc, x) => acc + x).as("n_tokens"),
+        md5(concat_ws("|", col("toks"))).as("toks_md5"))
+  }
+
   /** Sequential quality-filter funnel with first-failing-rule attribution
     * (the Gopher/RefinedWeb cascade): every document lands in exactly one
     * stage — too_short, too_long, low_stopword, repetitive (3-gram

@@ -367,4 +367,41 @@ class CurationSpec extends SparkSpec {
     // rule's count must be positive
     assert(got.forall(_._5 > 0))
   }
+
+  test("bpeApply: tokenizations match an independent per-word fold of the rules") {
+    // same greedy-left overlap pressure as the trainer test: applying
+    // (a,a) to 'aaaa' must yield [aa, aa]; later rules see earlier merges
+    val texts = Seq("aaaa aaaa banana", "banana band aaaa", "band banana")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rules = Curation.bpeTrain(df, "text", merges = 3)
+      .orderBy(org.apache.spark.sql.functions.col("step")).select("l_sym", "r_sym")
+      .as[(String, String)].collect().toSeq
+    def applyWord(w: String): Seq[String] = {
+      var syms: Seq[String] = w.map(_.toString)
+      for ((a, b) <- rules) {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var k = 0
+        while (k < syms.length) {
+          if (k + 1 < syms.length && syms(k) == a && syms(k + 1) == b) { out += a + b; k += 2 }
+          else { out += syms(k); k += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    val expected = texts.zipWithIndex.map { case (t, i) =>
+      val toks = t.split(" ").map(w => applyWord(w).mkString(" "))
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(toks.mkString("|").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (i.toLong, toks.map(_.split(" ").length.toLong).sum, md5)
+    }.toSet
+    val got = Curation.bpeApply(df, "doc_id", "text", rules)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === expected)
+    // empty rule set: tokenization is the pure char split
+    val none = Curation.bpeApply(df, "doc_id", "text", Seq.empty)
+      .as[(Long, Long, String)].collect()
+    assert(none.find(_._1 == 0L).get._2 == "aaaa aaaa banana".count(_ != ' ').toLong)
+  }
 }
