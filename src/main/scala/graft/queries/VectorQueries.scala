@@ -24,7 +24,7 @@ object VectorQueries {
     q30Top1Similar, q31NearDupBucketed, q32KnnBruteForce, q33Centroids,
     q34LshTopK, q35IvfTopK, q36IvfIndexTopK, q88HofDot, q94IvfExactServe,
     q106IvfUpsertServe, q128PqAdcServe, q132IvfAdcServe, q147RetrievalChunks,
-    q154KmeansTrain)
+    q154KmeansTrain, q163ContrastivePairs)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
@@ -183,6 +183,57 @@ object VectorQueries {
         .select(col("k"), col("j"), col("c").as("c_ppm"))
         .orderBy(col("k"), col("j"))
     }
+  }
+
+  /** Contrastive training-pair mining (`similarity.Contrastive` — the
+    * SimCLR/sentence-transformers data-prep stage), oracle-checked end to
+    * end: per anchor ONE hard positive (argmax same-label cosine, sim_ppb
+    * integer rank, smallest-id tiebreak — q52's float policy) and up to 3
+    * deterministic md5-drawn other-label negatives (first valid of 10
+    * attempts over a dense row index), every pair re-scored with the exact
+    * cosine. DuckDB re-derives the draws, the index, the validity
+    * filtering, the attempt ranking, and both score columns — a drift in
+    * any of them (or in the draw seed) flips the hash. */
+  val q163ContrastivePairs: QueryDef = sql(
+    "q163_contrastive_pairs",
+    """WITH e AS (
+      |  SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      |idx AS (
+      |  SELECT id, label, v,
+      |         row_number() OVER (ORDER BY id) - 1 AS ridx
+      |  FROM e),
+      |pos AS (
+      |  SELECT a.id AS anchor_id, b.id AS partner_id,
+      |         CAST(round(list_cosine_similarity(a.v, b.v) * 1000000000)
+      |              AS BIGINT) AS sim_ppb,
+      |         row_number() OVER (PARTITION BY a.id
+      |           ORDER BY CAST(round(list_cosine_similarity(a.v, b.v)
+      |                               * 1000000000) AS BIGINT) DESC, b.id) AS rn
+      |  FROM e a JOIN e b ON a.label = b.label AND a.id <> b.id),
+      |drawn AS (
+      |  SELECT a.id AS anchor_id, a.label AS a_label, a.v AS va, t.j AS j,
+      |         ('0x' || substr(md5(CAST(a.id AS VARCHAR) || '|negs-v1|'
+      |                             || CAST(t.j AS VARCHAR)), 1, 12))::BIGINT
+      |           % tot.n AS ridx
+      |  FROM e a CROSS JOIN range(10) t(j) CROSS JOIN tot),
+      |valid AS (
+      |  SELECT d.anchor_id, d.j, d.va, i.id AS partner_id, i.v AS vb,
+      |         row_number() OVER (PARTITION BY d.anchor_id ORDER BY d.j) AS rk
+      |  FROM drawn d JOIN idx i USING (ridx)
+      |  WHERE i.label <> d.a_label AND i.id <> d.anchor_id)
+      |SELECT anchor_id, 'pos' AS role, partner_id, sim_ppb
+      |FROM pos WHERE rn = 1
+      |UNION ALL
+      |SELECT anchor_id, 'neg_' || CAST(rk AS VARCHAR) AS role, partner_id,
+      |       CAST(round(list_cosine_similarity(va, vb) * 1000000000)
+      |            AS BIGINT) AS sim_ppb
+      |FROM valid WHERE rk <= 3
+      |ORDER BY anchor_id, role""".stripMargin) { (s, d) =>
+    graft.similarity.Contrastive.pairs(emb(s, d), "vec_id", "embedding",
+        "label", k = 3, attempts = 10, seed = "negs-v1")
+      .orderBy(col("anchor_id"), col("role"))
   }
 
   /** Shared oracle SQL for the scratch-candidate ANN queries: DuckDB
