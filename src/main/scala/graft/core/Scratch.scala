@@ -56,14 +56,23 @@ object Scratch {
     * JVM. */
   def tempDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(p.toString)
+    p.toString
+  }
+
+  // ONE shutdown hook draining a queue — registering a hook Thread per
+  // tempDir call would accumulate unbounded hook threads across bench
+  // reps in a long-lived process
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()
         if (kids != null) kids.foreach(rm)
         f.delete(): Unit
       }
-      rm(p.toFile)
+      var d = tempDirs.poll()
+      while (d != null) { rm(new java.io.File(d)); d = tempDirs.poll() }
     }))
-    p.toString
   }
 }

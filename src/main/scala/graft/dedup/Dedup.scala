@@ -50,12 +50,18 @@ object Dedup {
     * non-representative pairings among the tail are skipped (pairs the
     * verification stage would mostly confirm as copies of the kept ones).
     *
-    * NEVER silent: the shared ranked frame carries a `Dataset.observe`
-    * counter `metricName` with `demoted_members` (members moved from
-    * all-pairs to star linkage) and `max_bucket_members` (the pre-cap
-    * maximum), harvestable via [[graft.operators.ObservedMetrics]]. The
-    * ranked frame is cached (kept is self-joined by every caller), so the
-    * counter fires once per materialization.
+    * NEVER silent: the aggregated per-bucket counts carry a
+    * `Dataset.observe` counter `metricName` with `demoted_members`
+    * (members moved from all-pairs to star linkage) and
+    * `max_bucket_members` (the pre-cap maximum), harvestable via
+    * [[graft.operators.ObservedMetrics]].
+    *
+    * Caching: `base` (the bucketed rows) and `hot` (the oversized keys)
+    * are cached — base is scanned by the count, the two split joins, and
+    * the caller's self-join; there is no unpersist hook because the
+    * returned frames are consumed lazily (the round-2 `banded.cache()`
+    * convention: dead entries fall to Spark's LRU under memory pressure,
+    * MEMORY_AND_DISK so eviction never recomputes mid-job).
     *
     * @return (kept, star): kept = (`bucketCols`*, `idCol`, `payloadCols`*);
     *         star = (`bucketCols`*, id_a, id_b, pay_a, pay_b) with

@@ -91,18 +91,23 @@ object ImageDecode {
         case _ => return None
       }
       if (colorType == 3 && palette == null) return None
-      // inflate
+      // inflate. end() in finally — every early return/exception would
+      // otherwise leak the native zlib buffer until finalization; and ANY
+      // zero-progress inflate (truncated stream, preset-dictionary FDICT
+      // flag → needsDictionary) returns None instead of spinning — a
+      // poison blob must neither hang nor kill the batch.
       val raw = new Array[Byte]((srcChannels * w + 1) * h)
       val inf = new java.util.zip.Inflater()
-      inf.setInput(idat.toByteArray)
-      var filled = 0
-      while (filled < raw.length && !inf.finished()) {
-        val n = inf.inflate(raw, filled, raw.length - filled)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
-        filled += n
-      }
-      inf.end()
-      if (filled < raw.length) return None
+      try {
+        inf.setInput(idat.toByteArray)
+        var filled = 0
+        while (filled < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, filled, raw.length - filled)
+          if (n == 0) return None // stalled: truncated, FDICT, or junk
+          filled += n
+        }
+        if (filled < raw.length) return None
+      } finally inf.end()
       // unfilter, scanline by scanline
       val bpp = srcChannels // bytes per pixel at depth 8
       val stride = srcChannels * w

@@ -727,6 +727,21 @@ object CurationQueries {
     * string), so a divergence in training, application order, or merge
     * semantics flips the hash. */
   val q162BpeApply: QueryDef = {
+    // every merge step falls back to IDENTITY when its b$i is empty (the
+    // trainer's exhausted-pairs case: bpeTrain stops learning, bpeApply
+    // applies only the learned rules — a CROSS JOIN against an empty rule
+    // would instead empty the whole chain and desync the two engines on a
+    // sparse corpus). A scalar subquery over an empty CTE is NULL, so the
+    // count() CASE gates the replace.
+    def mergeCase(i: Int): String =
+      // single line: a multi-line margin string here would pass through
+      // the enclosing templates' stripMargin a second time and eat any
+      // line-leading || operators
+      s"CASE WHEN (SELECT count(*) FROM b$i) = 0 THEN s " +
+        s"ELSE trim(regexp_replace(replace(' ' || replace(s, ' ', '  ') || ' ', " +
+        s"' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ', " +
+        s"' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' '), " +
+        "' +', ' ', 'g')) END"
     def trainStep(i: Int, prev: String): String =
       s"""pc$i AS (
          |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
@@ -738,20 +753,12 @@ object CurationQueries {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT a, b, cnt FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1),
          |st$i AS (
-         |  SELECT f, trim(regexp_replace(
-         |           replace(' ' || replace(s, ' ', '  ') || ' ',
-         |                   ' ' || b.a || '  ' || b.b || ' ',
-         |                   ' ' || b.a || b.b || ' '),
-         |           ' +', ' ', 'g')) AS s
-         |  FROM $prev CROSS JOIN b$i b)""".stripMargin
+         |  SELECT f, ${mergeCase(i)} AS s
+         |  FROM $prev)""".stripMargin
     def applyStep(i: Int, prev: String): String =
       s"""ap$i AS (
-         |  SELECT doc_id, wi, trim(regexp_replace(
-         |           replace(' ' || replace(s, ' ', '  ') || ' ',
-         |                   ' ' || b.a || '  ' || b.b || ' ',
-         |                   ' ' || b.a || b.b || ' '),
-         |           ' +', ' ', 'g')) AS s
-         |  FROM $prev CROSS JOIN b$i b)""".stripMargin
+         |  SELECT doc_id, wi, ${mergeCase(i)} AS s
+         |  FROM $prev)""".stripMargin
     sql(
       "q162_bpe_apply",
       s"""WITH words AS (

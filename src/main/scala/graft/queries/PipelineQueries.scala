@@ -47,7 +47,6 @@ object PipelineQueries {
   private def clusterBounds(labeled0: DataFrame, minClusterSize: Int,
       presK: Int = 5, presFloorPct: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.cosine_similarity
     val labeled = labeled0.cache()
     val counts = labeled.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_points"))
@@ -72,31 +71,18 @@ object PipelineQueries {
     presFloorPct match {
       case None => base.orderBy(col("label"))
       case Some(pct) =>
-        val a = labeled.select(col("user_id"), col("interest").as("item"),
-          col("embedding").as("e_a"), col("reduced").as("r_a"))
-        val b = labeled.select(col("user_id"), col("interest").as("other"),
-          col("embedding").as("e_b"), col("reduced").as("r_b"))
-        val pairs = a.join(b, Seq("user_id"))
-          .filter(col("item") =!= col("other"))
-          .select(col("user_id"), col("item"), col("other"),
-            (lit(1.0) - cosine_similarity(col("e_a"), col("e_b"))).as("d_raw"),
-            (lit(1.0) - cosine_similarity(col("r_a"), col("r_b"))).as("d_red"))
-        val wRaw = Window.partitionBy(col("user_id"), col("item"))
-          .orderBy(col("d_raw"), col("other"))
-        val wRed = Window.partitionBy(col("user_id"), col("item"))
-          .orderBy(col("d_red"), col("other"))
-        val pres = pairs
-          .withColumn("rk_raw", row_number().over(wRaw))
-          .withColumn("rk_red", row_number().over(wRed))
-          .groupBy(col("user_id"))
-          .agg(
-            sum(when(col("rk_raw") <= presK && col("rk_red") <= presK, 1L)
-              .otherwise(0L)).as("inter"),
-            sum(when(col("rk_raw") <= presK, 1L).otherwise(0L)).as("denom"))
+        val pres = graft.cluster.LayoutQuality.preservation(labeled, presK)
           .select(col("user_id").as("label"),
             (col("inter") * 100 >= col("denom") * pct).cast("int")
               .as("preservation_ok"))
-        base.join(pres, Seq("label")).orderBy(col("label"))
+        // LEFT join + default 1: a single-point group has no neighbors
+        // (preservation emits no row for it) but the oracle still emits
+        // its label — the same vacuous-truth convention as the structural
+        // flags above
+        base.join(pres, Seq("label"), "left")
+          .withColumn("preservation_ok",
+            coalesce(col("preservation_ok"), lit(1)))
+          .orderBy(col("label"))
     }
   }
 

@@ -218,11 +218,15 @@ object VectorQueries {
       |                             || CAST(t.j AS VARCHAR)), 1, 12))::BIGINT
       |           % tot.n AS ridx
       |  FROM e a CROSS JOIN range(10) t(j) CROSS JOIN tot),
-      |valid AS (
+      |hits AS (
       |  SELECT d.anchor_id, d.j, d.va, i.id AS partner_id, i.v AS vb,
-      |         row_number() OVER (PARTITION BY d.anchor_id ORDER BY d.j) AS rk
+      |         min(d.j) OVER (PARTITION BY d.anchor_id, i.id) AS jmin
       |  FROM drawn d JOIN idx i USING (ridx)
-      |  WHERE i.label <> d.a_label AND i.id <> d.anchor_id)
+      |  WHERE i.label <> d.a_label AND i.id <> d.anchor_id),
+      |valid AS (
+      |  SELECT anchor_id, j, va, partner_id, vb,
+      |         row_number() OVER (PARTITION BY anchor_id ORDER BY j) AS rk
+      |  FROM hits WHERE j = jmin)
       |SELECT anchor_id, 'pos' AS role, partner_id, sim_ppb
       |FROM pos WHERE rn = 1
       |UNION ALL

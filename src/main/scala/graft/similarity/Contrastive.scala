@@ -32,9 +32,10 @@ object Contrastive {
   /** @return long-format pair table (anchor_id, role, partner_id,
     *         sim_ppb) with role ∈ {pos, neg_1..neg_k}; anchors whose
     *         label has no second member emit no pos row, and negatives
-    *         beyond the valid draws (same-label or self collisions past
-    *         `attempts` tries) are simply absent — deterministic, never
-    *         padded. */
+    *         beyond the valid draws (same-label/self collisions past
+    *         `attempts` tries, or attempts colliding on an already-drawn
+    *         partner) are simply absent — the k emitted negatives are
+    *         DISTINCT partners, deterministic, never padded. */
   def pairs(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
       k: Int = 3, attempts: Int = 10, seed: String = "negs-v1"): DataFrame = {
     val e = df.select(col(labelCol).as("label"), col(idCol).as("id"),
@@ -67,6 +68,11 @@ object Contrastive {
         col("label").as("p_label"), col("vec").as("vec_b")), Seq("ridx"))
       .filter(col("p_label") =!= col("a_label") &&
         col("partner_id") =!= col("anchor_id"))
+      // two attempts can collide on the same row index — keep only the
+      // EARLIEST draw of each partner so the k negatives are distinct
+      .withColumn("jmin", min(col("j")).over(
+        Window.partitionBy(col("anchor_id"), col("partner_id"))))
+      .filter(col("j") === col("jmin"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("anchor_id")).orderBy(col("j"))))
       .filter(col("rk") <= k)

@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dev tool: measures the 10-NN neighborhood preservation of the q93/q102
@@ -28,32 +27,12 @@ object MeasureUmapPreservation {
         minClusterSize = 5, minSamples = 5, clusterSelectionEpsilon = 0.02,
         reduceTo = Some(8), reducer = graft.cluster.LocalCluster.Umap))) {
       val labeled = reduced.cache()
-      val a = labeled.select(col("user_id"), col("interest").as("item"),
-        col("embedding").as("e_a"), col("reduced").as("r_a"))
-      val b = labeled.select(col("user_id"), col("interest").as("other"),
-        col("embedding").as("e_b"), col("reduced").as("r_b"))
-      val pairs = a.join(b, Seq("user_id")).filter(col("item") =!= col("other"))
-        .select(col("user_id"), col("item"), col("other"),
-          (lit(1.0) - graft.functions.cosine_similarity(col("e_a"), col("e_b"))).as("d_raw"),
-          (lit(1.0) - graft.functions.cosine_similarity(col("r_a"), col("r_b"))).as("d_red"))
-      val wRaw = Window.partitionBy(col("user_id"), col("item"))
-        .orderBy(col("d_raw"), col("other"))
-      val wRed = Window.partitionBy(col("user_id"), col("item"))
-        .orderBy(col("d_red"), col("other"))
-      val ranked = pairs
-        .withColumn("rk_raw", row_number().over(wRaw))
-        .withColumn("rk_red", row_number().over(wRed)).cache()
       for (k <- Seq(5, 10)) {
-        val rows = ranked
-          .groupBy(col("user_id"))
-          .agg(sum(when(col("rk_raw") <= k && col("rk_red") <= k, 1L)
-              .otherwise(0L)).as("inter"),
-            sum(when(col("rk_raw") <= k, 1L).otherwise(0L)).as("denom"))
+        val rows = graft.cluster.LayoutQuality.preservation(labeled, k)
           .orderBy(col("user_id")).collect()
         val worst = rows.map(r => 100.0 * r.getLong(1) / r.getLong(2)).min
         println(f"$name k=$k WORST=$worst%.1f%%")
       }
-      ranked.unpersist()
       labeled.unpersist()
     }
     spark.stop()

@@ -38,6 +38,11 @@ class ContrastiveSpec extends SparkSpec {
       assert(a != p)
       assert(labels(a) != labels(p), s"anchor $a drew same-label $p")
     }
+    // distinct partners per anchor (colliding draws collapse to one)
+    negs.groupBy(_._1).foreach { case (a, rows) =>
+      val ps = rows.map(_._3)
+      assert(ps.distinct.size == ps.size, s"anchor $a drew duplicate negatives")
+    }
     val perAnchor = negs.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
     perAnchor.values.foreach(roles => assert(roles.size <= 2 &&
       roles == (1 to roles.size).map(i => s"neg_$i")))
