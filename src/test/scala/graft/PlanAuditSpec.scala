@@ -34,7 +34,8 @@ class PlanAuditSpec extends SparkSpec {
     "q125_dsir_weights", // bucket stream × broadcast 1-row (Nt, Ns) totals (q113's shape)
     "q128_pq_adc_serve", // ADC lookup table = queries × broadcast m·nCodes codebook, conditionless by design
     "q135_tfidf_terms", // (doc,term,tf) stream × broadcast 1-row corpus count N (q113's shape)
-    "q147_retrieval_chunks") // broadcast(3 probes) × chunk corpus, non-equi by design (q32's shape)
+    "q147_retrieval_chunks", // broadcast(3 probes) × chunk corpus, non-equi by design (q32's shape)
+    "q163_contrastive_pairs") // anchors × broadcast 1-row corpus count for the draw modulus (q113's shape)
 
   /** Queries whose run function EXECUTES side-effectful work (index build,
     * store writes, a scratch-table write, a streaming tick) before
