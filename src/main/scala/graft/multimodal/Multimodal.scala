@@ -209,6 +209,22 @@ object Multimodal {
       StructField("kind", StringType),
       StructField("features", ArrayType(FloatType, containsNull = false))))
     val projected = media.select(col("media_id"), col("kind"), col("format"), col("bytes"))
+    projected
+      .repartition(boundedBlobPartitions(projected, targetPartitionBytes), col("media_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val feats = codec.features(r.getAs[String]("kind"),
+            r.getAs[String]("format"), r.getAs[Array[Byte]]("bytes"))
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), feats.toSeq)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Blob-count-bounded partition count for a decode stage: a bytes
+    * budget over the optimizer's size estimate (driver-side plan
+    * metadata, no count() action). */
+  private def boundedBlobPartitions(projected: DataFrame,
+      targetPartitionBytes: Long): Int = {
     val estBytes = projected.queryExecution.optimizedPlan.stats.sizeInBytes
     // Plans with no stats report spark.sql.defaultSizeInBytes (Long.MaxValue
     // unless overridden) at their LEAVES; projection visitors then SCALE the
@@ -221,29 +237,101 @@ object Multimodal {
     // 10000 near-empty tasks; inherit the input's own partitioning instead
     // (driver-side metadata, no job — toRdd reads the physical partitioning
     // without instantiating the deserialized-row RDD that `.rdd` builds).
-    val defaultSize = BigInt(media.sparkSession.conf
+    val defaultSize = BigInt(projected.sparkSession.conf
       .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString))
     val statsUnknown = projected.queryExecution.optimizedPlan
       .collectLeaves().exists(_.stats.sizeInBytes == defaultSize)
-    val parts =
-      if (statsUnknown) {
-        val p = projected.queryExecution.toRdd.getNumPartitions.max(1)
-        org.slf4j.LoggerFactory.getLogger(getClass).info(
-          s"extractFeatures: input has no size stats (leaf reports the " +
-            s"$defaultSize-byte sentinel); keeping the input's own $p " +
-            "partitions — cache() or write/re-read the input if the decode " +
-            "stage needs the bytes-budget repartition")
-        p
-      }
-      else (estBytes / math.max(1L, targetPartitionBytes) + 1)
-        .min(10000).max(1).toInt
+    if (statsUnknown) {
+      val p = projected.queryExecution.toRdd.getNumPartitions.max(1)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"decode stage: input has no size stats (leaf reports the " +
+          s"$defaultSize-byte sentinel); keeping the input's own $p " +
+          "partitions — cache() or write/re-read the input if the decode " +
+          "stage needs the bytes-budget repartition")
+      p
+    }
+    else (estBytes / math.max(1L, targetPartitionBytes) + 1)
+      .min(10000).max(1).toInt
+  }
+
+  /** Container frame INDEX for videos: one row per frame with the chunk
+    * offset/size/keyframe flag from the AVI walk ([[VideoContainer]])
+    * plus an integer payload checksum computed from the SLICED bytes —
+    * so a wrong offset or length changes `byte_sum`, not just metadata.
+    * This is the stage that lets frame sampling read exact byte ranges
+    * out of a blob store without decoding; undecodable containers
+    * degrade to a single sentinel row (frame_no = -1) rather than
+    * failing the batch. Same bounded-blobs batch shape as
+    * [[extractFeatures]]. */
+  def videoFrameIndex(media: DataFrame,
+      targetPartitionBytes: Long = 64L << 20): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("us_per_frame", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("frame_no", IntegerType),
+      StructField("movi_offset", LongType),
+      StructField("size", IntegerType),
+      StructField("is_key", IntegerType),
+      StructField("byte_sum", LongType)))
+    val projected = media.filter(col("kind") === "video")
+      .select(col("media_id"), col("bytes"))
     projected
-      .repartition(parts, col("media_id"))
+      .repartition(boundedBlobPartitions(projected, targetPartitionBytes), col("media_id"))
       .mapPartitions { it =>
-        it.map { r =>
-          val feats = codec.features(r.getAs[String]("kind"),
-            r.getAs[String]("format"), r.getAs[Array[Byte]]("bytes"))
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), feats.toSeq)
+        it.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          VideoContainer.decodeAvi(bytes) match {
+            case Some(ix) =>
+              ix.frames.iterator.map { f =>
+                val payload = VideoContainer.frameBytes(bytes, f)
+                var s = 0L
+                payload.foreach(b => s += (b & 0xff))
+                Row(id, ix.width, ix.height, ix.usPerFrame, ix.nFrames,
+                  f.frameNo, f.moviOffset, f.size, if (f.keyframe) 1 else 0, s)
+              }
+            case None =>
+              Iterator.single(Row(id, -1, -1, -1, -1, -1, -1L, -1, 0, 0L))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Frame-level feature extraction for videos: the container walk
+    * ([[videoFrameIndex]]'s decode) composed with the IMAGE codec seam —
+    * each indexed frame payload is sliced out of the blob and fed to
+    * `frameCodec` as an image, so the full 100 TB media path (container →
+    * frame ranges → per-frame decode) runs on real bytes end to end.
+    * With [[PixelCodec]] and PNG frame payloads this is byte-exact and
+    * SQL-replayable (q165). Undecodable containers degrade to one
+    * sentinel row (frame_no = -1, empty features). */
+  def videoFrameFeatures(media: DataFrame, frameCodec: MediaCodec,
+      frameFormat: String = "png",
+      targetPartitionBytes: Long = 64L << 20): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_no", IntegerType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val projected = media.filter(col("kind") === "video")
+      .select(col("media_id"), col("bytes"))
+    projected
+      .repartition(boundedBlobPartitions(projected, targetPartitionBytes), col("media_id"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          VideoContainer.decodeAvi(bytes) match {
+            case Some(ix) =>
+              ix.frames.iterator.map { f =>
+                val feats = frameCodec.features("image", frameFormat,
+                  VideoContainer.frameBytes(bytes, f))
+                Row(id, f.frameNo, feats.toSeq)
+              }
+            case None => Iterator.single(Row(id, -1, Seq.empty[Float]))
+          }
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }

@@ -15,7 +15,8 @@ object DedupQueries {
     q56MinhashLshPairs, q57SimhashNearDup, q58EmbeddingNearDup,
     q60MultimodalFeatures, q61FramePlan, q84ResizePlan,
     q97MinhashVerify, q98SimhashVerify, q103DedupCanonical,
-    q158PixelDecode, q160PixelResize, q161WavRoundtrip)
+    q158PixelDecode, q160PixelResize, q161WavRoundtrip, q164VideoIndex,
+    q165VideoFrameDecode)
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
@@ -370,6 +371,151 @@ object DedupQueries {
       .toDF("doc_id", "sample_rate", "channels", "n_samples", "duration_ms",
         "sum_samples", "sum_abs")
       .orderBy(col("doc_id"))
+  }
+
+  /** Real VIDEO container walk, value-checked END TO END (the q161
+    * mechanism applied to AVI): per video document a real AVI 1.0 blob is
+    * synthesized from integer formulas (geometry, frame count, per-frame
+    * sizes with mixed parity so word-alignment padding is exercised,
+    * payload byte j of frame i = (d·31 + i·17 + j·7) mod 256, keyframe
+    * every 4th), ENCODED to container bytes
+    * ([[graft.multimodal.VideoContainer.encodeAvi]]), then walked back by
+    * the independent index decoder (`movi` chunk walk cross-checked
+    * against `idx1` and `avih`). Emitted rows come from the DECODED
+    * index, and `byte_sum` is computed from the SLICED payload bytes —
+    * the oracle recomputes everything from the formulas alone, with the
+    * `movi_offset` column replaying RIFF chunk layout (8-byte headers +
+    * word alignment) as a running sum in SQL. A wrong header field, a
+    * missed pad byte, or an off-by-one slice hash-mismatches.
+    * VideoContainerSpec additionally decodes HAND-BUILT byte buffers, so
+    * a symmetric writer/reader bug cannot hide. */
+  val q164VideoIndex: QueryDef = QueryDef.sql(
+    "q164_video_index",
+    """WITH d AS (
+      |  SELECT doc_id, 3 + doc_id % 5 AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (
+      |  SELECT doc_id, nf, t.i AS frame_no,
+      |         64 + (doc_id * 7 + t.i * 13) % 101 AS sz
+      |  FROM d CROSS JOIN range(7) t(i) WHERE t.i < nf),
+      |o AS (
+      |  SELECT doc_id, nf, frame_no, sz,
+      |         4 + COALESCE(sum(8 + sz + sz % 2) OVER (
+      |               PARTITION BY doc_id ORDER BY CAST(frame_no AS BIGINT)
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS movi_offset
+      |  FROM f),
+      |b AS (
+      |  SELECT doc_id, frame_no,
+      |         sum((doc_id * 31 + frame_no * 17 + u.j * 7) % 256) AS byte_sum
+      |  FROM f CROSS JOIN range(165) u(j) WHERE u.j < sz
+      |  GROUP BY doc_id, frame_no)
+      |SELECT o.doc_id AS media_id,
+      |       CAST(16 + (o.doc_id % 8) * 4 AS INT) AS width,
+      |       CAST(12 + (o.doc_id % 6) * 4 AS INT) AS height,
+      |       CAST(33000 + (o.doc_id % 3) * 333 AS INT) AS us_per_frame,
+      |       CAST(o.nf AS INT) AS n_frames,
+      |       CAST(o.frame_no AS INT) AS frame_no,
+      |       CAST(o.movi_offset AS BIGINT) AS movi_offset,
+      |       CAST(o.sz AS INT) AS size,
+      |       CAST(CASE WHEN o.frame_no % 4 = 0 THEN 1 ELSE 0 END AS INT) AS is_key,
+      |       CAST(b.byte_sum AS BIGINT) AS byte_sum
+      |FROM o JOIN b ON o.doc_id = b.doc_id AND o.frame_no = b.frame_no
+      |ORDER BY media_id, frame_no""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nf = (3 + id % 5).toInt
+          val frames = (0 until nf).map { i =>
+            val sz = (64 + (id * 7 + i * 13) % 101).toInt
+            (Array.tabulate(sz)(j => ((id * 31 + i * 17 + j * 7) % 256).toByte),
+              i % 4 == 0)
+          }
+          val bytes = graft.multimodal.VideoContainer.encodeAvi(
+            (16 + (id % 8) * 4).toInt, (12 + (id % 6) * 4).toInt,
+            (33000 + (id % 3) * 333).toInt, frames)
+          (id, "video", bytes)
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+    Multimodal.videoFrameIndex(media)
+      .orderBy(col("media_id"), col("frame_no"))
+  }
+
+  /** The FULL media path on real bytes: container walk + frame slice +
+    * image decode composed (q164's mechanism one stage deeper, mirroring
+    * how q160 deepens q158). Each video document carries an AVI whose
+    * frame payloads are real PNGs of formula pixels (encoded with a
+    * per-row filter that cycles through all five PNG filter types, so
+    * every unfilter branch runs inside the composition); the engine walks
+    * the container, slices each frame's byte range, and pixel-decodes it
+    * through [[graft.multimodal.Multimodal.PixelCodec]]. The oracle
+    * recomputes per-frame channel sums from the pixel formula alone — a
+    * wrong frame slice, a filter bug, or a channel swap anywhere in the
+    * chain hash-mismatches. */
+  val q165VideoFrameDecode: QueryDef = QueryDef.sql(
+    "q165_video_frame_decode",
+    """WITH d AS (
+      |  SELECT doc_id, 2 + doc_id % 3 AS nf,
+      |         8 + (doc_id % 4) * 2 AS w, 6 + (doc_id % 3) * 2 AS h
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |px AS (
+      |  SELECT doc_id, nf, w, h, t.i AS frame_no,
+      |         ((tx.x * 31 + ty.y * 17 + doc_id * 13 + t.i * 7) % 16777216) AS v
+      |  FROM d CROSS JOIN range(4) t(i)
+      |         CROSS JOIN range(14) tx(x) CROSS JOIN range(10) ty(y)
+      |  WHERE t.i < nf AND tx.x < w AND ty.y < h)
+      |SELECT doc_id AS media_id, CAST(frame_no AS INT) AS frame_no,
+      |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |       CAST(sum((v // 65536) % 256) AS BIGINT) AS r_sum,
+      |       CAST(sum((v // 256) % 256) AS BIGINT) AS g_sum,
+      |       CAST(sum(v % 256) AS BIGINT) AS b_sum
+      |FROM px GROUP BY doc_id, frame_no, w, h
+      |ORDER BY media_id, frame_no""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nf = (2 + id % 3).toInt
+          val w = (8 + (id % 4) * 2).toInt
+          val h = (6 + (id % 3) * 2).toInt
+          val frames = (0 until nf).map { i =>
+            val rgb = new Array[Byte](3 * w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = (x * 31 + y * 17 + id * 13 + i * 7) % 16777216
+                val p = 3 * (y * w + x)
+                rgb(p) = ((v >> 16) & 0xff).toByte
+                rgb(p + 1) = ((v >> 8) & 0xff).toByte
+                rgb(p + 2) = (v & 0xff).toByte
+                x += 1
+              }
+              y += 1
+            }
+            (graft.multimodal.ImageDecode.encodePng(w, h, rgb,
+              row => (row + i) % 5), i % 2 == 0)
+          }
+          val bytes = graft.multimodal.VideoContainer.encodeAvi(
+            w, h, 40000, frames)
+          (id, "video", bytes)
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+    Multimodal.videoFrameFeatures(media, new Multimodal.PixelCodec)
+      .select(col("media_id"),
+        col("frame_no"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        element_at(col("features"), 4).cast("long").as("r_sum"),
+        element_at(col("features"), 5).cast("long").as("g_sum"),
+        element_at(col("features"), 6).cast("long").as("b_sum"))
+      .orderBy(col("media_id"), col("frame_no"))
   }
 
   /** Oracle-checked: the frame plan is pure column arithmetic over the
