@@ -300,6 +300,40 @@ object Multimodal {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Frame sampling against the REAL container index: the
+    * [[frameSamplePlan]] midpoint-spacing semantics, but duration comes
+    * from the decoded index (n_frames × µs/frame) and each sample time
+    * resolves to the byte range of the frame whose display interval
+    * contains it — the slice list a 100 TB frame-extraction stage feeds
+    * to ranged blob reads. All arithmetic is integer (`DIV`, not the
+    * double-valued `/`), so an oracle replays it exactly.
+    *
+    * Shape: the per-frame index is computed once and cached (it serves
+    * both the per-video sample generator and the equi-join back to frame
+    * entries); the join is keyed (media_id, frame_no) — shuffle-friendly,
+    * no broadcast assumption about video count. */
+  def frameSampleOffsets(media: DataFrame, samplesPerVideo: Int = 4,
+      targetPartitionBytes: Long = 64L << 20): DataFrame = {
+    require(samplesPerVideo > 0, "samplesPerVideo must be positive")
+    val idx = videoFrameIndex(media, targetPartitionBytes)
+      .filter(col("frame_no") >= 0).cache()
+    val samples = idx.select("media_id", "n_frames", "us_per_frame").distinct()
+      .withColumn("duration_ms",
+        expr("CAST(n_frames AS BIGINT) * us_per_frame DIV 1000"))
+      .select(col("media_id"), col("n_frames"), col("us_per_frame"),
+        col("duration_ms"),
+        explode(sequence(lit(0), lit(samplesPerVideo - 1))).as("sample_i"))
+      .withColumn("sample_ms",
+        expr(s"duration_ms * (2 * sample_i + 1) DIV ${2L * samplesPerVideo}"))
+      .withColumn("frame_no",
+        least(col("n_frames") - 1, expr("sample_ms * 1000 DIV us_per_frame"))
+          .cast("int"))
+    samples.join(idx, Seq("media_id", "frame_no"))
+      .select(col("media_id"), col("sample_i").cast("int").as("sample_i"),
+        col("sample_ms"), col("frame_no"), col("movi_offset"), col("size"),
+        col("is_key"))
+  }
+
   /** Frame-level feature extraction for videos: the container walk
     * ([[videoFrameIndex]]'s decode) composed with the IMAGE codec seam —
     * each indexed frame payload is sliced out of the blob and fed to

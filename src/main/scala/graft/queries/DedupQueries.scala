@@ -16,7 +16,7 @@ object DedupQueries {
     q60MultimodalFeatures, q61FramePlan, q84ResizePlan,
     q97MinhashVerify, q98SimhashVerify, q103DedupCanonical,
     q158PixelDecode, q160PixelResize, q161WavRoundtrip, q164VideoIndex,
-    q165VideoFrameDecode)
+    q165VideoFrameDecode, q166FrameSampleOffsets)
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
@@ -421,8 +421,17 @@ object DedupQueries {
       |       CAST(b.byte_sum AS BIGINT) AS byte_sum
       |FROM o JOIN b ON o.doc_id = b.doc_id AND o.frame_no = b.frame_no
       |ORDER BY media_id, frame_no""".stripMargin) { (s, d) =>
+    Multimodal.videoFrameIndex(syntheticAviMedia(s, d))
+      .orderBy(col("media_id"), col("frame_no"))
+  }
+
+  /** The q164/q166 input: per video document a real AVI blob whose
+    * geometry, frame count, frame sizes, payload bytes, and keyframe
+    * cadence all come from integer formulas the oracle SQL re-derives. */
+  private def syntheticAviMedia(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, d)
+    Tables.documents(s, d)
       .filter(pmod(col("doc_id"), lit(3)) === 2)
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
@@ -440,8 +449,47 @@ object DedupQueries {
         }
       }
       .toDF("media_id", "kind", "bytes")
-    Multimodal.videoFrameIndex(media)
-      .orderBy(col("media_id"), col("frame_no"))
+  }
+
+  /** Frame SAMPLING against the real container index (q61's midpoint
+    * spacing resolved to byte ranges): duration comes from the decoded
+    * index, each sample time resolves to its containing frame via integer
+    * DIV in BOTH engines, and the q164 chunk-layout running sum gives the
+    * sampled frame's offset and size — the slice list a ranged blob read
+    * consumes at cluster scale. */
+  val q166FrameSampleOffsets: QueryDef = QueryDef.sql(
+    "q166_frame_sample_offsets",
+    """WITH d AS (
+      |  SELECT doc_id, 3 + doc_id % 5 AS nf,
+      |         33000 + (doc_id % 3) * 333 AS upf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (
+      |  SELECT doc_id, nf, t.i AS frame_no,
+      |         64 + (doc_id * 7 + t.i * 13) % 101 AS sz
+      |  FROM d CROSS JOIN range(7) t(i) WHERE t.i < nf),
+      |o AS (
+      |  SELECT doc_id, frame_no, sz,
+      |         4 + COALESCE(sum(8 + sz + sz % 2) OVER (
+      |               PARTITION BY doc_id ORDER BY CAST(frame_no AS BIGINT)
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS movi_offset
+      |  FROM f),
+      |smp AS (
+      |  SELECT doc_id, nf, upf, (nf * upf) // 1000 AS dur_ms, t.i AS sample_i
+      |  FROM d CROSS JOIN range(4) t(i)),
+      |sm AS (
+      |  SELECT doc_id, sample_i, dur_ms * (2 * sample_i + 1) // 8 AS sample_ms,
+      |         least(nf - 1, (dur_ms * (2 * sample_i + 1) // 8) * 1000 // upf) AS frame_no
+      |  FROM smp)
+      |SELECT sm.doc_id AS media_id, CAST(sm.sample_i AS INT) AS sample_i,
+      |       CAST(sm.sample_ms AS BIGINT) AS sample_ms,
+      |       CAST(sm.frame_no AS INT) AS frame_no,
+      |       CAST(o.movi_offset AS BIGINT) AS movi_offset,
+      |       CAST(o.sz AS INT) AS size,
+      |       CAST(CASE WHEN sm.frame_no % 4 = 0 THEN 1 ELSE 0 END AS INT) AS is_key
+      |FROM sm JOIN o ON sm.doc_id = o.doc_id AND sm.frame_no = o.frame_no
+      |ORDER BY media_id, sample_i""".stripMargin) { (s, d) =>
+    Multimodal.frameSampleOffsets(syntheticAviMedia(s, d), samplesPerVideo = 4)
+      .orderBy(col("media_id"), col("sample_i"))
   }
 
   /** The FULL media path on real bytes: container walk + frame slice +

@@ -140,6 +140,27 @@ class VideoContainerSpec extends SparkSpec {
     }
   }
 
+  test("frameSampleOffsets: midpoint samples resolve to containing-frame byte ranges") {
+    import spark.implicits._
+    val avi = VideoContainer.encodeAvi(16, 16, 33000, Seq(
+      (Array[Byte](1, 2, 3), true),
+      (Array[Byte](4, 5, 6, 7), false),
+      (Array[Byte](8, 9, 10, 11, 12), true)))
+    val media = Seq((5L, "video", avi)).toDF("media_id", "kind", "bytes")
+    val out = Multimodal.frameSampleOffsets(media, samplesPerVideo = 4)
+      .orderBy(col("sample_i")).collect()
+    // duration = 3*33000/1000 = 99 ms; samples at 99*(2i+1)/8 = 12,37,61,86 ms
+    // frame = ms*1000/33000 → 0,1,1,2; offsets: f0=4, f1=4+8+3+1=16, f2=16+8+4=28
+    val expected = Seq(
+      (0, 12L, 0, 4L, 3, 1), (1, 37L, 1, 16L, 4, 0),
+      (2, 61L, 1, 16L, 4, 0), (3, 86L, 2, 28L, 5, 1))
+    assert(out.length == 4)
+    out.zip(expected).foreach { case (r, (si, ms, fn, off, sz, key)) =>
+      assert(r.getInt(1) == si && r.getLong(2) == ms && r.getInt(3) == fn)
+      assert(r.getLong(4) == off && r.getInt(5) == sz && r.getInt(6) == key)
+    }
+  }
+
   test("videoFrameIndex: per-frame rows with slice checksums; junk degrades") {
     import spark.implicits._
     val frames = Seq(
