@@ -254,15 +254,41 @@ object Multimodal {
       .min(10000).max(1).toInt
   }
 
+  /** Shared scaffold for the video operators: kind filter, projection,
+    * bounded-blob repartition, container decode, sentinel degradation —
+    * so a fix to any of those lands in ONE place; only the per-frame row
+    * body differs between [[videoFrameIndex]] and [[videoFrameFeatures]]. */
+  private def decodedVideoRows(media: DataFrame, outSchema: StructType,
+      targetPartitionBytes: Long)(
+      onDecoded: (Long, Array[Byte], VideoContainer.AviIndex) => Iterator[Row],
+      onBad: Long => Row): DataFrame = {
+    val projected = media.filter(col("kind") === "video")
+      .select(col("media_id"), col("bytes"))
+    projected
+      .repartition(boundedBlobPartitions(projected, targetPartitionBytes), col("media_id"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          VideoContainer.decodeAvi(bytes) match {
+            case Some(ix) => onDecoded(id, bytes, ix)
+            case None => Iterator.single(onBad(id))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Container frame INDEX for videos: one row per frame with the chunk
-    * offset/size/keyframe flag from the AVI walk ([[VideoContainer]])
-    * plus an integer payload checksum computed from the SLICED bytes —
-    * so a wrong offset or length changes `byte_sum`, not just metadata.
-    * This is the stage that lets frame sampling read exact byte ranges
-    * out of a blob store without decoding; undecodable containers
-    * degrade to a single sentinel row (frame_no = -1) rather than
-    * failing the batch. Same bounded-blobs batch shape as
-    * [[extractFeatures]]. */
+    * offsets (both the idx1-convention `movi_offset` and the absolute
+    * `data_offset` of the payload — the latter is what a ranged blob
+    * read consumes directly), size, and keyframe flag from the AVI walk
+    * ([[VideoContainer]]), plus an integer payload checksum computed
+    * from the SLICED bytes — so a wrong offset or length changes
+    * `byte_sum`, not just metadata. This is the stage that lets frame
+    * sampling read exact byte ranges out of a blob store without
+    * decoding; undecodable containers degrade to a single sentinel row
+    * (frame_no = -1) rather than failing the batch. Same bounded-blobs
+    * batch shape as [[extractFeatures]]. */
   def videoFrameIndex(media: DataFrame,
       targetPartitionBytes: Long = 64L << 20): DataFrame = {
     val outSchema = StructType(Seq(
@@ -273,31 +299,21 @@ object Multimodal {
       StructField("n_frames", IntegerType),
       StructField("frame_no", IntegerType),
       StructField("movi_offset", LongType),
+      StructField("data_offset", LongType),
       StructField("size", IntegerType),
       StructField("is_key", IntegerType),
       StructField("byte_sum", LongType)))
-    val projected = media.filter(col("kind") === "video")
-      .select(col("media_id"), col("bytes"))
-    projected
-      .repartition(boundedBlobPartitions(projected, targetPartitionBytes), col("media_id"))
-      .mapPartitions { it =>
-        it.flatMap { r =>
-          val id = r.getAs[Long]("media_id")
-          val bytes = r.getAs[Array[Byte]]("bytes")
-          VideoContainer.decodeAvi(bytes) match {
-            case Some(ix) =>
-              ix.frames.iterator.map { f =>
-                val payload = VideoContainer.frameBytes(bytes, f)
-                var s = 0L
-                payload.foreach(b => s += (b & 0xff))
-                Row(id, ix.width, ix.height, ix.usPerFrame, ix.nFrames,
-                  f.frameNo, f.moviOffset, f.size, if (f.keyframe) 1 else 0, s)
-              }
-            case None =>
-              Iterator.single(Row(id, -1, -1, -1, -1, -1, -1L, -1, 0, 0L))
-          }
-        }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
+    decodedVideoRows(media, outSchema, targetPartitionBytes)(
+      onDecoded = (id, bytes, ix) =>
+        ix.frames.iterator.map { f =>
+          val payload = VideoContainer.frameBytes(bytes, f)
+          var s = 0L
+          payload.foreach(b => s += (b & 0xff))
+          Row(id, ix.width, ix.height, ix.usPerFrame, ix.nFrames,
+            f.frameNo, f.moviOffset, f.dataOffset, f.size,
+            if (f.keyframe) 1 else 0, s)
+        },
+      onBad = id => Row(id, -1, -1, -1, -1, -1, -1L, -1L, -1, 0, 0L))
   }
 
   /** Frame sampling against the REAL container index: the
@@ -310,8 +326,11 @@ object Multimodal {
     *
     * Shape: the per-frame index is computed once and cached (it serves
     * both the per-video sample generator and the equi-join back to frame
-    * entries); the join is keyed (media_id, frame_no) — shuffle-friendly,
-    * no broadcast assumption about video count. */
+    * entries; the round-2 cache convention — no unpersist hook because
+    * the returned frame is consumed lazily, and dead entries fall to
+    * Spark's LRU under memory pressure with MEMORY_AND_DISK so eviction
+    * never recomputes mid-job); the join is keyed (media_id, frame_no) —
+    * shuffle-friendly, no broadcast assumption about video count. */
   def frameSampleOffsets(media: DataFrame, samplesPerVideo: Int = 4,
       targetPartitionBytes: Long = 64L << 20): DataFrame = {
     require(samplesPerVideo > 0, "samplesPerVideo must be positive")
@@ -330,8 +349,8 @@ object Multimodal {
           .cast("int"))
     samples.join(idx, Seq("media_id", "frame_no"))
       .select(col("media_id"), col("sample_i").cast("int").as("sample_i"),
-        col("sample_ms"), col("frame_no"), col("movi_offset"), col("size"),
-        col("is_key"))
+        col("sample_ms"), col("frame_no"), col("movi_offset"),
+        col("data_offset"), col("size"), col("is_key"))
   }
 
   /** Frame-level feature extraction for videos: the container walk
@@ -349,25 +368,14 @@ object Multimodal {
       StructField("media_id", LongType),
       StructField("frame_no", IntegerType),
       StructField("features", ArrayType(FloatType, containsNull = false))))
-    val projected = media.filter(col("kind") === "video")
-      .select(col("media_id"), col("bytes"))
-    projected
-      .repartition(boundedBlobPartitions(projected, targetPartitionBytes), col("media_id"))
-      .mapPartitions { it =>
-        it.flatMap { r =>
-          val id = r.getAs[Long]("media_id")
-          val bytes = r.getAs[Array[Byte]]("bytes")
-          VideoContainer.decodeAvi(bytes) match {
-            case Some(ix) =>
-              ix.frames.iterator.map { f =>
-                val feats = frameCodec.features("image", frameFormat,
-                  VideoContainer.frameBytes(bytes, f))
-                Row(id, f.frameNo, feats.toSeq)
-              }
-            case None => Iterator.single(Row(id, -1, Seq.empty[Float]))
-          }
-        }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
+    decodedVideoRows(media, outSchema, targetPartitionBytes)(
+      onDecoded = (id, bytes, ix) =>
+        ix.frames.iterator.map { f =>
+          val feats = frameCodec.features("image", frameFormat,
+            VideoContainer.frameBytes(bytes, f))
+          Row(id, f.frameNo, feats.toSeq)
+        },
+      onBad = id => Row(id, -1, Seq.empty[Float]))
   }
 
   /** Resize plan for images: fit into a `maxW`×`maxH` box preserving

@@ -91,7 +91,8 @@ object VideoContainer {
                       height = le32(bytes, sbody + 36)
                     case "LIST" if tag(bytes, sbody) == "strl" =>
                       // first sub-chunk must be strh; we only need fccType
-                      if (sbody + 12 <= end && tag(bytes, sbody + 4) == "strh" &&
+                      // (reading it needs 16 bytes: strl + strh hdr + fccType)
+                      if (sbody + 16 <= end && tag(bytes, sbody + 4) == "strh" &&
                         tag(bytes, sbody + 12) == "vids") vidsSeen = true
                     case _ => ()
                   }
@@ -122,7 +123,11 @@ object VideoContainer {
         off = body + len + (len & 1)
       }
 
-      if (width < 0 || usPerFrame < 0 || !vidsSeen || moviFourccPos < 0 ||
+      // geometry and frame rate must be strictly positive: a zero
+      // dwMicroSecPerFrame would poison every downstream duration/DIV and
+      // zero/negative dimensions are malformed, not decodable — degrade to
+      // None like every other inconsistency (never a guessed index)
+      if (width <= 0 || height <= 0 || usPerFrame <= 0 || !vidsSeen || moviFourccPos < 0 ||
         idx1 == null) return None
       val idxFrames = idx1.filter(e => isFrameId(e._1))
       if (idxFrames.length != walked.length || avihFrames != walked.length)

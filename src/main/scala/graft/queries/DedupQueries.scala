@@ -416,6 +416,7 @@ object DedupQueries {
       |       CAST(o.nf AS INT) AS n_frames,
       |       CAST(o.frame_no AS INT) AS frame_no,
       |       CAST(o.movi_offset AS BIGINT) AS movi_offset,
+      |       CAST(o.movi_offset + 228 AS BIGINT) AS data_offset,
       |       CAST(o.sz AS INT) AS size,
       |       CAST(CASE WHEN o.frame_no % 4 = 0 THEN 1 ELSE 0 END AS INT) AS is_key,
       |       CAST(b.byte_sum AS BIGINT) AS byte_sum
@@ -484,6 +485,7 @@ object DedupQueries {
       |       CAST(sm.sample_ms AS BIGINT) AS sample_ms,
       |       CAST(sm.frame_no AS INT) AS frame_no,
       |       CAST(o.movi_offset AS BIGINT) AS movi_offset,
+      |       CAST(o.movi_offset + 228 AS BIGINT) AS data_offset,
       |       CAST(o.sz AS INT) AS size,
       |       CAST(CASE WHEN sm.frame_no % 4 = 0 THEN 1 ELSE 0 END AS INT) AS is_key
       |FROM sm JOIN o ON sm.doc_id = o.doc_id AND sm.frame_no = o.frame_no

@@ -150,14 +150,16 @@ class VideoContainerSpec extends SparkSpec {
     val out = Multimodal.frameSampleOffsets(media, samplesPerVideo = 4)
       .orderBy(col("sample_i")).collect()
     // duration = 3*33000/1000 = 99 ms; samples at 99*(2i+1)/8 = 12,37,61,86 ms
-    // frame = ms*1000/33000 → 0,1,1,2; offsets: f0=4, f1=4+8+3+1=16, f2=16+8+4=28
+    // frame = ms*1000/33000 → 0,1,1,2; offsets: f0=4, f1=4+8+3+1=16, f2=16+8+4=28;
+    // data_offset = movi fourcc (220) + movi_offset + 8
     val expected = Seq(
       (0, 12L, 0, 4L, 3, 1), (1, 37L, 1, 16L, 4, 0),
       (2, 61L, 1, 16L, 4, 0), (3, 86L, 2, 28L, 5, 1))
     assert(out.length == 4)
     out.zip(expected).foreach { case (r, (si, ms, fn, off, sz, key)) =>
       assert(r.getInt(1) == si && r.getLong(2) == ms && r.getInt(3) == fn)
-      assert(r.getLong(4) == off && r.getInt(5) == sz && r.getInt(6) == key)
+      assert(r.getLong(4) == off && r.getLong(5) == off + 228 &&
+        r.getInt(6) == sz && r.getInt(7) == key)
     }
   }
 
@@ -177,12 +179,35 @@ class VideoContainerSpec extends SparkSpec {
     val v1 = out.filter(_.getLong(0) == 1L)
     assert(v1.length == 2)
     assert(v1(0).getInt(1) == 32 && v1(0).getInt(2) == 24 && v1(0).getInt(3) == 50000)
-    assert(v1(0).getInt(5) == 0 && v1(0).getInt(8) == 1 &&
-      v1(0).getLong(9) == (1 + 2 + 3))
-    assert(v1(1).getInt(5) == 1 && v1(1).getInt(8) == 0 &&
-      v1(1).getLong(9) == (10 + 20 + 30 + 40))
+    assert(v1(0).getInt(5) == 0 && v1(0).getInt(9) == 1 &&
+      v1(0).getLong(10) == (1 + 2 + 3))
+    assert(v1(1).getInt(5) == 1 && v1(1).getInt(9) == 0 &&
+      v1(1).getLong(10) == (10 + 20 + 30 + 40))
+    // data_offset is the absolute payload position: slicing the original
+    // blob there reproduces the payload the checksum was computed from
+    v1.foreach { r =>
+      val off = r.getLong(7).toInt; val sz = r.getInt(8)
+      val slice = avi.slice(off, off + sz)
+      assert(slice.map(_ & 0xff).map(_.toLong).sum == r.getLong(10))
+    }
     val v2 = out.filter(_.getLong(0) == 2L)
     assert(v2.length == 1 && v2(0).getInt(5) == -1) // sentinel row
     assert(!out.exists(_.getLong(0) == 3L))
+  }
+
+  test("zero frame rate and non-positive geometry are rejected, not guessed") {
+    val good = VideoContainer.encodeAvi(16, 16, 40000,
+      Seq((Array[Byte](1, 2, 3), true)))
+    assert(VideoContainer.decodeAvi(good).isDefined)
+    // avih body starts at byte 32: dwMicroSecPerFrame at +0, dwHeight at +36
+    val zeroRate = good.clone()
+    for (i <- 0 until 4) zeroRate(32 + i) = 0
+    assert(VideoContainer.decodeAvi(zeroRate).isEmpty)
+    val negHeight = good.clone()
+    negHeight(32 + 36 + 3) = 0xff.toByte
+    assert(VideoContainer.decodeAvi(negHeight).isEmpty)
+    val zeroWidth = good.clone()
+    for (i <- 0 until 4) zeroWidth(32 + 32 + i) = 0
+    assert(VideoContainer.decodeAvi(zeroWidth).isEmpty)
   }
 }
