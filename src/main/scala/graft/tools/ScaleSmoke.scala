@@ -166,6 +166,32 @@ object ScaleSmoke {
         graft.operators.SessionOps.similarityGraph(
           sess, th, exactUserLimit = 0L)
       }
+      if ("video_frame_index".contains(opFilter)) {
+        // Container walk + frame slicing is per-blob linear work; wall
+        // must track blob count. Media is synthesized once and CACHED so
+        // the timed region is the walk itself, not the AVI encode.
+        import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("media_id", LongType), StructField("kind", StringType),
+          StructField("bytes", BinaryType)))
+        val media = docs.select(col("doc_id")).mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val nf = (3 + id % 5).toInt
+            val frames = (0 until nf).map { i =>
+              val sz = (64 + (id * 7 + i * 13) % 101).toInt
+              (Array.tabulate(sz)(j => ((id * 31 + i * 17 + j * 7) % 256).toByte),
+                i % 4 == 0)
+            }
+            org.apache.spark.sql.Row(id, "video",
+              graft.multimodal.VideoContainer.encodeAvi(64, 48, 33000, frames))
+          }
+        }(org.apache.spark.sql.Encoders.row(schema)).cache()
+        media.count()
+        time("video_frame_index", k)(
+          graft.multimodal.Multimodal.videoFrameIndex(media))
+        media.unpersist()
+      }
       if (k == 1 && "similarity_graph_lsh_sweep".contains(opFilter)) {
         // the nTables recall/cost dial, measured (NEXT r10 backlog item):
         // same clustered-direction corpus, exact edge set as ground truth
