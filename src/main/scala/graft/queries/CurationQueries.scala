@@ -19,7 +19,7 @@ object CurationQueries {
     q118SpanDedupOverlap, q119HeldoutLogprob, q120BigramLogprob,
     q121DedupKeepBest, q122FuzzyDecontam, q125DsirWeights,
     q126PerplexityBuckets, q127QualityClassifier, q129CurationPipeline,
-    q153LrTrain, q155BpeTrain, q162BpeApply)
+    q153LrTrain, q155BpeTrain, q162BpeApply, q167TarShards)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -916,5 +916,68 @@ object CurationQueries {
         sum(col("n_tokens")).cast("long").as("n_tokens"))
       .withColumn("n_windows", expr("CAST((n_tokens + 511) DIV 512 AS BIGINT)"))
       .orderBy(col("split"))
+  }
+
+  /** Trainer-feed shard packing, value-checked END TO END (the q164
+    * mechanism applied to ustar): per document a blob is synthesized from
+    * an integer formula, packed into byte-exact tar shards
+    * ([[graft.sources.TarShards]] — content-addressed 256-way bucketed
+    * assignment, NO global sort), and the emitted index comes from the
+    * independent checksum-verifying archive walk with `byte_sum` computed
+    * from the SLICED payload. The oracle replays the whole layout in SQL:
+    * salted-md5 order, hash-prefix bucketing, the per-bucket running
+    * footprint that numbers shards, and the 512-byte header/padding
+    * arithmetic of the ustar spec — a wrong pad, a misplaced header, or a
+    * drifting assignment hash-mismatches. */
+  val q167TarShards: QueryDef = sql(
+    "q167_tar_shards",
+    """WITH m AS (
+      |  SELECT doc_id, 'doc-' || CAST(doc_id AS VARCHAR) AS name,
+      |         100 + (doc_id * 13) % 923 AS sz,
+      |         md5('tar|doc-' || CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents),
+      |e AS (
+      |  SELECT *, substr(ord, 1, 2) AS bucket,
+      |         512 + ((sz + 511) // 512) * 512 AS entry_bytes
+      |  FROM m),
+      |pos AS (
+      |  SELECT *, COALESCE(sum(entry_bytes) OVER (PARTITION BY bucket ORDER BY ord
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM e),
+      |sh AS (
+      |  SELECT *, bucket || '-' || CAST(start_off // 8192 AS VARCHAR) AS shard_id
+      |  FROM pos),
+      |ish AS (
+      |  SELECT *,
+      |         CAST(row_number() OVER (PARTITION BY shard_id ORDER BY ord) - 1 AS INT) AS member_no,
+      |         512 + COALESCE(sum(entry_bytes) OVER (PARTITION BY shard_id ORDER BY ord
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS data_offset,
+      |         sum(entry_bytes) OVER (PARTITION BY shard_id) + 1024 AS shard_len,
+      |         count(*) OVER (PARTITION BY shard_id) AS shard_members
+      |  FROM sh),
+      |b AS (
+      |  SELECT doc_id, sum((doc_id * 31 + u.j * 7) % 256) AS byte_sum
+      |  FROM m CROSS JOIN range(1023) u(j) WHERE u.j < sz GROUP BY doc_id)
+      |SELECT ish.shard_id, ish.member_no, ish.name,
+      |       CAST(ish.data_offset AS BIGINT) AS data_offset,
+      |       CAST(ish.sz AS BIGINT) AS size,
+      |       CAST(b.byte_sum AS BIGINT) AS byte_sum,
+      |       CAST(ish.shard_len AS BIGINT) AS shard_len,
+      |       CAST(ish.shard_members AS INT) AS n_members
+      |FROM ish JOIN b ON ish.doc_id = b.doc_id
+      |ORDER BY shard_id, member_no""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val blobs = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val sz = (100 + (id * 13) % 923).toInt
+          ("doc-" + id,
+            Array.tabulate(sz)(j => ((id * 31 + j * 7) % 256).toByte))
+        }
+      }
+      .toDF("name", "bytes")
+    val shards = graft.sources.TarShards.pack(blobs, targetShardBytes = 8192)
+    graft.sources.TarShards.index(shards)
+      .orderBy(col("shard_id"), col("member_no"))
   }
 }
