@@ -85,6 +85,53 @@ object AudioDecode {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Mono mixdown: each frame becomes the truncating integer mean of its
+    * channels (truncation toward zero — the semantics both JVM `/` and
+    * the oracle's integer division share, so q168 replays it exactly).
+    * Mono input passes through untouched. */
+  def mixdownMono(a: DecodedAudio): DecodedAudio = {
+    if (a.channels == 1) a
+    else {
+      val n = a.nFrames
+      val out = new Array[Short](n)
+      var f = 0
+      while (f < n) {
+        var s = 0L
+        var c = 0
+        while (c < a.channels) { s += a.samples(f * a.channels + c); c += 1 }
+        out(f) = (s / a.channels).toShort
+        f += 1
+      }
+      DecodedAudio(a.sampleRate, 1, out)
+    }
+  }
+
+  /** Integer-factor decimation: keep every `n`-th frame and divide the
+    * sample rate by `n`. This is the unfiltered decimation BASELINE (the
+    * aliasing-prone fast path a feature pipeline uses on already-band-
+    * limited signals); a proper low-pass resampler is native-codec
+    * territory and stays behind the stub seam. */
+  def decimate(a: DecodedAudio, n: Int): DecodedAudio = {
+    require(n > 0, "decimation factor must be positive")
+    require(a.sampleRate % n == 0,
+      s"sample rate ${a.sampleRate} not divisible by $n")
+    if (n == 1) a
+    else {
+      val frames = (a.nFrames + n - 1) / n
+      val out = new Array[Short](frames * a.channels)
+      var g = 0
+      while (g < frames) {
+        var c = 0
+        while (c < a.channels) {
+          out(g * a.channels + c) = a.samples(g * n * a.channels + c)
+          c += 1
+        }
+        g += 1
+      }
+      DecodedAudio(a.sampleRate / n, a.channels, out)
+    }
+  }
+
   /** Minimal PCM16 WAV encoder (canonical 44-byte header + data). */
   def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
     require(sampleRate > 0 && channels > 0, "sampleRate/channels must be positive")

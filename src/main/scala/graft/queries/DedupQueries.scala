@@ -16,7 +16,7 @@ object DedupQueries {
     q60MultimodalFeatures, q61FramePlan, q84ResizePlan,
     q97MinhashVerify, q98SimhashVerify, q103DedupCanonical,
     q158PixelDecode, q160PixelResize, q161WavRoundtrip, q164VideoIndex,
-    q165VideoFrameDecode, q166FrameSampleOffsets)
+    q165VideoFrameDecode, q166FrameSampleOffsets, q168AudioMixdown)
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
@@ -369,6 +369,60 @@ object DedupQueries {
         }
       }
       .toDF("doc_id", "sample_rate", "channels", "n_samples", "duration_ms",
+        "sum_samples", "sum_abs")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Audio KERNELS value-checked END TO END (q160's role for audio):
+    * synth stereo PCM16 from the integer formula, ENCODE to real RIFF
+    * bytes, decode back through the chunk walk, then mono-mixdown
+    * (truncating integer channel mean — truncation toward zero in both
+    * engines) and 2× decimation (keep even frames, halve the rate). The
+    * emitted stream stats come from the PROCESSED samples; the oracle
+    * recomputes mixdown+decimation from the formula alone, so a channel
+    * interleave slip, a floor-vs-truncate divergence, or an off-by-one
+    * in the kept-frame set hash-mismatches. */
+  val q168AudioMixdown: QueryDef = QueryDef.sql(
+    "q168_audio_mixdown",
+    """WITH d AS (
+      |  SELECT doc_id, 8000 + (doc_id % 5) * 1000 AS sr,
+      |         600 + doc_id % 300 AS frames
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, sr, frames, t.f AS f,
+      |         ((doc_id * 31 + (2 * t.f) * 7) % 65536) - 32768 AS l,
+      |         ((doc_id * 31 + (2 * t.f + 1) * 7) % 65536) - 32768 AS r
+      |  FROM d CROSS JOIN range(900) t(f) WHERE t.f < frames),
+      |dec AS (
+      |  SELECT doc_id, sr, (l + r) // 2 AS v
+      |  FROM fr WHERE f % 2 = 0)
+      |SELECT doc_id, CAST(sr // 2 AS INT) AS sample_rate,
+      |       CAST(count(*) AS BIGINT) AS n_frames,
+      |       CAST((count(*) * 1000) // (sr // 2) AS BIGINT) AS duration_ms,
+      |       CAST(sum(v) AS BIGINT) AS sum_samples,
+      |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+      |FROM dec GROUP BY doc_id, sr
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val sr = (8000 + (id % 5) * 1000).toInt
+          val frames = (600 + id % 300).toInt
+          val samples = Array.tabulate(frames * 2)(i =>
+            (((id * 31 + i.toLong * 7) % 65536) - 32768).toShort)
+          import graft.multimodal.AudioDecode
+          AudioDecode.decodeWav(AudioDecode.encodeWav(sr, 2, samples)) match {
+            case Some(a) =>
+              val out = AudioDecode.decimate(AudioDecode.mixdownMono(a), 2)
+              var sum = 0L; var sabs = 0L
+              out.samples.foreach { v => sum += v; sabs += math.abs(v.toLong) }
+              (id, out.sampleRate, out.nFrames.toLong, out.durationMs, sum, sabs)
+            case None => (id, -1, -1L, -1L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_frames", "duration_ms",
         "sum_samples", "sum_abs")
       .orderBy(col("doc_id"))
   }

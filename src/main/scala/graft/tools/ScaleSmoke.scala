@@ -192,6 +192,19 @@ object ScaleSmoke {
           graft.multimodal.Multimodal.videoFrameIndex(media))
         media.unpersist()
       }
+      if ("tar_shard_pack".contains(opFilter)) {
+        // pack + index + checksum walk over real text blobs: the only
+        // sequential step is the per-bucket footprint window (256-way
+        // parallel), so wall must track blob count, never sort globally
+        val blobs = docs.select(
+          concat(lit("doc-"), col("doc_id")).as("name"),
+          encode(col("text"), "UTF-8").as("bytes")).cache()
+        blobs.count()
+        time("tar_shard_pack", k)(
+          graft.sources.TarShards.index(
+            graft.sources.TarShards.pack(blobs, targetShardBytes = 1L << 20)))
+        blobs.unpersist()
+      }
       if (k == 1 && "similarity_graph_lsh_sweep".contains(opFilter)) {
         // the nTables recall/cost dial, measured (NEXT r10 backlog item):
         // same clustered-direction corpus, exact edge set as ground truth

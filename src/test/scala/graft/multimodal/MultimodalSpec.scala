@@ -256,6 +256,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mixdown truncates toward zero; decimation keeps even frames and halves the rate") {
+    import AudioDecode._
+    // stereo frames: (-3,0) → -1 (toward-zero, NOT floor's -2), (5,2) → 3,
+    // (-7,-2) → -4, (1,0) → 0, (9,9) → 9
+    val a = DecodedAudio(8000, 2,
+      Array[Short](-3, 0, 5, 2, -7, -2, 1, 0, 9, 9))
+    val mono = mixdownMono(a)
+    assert(mono.channels == 1 && mono.sampleRate == 8000)
+    assert(mono.samples.toSeq == Seq[Short](-1, 3, -4, 0, 9))
+    // mono passes through untouched (same instance semantics not required,
+    // same values are)
+    assert(mixdownMono(mono).samples.toSeq == mono.samples.toSeq)
+    val dec = decimate(mono, 2)
+    assert(dec.sampleRate == 4000 && dec.channels == 1)
+    assert(dec.samples.toSeq == Seq[Short](-1, -4, 9)) // frames 0,2,4 (ceil 5/2)
+    // stereo decimation keeps whole frames
+    val dec2 = decimate(a, 2)
+    assert(dec2.channels == 2 && dec2.samples.toSeq == Seq[Short](-3, 0, -7, -2, 9, 9))
+    intercept[IllegalArgumentException] { decimate(mono, 3) } // 8000 % 3 != 0
+  }
+
   test("WAV decode: 8-bit rescale, ancillary chunk skip, corrupt inputs -> None") {
     // 8-bit offset-binary WAV hand-built: values 0,128,255 -> -32768,0,32512
     val hdr = java.nio.ByteBuffer.allocate(44 + 3)
