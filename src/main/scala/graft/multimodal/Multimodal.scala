@@ -378,6 +378,50 @@ object Multimodal {
       onBad = id => Row(id, -1, Seq.empty[Float]))
   }
 
+  /** Content fingerprint over DECODED pixels: md5 of (width, height,
+    * channels, raster bytes). Identical rasters fingerprint identically
+    * regardless of container format or encoder choices — a PNG written
+    * with a different per-row filter strategy, or the same image stored
+    * as PPM vs PNG, byte-hashes differently but pixel-fingerprints the
+    * same, which is the key exact MEDIA dedup needs one level deeper
+    * than blob hashing (re-encoded copies defeat blob hashes; q169).
+    * Output also carries the per-channel sums so the decode itself stays
+    * value-pinned. Undecodable images degrade to a NULL fingerprint
+    * (never grouped — NULL joins nothing) with sentinel dims. */
+  def pixelFingerprint(media: DataFrame,
+      targetPartitionBytes: Long = 64L << 20): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("fingerprint", StringType),
+      StructField("r_sum", LongType),
+      StructField("g_sum", LongType),
+      StructField("b_sum", LongType)))
+    val projected = media.filter(col("kind") === "image")
+      .select(col("media_id"), col("bytes"))
+    projected
+      .repartition(boundedBlobPartitions(projected, targetPartitionBytes), col("media_id"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val id = r.getAs[Long]("media_id")
+          ImageDecode.decode(r.getAs[Array[Byte]]("bytes")) match {
+            case Some(d) =>
+              md.reset()
+              md.update(java.nio.ByteBuffer.allocate(12)
+                .putInt(d.width).putInt(d.height).putInt(d.channels).array())
+              md.update(d.pixels)
+              val hex = md.digest().map(b => f"${b & 0xff}%02x").mkString
+              def s(c: Int): Long = if (c < d.channels) d.channelSum(c) else 0L
+              Row(id, d.width, d.height, d.channels, hex, s(0), s(1), s(2))
+            case None => Row(id, -1, -1, 0, null, 0L, 0L, 0L)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Resize plan for images: fit into a `maxW`×`maxH` box preserving
     * aspect ratio, never upscaling — (media_id, width, height, out_w,
     * out_h) is pure column arithmetic; the pixel resample itself belongs

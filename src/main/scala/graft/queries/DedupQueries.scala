@@ -16,7 +16,8 @@ object DedupQueries {
     q60MultimodalFeatures, q61FramePlan, q84ResizePlan,
     q97MinhashVerify, q98SimhashVerify, q103DedupCanonical,
     q158PixelDecode, q160PixelResize, q161WavRoundtrip, q164VideoIndex,
-    q165VideoFrameDecode, q166FrameSampleOffsets, q168AudioMixdown)
+    q165VideoFrameDecode, q166FrameSampleOffsets, q168AudioMixdown,
+    q169PixelDedup)
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
@@ -371,6 +372,78 @@ object DedupQueries {
       .toDF("doc_id", "sample_rate", "channels", "n_samples", "duration_ms",
         "sum_samples", "sum_abs")
       .orderBy(col("doc_id"))
+  }
+
+  /** PIXEL-content dedup, value-checked END TO END: per document the
+    * SAME formula raster is committed under three different encodings —
+    * PNG with all-zero filters, PNG with a cycling per-row filter
+    * strategy (byte-different IDAT stream), and PPM — so blob hashing
+    * sees three distinct files while [[graft.multimodal.Multimodal.
+    * pixelFingerprint]] (md5 over dims + DECODED raster) groups them
+    * into one cluster; [[graft.dedup.Dedup.exact]] then canonicalizes on
+    * the fingerprint exactly as it does on text. The oracle replays the
+    * expected group structure (keep = the PNG-filter-0 copy, every
+    * re-encoding a duplicate) AND the decoded geometry + channel sum
+    * from the pixel formula, so a decoder that normalized incorrectly, a
+    * fingerprint over encoded bytes instead of pixels, or a dedup slip
+    * all hash-mismatch. This is exact media dedup one level deeper than
+    * blob hashing — the level re-encoded copies defeat. */
+  val q169PixelDedup: QueryDef = QueryDef.sql(
+    "q169_pixel_dedup",
+    """WITH d AS (
+      |  SELECT doc_id, 8 + (doc_id % 5) * 2 AS w, 6 + (doc_id % 4) * 2 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |         ((tx.x * 31 + ty.y * 17 + doc_id * 131) % 16777216) AS v
+      |  FROM d CROSS JOIN range(16) tx(x) CROSS JOIN range(12) ty(y)
+      |  WHERE tx.x < w AND ty.y < h),
+      |r AS (
+      |  SELECT doc_id, w, h, sum((v // 65536) % 256) AS r_sum
+      |  FROM px GROUP BY doc_id, w, h)
+      |SELECT r.doc_id * 3 + t.e AS media_id,
+      |       CAST(r.w AS INT) AS width, CAST(r.h AS INT) AS height,
+      |       CAST(r.r_sum AS BIGINT) AS r_sum,
+      |       CAST(r.doc_id * 3 AS BIGINT) AS keep_id,
+      |       CAST(CASE WHEN t.e = 0 THEN 0 ELSE 1 END AS INT) AS is_duplicate
+      |FROM r CROSS JOIN range(3) t(e)
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = (8 + (id % 5) * 2).toInt
+          val h = (6 + (id % 4) * 2).toInt
+          val rgb = new Array[Byte](3 * w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = (x * 31 + y * 17 + id * 131) % 16777216
+              val p = 3 * (y * w + x)
+              rgb(p) = ((v >> 16) & 0xff).toByte
+              rgb(p + 1) = ((v >> 8) & 0xff).toByte
+              rgb(p + 2) = (v & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          import graft.multimodal.ImageDecode
+          Seq(
+            (id * 3, "image", ImageDecode.encodePng(w, h, rgb)),
+            (id * 3 + 1, "image", ImageDecode.encodePng(w, h, rgb, r => (r + 1) % 5)),
+            (id * 3 + 2, "image", ImageDecode.encodePpm(w, h, rgb)))
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+    val fp = Multimodal.pixelFingerprint(media)
+    Dedup.exact(fp, "media_id", "fingerprint")
+      .join(fp.select(col("media_id"), col("width"), col("height"),
+        col("r_sum")), Seq("media_id"))
+      .select(col("media_id"), col("width"), col("height"), col("r_sum"),
+        col("keep_id"), col("is_duplicate").cast("int").as("is_duplicate"))
+      .orderBy(col("media_id"))
   }
 
   /** Audio KERNELS value-checked END TO END (q160's role for audio):

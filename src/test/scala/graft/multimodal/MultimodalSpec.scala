@@ -256,6 +256,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pixelFingerprint: identical rasters match across formats and filter strategies") {
+    import spark.implicits._
+    val (w, h) = (3, 2)
+    val rgb = Array.tabulate(3 * w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val other = rgb.clone(); other(5) = (other(5) + 1).toByte
+    val media = Seq(
+      (1L, "image", ImageDecode.encodePng(w, h, rgb)), // filter 0
+      (2L, "image", ImageDecode.encodePng(w, h, rgb, _ => 2)), // up-filter: different bytes
+      (3L, "image", ImageDecode.encodePpm(w, h, rgb)), // different format
+      (4L, "image", ImageDecode.encodePng(w, h, other)), // one pixel off
+      (5L, "image", "junk".getBytes)
+    ).toDF("media_id", "kind", "bytes")
+    // encodings 1 and 2 really are byte-different containers
+    val blobs = media.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    assert(!blobs(1L).sameElements(blobs(2L)))
+    val fp = Multimodal.pixelFingerprint(media).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(fp(1L) != null && fp(1L) == fp(2L) && fp(2L) == fp(3L))
+    assert(fp(4L) != fp(1L))
+    assert(fp(5L) == null) // undecodable: NULL, never grouped
+  }
+
   test("mixdown truncates toward zero; decimation keeps even frames and halves the rate") {
     import AudioDecode._
     // stereo frames: (-3,0) → -1 (toward-zero, NOT floor's -2), (5,2) → 3,
