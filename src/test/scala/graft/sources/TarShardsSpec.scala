@@ -110,6 +110,31 @@ class TarShardsSpec extends SparkSpec {
     }
   }
 
+  test("bucket isolation: adding a member repacks only its own bucket's shards") {
+    import spark.implicits._
+    val rows = (0 until 400).map(i =>
+      (s"m-$i", Array.tabulate(80 + i % 300)(j => ((i + j) % 256).toByte)))
+    def shardBytes(data: Seq[(String, Array[Byte])]): Map[String, Seq[Byte]] =
+      TarShards.pack(data.toDF("name", "bytes"), targetShardBytes = 2048)
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("shard_bytes").toSeq)
+        .toMap
+    val before = shardBytes(rows)
+    val added = ("m-new", Array.tabulate(150)(_.toByte))
+    val after = shardBytes(rows :+ added)
+    // the new member lands in exactly one 2-hex bucket; every shard in
+    // every OTHER bucket must be byte-identical — the content-addressed
+    // assignment's incremental-repack guarantee (1/256 of shards touched)
+    val newBucket = after.keys.filterNot(before.contains).map(_.take(2)) ++
+      before.collect { case (k, v) if after.get(k).exists(_ != v) => k.take(2) }
+    assert(newBucket.toSet.size == 1, s"expected one touched bucket, got $newBucket")
+    val touched = newBucket.head
+    before.foreach { case (sid, bytes) =>
+      if (!sid.startsWith(touched))
+        assert(after(sid) == bytes, s"shard $sid changed outside bucket $touched")
+    }
+  }
+
   test("pack is deterministic across input partitionings") {
     import spark.implicits._
     val rows = (0 until 300).map(i =>
