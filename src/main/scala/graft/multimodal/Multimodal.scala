@@ -422,6 +422,38 @@ object Multimodal {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Storage normalization: decode each image and re-encode the raster
+    * as canonical PPM — after [[pixelFingerprint]] dedup this gives every
+    * kept image ONE deterministic byte representation (identical rasters
+    * → identical bytes), which is what makes downstream shards
+    * content-addressable and the whole layout replayable (q170's
+    * curation chain). Gray rasters expand to RGB by replication;
+    * undecodable blobs are DROPPED (they carry no raster to normalize —
+    * the dedup stage already surfaced them as NULL-fingerprint rows). */
+  def transcodeToPpm(media: DataFrame,
+      targetPartitionBytes: Long = 64L << 20): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val projected = media.filter(col("kind") === "image")
+      .select(col("media_id"), col("bytes"))
+    projected
+      .repartition(boundedBlobPartitions(projected, targetPartitionBytes), col("media_id"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          ImageDecode.decode(r.getAs[Array[Byte]]("bytes")).flatMap { d =>
+            val rgb =
+              if (d.channels == 3) Some(d.pixels)
+              else if (d.channels == 1)
+                Some(Array.tabulate(3 * d.width * d.height)(i => d.pixels(i / 3)))
+              else None
+            rgb.map(p => Row(id, ImageDecode.encodePpm(d.width, d.height, p)))
+          }.iterator
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Resize plan for images: fit into a `maxW`×`maxH` box preserving
     * aspect ratio, never upscaling — (media_id, width, height, out_w,
     * out_h) is pure column arithmetic; the pixel resample itself belongs

@@ -17,7 +17,7 @@ object DedupQueries {
     q97MinhashVerify, q98SimhashVerify, q103DedupCanonical,
     q158PixelDecode, q160PixelResize, q161WavRoundtrip, q164VideoIndex,
     q165VideoFrameDecode, q166FrameSampleOffsets, q168AudioMixdown,
-    q169PixelDedup)
+    q169PixelDedup, q170MediaCuration)
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
@@ -408,8 +408,22 @@ object DedupQueries {
       |       CAST(CASE WHEN t.e = 0 THEN 0 ELSE 1 END AS INT) AS is_duplicate
       |FROM r CROSS JOIN range(3) t(e)
       |ORDER BY media_id""".stripMargin) { (s, d) =>
+    val fp = Multimodal.pixelFingerprint(syntheticImageTriples(s, d))
+    Dedup.exact(fp, "media_id", "fingerprint")
+      .join(fp.select(col("media_id"), col("width"), col("height"),
+        col("r_sum")), Seq("media_id"))
+      .select(col("media_id"), col("width"), col("height"), col("r_sum"),
+        col("keep_id"), col("is_duplicate").cast("int").as("is_duplicate"))
+      .orderBy(col("media_id"))
+  }
+
+  /** The q169/q170 input: per document THREE byte-different encodings
+    * of the same formula raster (PNG all-zero filters, PNG cycling
+    * filters, PPM) — blob hashing sees three files, pixel hashing one. */
+  private def syntheticImageTriples(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>
@@ -437,13 +451,82 @@ object DedupQueries {
         }
       }
       .toDF("media_id", "kind", "bytes")
+  }
+
+  /** The MEDIA CURATION flagship (q129's role for the multimodal
+    * surface): pixel-dedup the triple-encoded corpus, keep each
+    * cluster's canonical copy, NORMALIZE the survivors to deterministic
+    * PPM bytes ([[graft.multimodal.Multimodal.transcodeToPpm]] — pixel
+    * identity becomes byte identity), and pack them into content-
+    * addressed tar shards. The oracle replays EVERY stage from the pixel
+    * formula alone: which media_id survives (the min-id copy per
+    * raster), the exact PPM byte size (9 header bytes + the
+    * decimal digit widths of w and h + 3wh), the payload checksum (ASCII header sum + channel
+    * sums), and the full q167 assignment + ustar layout arithmetic over
+    * those sizes. One wrong stage anywhere in the chain — a dedup slip,
+    * a non-canonical re-encode, a layout drift — hash-mismatches. */
+  val q170MediaCuration: QueryDef = QueryDef.sql(
+    "q170_media_curation",
+    """WITH d AS (
+      |  SELECT doc_id, doc_id * 3 AS media_id,
+      |         8 + (doc_id % 5) * 2 AS w, 6 + (doc_id % 4) * 2 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, sum((v // 65536) % 256 + (v // 256) % 256 + v % 256) AS pix_sum
+      |  FROM (SELECT doc_id,
+      |               ((tx.x * 31 + ty.y * 17 + doc_id * 131) % 16777216) AS v
+      |        FROM d CROSS JOIN range(16) tx(x) CROSS JOIN range(12) ty(y)
+      |        WHERE tx.x < w AND ty.y < h)
+      |  GROUP BY doc_id),
+      |m AS (
+      |  SELECT d.media_id, 'img-' || CAST(d.media_id AS VARCHAR) AS name,
+      |         9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+      |           + 3 * w * h AS sz,
+      |         144 + 32 + 10 + 166
+      |           + CASE WHEN w >= 10 THEN 96 + w // 10 + w % 10 ELSE 48 + w END
+      |           + CASE WHEN h >= 10 THEN 96 + h // 10 + h % 10 ELSE 48 + h END
+      |           + px.pix_sum AS byte_sum,
+      |         md5('tar|img-' || CAST(d.media_id AS VARCHAR)) AS ord
+      |  FROM d JOIN px ON px.doc_id = d.doc_id),
+      |e AS (
+      |  SELECT *, substr(ord, 1, 2) AS bucket,
+      |         512 + ((sz + 511) // 512) * 512 AS entry_bytes
+      |  FROM m),
+      |pos AS (
+      |  SELECT *, COALESCE(sum(entry_bytes) OVER (PARTITION BY bucket ORDER BY ord
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM e),
+      |sh AS (
+      |  SELECT *, bucket || '-' || CAST(start_off // 8192 AS VARCHAR) AS shard_id
+      |  FROM pos),
+      |ish AS (
+      |  SELECT *,
+      |         CAST(row_number() OVER (PARTITION BY shard_id ORDER BY ord) - 1 AS INT) AS member_no,
+      |         512 + COALESCE(sum(entry_bytes) OVER (PARTITION BY shard_id ORDER BY ord
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS data_offset,
+      |         sum(entry_bytes) OVER (PARTITION BY shard_id) + 1024 AS shard_len,
+      |         count(*) OVER (PARTITION BY shard_id) AS shard_members
+      |  FROM sh)
+      |SELECT shard_id, member_no, name,
+      |       CAST(data_offset AS BIGINT) AS data_offset,
+      |       CAST(sz AS BIGINT) AS size,
+      |       CAST(byte_sum AS BIGINT) AS byte_sum,
+      |       CAST(shard_len AS BIGINT) AS shard_len,
+      |       CAST(shard_members AS INT) AS n_members
+      |FROM ish
+      |ORDER BY shard_id, member_no""".stripMargin) { (s, d) =>
+    val media = syntheticImageTriples(s, d)
     val fp = Multimodal.pixelFingerprint(media)
-    Dedup.exact(fp, "media_id", "fingerprint")
-      .join(fp.select(col("media_id"), col("width"), col("height"),
-        col("r_sum")), Seq("media_id"))
-      .select(col("media_id"), col("width"), col("height"), col("r_sum"),
-        col("keep_id"), col("is_duplicate").cast("int").as("is_duplicate"))
-      .orderBy(col("media_id"))
+    val kept = Dedup.exact(fp, "media_id", "fingerprint")
+      .filter(col("media_id") === col("keep_id"))
+      .select(col("media_id"))
+    val canonical = media.join(kept, Seq("media_id"))
+    val blobs = Multimodal.transcodeToPpm(canonical)
+      .select(concat(lit("img-"), col("media_id").cast("string")).as("name"),
+        col("bytes"))
+    graft.sources.TarShards.index(
+        graft.sources.TarShards.pack(blobs, targetShardBytes = 8192))
+      .orderBy(col("shard_id"), col("member_no"))
   }
 
   /** Audio KERNELS value-checked END TO END (q160's role for audio):

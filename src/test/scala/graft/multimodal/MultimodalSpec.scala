@@ -256,6 +256,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("transcodeToPpm: canonical bytes, gray expands to RGB, junk drops") {
+    import spark.implicits._
+    val (w, h) = (4, 3)
+    val rgb = Array.tabulate(3 * w * h)(i => ((i * 29 + 7) % 256).toByte)
+    val media = Seq(
+      (1L, "image", ImageDecode.encodePng(w, h, rgb, _ => 3)), // avg filter
+      (2L, "image", "not an image".getBytes)
+    ).toDF("media_id", "kind", "bytes")
+    val out = Multimodal.transcodeToPpm(media).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L) // junk dropped
+    // byte identity with the canonical encoder over the same raster
+    assert(out.head.getAs[Array[Byte]]("bytes").toSeq ==
+      ImageDecode.encodePpm(w, h, rgb).toSeq)
+  }
+
   test("pixelFingerprint: identical rasters match across formats and filter strategies") {
     import spark.implicits._
     val (w, h) = (3, 2)
