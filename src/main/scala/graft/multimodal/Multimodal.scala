@@ -399,26 +399,37 @@ object Multimodal {
       StructField("r_sum", LongType),
       StructField("g_sum", LongType),
       StructField("b_sum", LongType)))
+    imageBlobRows(media, outSchema, targetPartitionBytes) { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, bytes) =>
+        ImageDecode.decode(bytes) match {
+          case Some(d) =>
+            md.reset()
+            md.update(java.nio.ByteBuffer.allocate(12)
+              .putInt(d.width).putInt(d.height).putInt(d.channels).array())
+            md.update(d.pixels)
+            val hex = md.digest().map(b => f"${b & 0xff}%02x").mkString
+            def s(c: Int): Long = if (c < d.channels) d.channelSum(c) else 0L
+            Row(id, d.width, d.height, d.channels, hex, s(0), s(1), s(2))
+          case None => Row(id, -1, -1, 0, null, 0L, 0L, 0L)
+        }
+      }
+    }
+  }
+
+  /** Shared scaffold for the image operators (the [[decodedVideoRows]]
+    * discipline): kind filter, projection, bounded-blob repartition —
+    * one place to fix the batch shape. */
+  private def imageBlobRows(media: DataFrame, outSchema: StructType,
+      targetPartitionBytes: Long)(
+      onPartition: Iterator[(Long, Array[Byte])] => Iterator[Row]): DataFrame = {
     val projected = media.filter(col("kind") === "image")
       .select(col("media_id"), col("bytes"))
     projected
       .repartition(boundedBlobPartitions(projected, targetPartitionBytes), col("media_id"))
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { r =>
-          val id = r.getAs[Long]("media_id")
-          ImageDecode.decode(r.getAs[Array[Byte]]("bytes")) match {
-            case Some(d) =>
-              md.reset()
-              md.update(java.nio.ByteBuffer.allocate(12)
-                .putInt(d.width).putInt(d.height).putInt(d.channels).array())
-              md.update(d.pixels)
-              val hex = md.digest().map(b => f"${b & 0xff}%02x").mkString
-              def s(c: Int): Long = if (c < d.channels) d.channelSum(c) else 0L
-              Row(id, d.width, d.height, d.channels, hex, s(0), s(1), s(2))
-            case None => Row(id, -1, -1, 0, null, 0L, 0L, 0L)
-          }
-        }
+        onPartition(it.map(r =>
+          (r.getAs[Long]("media_id"), r.getAs[Array[Byte]]("bytes"))))
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
@@ -427,31 +438,31 @@ object Multimodal {
     * kept image ONE deterministic byte representation (identical rasters
     * → identical bytes), which is what makes downstream shards
     * content-addressable and the whole layout replayable (q170's
-    * curation chain). Gray rasters expand to RGB by replication;
-    * undecodable blobs are DROPPED (they carry no raster to normalize —
-    * the dedup stage already surfaced them as NULL-fingerprint rows). */
+    * curation chain). Every DECODABLE raster normalizes: gray expands to
+    * RGB by replication, RGBA drops its alpha plane. Only undecodable
+    * blobs are dropped — they carry no raster to normalize, and they
+    * leave the curation chain earlier anyway (a NULL fingerprint never
+    * matches the exact-dedup join, so audit undecodable media at the
+    * [[pixelFingerprint]] stage, where the NULL rows are visible). */
   def transcodeToPpm(media: DataFrame,
       targetPartitionBytes: Long = 64L << 20): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("bytes", BinaryType)))
-    val projected = media.filter(col("kind") === "image")
-      .select(col("media_id"), col("bytes"))
-    projected
-      .repartition(boundedBlobPartitions(projected, targetPartitionBytes), col("media_id"))
-      .mapPartitions { it =>
-        it.flatMap { r =>
-          val id = r.getAs[Long]("media_id")
-          ImageDecode.decode(r.getAs[Array[Byte]]("bytes")).flatMap { d =>
-            val rgb =
-              if (d.channels == 3) Some(d.pixels)
-              else if (d.channels == 1)
-                Some(Array.tabulate(3 * d.width * d.height)(i => d.pixels(i / 3)))
-              else None
-            rgb.map(p => Row(id, ImageDecode.encodePpm(d.width, d.height, p)))
-          }.iterator
-        }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
+    imageBlobRows(media, outSchema, targetPartitionBytes) { it =>
+      it.flatMap { case (id, bytes) =>
+        ImageDecode.decode(bytes).map { d =>
+          val n = d.width * d.height
+          val rgb = d.channels match {
+            case 3 => d.pixels
+            case 1 => Array.tabulate(3 * n)(i => d.pixels(i / 3))
+            case c => // RGBA and any wider layout: keep the RGB planes
+              Array.tabulate(3 * n)(i => d.pixels((i / 3) * c + i % 3))
+          }
+          Row(id, ImageDecode.encodePpm(d.width, d.height, rgb))
+        }.iterator
+      }
+    }
   }
 
   /** Resize plan for images: fit into a `maxW`×`maxH` box preserving

@@ -30,11 +30,18 @@ object TarShards {
       targetShardBytes: Long, salt: String): DataFrame = {
     require(targetShardBytes >= TarArchive.TerminatorBytes,
       s"targetShardBytes must be at least ${TarArchive.TerminatorBytes}")
-    val w = Window.partitionBy(col("__bucket")).orderBy(col("__ord"))
+    // __content breaks order ties between DUPLICATE names (same name →
+    // same __ord): with it, members carrying identical (name, bytes) are
+    // interchangeable and members differing only in bytes get a
+    // deterministic content-hash order — so packing stays byte-
+    // deterministic even on degenerate inputs with repeated names.
+    val w = Window.partitionBy(col("__bucket"))
+      .orderBy(col("__ord"), col("__content"))
       .rowsBetween(Window.unboundedPreceding, -1)
     blobs
       .select(col(nameCol).as("__name"), col(bytesCol).as("__bytes"),
-        md5(concat(lit(s"$salt|"), col(nameCol))).as("__ord"))
+        md5(concat(lit(s"$salt|"), col(nameCol))).as("__ord"),
+        md5(col(bytesCol)).as("__content"))
       .withColumn("__bucket", substring(col("__ord"), 1, 2))
       .withColumn("__entry",
         expr("512 + ((length(__bytes) + 511) DIV 512) * 512"))
@@ -42,7 +49,7 @@ object TarShards {
       .select(
         concat(col("__bucket"), lit("-"),
           expr(s"CAST(__start DIV $targetShardBytes AS STRING)")).as("shard_id"),
-        col("__ord"), col("__name"), col("__bytes"))
+        col("__ord"), col("__content"), col("__name"), col("__bytes"))
   }
 
   /** Pack blobs into shards: one row per shard with the encoded tar
@@ -57,10 +64,11 @@ object TarShards {
       StructField("shard_bytes", BinaryType)))
     assign(blobs, nameCol, bytesCol, targetShardBytes, salt)
       .groupBy(col("shard_id"))
-      // sort_array orders the structs by their first field (__ord): the
-      // same order the assignment window used, so offsets line up
-      .agg(sort_array(collect_list(struct(col("__ord"), col("__name"),
-        col("__bytes")))).as("__members"))
+      // sort_array orders the structs field-by-field (__ord, then the
+      // __content tie-break): the same order the assignment window used,
+      // so offsets line up
+      .agg(sort_array(collect_list(struct(col("__ord"), col("__content"),
+        col("__name"), col("__bytes")))).as("__members"))
       .mapPartitions { it =>
         it.map { r =>
           val members = r.getAs[scala.collection.Seq[Row]]("__members")

@@ -256,19 +256,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("transcodeToPpm: canonical bytes, gray expands to RGB, junk drops") {
+  test("transcodeToPpm: canonical bytes; gray and RGBA normalize; junk drops") {
     import spark.implicits._
     val (w, h) = (4, 3)
     val rgb = Array.tabulate(3 * w * h)(i => ((i * 29 + 7) % 256).toByte)
+    val gray = Array.tabulate(w * h)(i => ((i * 41 + 3) % 256).toByte)
+    val pgm = s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ gray
+    // RGBA via the JDK's own writer (color type 6 → decodePng channels=4)
+    val argb = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w)
+      argb.setRGB(x, y, (0xaa << 24) | ((x * 50) << 16) | ((y * 70) << 8) | (x + y))
+    val rgbaBaos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(argb, "png", rgbaBaos)
     val media = Seq(
       (1L, "image", ImageDecode.encodePng(w, h, rgb, _ => 3)), // avg filter
-      (2L, "image", "not an image".getBytes)
+      (2L, "image", "not an image".getBytes),
+      (3L, "image", pgm),
+      (4L, "image", rgbaBaos.toByteArray)
     ).toDF("media_id", "kind", "bytes")
     val out = Multimodal.transcodeToPpm(media).collect()
-    assert(out.length == 1 && out.head.getLong(0) == 1L) // junk dropped
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    assert(out.keySet == Set(1L, 3L, 4L)) // only junk drops
     // byte identity with the canonical encoder over the same raster
-    assert(out.head.getAs[Array[Byte]]("bytes").toSeq ==
-      ImageDecode.encodePpm(w, h, rgb).toSeq)
+    assert(out(1L).toSeq == ImageDecode.encodePpm(w, h, rgb).toSeq)
+    // gray expands by replication
+    assert(out(3L).toSeq == ImageDecode.encodePpm(w, h,
+      Array.tabulate(3 * w * h)(i => gray(i / 3))).toSeq)
+    // RGBA keeps the RGB planes, drops alpha
+    val expectedRgba = Array.tabulate(3 * w * h) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      (i % 3 match {
+        case 0 => x * 50
+        case 1 => y * 70
+        case 2 => x + y
+      }).toByte
+    }
+    assert(out(4L).toSeq == ImageDecode.encodePpm(w, h, expectedRgba).toSeq)
   }
 
   test("pixelFingerprint: identical rasters match across formats and filter strategies") {

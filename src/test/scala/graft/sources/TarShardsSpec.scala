@@ -135,6 +135,28 @@ class TarShardsSpec extends SparkSpec {
     }
   }
 
+  test("duplicate names stay deterministic via the content-hash tie-break") {
+    import spark.implicits._
+    // many members sharing ONE name (identical __ord): order inside the
+    // bucket must fall back to md5(bytes), so shard bytes are stable
+    // across partitionings even when ties straddle a shard boundary
+    val rows = (0 until 60).map(i =>
+      ("same-name", Array.tabulate(400 + (i % 7))(j => ((i * 13 + j) % 256).toByte)))
+    def run(parts: Int) =
+      TarShards.index(TarShards.pack(
+        rows.toDF("name", "bytes").repartition(parts), targetShardBytes = 2048))
+        .orderBy(col("shard_id"), col("member_no")).collect()
+    val a = run(1); val b = run(7)
+    assert(a.length == 60 && a.sameElements(b))
+    // and the packed archives themselves are byte-identical
+    def bytesOf(parts: Int) =
+      TarShards.pack(rows.toDF("name", "bytes").repartition(parts),
+        targetShardBytes = 2048)
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("shard_bytes").toSeq)
+        .toMap
+    assert(bytesOf(1) == bytesOf(5))
+  }
+
   test("pack is deterministic across input partitionings") {
     import spark.implicits._
     val rows = (0 until 300).map(i =>
