@@ -408,7 +408,9 @@ object DedupQueries {
       |       CAST(CASE WHEN t.e = 0 THEN 0 ELSE 1 END AS INT) AS is_duplicate
       |FROM r CROSS JOIN range(3) t(e)
       |ORDER BY media_id""".stripMargin) { (s, d) =>
-    val fp = Multimodal.pixelFingerprint(syntheticImageTriples(s, d))
+    // fp feeds three plan branches (exact-dedup hash, keep-min, and the
+    // dims join): cache so the 3x-encoded corpus decodes ONCE
+    val fp = Multimodal.pixelFingerprint(syntheticImageTriples(s, d)).cache()
     Dedup.exact(fp, "media_id", "fingerprint")
       .join(fp.select(col("media_id"), col("width"), col("height"),
         col("r_sum")), Seq("media_id"))
@@ -516,7 +518,8 @@ object DedupQueries {
       |FROM ish
       |ORDER BY shard_id, member_no""".stripMargin) { (s, d) =>
     val media = syntheticImageTriples(s, d)
-    val fp = Multimodal.pixelFingerprint(media)
+    // fp feeds Dedup.exact's two branches: cache so decode runs once
+    val fp = Multimodal.pixelFingerprint(media).cache()
     val kept = Dedup.exact(fp, "media_id", "fingerprint")
       .filter(col("media_id") === col("keep_id"))
       .select(col("media_id"))
