@@ -17,7 +17,7 @@ object DedupQueries {
     q97MinhashVerify, q98SimhashVerify, q103DedupCanonical,
     q158PixelDecode, q160PixelResize, q161WavRoundtrip, q164VideoIndex,
     q165VideoFrameDecode, q166FrameSampleOffsets, q168AudioMixdown,
-    q169PixelDedup, q170MediaCuration)
+    q169PixelDedup, q170MediaCuration, q171PairedShards)
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
@@ -429,22 +429,7 @@ object DedupQueries {
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>
-          val w = (8 + (id % 5) * 2).toInt
-          val h = (6 + (id % 4) * 2).toInt
-          val rgb = new Array[Byte](3 * w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val v = (x * 31 + y * 17 + id * 131) % 16777216
-              val p = 3 * (y * w + x)
-              rgb(p) = ((v >> 16) & 0xff).toByte
-              rgb(p + 1) = ((v >> 8) & 0xff).toByte
-              rgb(p + 2) = (v & 0xff).toByte
-              x += 1
-            }
-            y += 1
-          }
+          val (w, h, rgb) = formulaRaster(id)
           import graft.multimodal.ImageDecode
           Seq(
             (id * 3, "image", ImageDecode.encodePng(w, h, rgb)),
@@ -453,6 +438,28 @@ object DedupQueries {
         }
       }
       .toDF("media_id", "kind", "bytes")
+  }
+
+  /** The shared pixel formula behind q169/q170/q171: w = 8+(d%5)·2,
+    * h = 6+(d%4)·2, rgb(x,y) = (x·31 + y·17 + d·131) mod 2^24. */
+  private def formulaRaster(id: Long): (Int, Int, Array[Byte]) = {
+    val w = (8 + (id % 5) * 2).toInt
+    val h = (6 + (id % 4) * 2).toInt
+    val rgb = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (x * 31 + y * 17 + id * 131) % 16777216
+        val p = 3 * (y * w + x)
+        rgb(p) = ((v >> 16) & 0xff).toByte
+        rgb(p + 1) = ((v >> 8) & 0xff).toByte
+        rgb(p + 2) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
   }
 
   /** The MEDIA CURATION flagship (q129's role for the multimodal
@@ -529,6 +536,99 @@ object DedupQueries {
         col("bytes"))
     graft.sources.TarShards.index(
         graft.sources.TarShards.pack(blobs, targetShardBytes = 8192))
+      .orderBy(col("shard_id"), col("member_no"))
+  }
+
+  /** SAMPLE-ATOMIC shard packing (the WebDataset pair convention): each
+    * document contributes a PAIR — its formula raster as canonical PPM
+    * plus a formula text blob, sharing the basename `smp-<id>` — and
+    * [[graft.sources.TarShards.packPaired]] must land both members in
+    * the SAME shard, ADJACENT, in name order (`.ppm` before `.txt`),
+    * with the running footprint computed over whole samples. The oracle
+    * replays all of it: the sample-level assignment, the interleaved
+    * member offsets, the PPM sizes/checksums (q170's arithmetic), and
+    * the text formula — so a pair split across shards, a reordered
+    * member, or a footprint counted per-member instead of per-sample
+    * hash-mismatches. */
+  val q171PairedShards: QueryDef = QueryDef.sql(
+    "q171_paired_shards",
+    """WITH d AS (
+      |  SELECT doc_id, 'smp-' || CAST(doc_id AS VARCHAR) AS smp,
+      |         8 + (doc_id % 5) * 2 AS w, 6 + (doc_id % 4) * 2 AS h,
+      |         50 + doc_id % 200 AS tsz
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, sum((v // 65536) % 256 + (v // 256) % 256 + v % 256) AS pix_sum
+      |  FROM (SELECT doc_id,
+      |               ((tx.x * 31 + ty.y * 17 + doc_id * 131) % 16777216) AS v
+      |        FROM d CROSS JOIN range(16) tx(x) CROSS JOIN range(12) ty(y)
+      |        WHERE tx.x < w AND ty.y < h)
+      |  GROUP BY doc_id),
+      |tb AS (
+      |  SELECT doc_id, sum((doc_id * 37 + u.j * 11) % 256) AS txt_sum
+      |  FROM d CROSS JOIN range(250) u(j) WHERE u.j < tsz GROUP BY doc_id),
+      |mem AS (
+      |  SELECT d.doc_id, d.smp, d.smp || '.ppm' AS name,
+      |         9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+      |           + 3 * w * h AS sz,
+      |         144 + 32 + 10 + 166
+      |           + CASE WHEN w >= 10 THEN 96 + w // 10 + w % 10 ELSE 48 + w END
+      |           + CASE WHEN h >= 10 THEN 96 + h // 10 + h % 10 ELSE 48 + h END
+      |           + px.pix_sum AS byte_sum
+      |  FROM d JOIN px ON px.doc_id = d.doc_id
+      |  UNION ALL
+      |  SELECT d.doc_id, d.smp, d.smp || '.txt', d.tsz, tb.txt_sum
+      |  FROM d JOIN tb ON tb.doc_id = d.doc_id),
+      |sm AS (
+      |  SELECT smp, md5('tar|' || smp) AS ord,
+      |         sum(512 + ((sz + 511) // 512) * 512) AS foot
+      |  FROM mem GROUP BY smp),
+      |pos AS (
+      |  SELECT smp, ord, substr(ord, 1, 2) AS bucket, foot FROM sm),
+      |pos2 AS (
+      |  SELECT *, COALESCE(sum(foot) OVER (PARTITION BY bucket ORDER BY ord
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM pos),
+      |sh AS (
+      |  SELECT smp, ord,
+      |         bucket || '-' || CAST(start_off // 8192 AS VARCHAR) AS shard_id
+      |  FROM pos2),
+      |im AS (
+      |  SELECT sh.shard_id, sh.ord, mem.name, mem.sz, mem.byte_sum,
+      |         512 + ((mem.sz + 511) // 512) * 512 AS entry_bytes
+      |  FROM mem JOIN sh ON mem.smp = sh.smp),
+      |ish AS (
+      |  SELECT *,
+      |         CAST(row_number() OVER (PARTITION BY shard_id ORDER BY ord, name) - 1 AS INT) AS member_no,
+      |         512 + COALESCE(sum(entry_bytes) OVER (PARTITION BY shard_id ORDER BY ord, name
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS data_offset,
+      |         sum(entry_bytes) OVER (PARTITION BY shard_id) + 1024 AS shard_len,
+      |         count(*) OVER (PARTITION BY shard_id) AS shard_members
+      |  FROM im)
+      |SELECT shard_id, member_no, name,
+      |       CAST(data_offset AS BIGINT) AS data_offset,
+      |       CAST(sz AS BIGINT) AS size,
+      |       CAST(byte_sum AS BIGINT) AS byte_sum,
+      |       CAST(shard_len AS BIGINT) AS shard_len,
+      |       CAST(shard_members AS INT) AS n_members
+      |FROM ish
+      |ORDER BY shard_id, member_no""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val members = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val smp = "smp-" + id
+          val (w, h, rgb) = formulaRaster(id)
+          val tsz = (50 + id % 200).toInt
+          val txt = Array.tabulate(tsz)(j => ((id * 37 + j * 11) % 256).toByte)
+          Seq(
+            (smp, smp + ".ppm", graft.multimodal.ImageDecode.encodePpm(w, h, rgb)),
+            (smp, smp + ".txt", txt))
+        }
+      }
+      .toDF("sample", "name", "bytes")
+    graft.sources.TarShards.index(
+        graft.sources.TarShards.packPaired(members, targetShardBytes = 8192))
       .orderBy(col("shard_id"), col("member_no"))
   }
 

@@ -49,25 +49,22 @@ object TarShards {
       .select(
         concat(col("__bucket"), lit("-"),
           expr(s"CAST(__start DIV $targetShardBytes AS STRING)")).as("shard_id"),
-        col("__ord"), col("__content"), col("__name"), col("__bytes"))
+        col("__ord"), col("__content").as("__tie"), col("__name"), col("__bytes"))
   }
 
-  /** Pack blobs into shards: one row per shard with the encoded tar
-    * bytes. Deterministic for identical inputs (fixed member metadata in
-    * [[TarArchive.encodeTar]]), so shards are content-addressable. */
-  def pack(blobs: DataFrame, nameCol: String = "name",
-      bytesCol: String = "bytes", targetShardBytes: Long = 64L << 20,
-      salt: String = "tar"): DataFrame = {
+  /** Encode stage shared by [[pack]] and [[packPaired]]: `assigned` has
+    * (shard_id, __ord, __tie, __name, __bytes); members of a shard are
+    * written in (__ord, __tie) order — the same order the assignment
+    * window used, so offsets line up. */
+  private def packAssigned(assigned: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("shard_id", StringType),
       StructField("n_members", IntegerType),
       StructField("shard_bytes", BinaryType)))
-    assign(blobs, nameCol, bytesCol, targetShardBytes, salt)
+    assigned
       .groupBy(col("shard_id"))
-      // sort_array orders the structs field-by-field (__ord, then the
-      // __content tie-break): the same order the assignment window used,
-      // so offsets line up
-      .agg(sort_array(collect_list(struct(col("__ord"), col("__content"),
+      // sort_array orders the structs field-by-field (__ord, then __tie)
+      .agg(sort_array(collect_list(struct(col("__ord"), col("__tie"),
         col("__name"), col("__bytes")))).as("__members"))
       .mapPartitions { it =>
         it.map { r =>
@@ -77,6 +74,47 @@ object TarShards {
             TarArchive.encodeTar(members.toSeq))
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Pack blobs into shards: one row per shard with the encoded tar
+    * bytes. Deterministic for identical inputs (fixed member metadata in
+    * [[TarArchive.encodeTar]]), so shards are content-addressable. */
+  def pack(blobs: DataFrame, nameCol: String = "name",
+      bytesCol: String = "bytes", targetShardBytes: Long = 64L << 20,
+      salt: String = "tar"): DataFrame =
+    packAssigned(assign(blobs, nameCol, bytesCol, targetShardBytes, salt))
+
+  /** SAMPLE-ATOMIC packing (the WebDataset pair convention): every
+    * member of a sample lands in the SAME shard, ADJACENT, in name order
+    * — a trainer reading `smp-7.ppm` must find `smp-7.txt` next to it,
+    * so the assignment unit is the sample, not the member. Assignment
+    * mirrors [[pack]] one level up: the sample key is content-addressed
+    * (salted md5), the per-bucket running sum is over whole-sample
+    * footprints, and a sample larger than the target still packs, alone.
+    * Sample keys must identify one sample (rows sharing a key are that
+    * sample's members). */
+  def packPaired(members: DataFrame, sampleCol: String = "sample",
+      nameCol: String = "name", bytesCol: String = "bytes",
+      targetShardBytes: Long = 64L << 20, salt: String = "tar"): DataFrame = {
+    require(targetShardBytes >= TarArchive.TerminatorBytes,
+      s"targetShardBytes must be at least ${TarArchive.TerminatorBytes}")
+    val base = members.select(col(sampleCol).as("__sample"),
+      col(nameCol).as("__name"), col(bytesCol).as("__bytes"),
+      md5(concat(lit(s"$salt|"), col(sampleCol))).as("__ord"))
+      .withColumn("__entry",
+        expr("512 + ((length(__bytes) + 511) DIV 512) * 512"))
+    val w = Window.partitionBy(col("__bucket")).orderBy(col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val samples = base.groupBy(col("__sample"), col("__ord"))
+      .agg(sum(col("__entry")).as("__foot"))
+      .withColumn("__bucket", substring(col("__ord"), 1, 2))
+      .withColumn("__start", coalesce(sum(col("__foot")).over(w), lit(0L)))
+      .select(col("__sample"),
+        concat(col("__bucket"), lit("-"),
+          expr(s"CAST(__start DIV $targetShardBytes AS STRING)")).as("shard_id"))
+    packAssigned(base.join(samples, Seq("__sample"))
+      .select(col("shard_id"), col("__ord"), col("__name").as("__tie"),
+        col("__name"), col("__bytes")))
   }
 
   /** Member index from packed shard BYTES via the independent

@@ -135,6 +135,36 @@ class TarShardsSpec extends SparkSpec {
     }
   }
 
+  test("packPaired: samples stay atomic and adjacent in name order") {
+    import spark.implicits._
+    // 80 samples × (image-ish + text) members with varying sizes; a tiny
+    // shard target forces many shard boundaries — no pair may straddle one
+    val rows = (0 until 80).flatMap { i =>
+      val smp = s"s-$i"
+      Seq(
+        (smp, s"$smp.img", Array.tabulate(300 + (i % 11) * 40)(j => ((i + j) % 256).toByte)),
+        (smp, s"$smp.txt", Array.tabulate(40 + i % 60)(j => ((i * 3 + j) % 256).toByte)))
+    }
+    val idx = TarShards.index(TarShards.packPaired(
+        rows.toDF("sample", "name", "bytes"), targetShardBytes = 2048))
+      .orderBy(col("shard_id"), col("member_no")).collect()
+    assert(idx.length == 160)
+    // group members by basename: both live in the same shard, adjacent,
+    // .img (name-order first) immediately before .txt
+    idx.groupBy(_.getString(2).split('.').head).foreach { case (smp, ms) =>
+      assert(ms.length == 2, s"$smp split across shards or lost a member")
+      val Array(a, b) = ms.sortBy(_.getInt(1))
+      assert(a.getString(0) == b.getString(0), s"$smp pair split across shards")
+      assert(a.getInt(1) + 1 == b.getInt(1), s"$smp members not adjacent")
+      assert(a.getString(2).endsWith(".img") && b.getString(2).endsWith(".txt"))
+    }
+    // determinism across partitionings, sample-level
+    val again = TarShards.index(TarShards.packPaired(
+        rows.toDF("sample", "name", "bytes").repartition(9), targetShardBytes = 2048))
+      .orderBy(col("shard_id"), col("member_no")).collect()
+    assert(idx.sameElements(again))
+  }
+
   test("duplicate names stay deterministic via the content-hash tie-break") {
     import spark.implicits._
     // many members sharing ONE name (identical __ord): order inside the
