@@ -209,8 +209,7 @@ object Multimodal {
       StructField("kind", StringType),
       StructField("features", ArrayType(FloatType, containsNull = false))))
     val projected = media.select(col("media_id"), col("kind"), col("format"), col("bytes"))
-    projected
-      .repartition(boundedBlobPartitions(projected, targetPartitionBytes), col("media_id"))
+    batched(projected, targetPartitionBytes)
       .mapPartitions { it =>
         it.map { r =>
           val feats = codec.features(r.getAs[String]("kind"),
@@ -219,6 +218,18 @@ object Multimodal {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** Bytes-budget batching for a decode stage. Batch queries get the
+    * blob-count-bounded repartition; STREAMING frames pass through
+    * unchanged — the per-micro-batch volume is already bounded by the
+    * source's own trigger options (maxFilesPerTrigger /
+    * maxBytesPerTrigger), and the stats/toRdd plan introspection below
+    * is illegal on an unstarted stream. This is what lets the media
+    * operators run unchanged under Structured Streaming (q172). */
+  private def batched(projected: DataFrame, targetPartitionBytes: Long): DataFrame =
+    if (projected.isStreaming) projected
+    else projected.repartition(
+      boundedBlobPartitions(projected, targetPartitionBytes), col("media_id"))
 
   /** Blob-count-bounded partition count for a decode stage: a bytes
     * budget over the optimizer's size estimate (driver-side plan
@@ -264,8 +275,7 @@ object Multimodal {
       onBad: Long => Row): DataFrame = {
     val projected = media.filter(col("kind") === "video")
       .select(col("media_id"), col("bytes"))
-    projected
-      .repartition(boundedBlobPartitions(projected, targetPartitionBytes), col("media_id"))
+    batched(projected, targetPartitionBytes)
       .mapPartitions { it =>
         it.flatMap { r =>
           val id = r.getAs[Long]("media_id")
@@ -425,8 +435,7 @@ object Multimodal {
       onPartition: Iterator[(Long, Array[Byte])] => Iterator[Row]): DataFrame = {
     val projected = media.filter(col("kind") === "image")
       .select(col("media_id"), col("bytes"))
-    projected
-      .repartition(boundedBlobPartitions(projected, targetPartitionBytes), col("media_id"))
+    batched(projected, targetPartitionBytes)
       .mapPartitions { it =>
         onPartition(it.map(r =>
           (r.getAs[Long]("media_id"), r.getAs[Array[Byte]]("bytes"))))

@@ -17,7 +17,7 @@ object DedupQueries {
     q97MinhashVerify, q98SimhashVerify, q103DedupCanonical,
     q158PixelDecode, q160PixelResize, q161WavRoundtrip, q164VideoIndex,
     q165VideoFrameDecode, q166FrameSampleOffsets, q168AudioMixdown,
-    q169PixelDedup, q170MediaCuration, q171PairedShards)
+    q169PixelDedup, q170MediaCuration, q171PairedShards, q172StreamMedia)
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
@@ -763,6 +763,62 @@ object DedupQueries {
         }
       }
       .toDF("media_id", "kind", "bytes")
+  }
+
+  /** The container walk under STRUCTURED STREAMING (stream ≡ batch, the
+    * q152 discipline applied to media): the same synthesized AVI corpus
+    * is staged as parquet files and drip-fed through a file stream
+    * (maxFilesPerTrigger=3 forces multiple micro-batches), and the SAME
+    * [[graft.multimodal.Multimodal.videoFrameIndex]] operator runs on
+    * the stream — stateless decode needs no watermark, and the
+    * stream-aware batch shape skips the plan-introspecting repartition.
+    * The oracle is q164's: the full RIFF layout + payload checksums
+    * replayed in SQL, now against the streamed output. */
+  val q172StreamMedia: QueryDef = QueryDef.sql(
+    "q172_stream_media",
+    """WITH d AS (
+      |  SELECT doc_id, 3 + doc_id % 5 AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (
+      |  SELECT doc_id, nf, t.i AS frame_no,
+      |         64 + (doc_id * 7 + t.i * 13) % 101 AS sz
+      |  FROM d CROSS JOIN range(7) t(i) WHERE t.i < nf),
+      |o AS (
+      |  SELECT doc_id, nf, frame_no, sz,
+      |         4 + COALESCE(sum(8 + sz + sz % 2) OVER (
+      |               PARTITION BY doc_id ORDER BY CAST(frame_no AS BIGINT)
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS movi_offset
+      |  FROM f),
+      |b AS (
+      |  SELECT doc_id, frame_no,
+      |         sum((doc_id * 31 + frame_no * 17 + u.j * 7) % 256) AS byte_sum
+      |  FROM f CROSS JOIN range(165) u(j) WHERE u.j < sz
+      |  GROUP BY doc_id, frame_no)
+      |SELECT o.doc_id AS media_id,
+      |       CAST(o.frame_no AS INT) AS frame_no,
+      |       CAST(o.movi_offset AS BIGINT) AS movi_offset,
+      |       CAST(o.movi_offset + 228 AS BIGINT) AS data_offset,
+      |       CAST(o.sz AS INT) AS size,
+      |       CAST(b.byte_sum AS BIGINT) AS byte_sum
+      |FROM o JOIN b ON o.doc_id = b.doc_id AND o.frame_no = b.frame_no
+      |ORDER BY media_id, frame_no""".stripMargin) { (s, d) =>
+    val tmp = graft.core.Scratch.tempDir("q172stream")
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    syntheticAviMedia(s, d).repartition(8)
+      .write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    def outOn(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.videoFrameIndex(df)
+        .select(col("media_id"), col("frame_no"), col("movi_offset"),
+          col("data_offset"), col("size"), col("byte_sum"))
+    val q = outOn(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "3").parquet(inDir))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.schema(outOn(s.read.parquet(inDir)).schema).parquet(outDir)
+      .orderBy(col("media_id"), col("frame_no"))
   }
 
   /** Frame SAMPLING against the real container index (q61's midpoint

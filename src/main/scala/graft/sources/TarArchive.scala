@@ -54,6 +54,11 @@ object TarArchive {
     val out = new Array[Byte](total.toInt)
     var off = 0
     members.foreach { case (name, data) =>
+      // getBytes("US-ASCII") would silently replace non-ASCII chars with
+      // '?' and the archive would decode to a DIFFERENT name — reject
+      // loudly instead (printable ASCII is the deterministic-name contract)
+      require(name.forall(c => c >= 0x20 && c < 0x7f),
+        s"ustar member name must be printable ASCII, got '$name'")
       val nb = name.getBytes("US-ASCII")
       require(nb.length > 0 && nb.length <= 100,
         s"ustar member name must be 1..100 bytes, got ${nb.length}")

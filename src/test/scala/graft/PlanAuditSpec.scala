@@ -83,7 +83,11 @@ class PlanAuditSpec extends SparkSpec {
     // distributed aggregations and returns the config-bounded model
     // table; the distributed step shapes are pinned by their specs
     // (CurationSpec, KmeansPpmSpec)
-    "q153_lr_train", "q154_kmeans_train", "q155_bpe_train")
+    "q153_lr_train", "q154_kmeans_train", "q155_bpe_train",
+    // runs a real drip-fed media stream (file staging + micro-batches);
+    // the stateless decode plan is the q164 batch operator's, and
+    // stream==batch is the oracle itself (same RIFF-layout SQL)
+    "q172_stream_media")
 
   private def auditable: Seq[String] =
     SparkEntry.allQueries.map(_.name).filterNot(sideEffecting)

@@ -77,6 +77,10 @@ class TarShardsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TarArchive.encodeTar(Seq(("n" * 101) -> Array[Byte](1)))
     }
+    // non-ASCII names would silently decode to a different name — rejected
+    intercept[IllegalArgumentException] {
+      TarArchive.encodeTar(Seq("naïve" -> Array[Byte](1)))
+    }
   }
 
   test("pack+index: hand-derived assignment, slices verified, oversized member packs alone") {
