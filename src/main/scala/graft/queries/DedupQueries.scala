@@ -17,7 +17,8 @@ object DedupQueries {
     q97MinhashVerify, q98SimhashVerify, q103DedupCanonical,
     q158PixelDecode, q160PixelResize, q161WavRoundtrip, q164VideoIndex,
     q165VideoFrameDecode, q166FrameSampleOffsets, q168AudioMixdown,
-    q169PixelDedup, q170MediaCuration, q171PairedShards, q172StreamMedia)
+    q169PixelDedup, q170MediaCuration, q171PairedShards, q172StreamMedia,
+    q173StreamPixelDedup)
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
@@ -819,6 +820,73 @@ object DedupQueries {
     q.stop()
     s.read.schema(outOn(s.read.parquet(inDir)).schema).parquet(outDir)
       .orderBy(col("media_id"), col("frame_no"))
+  }
+
+  /** Pixel-content dedup under STATEFUL Structured Streaming — the q169
+    * collapse (three byte-different encodings, one pixel identity) run
+    * through `dropDuplicatesWithinWatermark` keyed on the decoded
+    * fingerprint. The triple corpus is drip-fed (maxFilesPerTrigger=3 on
+    * an 8-file staging dir → 3 micro-batches, group members hash-scattered
+    * across batches), so the dedup STATE is exercised ACROSS micro-batch
+    * boundaries — q152's single-batch feed never tests that persistence.
+    * Determinism: event times span 30 minutes against a 2-hour watermark
+    * horizon, so no key's state is evicted mid-stream and no row is ever
+    * late — the collapse is exact regardless of file/batch order (the
+    * bounded-state-at-scale evidence lives in ScaleSmoke
+    * `stream_state_dedup`, where the horizon is shorter than the span and
+    * state stays flat). The streamed rows emit only functions of the
+    * dedup key (dims + channel sums are determined by the fingerprint),
+    * so WHICH physical encoding survives cannot change the output; the
+    * canonical `group_id` (min media_id) and `n_encodings` join in from
+    * the batch fingerprint frame afterwards. The oracle replays groups,
+    * geometry, and channel sums entirely from the pixel formula. */
+  val q173StreamPixelDedup: QueryDef = QueryDef.sql(
+    "q173_stream_pixel_dedup",
+    """WITH d AS (
+      |  SELECT doc_id, 8 + (doc_id % 5) * 2 AS w, 6 + (doc_id % 4) * 2 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |         ((tx.x * 31 + ty.y * 17 + doc_id * 131) % 16777216) AS v
+      |  FROM d CROSS JOIN range(16) tx(x) CROSS JOIN range(12) ty(y)
+      |  WHERE tx.x < w AND ty.y < h)
+      |SELECT doc_id * 3 AS group_id,
+      |       CAST(3 AS BIGINT) AS n_encodings,
+      |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |       CAST(sum((v // 65536) % 256) AS BIGINT) AS r_sum,
+      |       CAST(sum((v // 256) % 256) AS BIGINT) AS g_sum,
+      |       CAST(sum(v % 256) AS BIGINT) AS b_sum
+      |FROM px GROUP BY doc_id, w, h
+      |ORDER BY group_id""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamOps
+    val tmp = graft.core.Scratch.tempDir("q173stream")
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    syntheticImageTriples(s, d).repartition(8).write.parquet(inDir)
+    val schema = s.read.parquet(inDir).schema
+    def dedupOn(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.dedupWithinWatermark(
+        Multimodal.pixelFingerprint(df)
+          .withColumn("ts", timestamp_seconds(
+            lit(1700000000L) + expr("media_id DIV 3 % 30") * 60L)),
+        keys = Seq("fingerprint"), watermark = "2 hours")
+        .select(col("fingerprint"), col("width"), col("height"),
+          col("r_sum"), col("g_sum"), col("b_sum"))
+    StreamOps.withStatePartitions(s, 8) { ss =>
+      val q = dedupOn(
+          ss.readStream.schema(schema).option("maxFilesPerTrigger", "3").parquet(inDir))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val groups = Multimodal.pixelFingerprint(s.read.parquet(inDir))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("media_id")).as("group_id"), count(lit(1)).as("n_encodings"))
+    s.read.schema(dedupOn(s.read.parquet(inDir)).schema).parquet(outDir)
+      .join(groups, "fingerprint")
+      .select(col("group_id"), col("n_encodings"), col("width"), col("height"),
+        col("r_sum"), col("g_sum"), col("b_sum"))
+      .orderBy(col("group_id"))
   }
 
   /** Frame SAMPLING against the real container index (q61's midpoint

@@ -87,7 +87,10 @@ class PlanAuditSpec extends SparkSpec {
     // runs a real drip-fed media stream (file staging + micro-batches);
     // the stateless decode plan is the q164 batch operator's, and
     // stream==batch is the oracle itself (same RIFF-layout SQL)
-    "q172_stream_media")
+    "q172_stream_media",
+    // drip-fed stateful media stream (file staging + cross-batch dedup
+    // state); the decode plan is q169's and the dedup plan is q152's
+    "q173_stream_pixel_dedup")
 
   private def auditable: Seq[String] =
     SparkEntry.allQueries.map(_.name).filterNot(sideEffecting)

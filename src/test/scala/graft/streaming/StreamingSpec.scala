@@ -147,4 +147,37 @@ class StreamingSpec extends SparkSpec {
       out, ckpt).awaitTermination()
     assert(spark.read.parquet(out).select("user_id").distinct().count() == 3)
   }
+
+  test("streaming pixel dedup: cross-micro-batch collapse, hand-computed groups") {
+    import spark.implicits._
+    import graft.multimodal.{ImageDecode, Multimodal}
+    // image A (2x1: (10,20,30),(40,50,60)) encoded TWO byte-different ways,
+    // image B (1x1: (1,2,3)) once; each row lands in its OWN staged file so
+    // maxFilesPerTrigger=1 forces the duplicate into a LATER micro-batch —
+    // the dedup state must survive the batch boundary to collapse it
+    val aRgb = Array[Byte](10, 20, 30, 40, 50, 60)
+    val bRgb = Array[Byte](1, 2, 3)
+    val rows = Seq(
+      (1L, "image", ImageDecode.encodePng(2, 1, aRgb)),
+      (2L, "image", ImageDecode.encodePng(1, 1, bRgb)),
+      (3L, "image", ImageDecode.encodePpm(2, 1, aRgb))) // pixel-dup of 1
+    val dir = java.nio.file.Files.createTempDirectory("pixdedup").toString
+    rows.foreach { r =>
+      Seq(r).toDF("media_id", "kind", "bytes")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val deduped = StreamOps.dedupWithinWatermark(
+      Multimodal.pixelFingerprint(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir))
+        .withColumn("ts", timestamp_seconds(lit(1700000000L))),
+      keys = Seq("fingerprint"), watermark = "1 hour")
+    val got = runToMemory(
+      deduped.select(col("width"), col("height"), col("r_sum"), col("g_sum"),
+        col("b_sum")), "pixdedup", "append")
+    // hand-computed: A -> (2,1, r=50,g=70,b=90); B -> (1,1, r=1,g=2,b=3)
+    assert(canon(got) == canon(Seq(
+      (2, 1, 50L, 70L, 90L), (1, 1, 1L, 2L, 3L))
+      .toDF("width", "height", "r_sum", "g_sum", "b_sum")))
+  }
 }
