@@ -106,11 +106,56 @@ object AudioDecode {
     }
   }
 
+  /** The classic dyadic low-pass taps [1,4,6,4,1]/16: unity DC gain
+    * (taps sum to the scale) and an EXACT zero at Nyquist (alternating
+    * signs cancel: 1−4+6−4+1 = 0) — the anti-alias pre-filter for 2×
+    * decimation. MultimodalSpec pins both properties as theorems. */
+  val Binomial5: Array[Int] = Array(1, 4, 6, 4, 1)
+
+  /** Linear-phase integer FIR filter, applied independently per channel
+    * with zero-padded edges:
+    * `out[f] = (Σ_k taps(k) · x[f + k − (T−1)/2]) / scale`, the division
+    * truncating toward zero (JVM `/` — the semantics the oracle's DuckDB
+    * `//` shares, same convention as [[mixdownMono]]). Odd tap count
+    * required (symmetric linear phase, integral group delay). All
+    * arithmetic is exact Long; with `Σ|taps| ≤ scale · 1` the output
+    * stays within Short by construction. */
+  def firLowpass(a: DecodedAudio, taps: Array[Int] = Binomial5,
+      scale: Int = 16): DecodedAudio = {
+    require(taps.length % 2 == 1, "FIR tap count must be odd")
+    require(scale > 0, "FIR scale must be positive")
+    val c = (taps.length - 1) / 2
+    val n = a.nFrames
+    val out = new Array[Short](a.samples.length)
+    var ch = 0
+    while (ch < a.channels) {
+      var f = 0
+      while (f < n) {
+        var s = 0L
+        var k = 0
+        while (k < taps.length) {
+          val j = f + k - c
+          if (j >= 0 && j < n) s += taps(k).toLong * a.samples(j * a.channels + ch)
+          k += 1
+        }
+        out(f * a.channels + ch) = (s / scale).toShort
+        f += 1
+      }
+      ch += 1
+    }
+    DecodedAudio(a.sampleRate, a.channels, out)
+  }
+
+  /** Anti-aliased 2× downsample: the binomial low-pass (exact Nyquist
+    * zero) followed by [[decimate]](2) — the PROPER resampler next to
+    * the unfiltered decimation baseline. */
+  def lowpassDecimate2(a: DecodedAudio): DecodedAudio =
+    decimate(firLowpass(a), 2)
+
   /** Integer-factor decimation: keep every `n`-th frame and divide the
     * sample rate by `n`. This is the unfiltered decimation BASELINE (the
     * aliasing-prone fast path a feature pipeline uses on already-band-
-    * limited signals); a proper low-pass resampler is native-codec
-    * territory and stays behind the stub seam. */
+    * limited signals); [[lowpassDecimate2]] is the anti-aliased variant. */
   def decimate(a: DecodedAudio, n: Int): DecodedAudio = {
     require(n > 0, "decimation factor must be positive")
     require(a.sampleRate % n == 0,

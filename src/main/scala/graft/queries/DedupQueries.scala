@@ -18,7 +18,7 @@ object DedupQueries {
     q158PixelDecode, q160PixelResize, q161WavRoundtrip, q164VideoIndex,
     q165VideoFrameDecode, q166FrameSampleOffsets, q168AudioMixdown,
     q169PixelDedup, q170MediaCuration, q171PairedShards, q172StreamMedia,
-    q173StreamPixelDedup)
+    q173StreamPixelDedup, q174AudioFir)
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
@@ -684,6 +684,72 @@ object DedupQueries {
       }
       .toDF("doc_id", "sample_rate", "n_frames", "duration_ms",
         "sum_samples", "sum_abs")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Anti-aliased 2× audio downsample, value-checked END TO END: per
+    * document a mono PCM WAV is synthesized from the q168 sample formula,
+    * round-tripped through real RIFF bytes, then run through
+    * [[graft.multimodal.AudioDecode.lowpassDecimate2]] — the binomial
+    * [1,4,6,4,1]/16 linear-phase FIR (unity DC gain, exact Nyquist zero)
+    * followed by 2× decimation. The oracle replays the CONVOLUTION
+    * itself: a 5-row taps table joined against the zero-padded sample
+    * formula, toward-zero `//16`, even-frame keep — so a wrong tap, a
+    * shifted center, a flipped edge pad, or a floor-vs-truncate rounding
+    * slip all hash-mismatch. `pos_chk` (position-weighted checksum)
+    * additionally pins output ORDER, not just the value multiset. */
+  val q174AudioFir: QueryDef = QueryDef.sql(
+    "q174_audio_fir",
+    """WITH d AS (
+      |  SELECT doc_id, 8000 + (doc_id % 5) * 1000 AS sr,
+      |         600 + doc_id % 300 AS frames
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, sr, frames, t.f AS f,
+      |         ((doc_id * 31 + t.f * 7) % 65536) - 32768 AS x
+      |  FROM d CROSS JOIN range(900) t(f) WHERE t.f < frames),
+      |taps(k, h) AS (VALUES (0, 1), (1, 4), (2, 6), (3, 4), (4, 1)),
+      |y AS (
+      |  SELECT s.doc_id, s.sr, s.f,
+      |         sum(taps.h * COALESCE(x2.x, 0)) // 16 AS v
+      |  FROM s CROSS JOIN taps
+      |  LEFT JOIN s x2 ON x2.doc_id = s.doc_id AND x2.f = s.f + taps.k - 2
+      |  GROUP BY s.doc_id, s.sr, s.f),
+      |dec AS (
+      |  SELECT doc_id, sr, f // 2 AS g, v FROM y WHERE f % 2 = 0)
+      |SELECT doc_id, CAST(sr // 2 AS INT) AS sample_rate,
+      |       CAST(count(*) AS BIGINT) AS n_frames,
+      |       CAST(sum(v) AS BIGINT) AS sum_samples,
+      |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+      |       CAST(sum(v * ((g % 97) + 1)) AS BIGINT) AS pos_chk
+      |FROM dec GROUP BY doc_id, sr
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val sr = (8000 + (id % 5) * 1000).toInt
+          val frames = (600 + id % 300).toInt
+          val samples = Array.tabulate(frames)(f =>
+            (((id * 31 + f.toLong * 7) % 65536) - 32768).toShort)
+          import graft.multimodal.AudioDecode
+          AudioDecode.decodeWav(AudioDecode.encodeWav(sr, 1, samples)) match {
+            case Some(a) =>
+              val out = AudioDecode.lowpassDecimate2(a)
+              var sum = 0L; var sabs = 0L; var chk = 0L
+              var g = 0
+              while (g < out.samples.length) {
+                val v = out.samples(g).toLong
+                sum += v; sabs += math.abs(v); chk += v * ((g % 97) + 1)
+                g += 1
+              }
+              (id, out.sampleRate, out.nFrames.toLong, sum, sabs, chk)
+            case None => (id, -1, -1L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_frames", "sum_samples", "sum_abs",
+        "pos_chk")
       .orderBy(col("doc_id"))
   }
 

@@ -338,6 +338,35 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { decimate(mono, 3) } // 8000 % 3 != 0
   }
 
+  test("FIR low-pass: DC identity, exact Nyquist zero, toward-zero rounding, per-channel") {
+    import AudioDecode._
+    // THEOREM: taps sum to the scale → a constant (DC) signal is the
+    // identity away from the zero-padded edges
+    val dc = firLowpass(DecodedAudio(8000, 1, Array.fill[Short](9)(1000)))
+    assert(dc.samples.slice(2, 7).forall(_ == 1000))
+    // THEOREM: 1-4+6-4+1 = 0 → the Nyquist-rate alternating signal is
+    // annihilated exactly (interior) — the anti-alias property
+    val nyq = firLowpass(DecodedAudio(8000, 1,
+      Array.tabulate[Short](10)(i => if (i % 2 == 0) 1000 else -1000)))
+    assert(nyq.samples.slice(2, 8).forall(_ == 0))
+    // hand-computed with negatives: y[0] = (6·-3 + 4·5 + 1·-7)/16 = -5/16
+    // = 0 (toward zero — floor would give -1), y[2] = -25/16 = -1 (floor -2)
+    val h = firLowpass(DecodedAudio(8000, 1, Array[Short](-3, 5, -7)))
+    assert(h.samples.toSeq == Seq[Short](0, 0, -1))
+    // channels filter independently: left constant, right alternating
+    val st = firLowpass(DecodedAudio(8000, 2,
+      Array.tabulate[Short](16)(i =>
+        if (i % 2 == 0) 800 else if ((i / 2) % 2 == 0) 600 else -600)))
+    assert(st.samples.grouped(2).map(_(0)).toSeq.slice(2, 6).forall(_ == 800))
+    assert(st.samples.grouped(2).map(_(1)).toSeq.slice(2, 6).forall(_ == 0))
+    // lowpassDecimate2 = firLowpass then decimate(2), rate halved
+    val ld = lowpassDecimate2(DecodedAudio(8000, 1, Array.fill[Short](9)(1000)))
+    assert(ld.sampleRate == 4000 && ld.nFrames == 5)
+    intercept[IllegalArgumentException] {
+      firLowpass(DecodedAudio(8000, 1, Array[Short](1)), Array(1, 1), 2)
+    } // even tap count
+  }
+
   test("WAV decode: 8-bit rescale, ancillary chunk skip, corrupt inputs -> None") {
     // 8-bit offset-binary WAV hand-built: values 0,128,255 -> -32768,0,32512
     val hdr = java.nio.ByteBuffer.allocate(44 + 3)
