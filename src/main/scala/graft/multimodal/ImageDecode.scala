@@ -9,6 +9,9 @@ package graft.multimodal
   * committed blobs, replayed in DuckDB from the fixture's generator
   * formula).
   *
+  * Baseline JPEG dispatches to [[JpegDecode]] (full T.81 sequential
+  * Huffman decode, pure JVM).
+  *
   * Deliberately NOT supported (returns None rather than guessing):
   * Adam7-interlaced PNG, bit depths other than 8, compressed BMP — the
   * callers degrade exactly like any undecodable blob, so a poison input
@@ -42,6 +45,9 @@ object ImageDecode {
     else if (bytes.length >= 2 && bytes(0) == 'P' &&
       (bytes(1) == '5' || bytes(1) == '6'))
       decodePnm(bytes)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8)
+      JpegDecode.decodeJpeg(bytes)
     else None
   }
 

@@ -369,7 +369,9 @@ object Multimodal {
     * `frameCodec` as an image, so the full 100 TB media path (container →
     * frame ranges → per-frame decode) runs on real bytes end to end.
     * With [[PixelCodec]] and PNG frame payloads this is byte-exact and
-    * SQL-replayable (q165). Undecodable containers degrade to one
+    * SQL-replayable (q165); with baseline-JPEG payloads it is real MJPEG
+    * decode — container walk, slice, Huffman entropy decode, IDCT, color
+    * convert, all pure JVM (q176). Undecodable containers degrade to one
     * sentinel row (frame_no = -1, empty features). */
   def videoFrameFeatures(media: DataFrame, frameCodec: MediaCodec,
       frameFormat: String = "png",

@@ -7,8 +7,10 @@ package graft.multimodal
   * container BEFORE any codec runs — the frame INDEX (offsets, sizes,
   * keyframe flags) plus the stream geometry (width/height/frame rate),
   * so frame sampling can slice exact byte ranges out of a 100 TB blob
-  * store without decoding. Compressed frame PAYLOAD decode (MJPEG/H.264)
-  * stays behind the stub seam: it genuinely needs native codecs.
+  * store without decoding. Frame PAYLOAD decode: MJPEG (JPEG payloads)
+  * is REAL via [[JpegDecode]] through the codec seam (q176);
+  * inter-frame codecs (H.264 etc.) stay behind the stub seam — those
+  * genuinely need native codecs.
   *
   * This is extension surface (the multimodal mandate), not reference
   * surface — the reference pipeline has no media pass; the operator the

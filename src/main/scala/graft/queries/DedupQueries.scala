@@ -18,7 +18,7 @@ object DedupQueries {
     q158PixelDecode, q160PixelResize, q161WavRoundtrip, q164VideoIndex,
     q165VideoFrameDecode, q166FrameSampleOffsets, q168AudioMixdown,
     q169PixelDedup, q170MediaCuration, q171PairedShards, q172StreamMedia,
-    q173StreamPixelDedup, q174AudioFir)
+    q173StreamPixelDedup, q174AudioFir, q175JpegDecode, q176MjpegFrames)
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
@@ -753,6 +753,75 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** COMPRESSED-codec decode, value-checked END TO END: per document a
+    * real baseline JPEG (SOI/DQT/SOF0/DHT/SOS, Huffman entropy coding,
+    * byte stuffing) is synthesized by the minimal DC-only encoder
+    * ([[graft.multimodal.JpegDecode.encodeJpegDcOnly]] — flat quant 8,
+    * so each decoded block is exactly `dc + 128`), alternating grayscale
+    * and 4:4:4 YCbCr color, then decoded through the REAL operator path
+    * (`Multimodal.pixelFingerprint` → magic-byte dispatch → the full
+    * T.81 Huffman + IDCT + fixed-point color-convert pipeline). The
+    * oracle replays block DCs, the JFIF fixed-point YCbCr→RGB transform
+    * (integer `//65536` with the non-negative-numerator trick), clamping,
+    * and the 64-pixel block sums — entirely from the formula. A wrong
+    * Huffman code, DC-prediction slip, dequant error, or color-matrix
+    * drift all hash-mismatch. JpegSpec separately cross-checks the
+    * decoder against the JDK's independent ImageIO codec (exact on
+    * DC-only, ±2 on full-AC files) so a symmetric encoder/decoder bug
+    * cannot hide. */
+  val q175JpegDecode: QueryDef = QueryDef.sql(
+    "q175_jpeg_decode",
+    """WITH d AS (
+      |  SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
+      |         doc_id % 2 = 0 AS gray
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, wb, hb, gray,
+      |         ((doc_id * 17 + tx.bx * 5 + ty.by * 3) % 200) - 100 AS ydc,
+      |         ((doc_id * 7 + tx.bx * 11 + ty.by * 13) % 160) - 80 AS cb,
+      |         ((doc_id * 29 + tx.bx * 3 + ty.by * 19) % 160) - 80 AS cr
+      |  FROM d CROSS JOIN range(3) tx(bx) CROSS JOIN range(2) ty(by)
+      |  WHERE tx.bx < wb AND ty.by < hb),
+      |p AS (
+      |  SELECT doc_id, wb, hb, gray, ydc + 128 AS yv,
+      |         LEAST(255, GREATEST(0, ydc + 128 +
+      |           ((91881 * cr + 32768 + 16777216) // 65536 - 256))) AS r,
+      |         LEAST(255, GREATEST(0, ydc + 128 +
+      |           ((-22554 * cb - 46802 * cr + 32768 + 16777216) // 65536 - 256))) AS g,
+      |         LEAST(255, GREATEST(0, ydc + 128 +
+      |           ((116130 * cb + 32768 + 16777216) // 65536 - 256))) AS bl
+      |  FROM b)
+      |SELECT doc_id AS media_id,
+      |       CAST(wb * 8 AS INT) AS width,
+      |       CAST(hb * 8 AS INT) AS height,
+      |       CAST(CASE WHEN gray THEN 1 ELSE 3 END AS INT) AS channels,
+      |       CAST(64 * sum(CASE WHEN gray THEN yv ELSE r END) AS BIGINT) AS r_sum,
+      |       CAST(CASE WHEN gray THEN 0 ELSE 64 * sum(g) END AS BIGINT) AS g_sum,
+      |       CAST(CASE WHEN gray THEN 0 ELSE 64 * sum(bl) END AS BIGINT) AS b_sum
+      |FROM p GROUP BY doc_id, wb, hb, gray
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          import graft.multimodal.JpegDecode
+          val wb = (1 + id % 3).toInt
+          val hb = (1 + id % 2).toInt
+          val bytes = JpegDecode.encodeJpegDcOnly(wb, hb, gray = id % 2 == 0,
+            (bx, by) => (
+              (((id * 17 + bx * 5 + by * 3) % 200) - 100).toInt,
+              (((id * 7 + bx * 11 + by * 13) % 160) - 80).toInt,
+              (((id * 29 + bx * 3 + by * 19) % 160) - 80).toInt))
+          (id, "image", bytes)
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+    Multimodal.pixelFingerprint(media)
+      .select(col("media_id"), col("width"), col("height"), col("channels"),
+        col("r_sum"), col("g_sum"), col("b_sum"))
+      .orderBy(col("media_id"))
+  }
+
   /** Real VIDEO container walk, value-checked END TO END (the q161
     * mechanism applied to AVI): per video document a real AVI 1.0 blob is
     * synthesized from integer formulas (geometry, frame count, per-frame
@@ -1061,6 +1130,80 @@ object DedupQueries {
       }
       .toDF("media_id", "kind", "bytes")
     Multimodal.videoFrameFeatures(media, new Multimodal.PixelCodec)
+      .select(col("media_id"),
+        col("frame_no"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        element_at(col("features"), 4).cast("long").as("r_sum"),
+        element_at(col("features"), 5).cast("long").as("g_sum"),
+        element_at(col("features"), 6).cast("long").as("b_sum"))
+      .orderBy(col("media_id"), col("frame_no"))
+  }
+
+  /** MJPEG end to end — COMPRESSED video frames through the full media
+    * stack: a real AVI container whose frame payloads are real baseline
+    * JPEGs (DC-only 4:4:4 fixtures, so decode is closed-form), walked by
+    * the independent container index decoder, frame byte-ranges sliced,
+    * and every slice Huffman-decoded + IDCT'd + color-converted by
+    * [[graft.multimodal.JpegDecode]] through the `PixelCodec` seam. This
+    * upgrades the "compressed frame decode stays behind the stub seam"
+    * caveat: container → slice → ENTROPY DECODE → pixels is now real
+    * bytes at every step. The oracle replays the per-frame per-block DC
+    * formula, the fixed-point YCbCr→RGB transform, and the 64-pixel
+    * block sums (the q175 arithmetic under the q164 container walk). */
+  val q176MjpegFrames: QueryDef = QueryDef.sql(
+    "q176_mjpeg_frames",
+    """WITH d AS (
+      |  SELECT doc_id, 2 + doc_id % 3 AS nf,
+      |         1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |b AS (
+      |  SELECT doc_id, nf, wb, hb, t.i AS frame_no,
+      |         ((doc_id * 11 + t.i * 19 + tx.bx * 5 + ty.by * 3) % 200) - 100 AS ydc,
+      |         ((doc_id * 5 + t.i * 7 + tx.bx * 13 + ty.by * 11) % 160) - 80 AS cb,
+      |         ((doc_id * 23 + t.i * 3 + tx.bx * 7 + ty.by * 17) % 160) - 80 AS cr
+      |  FROM d CROSS JOIN range(4) t(i)
+      |         CROSS JOIN range(3) tx(bx) CROSS JOIN range(2) ty(by)
+      |  WHERE t.i < nf AND tx.bx < wb AND ty.by < hb),
+      |p AS (
+      |  SELECT doc_id, wb, hb, frame_no,
+      |         LEAST(255, GREATEST(0, ydc + 128 +
+      |           ((91881 * cr + 32768 + 16777216) // 65536 - 256))) AS r,
+      |         LEAST(255, GREATEST(0, ydc + 128 +
+      |           ((-22554 * cb - 46802 * cr + 32768 + 16777216) // 65536 - 256))) AS g,
+      |         LEAST(255, GREATEST(0, ydc + 128 +
+      |           ((116130 * cb + 32768 + 16777216) // 65536 - 256))) AS bl
+      |  FROM b)
+      |SELECT doc_id AS media_id, CAST(frame_no AS INT) AS frame_no,
+      |       CAST(wb * 8 AS INT) AS width, CAST(hb * 8 AS INT) AS height,
+      |       CAST(64 * sum(r) AS BIGINT) AS r_sum,
+      |       CAST(64 * sum(g) AS BIGINT) AS g_sum,
+      |       CAST(64 * sum(bl) AS BIGINT) AS b_sum
+      |FROM p GROUP BY doc_id, frame_no, wb, hb
+      |ORDER BY media_id, frame_no""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          import graft.multimodal.{JpegDecode, VideoContainer}
+          val nf = (2 + id % 3).toInt
+          val wb = (1 + id % 3).toInt
+          val hb = (1 + id % 2).toInt
+          val frames = (0 until nf).map { i =>
+            (JpegDecode.encodeJpegDcOnly(wb, hb, gray = false,
+              (bx, by) => (
+                (((id * 11 + i * 19 + bx * 5 + by * 3) % 200) - 100).toInt,
+                (((id * 5 + i * 7 + bx * 13 + by * 11) % 160) - 80).toInt,
+                (((id * 23 + i * 3 + bx * 7 + by * 17) % 160) - 80).toInt)),
+              i % 2 == 0)
+          }
+          (id, "video", VideoContainer.encodeAvi(wb * 8, hb * 8, 40000, frames))
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+    Multimodal.videoFrameFeatures(media, new Multimodal.PixelCodec, "jpeg")
       .select(col("media_id"),
         col("frame_no"),
         element_at(col("features"), 1).cast("int").as("width"),
