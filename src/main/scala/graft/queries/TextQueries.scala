@@ -27,7 +27,7 @@ object TextQueries {
     q101SketchTopkShingles, q107EpochShuffle, q108TokenPacking,
     q109WindowManifest, q110MixtureWeights, q130LengthBatches,
     q131WeightedSample, q135TfidfTerms, q148Curriculum,
-    q149StratifiedExact)
+    q149StratifiedExact, q177Blocklist)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1056,5 +1056,35 @@ object TextQueries {
       .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
         col("score").cast("long").as("score"))
       .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** Dictionary blocklist scan (the C4 "bad words" filter): ONE
+    * Aho-Corasick pass per document matches the whole dictionary
+    * simultaneously ([[graft.text.Blocklist]]) — a pure map stage with
+    * the automaton in the closure, vs the per-pattern `contains` passes
+    * the oracle replays. The fixture patterns are borderless (no
+    * self-overlap), so the automaton's all-occurrence count provably
+    * equals DuckDB's non-overlapping `replace` arithmetic; the
+    * overlapping case SQL cannot express is pinned by BlocklistSpec. */
+  val q177Blocklist: QueryDef = sql(
+    "q177_blocklist",
+    """WITH pats(p) AS (
+      |  VALUES ('slow fast'), ('hash value'), ('table part'),
+      |         ('merge'), ('window the')),
+      |h AS (
+      |  SELECT d.doc_id,
+      |         sum((len(d.text) - len(replace(d.text, pats.p, '')))
+      |             // len(pats.p)) AS n_hits,
+      |         sum(CASE WHEN contains(d.text, pats.p) THEN 1 ELSE 0 END)
+      |           AS n_patterns
+      |  FROM documents d CROSS JOIN pats
+      |  GROUP BY d.doc_id)
+      |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+      |       CAST(n_patterns AS INT) AS n_patterns,
+      |       CAST(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END AS INT) AS blocked
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.text.Blocklist.scan(docs(s, d), "doc_id", "text",
+        Seq("slow fast", "hash value", "table part", "merge", "window the"))
+      .orderBy(col("doc_id"))
   }
 }
