@@ -205,6 +205,51 @@ object ScaleSmoke {
             graft.sources.TarShards.pack(blobs, targetShardBytes = 1L << 20)))
         blobs.unpersist()
       }
+      if ("jpeg_decode".contains(opFilter)) {
+        // full T.81 Huffman+IDCT decode per blob is per-blob linear work;
+        // wall must track blob count. JPEGs synthesized once and CACHED
+        // so the timed region is the decode, not the encode.
+        import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("media_id", LongType), StructField("kind", StringType),
+          StructField("bytes", BinaryType)))
+        val media = docs.select(col("doc_id")).mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            org.apache.spark.sql.Row(id, "image",
+              graft.multimodal.JpegDecode.encodeJpegDcOnly(
+                (1 + id % 4).toInt, (1 + id % 3).toInt, gray = id % 2 == 0,
+                (bx, by) => (((id * 17 + bx * 5 + by * 3) % 200 - 100).toInt,
+                  ((id * 7 + bx * 11) % 160 - 80).toInt,
+                  ((id * 29 + by * 19) % 160 - 80).toInt)))
+          }
+        }(org.apache.spark.sql.Encoders.row(schema)).cache()
+        media.count()
+        time("jpeg_decode", k)(
+          graft.multimodal.Multimodal.pixelFingerprint(media))
+        media.unpersist()
+      }
+      if (k == 1 && "blocklist_dict_sweep".contains(opFilter)) {
+        // the Aho-Corasick claim, measured: one pass regardless of
+        // dictionary size — wall must stay near-FLAT as patterns grow
+        // 5 → 60 (a per-pattern contains scan would grow 12×); 64 is
+        // the bitmask-bound automaton cap
+        for (p <- Seq(5, 20, 60)) {
+          val pats = (0 until p).map(i =>
+            s"${Seq("slow", "fast", "hash", "merge", "window")(i % 5)} pat$i") ++
+            Seq("slow fast", "hash value", "table part", "merge", "window the")
+          val t0 = System.nanoTime()
+          graft.text.Blocklist.scan(docs, "doc_id", "text", pats.take(p))
+            .write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"""{"op":"blocklist_dict_sweep","patterns":$p,"rows_in":$n0,"sec":$sec%.2f}""")
+        }
+      }
+      if ("blocklist_scan".contains(opFilter)) {
+        time("blocklist_scan", k)(
+          graft.text.Blocklist.scan(docs, "doc_id", "text",
+            Seq("slow fast", "hash value", "table part", "merge", "window the")))
+      }
       if (k == 1 && "similarity_graph_lsh_sweep".contains(opFilter)) {
         // the nTables recall/cost dial, measured (NEXT r10 backlog item):
         // same clustered-direction corpus, exact edge set as ground truth
