@@ -19,7 +19,7 @@ object CurationQueries {
     q118SpanDedupOverlap, q119HeldoutLogprob, q120BigramLogprob,
     q121DedupKeepBest, q122FuzzyDecontam, q125DsirWeights,
     q126PerplexityBuckets, q127QualityClassifier, q129CurationPipeline,
-    q153LrTrain, q155BpeTrain, q162BpeApply, q167TarShards)
+    q153LrTrain, q155BpeTrain, q162BpeApply, q167TarShards, q178AucEval)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -979,5 +979,60 @@ object CurationQueries {
     val shards = graft.sources.TarShards.pack(blobs, targetShardBytes = 8192)
     graft.sources.TarShards.index(shards)
       .orderBy(col("shard_id"), col("member_no"))
+  }
+
+  /** Exact Mann–Whitney AUC of a quality score against class labels — the
+    * EVALUATION step that closes the classifier loop (q127 scores, q153
+    * trains, this measures). Score = the q148 stopword-density ppm integer;
+    * task = one-vs-rest language identification (5 rows, one per language
+    * evaluated as the positive class).
+    *
+    * The statistic is computed without ever enumerating pairs: the corpus
+    * collapses to a per-(language, score) histogram (one shuffle, output
+    * bounded by |langs|·10^6, not by corpus size), then
+    * `u2 = Σ pos·(2·negBelow + neg)` — ties at half credit, kept doubled
+    * so the whole computation is integer-exact in both engines — and
+    * `auc_ppm = (10^6·u2) div (2·nPos·nNeg)`. The running `negBelow` is a
+    * window over DISTINCT scores per language (≤10^6 rows/partition), not
+    * over documents. */
+  val q178AucEval: QueryDef = sql(
+    "q178_auc_eval",
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |         (CAST(len(list_filter(string_split(text, ' '),
+      |                    t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+      |          * 1000000) // len(string_split(text, ' ')) AS sw_ppm
+      |  FROM documents),
+      |langs AS (SELECT DISTINCT lang AS eval_lang FROM documents),
+      |hist AS (
+      |  SELECT l.eval_lang, s.sw_ppm AS sc,
+      |         sum(CASE WHEN s.lang = l.eval_lang THEN 1 ELSE 0 END) AS pos_n,
+      |         sum(CASE WHEN s.lang = l.eval_lang THEN 0 ELSE 1 END) AS neg_n
+      |  FROM s CROSS JOIN langs l
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT eval_lang, pos_n, neg_n,
+      |         coalesce(sum(neg_n) OVER (PARTITION BY eval_lang ORDER BY sc
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS neg_below
+      |  FROM hist),
+      |a AS (
+      |  SELECT eval_lang,
+      |         CAST(sum(pos_n) AS BIGINT) AS n_pos,
+      |         CAST(sum(neg_n) AS BIGINT) AS n_neg,
+      |         CAST(sum(pos_n * (2 * neg_below + neg_n)) AS BIGINT) AS u2
+      |  FROM r GROUP BY eval_lang)
+      |SELECT eval_lang, n_pos, n_neg, u2,
+      |       CAST((u2 * 1000000) // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+      |FROM a ORDER BY eval_lang""".stripMargin) { (s, d) =>
+    val scored = docs(s, d).select(col("doc_id"), col("lang"),
+      expr("(CAST(size(filter(split(text, ' '), " +
+        "t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) * 1000000) " +
+        "div size(split(text, ' '))").as("sw_ppm"))
+    val langs = scored.select(col("lang").as("eval_lang")).distinct()
+    val tasks = scored.crossJoin(broadcast(langs))
+      .withColumn("is_pos", (col("lang") === col("eval_lang")).cast("int"))
+    graft.text.Eval.rankAucByGroup(tasks, "eval_lang", "sw_ppm", "is_pos")
+      .orderBy(col("eval_lang"))
   }
 }

@@ -1,0 +1,70 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Rank-AUC contract. Independent reference: the literal pairwise
+  * definition — count (positive, negative) pairs where the positive
+  * outranks the negative, ties at half credit — enumerated over every
+  * pair, which the distributed histogram implementation must match
+  * exactly (u2 = 2·U is integral by construction). */
+class EvalSpec extends SparkSpec {
+
+  private def bruteU2(rows: Seq[(Long, Int)]): (Long, Long, Long) = {
+    val pos = rows.filter(_._2 != 0).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val u2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    (pos.size.toLong, neg.size.toLong, u2)
+  }
+
+  private def run(rows: Seq[(String, Long, Int)]) = {
+    val df = spark.createDataFrame(rows).toDF("g", "score", "is_pos")
+    Eval.rankAucByGroup(df, "g", "score", "is_pos")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+  }
+
+  test("hand-computed golden: perfect, inverted, and tied rankings") {
+    val out = run(Seq(
+      // perfect separation: every positive above every negative → AUC 1
+      ("perfect", 10L, 1), ("perfect", 9L, 1), ("perfect", 2L, 0), ("perfect", 1L, 0),
+      // inverted: AUC 0
+      ("inverted", 1L, 1), ("inverted", 10L, 0),
+      // all scores identical: AUC exactly 1/2 (pure tie credit)
+      ("ties", 5L, 1), ("ties", 5L, 1), ("ties", 5L, 0)))
+    assert(out("perfect") == ((2L, 2L, 8L, 1000000L)))
+    assert(out("inverted") == ((1L, 1L, 0L, 0L)))
+    assert(out("ties") == ((2L, 1L, 2L, 500000L))) // u2 = 2 pos·neg half-pairs
+  }
+
+  test("degenerate single-class groups: defined u2, NULL auc") {
+    val out = run(Seq(("allpos", 3L, 1), ("allpos", 7L, 1), ("allneg", 4L, 0)))
+    assert(out("allpos") == ((2L, 0L, 0L, -1L)))
+    assert(out("allneg") == ((0L, 1L, 0L, -1L)))
+  }
+
+  test("randomized agreement with the pairwise definition") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 10) {
+      val rows = (1 to 60).map { _ =>
+        (rnd.nextInt(9).toLong, if (rnd.nextBoolean()) 1 else 0)
+      }
+      val (np, nn, u2) = bruteU2(rows)
+      val out = run(rows.map { case (s, p) => ("g", s, p) })
+      val expectedAuc =
+        if (np > 0 && nn > 0) (u2 * 1000000L) / (2L * np * nn) else -1L
+      assert(out("g") == ((np, nn, u2, expectedAuc)), s"trial $trial")
+    }
+  }
+
+  test("group independence: per-group results unchanged by other groups") {
+    val a = Seq(("a", 3L, 1), ("a", 1L, 0), ("a", 2L, 0))
+    val b = Seq(("b", 9L, 0), ("b", 9L, 1), ("b", 1L, 1))
+    val solo = run(a) ++ run(b)
+    val joint = run(a ++ b)
+    assert(joint == solo)
+  }
+}
