@@ -22,7 +22,7 @@ object WarehouseQueries {
   def all: Seq[QueryDef] = Seq(
     q140PagerankNations, q141ZorderLayout, q142BloomPrune, q143Scd2History,
     q144CountMinHeavy, q145EventTransitions, q146MergeTombstones,
-    q150IncrementalAgg)
+    q150IncrementalAgg, q179KAnonymity)
 
   /** The nation→nation supply graph: an edge when a customer of nation
     * `src` ordered a line item supplied from nation `dst`. Fact-fact join
@@ -441,5 +441,54 @@ object WarehouseQueries {
         (col("n") === col("nm") && oround(col("s"), 4) === oround(col("sm"), 4)
           && col("mx") === col("mm")).cast("long").as("ok"))
       .orderBy(col("user_id"))
+  }
+
+  /** k-anonymous usage release (k = 8 distinct users) under the
+    * generalization ladder (type, HH:mm) → (type, hour) → (type) —
+    * `operators.Anonymize.kAnonymizeLadder`. Remainder-counted rungs make
+    * "every released row covers ≥ 8 users" a theorem (no differencing
+    * attack across rungs); records failing every rung surface as
+    * suppression audit rows with the user count MASKED. Ladder occupancy
+    * shifts with scale by design: fine cells release directly at large SF,
+    * coarse rungs absorb them at small SF — the oracle replays the full
+    * cascade, whatever the occupancy. */
+  val q179KAnonymity: QueryDef = sql(
+    "q179_k_anonymity",
+    """WITH e AS (
+      |  SELECT user_id,
+      |         event_type || '|' || lpad(CAST(extract(hour FROM ts) AS VARCHAR), 2, '0')
+      |           || ':' || lpad(CAST(extract(minute FROM ts) AS VARCHAR), 2, '0') AS q0,
+      |         event_type || '|' || lpad(CAST(extract(hour FROM ts) AS VARCHAR), 2, '0') AS q1,
+      |         event_type AS q2
+      |  FROM events),
+      |c0 AS (SELECT q0, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |       FROM e GROUP BY q0),
+      |p0 AS (SELECT * FROM c0 WHERE n_users >= 8),
+      |r1 AS (SELECT * FROM e WHERE q0 NOT IN (SELECT q0 FROM p0)),
+      |c1 AS (SELECT q1, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |       FROM r1 GROUP BY q1),
+      |p1 AS (SELECT * FROM c1 WHERE n_users >= 8),
+      |r2 AS (SELECT * FROM r1 WHERE q1 NOT IN (SELECT q1 FROM p1)),
+      |c2 AS (SELECT q2, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |       FROM r2 GROUP BY q2),
+      |p2 AS (SELECT * FROM c2 WHERE n_users >= 8),
+      |r3 AS (SELECT * FROM r2 WHERE q2 NOT IN (SELECT q2 FROM p2)),
+      |sup AS (SELECT q2 AS qi, count(*) AS n_events FROM r3 GROUP BY q2)
+      |SELECT level, qi, n_events, n_users, suppressed FROM (
+      |  SELECT 0 AS level, q0 AS qi, n_events, n_users, 0 AS suppressed FROM p0
+      |  UNION ALL SELECT 1, q1, n_events, n_users, 0 FROM p1
+      |  UNION ALL SELECT 2, q2, n_events, n_users, 0 FROM p2
+      |  UNION ALL SELECT 3, qi, n_events, CAST(NULL AS BIGINT), 1 FROM sup)
+      |ORDER BY level, qi""".stripMargin) { (s, d) =>
+    val ts = col("ts").cast("timestamp")
+    val hh = lpad(hour(ts).cast("string"), 2, "0")
+    val mm = lpad(minute(ts).cast("string"), 2, "0")
+    val base = Tables.events(s, d)
+    graft.operators.Anonymize.kAnonymizeLadder(base, "user_id", k = 8,
+        ladder = Seq(
+          concat(col("event_type"), lit("|"), hh, lit(":"), mm),
+          concat(col("event_type"), lit("|"), hh),
+          col("event_type")))
+      .orderBy(col("level"), col("qi"))
   }
 }
