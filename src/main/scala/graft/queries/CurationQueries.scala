@@ -19,7 +19,8 @@ object CurationQueries {
     q118SpanDedupOverlap, q119HeldoutLogprob, q120BigramLogprob,
     q121DedupKeepBest, q122FuzzyDecontam, q125DsirWeights,
     q126PerplexityBuckets, q127QualityClassifier, q129CurationPipeline,
-    q153LrTrain, q155BpeTrain, q162BpeApply, q167TarShards, q178AucEval)
+    q153LrTrain, q155BpeTrain, q162BpeApply, q167TarShards, q178AucEval,
+    q180DupRegions)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1034,5 +1035,51 @@ object CurationQueries {
       .withColumn("is_pos", (col("lang") === col("eval_lang")).cast("int"))
     graft.text.Eval.rankAucByGroup(tasks, "eval_lang", "sw_ppm", "is_pos")
       .orderBy(col("eval_lang"))
+  }
+
+  /** Maximal duplicated REGIONS per document (the exact-substring-dedup
+    * output shape of Lee et al. 2022): q118's overlapping windows (width
+    * 8, stride 4), every non-first occurrence marks its token interval,
+    * and overlapping/touching intervals merge into maximal regions via
+    * gaps-and-islands — a splice-out writer consumes exactly these
+    * ranges. Island numbering is a running sum over a per-document
+    * window on the (unique) window start offsets; all integer. */
+  val q180DupRegions: QueryDef = sql(
+    "q180_dup_regions",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sp AS (
+      |  SELECT doc_id, i AS pos,
+      |         md5(array_to_string(w[CAST(i * 4 + 1 AS INT):CAST(i * 4 + 8 AS INT)], ' ')) AS h,
+      |         len(w[CAST(i * 4 + 1 AS INT):CAST(i * 4 + 8 AS INT)]) AS span_len,
+      |         doc_id * 100000 + i AS okey
+      |  FROM (SELECT doc_id, w,
+      |               unnest(range(CAST(ceil(greatest(len(w) - 8, 0) / 4.0) AS BIGINT) + 1)) AS i
+      |        FROM t)),
+      |f AS (SELECT h, min(okey) AS first_key FROM sp GROUP BY h),
+      |dup AS (
+      |  SELECT sp.doc_id, CAST(pos * 4 AS BIGINT) AS start_tok,
+      |         CAST(pos * 4 + span_len AS BIGINT) AS end_tok
+      |  FROM sp JOIN f USING (h) WHERE okey <> first_key),
+      |isl AS (
+      |  SELECT doc_id, start_tok, end_tok,
+      |         max(end_tok) OVER (PARTITION BY doc_id ORDER BY start_tok
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+      |  FROM dup),
+      |num AS (
+      |  SELECT doc_id, start_tok, end_tok,
+      |         sum(CASE WHEN prev_max_end IS NULL OR start_tok > prev_max_end
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY start_tok
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region_no
+      |  FROM isl)
+      |SELECT doc_id, CAST(region_no AS BIGINT) AS region_no,
+      |       min(start_tok) AS start_tok, max(end_tok) AS end_tok,
+      |       max(end_tok) - min(start_tok) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_windows
+      |FROM num GROUP BY doc_id, region_no
+      |ORDER BY doc_id, region_no""".stripMargin) { (s, d) =>
+    Curation.dupRegions(docs(s, d), "doc_id", "text",
+        spanTokens = 8, stride = 4)
+      .orderBy(col("doc_id"), col("region_no"))
   }
 }

@@ -79,6 +79,74 @@ object Curation {
           .cast("long").as("n_tokens_kept"))
   }
 
+  /** MAXIMAL duplicated-region extraction — the per-document output of
+    * exact substring deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": report the duplicated
+    * RANGES, not just counts, so a writer can splice them out). Built
+    * from the same overlapping-window machinery as [[spanDedupStats]]:
+    * every `spanTokens`-wide window at `stride` offsets is digest-keyed;
+    * occurrences that are not the global first occurrence of their digest
+    * mark the token interval `[pos·stride, pos·stride + len)` as
+    * duplicated; per document, overlapping/touching intervals merge into
+    * maximal regions (gaps-and-islands over a running max of interval
+    * ends).
+    *
+    * Output: one row per (doc, region) — `region_no` (1-based in start
+    * order), `start_tok`/`end_tok` (token half-open range), `n_tokens`,
+    * `n_windows` (dup windows merged into the region).
+    *
+    * Scale shape: the digest group/join ships 32-byte keys exactly like
+    * [[spanDedupStats]]; the island pass is ONE window per document over
+    * that document's dup windows only (≤ len/stride rows — document-
+    * bounded, not corpus-bounded), then a (doc, region) aggregate. A
+    * full suffix array would find variable-length duplicates exactly;
+    * the stride-grid approximation guarantees detection of every
+    * duplicated run of ≥ `spanTokens + stride − 1` tokens whose two
+    * occurrences sit at offsets congruent mod `stride` (such a run
+    * always contains a window grid-aligned in BOTH occurrences) —
+    * smaller stride catches more shifts, stride 1 catches all — while
+    * staying pure shuffle/window algebra. */
+  def dupRegions(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8, stride: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stride >= 1 && stride <= spanTokens,
+      s"stride must be in [1, spanTokens]; got $stride / $spanTokens")
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("w"))
+    val spans = toks
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(greatest(size(w) - $spanTokens, 0) / ${stride}.0) as int)),
+           |          i -> concat_ws(' ', slice(w, i * $stride + 1, $spanTokens)))"""
+          .stripMargin)))
+      .select(col(idCol), col("pos"),
+        md5(col("col")).as("h"),
+        size(split(col("col"), " ")).cast("long").as("span_len"))
+    val occ = struct(col(idCol).cast("long").as("oid"),
+      col("pos").cast("long").as("opos"))
+    val first = spans.groupBy(col("h")).agg(min(occ).as("first_occ"))
+    val dups = spans.join(first, "h")
+      .filter(occ =!= col("first_occ"))
+      .select(col(idCol),
+        (col("pos") * stride).cast("long").as("start_tok"),
+        (col("pos") * stride + col("span_len")).cast("long").as("end_tok"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("start_tok"))
+    val islands = dups
+      .withColumn("prev_max_end",
+        max(col("end_tok")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_max_end").isNull ||
+          col("start_tok") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("region_no", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col(idCol), col("region_no"))
+      .agg(
+        min(col("start_tok")).as("start_tok"),
+        max(col("end_tok")).as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("n_tokens", col("end_tok") - col("start_tok"))
+      .select(col(idCol), col("region_no"), col("start_tok"),
+        col("end_tok"), col("n_tokens"), col("n_windows"))
+  }
+
   /** Deterministic train/valid/test assignment: bucket = the first two hex
     * chars of md5(id || '|' || seed) — 256 uniform buckets — split by
     * lexicographic hex thresholds (`[00, trainUpper) → train,

@@ -404,4 +404,57 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, String)].collect()
     assert(none.find(_._1 == 0L).get._2 == "aaaa aaaa banana".count(_ != ' ').toLong)
   }
+
+  test("dupRegions: a copied run becomes ONE merged region with exact bounds") {
+    // doc 1 is the original; doc 2 embeds doc 1's tokens t0..t11 at
+    // offset 4. With width 4 / stride 2, dup windows at starts 4,6,8,10,12
+    // (ends start+4) merge into one region [4, 16).
+    val orig = (0 until 12).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, orig),
+      (2L, s"u0 u1 u2 u3 $orig u4 u5 u6")).toDF("doc_id", "text")
+    val out = Curation.dupRegions(df, "doc_id", "text", spanTokens = 4, stride = 2)
+      .orderBy("doc_id", "region_no")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 1L, 4L, 16L, 12L, 5L)))
+  }
+
+  test("dupRegions: disjoint duplicates stay separate regions; clean doc absent") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),          // original
+      (2L, "a b c d x1 x2 x3 x4 x5 x6 e f g h"), // two separated copies
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")   // clean
+    ).toDF("doc_id", "text")
+    val out = Curation.dupRegions(df, "doc_id", "text", spanTokens = 4, stride = 4)
+      .orderBy("doc_id", "region_no")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // doc2 grid windows: [0,4) = "a b c d" (dup), [4,8) x's, [8,12) "x5 x6 e f"
+    // (not a doc-1 window), [12,14) "g h" ragged — only the aligned first
+    // window duplicates under stride 4
+    assert(out == Seq((2L, 1L, 0L, 4L, 4L, 1L)))
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("dupRegions: any stride-congruent planted run of >= width+stride-1 is covered") {
+    // the guarantee holds when the two occurrences sit at offsets
+    // congruent mod stride (here: original at 0, copy at a stride
+    // multiple); stride 1 would catch every shift
+    val rnd = new scala.util.Random(3)
+    val width = 8; val stride = 4
+    for (trial <- 1 to 5) {
+      val runLen = width + stride - 1 + rnd.nextInt(10)
+      val run = (0 until runLen).map(i => s"r${trial}_$i").mkString(" ")
+      val fill = (0 until stride * rnd.nextInt(3)).map(i => s"f${trial}_$i")
+      val df = Seq(
+        (1L, run),
+        (2L, (fill :+ run).mkString(" ") + s" tail$trial")).toDF("doc_id", "text")
+      val out = Curation.dupRegions(df, "doc_id", "text", width, stride)
+        .filter($"doc_id" === 2L)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      val runStart = fill.size.toLong
+      // some region must overlap the planted run's grid-aligned core
+      assert(out.exists(r => r._3 < runStart + runLen && r._4 > runStart),
+        s"trial $trial: planted run [$runStart, ${runStart + runLen}) uncovered in ${out.toSeq}")
+    }
+  }
 }
