@@ -24,7 +24,7 @@ object VectorQueries {
     q30Top1Similar, q31NearDupBucketed, q32KnnBruteForce, q33Centroids,
     q34LshTopK, q35IvfTopK, q36IvfIndexTopK, q88HofDot, q94IvfExactServe,
     q106IvfUpsertServe, q128PqAdcServe, q132IvfAdcServe, q147RetrievalChunks,
-    q154KmeansTrain, q163ContrastivePairs)
+    q154KmeansTrain, q163ContrastivePairs, q181Sq8Serve)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
@@ -673,5 +673,56 @@ object VectorQueries {
       .filter(col("rnk") <= 5)
       .select(col("qdoc"), col("rnk"), col("doc_id"), col("chunk_id"), col("sim"))
       .orderBy(col("qdoc"), col("rnk"))
+  }
+
+  /** Scalar-quantization (SQ8) ANN serve — the codebook-free member of
+    * the compression family (q128/q132 are PQ): per-dimension 8-bit
+    * levels on the 1e-6 ppm integer grid, ADC on reconstructed integer
+    * inner products, exact integer-dot re-rank (embeddings are
+    * unit-norm, so the dot ranks like cosine). No scratch table: the
+    * quantizer is a closed-form function of the corpus, so the oracle
+    * re-derives stats, codes, reconstruction, BOTH scores, and both
+    * rank stages from the raw table — every compare is integer. */
+  val q181Sq8Serve: QueryDef = sql(
+    "q181_sq8_serve",
+    """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |px AS (SELECT id, CAST(u.i + 1 AS INT) AS d,
+      |              CAST(round(v[CAST(u.i + 1 AS INT)] * 1000000) AS BIGINT) AS vppm
+      |       FROM e, unnest(range(len(v))) AS u(i)),
+      |st AS (SELECT d, min(vppm) AS lo,
+      |              greatest(max(vppm) - min(vppm), 1) AS span
+      |       FROM px GROUP BY d),
+      |rec AS (SELECT id, d, lo + ((((vppm - lo) * 255) // span) * span) // 255 AS r
+      |        FROM px JOIN st USING (d)),
+      |qs AS (SELECT id AS qid, d, vppm AS qppm FROM px WHERE id < 5),
+      |adc AS (SELECT qid, id, CAST(sum(qppm * r) AS BIGINT) AS adc_i
+      |        FROM rec JOIN qs USING (d) WHERE id <> qid
+      |        GROUP BY qid, id),
+      |cand AS (SELECT qid, id, adc_i,
+      |                row_number() OVER (PARTITION BY qid
+      |                                   ORDER BY adc_i DESC, id) AS arank
+      |         FROM adc),
+      |ex AS (SELECT c.qid, c.id AS nn, c.adc_i,
+      |              CAST(sum(q.qppm * p.vppm) AS BIGINT) AS exact_i
+      |       FROM cand c
+      |       JOIN px p ON p.id = c.id
+      |       JOIN qs q ON q.qid = c.qid AND q.d = p.d
+      |       WHERE c.arank <= 40
+      |       GROUP BY c.qid, c.id, c.adc_i)
+      |SELECT qid, rank, nn, adc_i, exact_i
+      |FROM (SELECT qid, nn, adc_i, exact_i,
+      |             row_number() OVER (PARTITION BY qid
+      |                                ORDER BY exact_i DESC, nn) AS rank
+      |      FROM ex)
+      |WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    import graft.similarity.Sq
+    val e = emb(s, d)
+    val st = Sq.stats(e, "vec_id", "embedding")
+    val codes = Sq.encode(e, "vec_id", "embedding", st)
+    val probes = e.filter(col("vec_id") < 5)
+    Sq.topK(codes, st, probes, e, "vec_id", "embedding", k = 10, factor = 4)
+      .orderBy(col("qid"), col("rank"))
   }
 }
