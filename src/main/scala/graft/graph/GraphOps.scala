@@ -106,4 +106,47 @@ object GraphOps {
       .join(chainNodes.withColumnRenamed("id", "child_id"), "child_id")
     components(chainEdges)
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), made DETERMINISTIC: every node starts labeled with its own
+    * id; each round it adopts the most frequent label among its
+    * neighbors PLUS one self-vote (the self-vote both anchors isolated
+    * nodes and damps the bipartite two-coloring oscillation synchronous
+    * LPA is known for), ties broken toward the SMALLEST label. A fixed
+    * `iters` rounds — not convergence-polling — so a second engine can
+    * unroll the identical recurrence (the q140 discipline; q182's oracle
+    * does exactly that).
+    *
+    * Scale shape: one round = one equi-join (symmetrized edges ⋈ labels
+    * on src) + a (node, label) count + a per-node integer argmax
+    * (`min(struct(-cnt, label))` — no window, pure partial-aggregable
+    * algebra). Lineage is cut per round. Labels are node ids, so the
+    * argmax tie-break and the final community ids are integers end to
+    * end.
+    *
+    * @param edges undirected input as (src, dst) pairs in either
+    *              orientation; symmetrized internally.
+    * @param nodes one row per node: (id).
+    * @return (id, community) — community = the label held after `iters`
+    *         rounds. */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame,
+      iters: Int = 3): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var labels = nodes.select(col("id"), col("id").cast("long").as("lab"))
+    for (_ <- 1 to iters) {
+      val votes = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lab"))
+        .union(labels.select(col("id"), col("lab")))
+      labels = votes
+        .groupBy(col("id"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("id"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lab"))).as("best"))
+        .select(col("id"), col("best.lab").as("lab"))
+        .localCheckpoint(false)
+    }
+    labels.select(col("id"), col("lab").as("community"))
+  }
 }

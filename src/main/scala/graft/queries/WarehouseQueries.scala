@@ -22,7 +22,7 @@ object WarehouseQueries {
   def all: Seq[QueryDef] = Seq(
     q140PagerankNations, q141ZorderLayout, q142BloomPrune, q143Scd2History,
     q144CountMinHeavy, q145EventTransitions, q146MergeTombstones,
-    q150IncrementalAgg, q179KAnonymity)
+    q150IncrementalAgg, q179KAnonymity, q182LabelProp)
 
   /** The nation→nation supply graph: an edge when a customer of nation
     * `src` ordered a line item supplied from nation `dst`. Fact-fact join
@@ -490,5 +490,68 @@ object WarehouseQueries {
           concat(col("event_type"), lit("|"), hh),
           col("event_type")))
       .orderBy(col("level"), col("qi"))
+  }
+
+  private def lpIterSql(i: Int): String =
+    s"""lp$i AS (
+       |  SELECT id, lab FROM (
+       |    SELECT id, lab,
+       |           row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lab) AS rn
+       |    FROM (SELECT id, lab, count(*) AS cnt FROM (
+       |            SELECT e.dst AS id, lp${i - 1}.lab
+       |            FROM e JOIN lp${i - 1} ON lp${i - 1}.id = e.src
+       |            UNION ALL SELECT id, lab FROM lp${i - 1})
+       |          GROUP BY id, lab))
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Deterministic synchronous label propagation (3 rounds) over the
+    * bipartite customer–supplier purchase graph (customer id·2,
+    * supplier id·2+1) — `graph.GraphOps.labelPropagation`: most-frequent
+    * neighbor label + one self-vote, ties to the smallest label; the
+    * oracle unrolls the identical recurrence (the q140 discipline).
+    * Output: each node's community plus the community size. */
+  val q182LabelProp: QueryDef = sql(
+    "q182_label_prop",
+    s"""WITH raw AS (
+       |  SELECT DISTINCT CAST(c.c_custkey * 2 AS BIGINT) AS src,
+       |                  CAST(s.s_suppkey * 2 + 1 AS BIGINT) AS dst
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+       |e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+       |n AS (SELECT DISTINCT src AS id FROM e),
+       |lp0 AS (SELECT id, id AS lab FROM n),
+       |${lpIterSql(1)},
+       |${lpIterSql(2)},
+       |${lpIterSql(3)},
+       |sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS csize
+       |       FROM lp3 GROUP BY lab)
+       |SELECT lp3.id,
+       |       CASE WHEN lp3.id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |       lp3.lab AS community, sz.csize
+       |FROM lp3 JOIN sz USING (lab)
+       |ORDER BY id""".stripMargin) { (s, d) =>
+    import graft.graph.GraphOps
+    val byCust = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), (col("c_custkey") * 2).cast("long").as("src"))
+    val bySupp = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), (col("s_suppkey") * 2 + 1).cast("long").as("dst"))
+    val raw = byCust.join(bySupp, col("o_orderkey") === col("l_orderkey"))
+      .select(col("src"), col("dst")).distinct()
+    val nodes = raw.select(col("src").as("id"))
+      .union(raw.select(col("dst").as("id"))).distinct()
+    val lp = GraphOps.labelPropagation(raw, nodes, iters = 3)
+    val sizes = lp.groupBy(col("community"))
+      .agg(count(lit(1)).as("csize"))
+    lp.join(sizes, "community")
+      .select(col("id"),
+        when(col("id") % 2 === 0, "customer").otherwise("supplier").as("kind"),
+        col("community"), col("csize"))
+      .orderBy(col("id"))
   }
 }

@@ -82,4 +82,42 @@ class GraphOpsSpec extends SparkSpec {
     val r = GraphOps.pagerankPpm(e, n, iters = 3).as[(Long, Long)].collect().toMap
     assert(r(1L) == 150000L)
   }
+
+  private def lpa(edges: Seq[(Long, Long)], nodes: Seq[Long], iters: Int = 3) =
+    GraphOps.labelPropagation(
+        edges.toDF("src", "dst"), nodes.toDF("id"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("labelPropagation: star collapses to the smallest label, by hand") {
+    // round 1: each leaf votes {center=10, self} -> tie -> own label wins
+    // only for leaf 1 (smallest); center votes {1,2,3,10} -> 1.
+    // round 2: leaves all see center=1 + self -> 1 (tie at leaf 1 keeps 1,
+    // leaves 2/3 tie {1, self} -> 1). round 3: stable.
+    val out = lpa(Seq((10L, 1L), (10L, 2L), (10L, 3L)), Seq(1L, 2L, 3L, 10L))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L))
+  }
+
+  test("labelPropagation: disconnected cliques get their own min-id communities") {
+    val k1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val k2 = Seq((7L, 8L), (8L, 9L), (7L, 9L))
+    val out = lpa(k1 ++ k2, Seq(1L, 2L, 3L, 7L, 8L, 9L))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("labelPropagation: isolated node keeps its own label via the self-vote") {
+    val out = lpa(Seq((1L, 2L)), Seq(1L, 2L, 99L))
+    assert(out(99L) == 99L)
+  }
+
+  test("labelPropagation: orientation- and partitioning-independent") {
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L), (5L, 4L), (5L, 6L))
+    val nodes = (1L to 6L)
+    val a = lpa(edges, nodes)
+    val b = lpa(edges.map(_.swap), nodes)
+    val c = GraphOps.labelPropagation(
+        edges.toDF("src", "dst").repartition(7), nodes.toDF("id").repartition(3), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b && a == c)
+  }
 }
