@@ -177,6 +177,57 @@ object AudioDecode {
     }
   }
 
+  /** In-place fast Walsh–Hadamard transform in NATURAL (Hadamard) order —
+    * the O(n log n) butterfly. Coefficients are exact integers:
+    * `c(k) = Σ_n s(n) · (−1)^popcount(k AND n)`, the ±1 orthogonal basis
+    * audio fingerprinting uses as its cheap spectral front end (every
+    * arithmetic op is an integer add/sub, so two engines can replay the
+    * coefficients bit for bit — no FFT float twiddles). `x.length` must
+    * be a power of two. */
+  def whtInPlace(x: Array[Long]): Array[Long] = {
+    val n = x.length
+    require(n > 0 && (n & (n - 1)) == 0, s"WHT length $n not a power of two")
+    var h = 1
+    while (h < n) {
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j < i + h) {
+          val a = x(j); val b = x(j + h)
+          x(j) = a + b; x(j + h) = a - b
+          j += 1
+        }
+        i += 2 * h
+      }
+      h *= 2
+    }
+    x
+  }
+
+  /** Per-band WHT energies of a MONO stream: consecutive `block`-frame
+    * windows (ragged tail dropped), per window the WHT butterfly, and
+    * per band k the sum over windows of c(k)² — the integer spectral
+    * signature a fingerprinting/quality stage keys on. Returns
+    * (full blocks, energies[0..block)). Bounded exactly: |c| ≤
+    * block·2^15, so one block's energy ≤ block²·2^30 — Long-safe up to
+    * ~2^33 blocks at block = 8. */
+  def whtBandEnergies(a: DecodedAudio, block: Int = 8): (Int, Array[Long]) = {
+    require(a.channels == 1, s"whtBandEnergies expects mono, got ${a.channels}")
+    val nBlocks = a.nFrames / block
+    val energies = new Array[Long](block)
+    val buf = new Array[Long](block)
+    var b = 0
+    while (b < nBlocks) {
+      var n = 0
+      while (n < block) { buf(n) = a.samples(b * block + n).toLong; n += 1 }
+      whtInPlace(buf)
+      var k = 0
+      while (k < block) { energies(k) += buf(k) * buf(k); k += 1 }
+      b += 1
+    }
+    (nBlocks, energies)
+  }
+
   /** Minimal PCM16 WAV encoder (canonical 44-byte header + data). */
   def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
     require(sampleRate > 0 && channels > 0, "sampleRate/channels must be positive")

@@ -18,7 +18,8 @@ object DedupQueries {
     q158PixelDecode, q160PixelResize, q161WavRoundtrip, q164VideoIndex,
     q165VideoFrameDecode, q166FrameSampleOffsets, q168AudioMixdown,
     q169PixelDedup, q170MediaCuration, q171PairedShards, q172StreamMedia,
-    q173StreamPixelDedup, q174AudioFir, q175JpegDecode, q176MjpegFrames)
+    q173StreamPixelDedup, q174AudioFir, q175JpegDecode, q176MjpegFrames,
+    q183AudioWht)
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
@@ -1251,5 +1252,66 @@ object DedupQueries {
     val media = Multimodal.syntheticMediaFromDocs(Tables.documents(s, d))
     Multimodal.resizePlan(media, maxW = 224, maxH = 224)
       .orderBy(col("media_id"))
+  }
+
+  /** Integer SPECTRAL features for audio fingerprinting, value-checked
+    * end to end: per document a mono PCM WAV synthesizes from the q174
+    * sample formula, round-trips through real RIFF bytes, and the
+    * decoded stream runs the fast Walsh–Hadamard butterfly
+    * ([[graft.multimodal.AudioDecode.whtBandEnergies]]) over 8-frame
+    * blocks — an all-integer ±1 orthogonal basis, so per-band energies
+    * are exact and the oracle replays them from the DEFINITION
+    * `c(k) = Σ s(n)·(−1)^bit_count(k AND n)` (a butterfly indexing slip,
+    * a block misalignment, or a ragged-tail leak all hash-mismatch).
+    * `dominant` pins the per-document argmax band. */
+  val q183AudioWht: QueryDef = QueryDef.sql(
+    "q183_audio_wht",
+    """WITH d AS (SELECT doc_id, 400 + doc_id % 200 AS frames FROM documents),
+      |fr AS (
+      |  SELECT doc_id, frames, t.f AS f,
+      |         ((doc_id * 31 + t.f * 7) % 65536) - 32768 AS v
+      |  FROM d CROSS JOIN range(600) t(f) WHERE t.f < frames),
+      |bl AS (SELECT doc_id, f // 8 AS b, f % 8 AS n, v
+      |       FROM fr WHERE f // 8 < frames // 8),
+      |co AS (
+      |  SELECT doc_id, b, k.k AS k,
+      |         CAST(sum(v * (1 - 2 * (bit_count(CAST(k.k AS BIGINT) & CAST(n AS BIGINT)) % 2))) AS BIGINT) AS c
+      |  FROM bl CROSS JOIN range(8) k(k)
+      |  GROUP BY doc_id, b, k.k),
+      |en AS (SELECT doc_id, CAST(k AS INT) AS band,
+      |              CAST(count(*) AS BIGINT) AS n_blocks,
+      |              CAST(sum(c * c) AS BIGINT) AS energy
+      |       FROM co GROUP BY doc_id, k)
+      |SELECT doc_id, band, n_blocks, energy,
+      |       CAST(CASE WHEN row_number() OVER (PARTITION BY doc_id
+      |                        ORDER BY energy DESC, band) = 1
+      |            THEN 1 ELSE 0 END AS INT) AS dominant
+      |FROM en
+      |ORDER BY doc_id, band""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val frames = (400 + id % 200).toInt
+          val samples = Array.tabulate(frames)(f =>
+            (((id * 31 + f.toLong * 7) % 65536) - 32768).toShort)
+          import graft.multimodal.AudioDecode
+          AudioDecode.decodeWav(AudioDecode.encodeWav(16000, 1, samples)) match {
+            case Some(a) =>
+              val (nBlocks, en) = AudioDecode.whtBandEnergies(a, block = 8)
+              en.toIndexedSeq.zipWithIndex.map { case (e, k) =>
+                (id, k, nBlocks.toLong, e)
+              }
+            case None => Seq((id, -1, -1L, 0L))
+          }
+        }
+      }
+      .toDF("doc_id", "band", "n_blocks", "energy")
+    rows
+      .withColumn("dominant",
+        (row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("energy").desc, col("band"))) === 1).cast("int"))
+      .orderBy(col("doc_id"), col("band"))
   }
 }

@@ -410,4 +410,36 @@ class MultimodalSpec extends SparkSpec {
     val dur = joined.orderBy("media_id").head().getAs[Long]("duration_ms")
     assert(one == Seq(dur / 8, 3 * dur / 8, 5 * dur / 8, 7 * dur / 8))
   }
+
+  test("whtInPlace: butterfly equals the (-1)^popcount(k&n) definition") {
+    val rnd = new scala.util.Random(5)
+    for (n <- Seq(8, 16); _ <- 1 to 20) {
+      val x = Array.fill(n)(rnd.nextInt(65536).toLong - 32768)
+      val direct = Array.tabulate(n) { k =>
+        (0 until n).map(i =>
+          x(i) * (if (java.lang.Long.bitCount((k & i).toLong) % 2 == 0) 1L else -1L)).sum
+      }
+      assert(AudioDecode.whtInPlace(x.clone()).toSeq == direct.toSeq)
+    }
+  }
+
+  test("whtInPlace: Parseval — sum c^2 == n * sum s^2") {
+    val rnd = new scala.util.Random(9)
+    val x = Array.fill(8)(rnd.nextInt(2000).toLong - 1000)
+    val c = AudioDecode.whtInPlace(x.clone())
+    assert(c.map(v => v * v).sum == 8L * x.map(v => v * v).sum)
+  }
+
+  test("whtBandEnergies: DC and Nyquist land in bands 0 and 1; tail drops") {
+    // constant signal -> all energy in band 0; alternating -> band 1
+    // (popcount(1&n) = n mod 2); 18 frames at block 8 -> 2 full blocks
+    val const = AudioDecode.DecodedAudio(8000, 1, Array.fill(18)(5.toShort))
+    val (nb1, e1) = AudioDecode.whtBandEnergies(const, 8)
+    assert(nb1 == 2 && e1(0) == 2L * 40L * 40L && e1.drop(1).forall(_ == 0L))
+    val alt = AudioDecode.DecodedAudio(8000, 1,
+      Array.tabulate(16)(i => (if (i % 2 == 0) 7 else -7).toShort))
+    val (nb2, e2) = AudioDecode.whtBandEnergies(alt, 8)
+    assert(nb2 == 2 && e2(1) == 2L * 56L * 56L &&
+      e2.zipWithIndex.filter(_._2 != 1).forall(_._1 == 0L))
+  }
 }
