@@ -26,7 +26,7 @@ object TextQueries {
     q91Contamination, q92Repetition, q95TextHashGoldens, q96SketchTopkTokens,
     q101SketchTopkShingles, q107EpochShuffle, q108TokenPacking,
     q109WindowManifest, q110MixtureWeights, q130LengthBatches,
-    q131WeightedSample, q135TfidfTerms, q148Curriculum,
+    q131WeightedSample, q135TfidfTerms, q148Curriculum, q184Bm25TopK,
     q149StratifiedExact, q177Blocklist)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
@@ -1086,5 +1086,51 @@ object TextQueries {
     graft.text.Blocklist.scan(docs(s, d), "doc_id", "text",
         Seq("slow fast", "hash value", "table part", "merge", "window the"))
       .orderBy(col("doc_id"))
+  }
+
+  /** BM25 lexical retrieval (k1 = 1.2, b = 0.75) — `text.Bm25.topK`,
+    * the term-based twin of q147's embedding retrieval. Probes = the
+    * first-8-token term sets of documents 0–4; idf in the q135 rational
+    * ppm convention; the tf saturation denominator cleared exactly with
+    * avgdl = T/Nd substituted, so every compare is integer. The big join
+    * is a broadcast probe-terms ⋈ postings traversal over the
+    * (doc, tok, tf) pre-agg — never corpus × corpus. */
+  val q184Bm25TopK: QueryDef = sql(
+    "q184_bm25_topk",
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
+      |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nd
+      |        FROM dl),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM (SELECT doc_id, unnest(w) AS tok FROM base)
+      |       GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+      |q AS (SELECT DISTINCT doc_id AS qid, unnest(w[1:8]) AS tok
+      |      FROM base WHERE doc_id < 5),
+      |sc AS (
+      |  SELECT q.qid, dt.doc_id,
+      |         CAST(sum(((nd * 1000) // df) *
+      |                  ((88 * tf * t * 1000000) //
+      |                   (40 * t * tf + 12 * t + 36 * dl.dl * nd))) AS BIGINT)
+      |           AS score_i
+      |  FROM q JOIN dfq USING (tok) JOIN dt USING (tok)
+      |  JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN tot
+      |  WHERE dt.doc_id <> q.qid
+      |  GROUP BY q.qid, dt.doc_id)
+      |SELECT qid, rank, doc_id, score_i FROM (
+      |  SELECT qid, doc_id, score_i,
+      |         row_number() OVER (PARTITION BY qid
+      |                            ORDER BY score_i DESC, doc_id) AS rank
+      |  FROM sc)
+      |WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val probes = Tables.documents(s, d)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+      .distinct()
+    graft.text.Bm25.topK(Tables.documents(s, d), "doc_id", "text",
+        probes, k = 10)
+      .orderBy(col("qid"), col("rank"))
   }
 }

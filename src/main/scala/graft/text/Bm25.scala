@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval (Robertson & Spärck Jones' Okapi weighting) —
+  * the term-based twin of the embedding retrieval chain (q147): rank
+  * corpus documents for a set of probe queries by
+  * {{{
+  *   score(D, Q) = Σ_{t ∈ Q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  * }}}
+  * with k1 = 1.2, b = 0.75, entirely in INTEGER arithmetic so both
+  * engines agree bit for bit:
+  *  - idf uses the q135 RATIONAL convention `idf_m = (Nd·1000) div df`
+  *    (documented deviation from the log form — monotone in df, which is
+  *    all ranking needs);
+  *  - the tf saturation term clears its denominators exactly: with
+  *    avgdl = T/Nd substituted, `ratio_ppm = (88·tf·T·10^6) div
+  *    (40·T·tf + 12·T + 36·dl·Nd)` is the term ratio on a ppm grid
+  *    (≤ 2.2·10^6 = k1+1), and the per-term contribution is
+  *    `idf_m · ratio_ppm` — products bounded ≪ 2^63 at any realistic
+  *    corpus (tf ≤ 10^4, T ≤ 10^13 needs re-scaling first; the factors
+  *    are ordered so the division happens BEFORE the idf multiply).
+  *
+  * Scale shape: the corpus collapses to the (doc, tok, tf) pre-agg
+  * before anything wide (the q113 discipline); df is a vocabulary-sized
+  * aggregate of that frame; T/Nd is a broadcast 1-row total; the probe
+  * terms are a broadcast inverted-index lookup (query terms ⋈ postings),
+  * so the big join ships one row per (query term, matching doc) — a real
+  * posting-list traversal, never corpus × corpus. Top-k is a per-query
+  * window.
+  */
+object Bm25 {
+
+  /** Top-`k` BM25 results per probe. `queries`: (qid, tok) distinct
+    * term rows. Output: (qid, rank, doc_id, score_i), self-hits
+    * excluded when qid collides with a doc_id. */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    val dl = base.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val tot = dl.agg(sum(col("dl")).as("t"), count(lit(1)).as("nd"))
+    val dt = base
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = broadcast(queries.select(col("qid").cast("long").as("qid"),
+        col("tok")))
+      .join(dfreq, "tok")
+      .join(dt, "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("qid"), col("doc_id"),
+        (expr("(nd * 1000) div df") *
+          expr("(88 * tf * t * 1000000) div (40 * t * tf + 12 * t + 36 * dl * nd)"))
+          .as("contrib"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).cast("long").as("score_i"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_i").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score_i"))
+  }
+}

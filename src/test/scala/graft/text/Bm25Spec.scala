@@ -1,0 +1,74 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 contract. Independent reference: the textbook double-precision
+  * Okapi formula (with the same rational idf convention) computed in
+  * plain Scala — the integer fixed-point ranking must reproduce its
+  * order on corpora without near-ties. */
+class Bm25Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], probes: Seq[(Long, String)], k: Int) =
+    Bm25.topK(docs.toDF("doc_id", "text"), "doc_id", "text",
+        probes.toDF("qid", "tok"), k)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+
+  private def reference(docs: Seq[(Long, String)], q: Seq[String]): Map[Long, Double] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val nd = docs.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / nd
+    docs.map { case (id, _) =>
+      val dl = toks(id).size.toDouble
+      val score = q.map { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val df = toks.values.count(_.contains(t)).toDouble
+          val idf = nd / df
+          idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        }
+      }.sum
+      id -> score
+    }.toMap
+  }
+
+  test("ranking agrees with the double-precision reference formula") {
+    val docs = Seq(
+      (10L, "spark shuffles data across executors"),
+      (11L, "spark spark spark spark nothing else here at all"),
+      (12L, "data pipelines move data between systems"),
+      (13L, "executors run tasks"),
+      (14L, "completely unrelated words occupy this document"))
+    val q = Seq("spark", "data")
+    val got = run(docs, q.map(t => (99L, t)), 5).map(_._3)
+    val want = reference(docs, q).toSeq
+      .filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }.map(_._1)
+    assert(got == want)
+  }
+
+  test("tf saturation: the term ratio never exceeds (k1+1) on the ppm grid") {
+    // a doc that is ONE repeated term: ratio -> k1+1 but never over
+    val docs = Seq((1L, Seq.fill(50)("x").mkString(" ")), (2L, "x y z w"))
+    val out = run(docs, Seq((9L, "x")), 2)
+    // idf_m = (2*1000) div 2 = 1000; contribution <= 1000 * 2200000
+    assert(out.forall(_._4 <= 1000L * 2200000L))
+  }
+
+  test("rarer terms weigh more at equal tf and length") {
+    val docs = Seq(
+      (1L, "rare aaa bbb ccc"), (2L, "common aaa bbb ccc"),
+      (3L, "common ddd eee fff"), (4L, "common ggg hhh iii"))
+    val byRare = run(docs, Seq((9L, "rare")), 1)
+    val byCommon = run(docs, Seq((8L, "common")), 1)
+    assert(byRare.head._4 > byCommon.head._4)
+  }
+
+  test("self-hit excluded when qid is a doc_id") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma"))
+    val out = run(docs, Seq((1L, "alpha")), 5)
+    assert(out.map(_._3) == Seq(2L))
+  }
+}
