@@ -20,7 +20,7 @@ object CurationQueries {
     q121DedupKeepBest, q122FuzzyDecontam, q125DsirWeights,
     q126PerplexityBuckets, q127QualityClassifier, q129CurationPipeline,
     q153LrTrain, q155BpeTrain, q162BpeApply, q167TarShards, q178AucEval,
-    q180DupRegions)
+    q180DupRegions, q185SkipgramPairs)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1081,5 +1081,47 @@ object CurationQueries {
     Curation.dupRegions(docs(s, d), "doc_id", "text",
         spanTokens = 8, stride = 4)
       .orderBy(col("doc_id"), col("region_no"))
+  }
+
+  /** Skip-gram pair counts (±2 window, deterministic rational
+    * subsampling at t = 1000 ppm, min count 3) — `Curation.skipgramPairs`,
+    * the word2vec data-prep stage. The oracle replays frequency →
+    * keep_ppm → per-occurrence md5 draw → compaction window → band
+    * self-join → pair counts, all integer. */
+  val q185SkipgramPairs: QueryDef = sql(
+    "q185_skipgram_pairs",
+    """WITH toks AS (
+      |  SELECT doc_id AS doc, CAST(u.i AS BIGINT) AS pos,
+      |         w[CAST(u.i + 1 AS INT)] AS tok
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       unnest(range(len(w))) AS u(i)),
+      |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM freq),
+      |keep AS (
+      |  SELECT tok,
+      |         CASE WHEN (freq * 1000000) // n <= 1000 THEN 1000000
+      |              ELSE (1000 * 1000000) // ((freq * 1000000) // n) END AS keep_ppm
+      |  FROM freq CROSS JOIN tot),
+      |drawn AS (
+      |  SELECT doc, pos, toks.tok
+      |  FROM toks JOIN keep USING (tok)
+      |  WHERE ('0x' || substr(md5(CAST(doc AS VARCHAR) || '|' ||
+      |           CAST(pos AS VARCHAR) || '|sg-v1'), 1, 12))::BIGINT % 1000000
+      |        < keep_ppm),
+      |compact AS (
+      |  SELECT doc, tok,
+      |         row_number() OVER (PARTITION BY doc ORDER BY pos) AS idx
+      |  FROM drawn),
+      |pairs AS (
+      |  SELECT a.tok AS center, b.tok AS context
+      |  FROM compact a JOIN compact b
+      |    ON a.doc = b.doc AND abs(a.idx - b.idx) <= 2 AND a.idx <> b.idx)
+      |SELECT center, context, CAST(count(*) AS BIGINT) AS n
+      |FROM pairs GROUP BY center, context
+      |HAVING count(*) >= 3
+      |ORDER BY center, context""".stripMargin) { (s, d) =>
+    Curation.skipgramPairs(docs(s, d), "doc_id", "text",
+        window = 2, thresholdPpm = 1000L, minCount = 3L)
+      .orderBy(col("center"), col("context"))
   }
 }

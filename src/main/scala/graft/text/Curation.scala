@@ -147,6 +147,61 @@ object Curation {
         col("end_tok"), col("n_tokens"), col("n_windows"))
   }
 
+  /** Skip-gram (center, context) pair counts — the word2vec data-prep
+    * stage (Mikolov et al. 2013): frequent-token SUBSAMPLING, sequence
+    * compaction, a ±`window` pairing over the compacted order, and a
+    * corpus-wide co-occurrence count (what an embedding trainer actually
+    * consumes).
+    *
+    * Subsampling is the DETERMINISTIC rational variant of Mikolov's
+    * `P(keep) = sqrt(t/f)`-family rule: `keep_ppm = 10^6` when the token
+    * frequency `f_ppm ≤ thresholdPpm`, else `(thresholdPpm·10^6) div
+    * f_ppm` — monotone-decreasing in frequency like the original, but
+    * exactly replayable (no sqrt); the per-OCCURRENCE draw is the
+    * repo-standard md5 integer in [0, 10^6). Pairing runs over the
+    * compacted (post-subsample) order, as word2vec does — dropping a
+    * frequent token WIDENS the effective context of its neighbors.
+    *
+    * Scale shape: frequency/keep tables are vocabulary-sized (AQE
+    * broadcasts them); the draw is per-row columnar; compaction is one
+    * window per document; pairing is a per-document band self-join on
+    * the compacted index (≤ 2·window rows each); the final count is one
+    * shuffle keyed by token pair. Nothing is corpus × corpus. */
+  def skipgramPairs(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 2, thresholdPpm: Long = 1000L, seed: String = "sg-v1",
+      minCount: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val toks = df.select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), " ")))
+      .select(col("doc"), col("pos"), col("col").as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val tot = freq.agg(sum(col("freq")).as("n"))
+    val keep = freq.crossJoin(broadcast(tot))
+      .select(col("tok"), expr("(freq * 1000000) div n").as("f_ppm"))
+      .select(col("tok"),
+        when(col("f_ppm") <= thresholdPpm, lit(1000000L))
+          .otherwise(expr(s"(${thresholdPpm}L * 1000000L) div f_ppm"))
+          .as("keep_ppm"))
+    val drawn = toks.join(keep, "tok")
+      .withColumn("u_ppm",
+        conv(substring(md5(concat(col("doc").cast("string"), lit("|"),
+          col("pos").cast("string"), lit("|" + seed))), 1, 12), 16, 10)
+          .cast("long") % 1000000L)
+      .filter(col("u_ppm") < col("keep_ppm"))
+    val compact = drawn
+      .withColumn("idx", row_number().over(
+        W.partitionBy(col("doc")).orderBy(col("pos"))))
+      .select(col("doc"), col("idx"), col("tok"))
+    val ctx = compact.select(col("doc"), col("idx").as("cidx"),
+      col("tok").as("context"))
+    compact.join(ctx, Seq("doc"))
+      .filter(abs(col("idx") - col("cidx")) <= window &&
+        col("idx") =!= col("cidx"))
+      .groupBy(col("tok").as("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Deterministic train/valid/test assignment: bucket = the first two hex
     * chars of md5(id || '|' || seed) — 256 uniform buckets — split by
     * lexicographic hex thresholds (`[00, trainUpper) → train,

@@ -435,6 +435,58 @@ class CurationSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("skipgramPairs: all-kept corpus matches the hand-enumerated window pairs") {
+    // thresholdPpm = 1e6 -> keep_ppm = 1e6 for every token -> nothing drops
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val out = Curation.skipgramPairs(df, "doc_id", "text",
+        window = 2, thresholdPpm = 1000000L, minCount = 1L)
+      .as[(String, String, Long)].collect().toSet
+    val expected = Set(
+      ("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("b", "d"),
+      ("c", "a"), ("c", "b"), ("c", "d"), ("d", "b"), ("d", "c"))
+      .map { case (x, y) => (x, y, 1L) }
+    assert(out == expected)
+  }
+
+  test("skipgramPairs: agrees with an independent Scala replay incl. subsampling") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docsSeq = (1L to 6L).map { id =>
+      // Zipfy: 'the' floods the corpus so its keep_ppm drops below 1e6
+      id -> (0 until 40).map(j =>
+        if (j % 2 == 0) "the" else s"w${(id + j) % 7}").mkString(" ")
+    }
+    val thr = 100000L
+    // independent reference
+    val toks = docsSeq.flatMap { case (id, t) =>
+      t.split(" ").zipWithIndex.map { case (w, p) => (id, p.toLong, w) } }
+    val n = toks.size.toLong
+    val freq = toks.groupBy(_._3).map { case (w, xs) => w -> xs.size.toLong }
+    val keepPpm = freq.map { case (w, f) =>
+      val fppm = f * 1000000L / n
+      w -> (if (fppm <= thr) 1000000L else thr * 1000000L / fppm)
+    }
+    val kept = toks.filter { case (id, p, w) =>
+      java.lang.Long.parseLong(
+        md5hex(s"$id|$p|sg-v1").substring(0, 12), 16) % 1000000L < keepPpm(w)
+    }
+    val pairs = kept.groupBy(_._1).values.flatMap { ds =>
+      val seq = ds.sortBy(_._2).map(_._3).toIndexedSeq
+      for {
+        i <- seq.indices; j <- seq.indices
+        if i != j && math.abs(i - j) <= 2
+      } yield (seq(i), seq(j))
+    }
+    val expected = pairs.groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .filter(_._3 >= 2L).toSet
+    assert(kept.size < toks.size, "subsampling dropped nothing — fixture too tame")
+    val out = Curation.skipgramPairs(docsSeq.toDF("doc_id", "text"),
+        "doc_id", "text", window = 2, thresholdPpm = thr, minCount = 2L)
+      .as[(String, String, Long)].collect().toSet
+    assert(out == expected)
+  }
+
   test("dupRegions: any stride-congruent planted run of >= width+stride-1 is covered") {
     // the guarantee holds when the two occurrences sit at offsets
     // congruent mod stride (here: original at 0, copy at a stride
