@@ -228,6 +228,33 @@ object AudioDecode {
     (nBlocks, energies)
   }
 
+  /** Splice an ancillary chunk between `fmt ` and `data` in a canonical
+    * [[encodeWav]] output and patch the RIFF size — produces a
+    * byte-different but content-identical file (the chunk walk skips
+    * unknown chunks), the WAV analogue of a PNG filter-strategy change.
+    * Payload is padded to word alignment per the RIFF rule. */
+  def withAncillaryChunk(wav: Array[Byte], chunkTag: String,
+      payload: Array[Byte]): Array[Byte] = {
+    require(chunkTag.length == 4, "RIFF chunk tags are 4 bytes")
+    require(wav.length >= 44 && tag(wav, 0) == "RIFF",
+      "input is not a canonical encodeWav output")
+    val padded = payload.length + (payload.length & 1)
+    val insertAt = 36 // after RIFF(12) + "fmt "(8+16)
+    val out = java.nio.ByteBuffer.allocate(wav.length + 8 + padded)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(wav, 0, insertAt)
+      .put(chunkTag.getBytes("US-ASCII")).putInt(payload.length)
+      .put(payload).put(new Array[Byte](padded - payload.length))
+      .put(wav, insertAt, wav.length - insertAt)
+    val arr = out.array()
+    val riffLen = le32(wav, 4) + 8 + padded
+    arr(4) = (riffLen & 0xff).toByte
+    arr(5) = ((riffLen >> 8) & 0xff).toByte
+    arr(6) = ((riffLen >> 16) & 0xff).toByte
+    arr(7) = ((riffLen >> 24) & 0xff).toByte
+    arr
+  }
+
   /** Minimal PCM16 WAV encoder (canonical 44-byte header + data). */
   def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
     require(sampleRate > 0 && channels > 0, "sampleRate/channels must be positive")

@@ -429,6 +429,51 @@ object Multimodal {
     }
   }
 
+  /** CONTENT fingerprint of audio blobs — [[pixelFingerprint]]'s role
+    * for sound: decode the RIFF container, MIXDOWN TO MONO, and md5 over
+    * (sampleRate, mono samples). Two blobs fingerprint identically iff
+    * they carry the same audible content at the same rate regardless of
+    * container arrangement (ancillary chunks) or channel layout (a
+    * stereo file with duplicated channels mixes down to exactly its mono
+    * original — `(l+r) div 2 = l`), which is the dup class blob hashing
+    * misses. `sum_samples` carries the mono sample sum so the decode
+    * chain stays value-pinned; undecodable blobs get NULL fingerprints
+    * (never grouped) with sentinel fields. */
+  def audioFingerprint(media: DataFrame,
+      targetPartitionBytes: Long = 64L << 20): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("fingerprint", StringType),
+      StructField("sum_samples", LongType)))
+    val projected = media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("bytes"))
+    batched(projected, targetPartitionBytes)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val id = r.getAs[Long]("media_id")
+          AudioDecode.decodeWav(r.getAs[Array[Byte]]("bytes")) match {
+            case Some(a) =>
+              val mono = AudioDecode.mixdownMono(a)
+              md.reset()
+              md.update(java.nio.ByteBuffer.allocate(4)
+                .putInt(mono.sampleRate).array())
+              val bb = java.nio.ByteBuffer.allocate(mono.samples.length * 2)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              mono.samples.foreach(bb.putShort)
+              md.update(bb.array())
+              val hex = md.digest().map(b => f"${b & 0xff}%02x").mkString
+              var sum = 0L
+              mono.samples.foreach(v => sum += v)
+              Row(id, mono.sampleRate, mono.nFrames.toLong, hex, sum)
+            case None => Row(id, -1, -1L, null, 0L)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Shared scaffold for the image operators (the [[decodedVideoRows]]
     * discipline): kind filter, projection, bounded-blob repartition —
     * one place to fix the batch shape. */

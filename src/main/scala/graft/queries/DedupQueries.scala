@@ -19,7 +19,7 @@ object DedupQueries {
     q165VideoFrameDecode, q166FrameSampleOffsets, q168AudioMixdown,
     q169PixelDedup, q170MediaCuration, q171PairedShards, q172StreamMedia,
     q173StreamPixelDedup, q174AudioFir, q175JpegDecode, q176MjpegFrames,
-    q183AudioWht)
+    q183AudioWht, q186AudioDedup)
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
@@ -1313,5 +1313,67 @@ object DedupQueries {
         (row_number().over(Window.partitionBy(col("doc_id"))
           .orderBy(col("energy").desc, col("band"))) === 1).cast("int"))
       .orderBy(col("doc_id"), col("band"))
+  }
+
+  /** AUDIO-content dedup, value-checked end to end — q169's role for
+    * sound: per document the SAME mono stream is committed under three
+    * byte-different containers (canonical mono WAV, stereo with both
+    * channels duplicated, mono WAV with a spliced ancillary JUNK chunk);
+    * blob hashing sees three files while
+    * [[graft.multimodal.Multimodal.audioFingerprint]] (md5 over rate +
+    * MIXED-DOWN samples) groups them — the stereo copy collapses because
+    * `(l+r) div 2 = l` exactly, the JUNK copy because the chunk walk
+    * skips ancillary chunks. The oracle replays group structure AND the
+    * decoded stream stats from the sample formula. */
+  val q186AudioDedup: QueryDef = QueryDef.sql(
+    "q186_audio_dedup",
+    """WITH d AS (
+      |  SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sr,
+      |         300 + doc_id % 100 AS frames
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, sr, frames,
+      |         sum(((doc_id * 37 + t.f * 11) % 65536) - 32768) AS ssum
+      |  FROM d CROSS JOIN range(400) t(f) WHERE t.f < frames
+      |  GROUP BY doc_id, sr, frames)
+      |SELECT doc_id * 3 + t.e AS media_id,
+      |       CAST(sr AS INT) AS sample_rate,
+      |       CAST(frames AS BIGINT) AS n_frames,
+      |       CAST(ssum AS BIGINT) AS sum_samples,
+      |       CAST(doc_id * 3 AS BIGINT) AS keep_id,
+      |       CAST(CASE WHEN t.e = 0 THEN 0 ELSE 1 END AS INT) AS is_duplicate
+      |FROM s CROSS JOIN range(3) t(e)
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val corpus = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val sr = (8000 + (id % 3) * 4000).toInt
+          val frames = (300 + id % 100).toInt
+          val mono = Array.tabulate(frames)(f =>
+            (((id * 37 + f.toLong * 11) % 65536) - 32768).toShort)
+          val stereo = new Array[Short](frames * 2)
+          var f = 0
+          while (f < frames) {
+            stereo(2 * f) = mono(f); stereo(2 * f + 1) = mono(f); f += 1
+          }
+          import graft.multimodal.AudioDecode
+          val canonical = AudioDecode.encodeWav(sr, 1, mono)
+          Seq(
+            (id * 3, "audio", canonical),
+            (id * 3 + 1, "audio", AudioDecode.encodeWav(sr, 2, stereo)),
+            (id * 3 + 2, "audio", AudioDecode.withAncillaryChunk(
+              canonical, "JUNK", Array.tabulate(11)(j => (id + j).toByte))))
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+    val fp = Multimodal.audioFingerprint(corpus).cache()
+    Dedup.exact(fp, "media_id", "fingerprint")
+      .join(fp.select(col("media_id"), col("sample_rate"), col("n_frames"),
+        col("sum_samples")), Seq("media_id"))
+      .select(col("media_id"), col("sample_rate"), col("n_frames"),
+        col("sum_samples"), col("keep_id"),
+        col("is_duplicate").cast("int").as("is_duplicate"))
+      .orderBy(col("media_id"))
   }
 }

@@ -24,7 +24,8 @@ object EventQueries {
     q20IntervalOffset, q21TimeOfDay, q22Chunking, q23TumblingWindow,
     q24SlidingWindow, q29AsOfJoin, q63Pivot, q133StreamSessions,
     q138FunnelSteps, q139RetentionCohorts, q151StreamIntervalJoin,
-    q152StreamDedup, q156StreamOuterJoin, q157StreamTumbling)
+    q152StreamDedup, q156StreamOuterJoin, q157StreamTumbling,
+    q188MadOutliers)
 
   /** Recency split vs per-user max timestamp (SURVEY §2.2 op 10,
     * assets/takeout.py:70-72): keep events within "-15d" of the user's
@@ -677,5 +678,53 @@ object EventQueries {
         col("wk").cast("long").as("week_offset"))
       .agg(count(lit(1)).cast("long").as("n_active"))
       .orderBy(col("cohort_day"), col("week_offset"))
+  }
+
+  /** Robust per-type outlier gating — `operators.RobustStats.madSummary`:
+    * lower median + MAD on the 1e-6 ppm integer grid, Hampel rule at
+    * 3·MAD, argmax-deviation member pinned. Median/MAD use the LOWER
+    * median (rank (n+1) div 2), so both engines select the identical
+    * element — no middle-pair interpolation to drift. */
+  val q188MadOutliers: QueryDef = sql(
+    "q188_mad_outliers",
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |         CAST(round(value * 1000000) AS BIGINT) AS v
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, event_id, v,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e),
+      |med AS (SELECT event_type, v AS med FROM r WHERE rn = (n + 1) // 2),
+      |dv AS (SELECT r.event_type, r.event_id, abs(r.v - med.med) AS dev, med.med
+      |       FROM r JOIN med USING (event_type)),
+      |r2 AS (
+      |  SELECT event_type, event_id, dev, med,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn2,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dv),
+      |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn2 = (n + 1) // 2),
+      |top AS (
+      |  SELECT event_type, event_id AS out_id, dev AS out_dev,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY dev DESC, event_id) AS rt
+      |  FROM dv)
+      |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(d.med) AS BIGINT) AS med_i,
+      |       CAST(min(mad.mad) AS BIGINT) AS mad_i,
+      |       CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+      |       CAST(min(top.out_id) AS BIGINT) AS out_id,
+      |       CAST(min(top.out_dev) AS BIGINT) AS out_dev
+      |FROM dv d
+      |JOIN mad USING (event_type)
+      |JOIN (SELECT event_type, out_id, out_dev FROM top WHERE rt = 1) top
+      |  USING (event_type)
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      graft.functions.fixed_point(col("value"), 1e6).as("v"))
+    graft.operators.RobustStats.madSummary(e, "event_type", "event_id", "v")
+      .orderBy(col("event_type"))
   }
 }

@@ -27,6 +27,7 @@ object TextQueries {
     q101SketchTopkShingles, q107EpochShuffle, q108TokenPacking,
     q109WindowManifest, q110MixtureWeights, q130LengthBatches,
     q131WeightedSample, q135TfidfTerms, q148Curriculum, q184Bm25TopK,
+    q187NormalizedDedup,
     q149StratifiedExact, q177Blocklist)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
@@ -1132,5 +1133,57 @@ object TextQueries {
     graft.text.Bm25.topK(Tables.documents(s, d), "doc_id", "text",
         probes, k = 10)
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Normalization-aware exact dedup — `text.Normalize.normalized`
+    * composed with `Dedup.exact`: per document a case/diacritic/
+    * whitespace VARIANT is constructed (upper-cased, vowels accented,
+    * padded spaces — built with the same translate/upper SQL in both
+    * engines), blob-level hashing sees two texts, the normalized hash
+    * one. The oracle replays the ENTIRE normalizer in SQL (fold → lower
+    * → collapse → trim), so a fold-table slip, an operation-order bug
+    * (lower before fold would miss Á), or a collapse/trim difference
+    * hash-mismatches. */
+  val q187NormalizedDedup: QueryDef = sql(
+    "q187_normalized_dedup",
+    s"""WITH v AS (
+       |  SELECT doc_id * 2 AS vid, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1,
+       |         '  ' || translate(upper(text), 'AEIOU', 'ÁÈÍÖÜ') || ' '
+       |  FROM documents),
+       |n AS (
+       |  SELECT vid,
+       |         trim(regexp_replace(lower(translate(text,
+       |           '${graft.text.Normalize.AccentFrom}',
+       |           '${graft.text.Normalize.AccentTo}')), ' +', ' ', 'g')) AS norm
+       |  FROM v),
+       |g AS (SELECT vid, md5(norm) AS norm_hash,
+       |             len(string_split(norm, ' ')) AS n_tokens
+       |      FROM n),
+       |k AS (SELECT norm_hash, min(vid) AS keep_id FROM g GROUP BY norm_hash)
+       |SELECT g.vid, g.norm_hash, CAST(g.n_tokens AS INT) AS n_tokens,
+       |       CAST(k.keep_id AS BIGINT) AS keep_id,
+       |       CAST(CASE WHEN g.vid = k.keep_id THEN 0 ELSE 1 END AS INT)
+       |         AS is_duplicate
+       |FROM g JOIN k USING (norm_hash)
+       |ORDER BY vid""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val variants = base
+      .select((col("doc_id") * 2).as("vid"), col("text"))
+      .union(base.select((col("doc_id") * 2 + 1).as("vid"),
+        concat(lit("  "),
+          translate(upper(col("text")), "AEIOU", "ÁÈÍÖÜ"), lit(" "))
+          .as("text")))
+    val norm = variants
+      .withColumn("norm", graft.text.Normalize.normalized(col("text")))
+      .withColumn("norm_hash", md5(col("norm")))
+      .withColumn("n_tokens", size(split(col("norm"), " ")))
+    graft.dedup.Dedup.exact(norm, "vid", "norm")
+      .join(norm.select(col("vid"), col("norm_hash"), col("n_tokens")), "vid")
+      .select(col("vid"), col("norm_hash"), col("n_tokens"),
+        col("keep_id").cast("long").as("keep_id"),
+        col("is_duplicate").cast("int").as("is_duplicate"))
+      .orderBy(col("vid"))
   }
 }

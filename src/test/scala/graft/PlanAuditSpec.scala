@@ -35,7 +35,11 @@ class PlanAuditSpec extends SparkSpec {
     "q128_pq_adc_serve", // ADC lookup table = queries × broadcast m·nCodes codebook, conditionless by design
     "q135_tfidf_terms", // (doc,term,tf) stream × broadcast 1-row corpus count N (q113's shape)
     "q147_retrieval_chunks", // broadcast(3 probes) × chunk corpus, non-equi by design (q32's shape)
-    "q163_contrastive_pairs") // anchors × broadcast 1-row corpus count for the draw modulus (q113's shape)
+    "q163_contrastive_pairs", // anchors × broadcast 1-row corpus count for the draw modulus (q113's shape)
+    "q178_auc_eval", // doc scores × broadcast 5-row language list (one-vs-rest task fan-out)
+    "q181_sq8_serve", // codes × broadcast 5 probes + broadcast 1-row stats arrays (q32's probe shape)
+    "q184_bm25_topk", // postings × broadcast 1-row (T, Nd) corpus totals (q113's shape)
+    "q185_skipgram_pairs") // vocabulary × broadcast 1-row corpus total for keep_ppm (q113's shape)
 
   /** Queries whose run function EXECUTES side-effectful work (index build,
     * store writes, a scratch-table write, a streaming tick) before

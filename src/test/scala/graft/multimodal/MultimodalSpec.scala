@@ -411,6 +411,37 @@ class MultimodalSpec extends SparkSpec {
     assert(one == Seq(dur / 8, 3 * dur / 8, 5 * dur / 8, 7 * dur / 8))
   }
 
+  test("withAncillaryChunk: byte-different container, identical decode") {
+    val mono = Array.tabulate(33)(i => (i * 100 - 1600).toShort)
+    val base = AudioDecode.encodeWav(8000, 1, mono)
+    val spliced = AudioDecode.withAncillaryChunk(base, "JUNK",
+      Array.tabulate(7)(_.toByte)) // odd payload -> word-aligned pad
+    assert(!spliced.sameElements(base))
+    val (a, b) = (AudioDecode.decodeWav(base).get, AudioDecode.decodeWav(spliced).get)
+    assert(a.sampleRate == b.sampleRate && a.samples.toSeq == b.samples.toSeq)
+  }
+
+  test("audioFingerprint: stereo-dup and junk-chunk copies collapse; content diffs don't") {
+    import spark.implicits._
+    val mono = Array.tabulate(20)(i => (i * 7 - 70).toShort)
+    val stereo = mono.flatMap(v => Seq(v, v))
+    val offByOne = mono.clone(); offByOne(3) = (offByOne(3) + 1).toShort
+    val base = AudioDecode.encodeWav(8000, 1, mono)
+    val rows = Seq(
+      (1L, "audio", base),
+      (2L, "audio", AudioDecode.encodeWav(8000, 2, stereo)),
+      (3L, "audio", AudioDecode.withAncillaryChunk(base, "LIST", Array[Byte](1, 2))),
+      (4L, "audio", AudioDecode.encodeWav(8000, 1, offByOne)),
+      (5L, "audio", AudioDecode.encodeWav(16000, 1, mono)), // rate differs
+      (6L, "audio", Array[Byte](1, 2, 3, 4))) // junk
+    val fp = Multimodal.audioFingerprint(rows.toDF("media_id", "kind", "bytes"))
+      .select("media_id", "fingerprint")
+      .as[(Long, Option[String])].collect().toMap
+    assert(fp(1L).isDefined && fp(1L) == fp(2L) && fp(1L) == fp(3L))
+    assert(fp(4L) != fp(1L) && fp(5L) != fp(1L))
+    assert(fp(6L).isEmpty)
+  }
+
   test("whtInPlace: butterfly equals the (-1)^popcount(k&n) definition") {
     val rnd = new scala.util.Random(5)
     for (n <- Seq(8, 16); _ <- 1 to 20) {
