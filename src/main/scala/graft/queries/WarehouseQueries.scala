@@ -22,7 +22,7 @@ object WarehouseQueries {
   def all: Seq[QueryDef] = Seq(
     q140PagerankNations, q141ZorderLayout, q142BloomPrune, q143Scd2History,
     q144CountMinHeavy, q145EventTransitions, q146MergeTombstones,
-    q150IncrementalAgg, q179KAnonymity, q182LabelProp)
+    q150IncrementalAgg, q179KAnonymity, q182LabelProp, q189MgHeavy)
 
   /** The nation→nation supply graph: an edge when a customer of nation
     * `src` ordered a line item supplied from nation `dst`. Fact-fact join
@@ -553,5 +553,77 @@ object WarehouseQueries {
         when(col("id") % 2 === 0, "customer").otherwise("supplier").as("kind"),
         col("community"), col("csize"))
       .orderBy(col("id"))
+  }
+
+  /** Mergeable heavy hitters — `operators.FrequentItems.misraGries`
+    * (MG(16) per input split, token-keyed summary merge; Agarwal et al.
+    * PODS 2012) next to q144's CountMin: CMS answers point estimates, MG
+    * answers "which items are frequent" with O(k) memory per split and NO
+    * raw-stream shuffle. The merged summary goes through the scratch
+    * table and the oracle verifies the structure's THEOREMS against
+    * exact DuckDB counts: est ≤ true (underestimate), true ≤ est + D
+    * (global decrement bound), D ≤ N div (k+1) (mass argument), and
+    * guaranteed-heavy coverage (no token with true > D missing from the
+    * summary) — all hash-pinned at 1, with est/D values engine-pinned via
+    * scratch. Exact per-token counts are computed only for the 10
+    * REPORTED tokens (broadcast semi-join, never a full-vocab shuffle);
+    * the full-vocab groupBy exists solely to verify coverage.
+    *
+    * The stream is the corpus's CHARACTER TRIGRAMS — the one naturally
+    * Zipf-shaped stream in this testdata (the word pool is near-uniform,
+    * but shared word substrings overlap: head share ≈1.9% of N). At
+    * k = 64 the head share exceeds 1/(k+1) ≈ 1.5%, so the top trigrams
+    * are CERTIFIABLY heavy (true > D) at every sf — the coverage theorem
+    * is exercised non-vacuously, scale-invariantly. */
+  val q189MgHeavy: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q189_mg_heavy")
+    QueryDef.sql(
+      "q189_mg_heavy",
+      s"""WITH s AS (SELECT tok, est, d_total FROM read_parquet('$p/*.parquet')),
+         |toks AS (
+         |  SELECT substr(text, CAST(i AS INT), 3) AS tok
+         |  FROM documents CROSS JOIN range(1, 1024) r(i)
+         |  WHERE i <= len(text) - 2),
+         |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+         |d AS (SELECT min(d_total) AS d FROM s),
+         |top AS (SELECT tok, est FROM s ORDER BY est DESC, tok LIMIT 10),
+         |miss AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m
+         |  FROM vocab, d WHERE cnt > d.d AND tok NOT IN (SELECT tok FROM s))
+         |SELECT top.tok, vocab.cnt AS exact_cnt, top.est AS est_cnt,
+         |       d.d AS d_total,
+         |       CAST(top.est <= vocab.cnt AS INT) AS underest_ok,
+         |       CAST(vocab.cnt <= top.est + d.d AS INT) AS bound_ok,
+         |       CAST(d.d <= nn.n // 65 AS INT) AS d_cap_ok,
+         |       miss.m AS n_missing_heavy
+         |FROM top JOIN vocab USING (tok), d, nn, miss
+         |ORDER BY est_cnt DESC, tok""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).select(explode(expr(
+        "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))"))
+        .as("tok"))
+      val path = graft.core.Scratch.dir("q189_mg_heavy", d)
+      graft.operators.FrequentItems.misraGries(toks, "tok", k = 64)
+        .write.mode("overwrite").parquet(path)
+      val summary = s.read.parquet(path)
+      val dRow = summary.agg(min(col("d_total")).as("d"))
+      val nRow = toks.agg(count(lit(1)).as("n"))
+      val vocab = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val top = summary.orderBy(col("est").desc, col("tok")).limit(10)
+      val miss = vocab.join(summary.select("tok"), Seq("tok"), "left_anti")
+        .crossJoin(broadcast(dRow)).filter(col("cnt") > col("d"))
+        .agg(count(lit(1)).cast("long").as("m"))
+      top.join(vocab, "tok")
+        .crossJoin(broadcast(dRow)).crossJoin(broadcast(nRow))
+        .crossJoin(broadcast(miss))
+        .select(col("tok"), col("cnt").as("exact_cnt"),
+          col("est").as("est_cnt"), col("d").as("d_total"),
+          (col("est") <= col("cnt")).cast("int").as("underest_ok"),
+          (col("cnt") <= col("est") + col("d")).cast("int").as("bound_ok"),
+          (col("d") <= expr("n div 65")).cast("int").as("d_cap_ok"),
+          col("m").as("n_missing_heavy"))
+        .orderBy(col("est_cnt").desc, col("tok"))
+    }
   }
 }

@@ -94,7 +94,11 @@ class PlanAuditSpec extends SparkSpec {
     "q172_stream_media",
     // drip-fed stateful media stream (file staging + cross-batch dedup
     // state); the decode plan is q169's and the dedup plan is q152's
-    "q173_stream_pixel_dedup")
+    "q173_stream_pixel_dedup",
+    // writes the merged MG summary to scratch for the oracle; the
+    // sketch pass (mapPartitions, no raw-stream shuffle) is pinned in
+    // FrequentItemsSpec
+    "q189_mg_heavy")
 
   private def auditable: Seq[String] =
     SparkEntry.allQueries.map(_.name).filterNot(sideEffecting)
