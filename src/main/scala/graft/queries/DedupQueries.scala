@@ -19,7 +19,7 @@ object DedupQueries {
     q165VideoFrameDecode, q166FrameSampleOffsets, q168AudioMixdown,
     q169PixelDedup, q170MediaCuration, q171PairedShards, q172StreamMedia,
     q173StreamPixelDedup, q174AudioFir, q175JpegDecode, q176MjpegFrames,
-    q183AudioWht, q186AudioDedup)
+    q183AudioWht, q186AudioDedup, q190EntityResolution)
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
@@ -1375,5 +1375,129 @@ object DedupQueries {
         col("sum_samples"), col("keep_id"),
         col("is_duplicate").cast("int").as("is_duplicate"))
       .orderBy(col("media_id"))
+  }
+
+  // ---- q190 fixture: a dirty two-registry pair, shared SQL fragments so
+  // the generator formula cannot diverge between engines. Names are three
+  // pool words; the right registry corrupts each name at an interior
+  // position p ≥ 5 (drop / duplicate / adjacent-swap by id % 3 — all
+  // Levenshtein ≤ 2, first four chars intact) and bumps the year for
+  // id % 7 = 3 (so equi-key blocking on (prefix4, year) MISSES those and
+  // the sorted-neighborhood pass has real work to do).
+  private val erPool = Seq("anvil", "breeze", "cobalt", "dune", "ember",
+    "fjord", "garnet", "harbor", "indigo", "juniper", "krill", "lumen",
+    "marble", "nectar", "onyx", "pylon")
+
+  private def erWord(e: String): String =
+    "CASE " + erPool.zipWithIndex.map { case (w, i) =>
+      s"WHEN ($e) = $i THEN '$w'"
+    }.mkString(" ") + " END"
+
+  // coprime moduli (16, 17, 19) — names are distinct for id < ~5k and
+  // the occasional fold collision beyond is realistic registry noise;
+  // pure % arithmetic so the fragment is engine-portable (integer `/`
+  // is NOT: Spark SQL divides as double and truncates on cast, DuckDB
+  // rounds).
+  private def erName(id: String): String =
+    erWord(s"($id) % 16") + " || ' ' || " +
+      erWord(s"(($id) % 17) % 16") + " || ' ' || " +
+      erWord(s"(($id) % 19) % 16")
+
+  /** Corruption surgery over columns (name, p, c) — single-line fragment,
+    * identical text in both engines. */
+  private val erCorrupt: String =
+    "CASE WHEN c = 0 THEN substr(name, 1, CAST(p - 1 AS INT)) || substr(name, CAST(p + 1 AS INT)) " +
+      "WHEN c = 1 THEN substr(name, 1, CAST(p AS INT)) || substr(name, CAST(p AS INT), 1) || substr(name, CAST(p + 1 AS INT)) " +
+      "ELSE substr(name, 1, CAST(p - 1 AS INT)) || substr(name, CAST(p + 1 AS INT), 1) || substr(name, CAST(p AS INT), 1) || substr(name, CAST(p + 2 AS INT)) END"
+
+  /** Entity resolution / record linkage — `operators.RecordLinkage`:
+    * two blocking passes (equi-key on (name-prefix-4, year); sorted
+    * neighborhood ±8 over the two-pass scale-safe global rank +
+    * BandJoin), union-distinct candidates with per-pass provenance
+    * flags, Levenshtein ≤ 2 scoring, reciprocal-best-hit matching. The
+    * oracle replays the ENTIRE chain — registry construction, both
+    * blocking passes (the rank via one window), candidate dedup, the
+    * distance, both matching windows — in SQL; `is_correct` audits the
+    * match against the generator's ground truth. */
+  val q190EntityResolution: QueryDef = QueryDef.sql(
+    "q190_entity_resolution",
+    s"""WITH base AS (
+       |  SELECT doc_id AS id, ${erName("doc_id")} AS name,
+       |         1900 + (doc_id * 11) % 200 AS yr
+       |  FROM documents),
+       |lreg AS (SELECT id AS lid, name AS l_name, yr AS l_yr FROM base),
+       |rb AS (
+       |  SELECT id, name, 5 + id % (length(name) - 8) AS p, id % 3 AS c, yr
+       |  FROM base WHERE id % 10 <> 0),
+       |rreg AS (
+       |  SELECT id AS rid, $erCorrupt AS r_name,
+       |         CASE WHEN id % 7 = 3 THEN yr + 1 ELSE yr END AS r_yr
+       |  FROM rb),
+       |pa AS (
+       |  SELECT lid, l_name, rid, r_name FROM lreg JOIN rreg
+       |  ON substr(l_name, 1, 4) || '|' || CAST(l_yr AS STRING)
+       |     = substr(r_name, 1, 4) || '|' || CAST(r_yr AS STRING)),
+       |un AS (
+       |  SELECT lid AS id, l_name AS name, 0 AS side FROM lreg
+       |  UNION ALL
+       |  SELECT rid, r_name, 1 FROM rreg),
+       |rk AS (SELECT id, name, side,
+       |              row_number() OVER (ORDER BY name, side, id) AS rnk
+       |       FROM un),
+       |pb AS (
+       |  SELECT l.id AS lid, l.name AS l_name, r.id AS rid, r.name AS r_name
+       |  FROM rk l JOIN rk r
+       |  ON l.side = 0 AND r.side = 1 AND abs(l.rnk - r.rnk) <= 8),
+       |cand AS (
+       |  SELECT lid, l_name, rid, r_name,
+       |         max(found_a) AS found_a, max(found_b) AS found_b
+       |  FROM (SELECT *, 1 AS found_a, 0 AS found_b FROM pa
+       |        UNION ALL
+       |        SELECT *, 0 AS found_a, 1 AS found_b FROM pb)
+       |  GROUP BY lid, l_name, rid, r_name),
+       |sc AS (
+       |  SELECT *, levenshtein(l_name, r_name) AS dist FROM cand
+       |  WHERE levenshtein(l_name, r_name) <= 2),
+       |m AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY lid ORDER BY dist, rid) AS rl,
+       |         row_number() OVER (PARTITION BY rid ORDER BY dist, lid) AS rr
+       |  FROM sc)
+       |SELECT lid, rid, CAST(dist AS INT) AS dist,
+       |       CAST(found_a AS INT) AS found_a,
+       |       CAST(found_b AS INT) AS found_b,
+       |       CAST(lid = rid AS INT) AS is_correct
+       |FROM m WHERE rl = 1 AND rr = 1
+       |ORDER BY lid""".stripMargin) { (s, d) =>
+    import graft.operators.RecordLinkage
+    val base = Tables.documents(s, d).selectExpr("doc_id AS id")
+      .selectExpr("id", s"${erName("id")} AS name",
+        "1900 + (id * 11) % 200 AS yr")
+    val lreg = base.selectExpr("id AS lid", "name AS l_name", "yr AS l_yr")
+    val rreg = base.filter(col("id") % 10 =!= 0)
+      .selectExpr("id", "name", "5 + id % (length(name) - 8) AS p",
+        "id % 3 AS c", "yr")
+      .selectExpr("id AS rid", s"$erCorrupt AS r_name",
+        "CASE WHEN id % 7 = 3 THEN yr + 1 ELSE yr END AS r_yr")
+    val pa = RecordLinkage.equiBlock(
+        lreg.selectExpr("lid", "l_name",
+          "substr(l_name, 1, 4) || '|' || CAST(l_yr AS STRING) AS bkey"),
+        rreg.selectExpr("rid", "r_name",
+          "substr(r_name, 1, 4) || '|' || CAST(r_yr AS STRING) AS bkey"))
+      .withColumn("found_a", lit(1)).withColumn("found_b", lit(0))
+    val pb = RecordLinkage.sortedNeighborhood(
+        lreg.select(col("lid"), col("l_name")),
+        rreg.select(col("rid"), col("r_name")), w = 8)
+      .withColumn("found_a", lit(0)).withColumn("found_b", lit(1))
+    val cand = pa.unionAll(pb)
+      .groupBy("lid", "l_name", "rid", "r_name")
+      .agg(max(col("found_a")).as("found_a"),
+        max(col("found_b")).as("found_b"))
+    RecordLinkage.mutualBest(cand, maxDist = 2)
+      .select(col("lid"), col("rid"), col("dist").cast("int").as("dist"),
+        col("found_a").cast("int").as("found_a"),
+        col("found_b").cast("int").as("found_b"),
+        (col("lid") === col("rid")).cast("int").as("is_correct"))
+      .orderBy(col("lid"))
   }
 }
