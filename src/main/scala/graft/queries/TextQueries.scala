@@ -27,7 +27,7 @@ object TextQueries {
     q101SketchTopkShingles, q107EpochShuffle, q108TokenPacking,
     q109WindowManifest, q110MixtureWeights, q130LengthBatches,
     q131WeightedSample, q135TfidfTerms, q148Curriculum, q184Bm25TopK,
-    q187NormalizedDedup,
+    q187NormalizedDedup, q191Calibration,
     q149StratifiedExact, q177Blocklist)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
@@ -1185,5 +1185,44 @@ object TextQueries {
         col("keep_id").cast("long").as("keep_id"),
         col("is_duplicate").cast("int").as("is_duplicate"))
       .orderBy(col("vid"))
+  }
+
+  /** Calibration / reliability diagram — `text.Eval.calibration`:
+    * q178's AUC measures whether the q148 stopword score RANKS English
+    * above the rest; this measures whether its squashed ppm value MEANS
+    * its claimed probability (it does not — that miscalibration is the
+    * honest, hash-pinned result). The n_b/N weight cancels against the
+    * per-bucket mean, so ECE_ppm = Σ|acc_sum−conf_sum| div N on raw
+    * integer sums — nothing fractional ever materializes. */
+  val q191Calibration: QueryDef = sql(
+    "q191_calibration",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |         least(1000000, ((CAST(len(list_filter(string_split(text, ' '),
+      |                    t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+      |          * 1000000) // len(string_split(text, ' '))) * 10) AS conf,
+      |         CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS acc
+      |  FROM documents),
+      |b AS (
+      |  SELECT least(9, (conf * 10) // 1000000) AS bucket,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(conf) AS BIGINT) AS conf_sum,
+      |         CAST(sum(acc) AS BIGINT) AS acc_sum
+      |  FROM s GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+      |             CAST(sum(abs(conf_sum - acc_sum)) AS BIGINT) AS gap_total
+      |      FROM b)
+      |SELECT bucket, n, conf_sum // n AS conf_ppm, acc_sum // n AS acc_ppm,
+      |       abs(conf_sum - acc_sum) AS gap_abs,
+      |       t.gap_total // t.n_total AS ece_ppm
+      |FROM b, t
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val scored = docs(s, d).select(
+      expr("least(1000000, ((CAST(size(filter(split(text, ' '), " +
+        "t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) * 1000000) " +
+        "div size(split(text, ' '))) * 10)").as("conf"),
+      when(col("lang") === "en", 1).otherwise(0).as("pos"))
+    graft.text.Eval.calibration(scored, "conf", "pos")
+      .orderBy(col("bucket"))
   }
 }

@@ -72,4 +72,40 @@ object Eval {
       .select(col(groupCol), col("n_pos"), col("n_neg"), col("u2"),
         col("auc_ppm"))
   }
+
+  /** Reliability diagram + expected calibration error over ppm
+    * confidences — AUC's companion: AUC measures RANKING quality, ECE
+    * measures whether the score's VALUE means what it claims
+    * (Naeini et al. 2015's binned estimator). Equal-width confidence
+    * buckets; per bucket the mean confidence vs the observed positive
+    * rate, both in ppm.
+    *
+    * Integer-exactness trick: the standard
+    * `ECE = Σ_b (n_b/N)·|acc_b − conf_b|` has the per-bucket n_b divide
+    * out — `ECE_ppm = (Σ_b |acc_sum_b − conf_sum_b|) div N` on the raw
+    * ppm SUMS, so nothing fractional ever materializes.
+    *
+    * Scale shape: one partial-aggregable groupBy onto ≤ `buckets` keys,
+    * then a broadcast 1-row totals join (the q113 shape) — row count
+    * never shuffles. */
+  def calibration(df: DataFrame, confCol: String, posCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least two buckets")
+    val perBucket = df.select(
+        least(lit(buckets - 1L),
+          expr(s"(CAST($confCol AS BIGINT) * $buckets) div 1000000")).as("bucket"),
+        col(confCol).cast("long").as("conf"),
+        when(col(posCol) =!= 0, 1000000L).otherwise(0L).as("acc"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("conf")).as("conf_sum"),
+        sum(col("acc")).as("acc_sum"))
+    val totals = perBucket.agg(sum(col("n")).as("n_total"),
+      sum(abs(col("conf_sum") - col("acc_sum"))).as("gap_total"))
+    perBucket.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n"),
+        expr("conf_sum div n").as("conf_ppm"),
+        expr("acc_sum div n").as("acc_ppm"),
+        abs(col("conf_sum") - col("acc_sum")).as("gap_abs"),
+        expr("gap_total div n_total").as("ece_ppm"))
+  }
 }

@@ -67,4 +67,53 @@ class EvalSpec extends SparkSpec {
     val joint = run(a ++ b)
     assert(joint == solo)
   }
+
+  import spark.implicits._
+
+  private def calib(rows: Seq[(Long, Int)]) =
+    Eval.calibration(rows.toDF("conf", "pos"), "conf", "pos")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+
+  test("calibration hand fixture: two buckets, exact integer gaps") {
+    // bucket 2: confs 250000+290000 (sum 540000), 1 positive (acc_sum
+    // 1000000) -> gap 460000, conf_ppm 270000, acc_ppm 500000
+    // bucket 9: conf 950000, 1 positive -> gap 50000
+    val rows = Seq((250000L, 0), (290000L, 1), (950000L, 1))
+    val out = calib(rows)
+    assert(out(2L) == ((2L, 270000L, 500000L, 460000L, 170000L)))
+    assert(out(9L) == ((1L, 950000L, 1000000L, 50000L, 170000L)))
+    // ece = (460000 + 50000) div 3 = 170000
+  }
+
+  test("calibration: a perfectly calibrated scorer has gap 0 in every bucket") {
+    // bucket 5 gets conf 500000 with exactly half positives
+    val rows = Seq((500000L, 1), (500000L, 0), (500000L, 1), (500000L, 0))
+    val out = calib(rows)
+    assert(out(5L) == ((4L, 500000L, 500000L, 0L, 0L)))
+  }
+
+  test("calibration matches the textbook double-precision ECE definition") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(400)((rnd.nextInt(1000001).toLong,
+      if (rnd.nextDouble() < 0.4) 1 else 0))
+    val out = calib(rows)
+    // brute force: ECE = sum_b (n_b/N) * |acc_b - conf_b| in doubles
+    val byBucket = rows.groupBy { case (c, _) => math.min(9L, c * 10 / 1000000) }
+    val n = rows.size.toDouble
+    val eceRef = byBucket.values.map { xs =>
+      val conf = xs.map(_._1).sum.toDouble / xs.size
+      val acc = xs.count(_._2 == 1).toDouble * 1000000 / xs.size
+      (xs.size / n) * math.abs(acc - conf)
+    }.sum
+    val ece = out.values.head._5
+    assert(math.abs(ece - eceRef) <= 1.0, s"ece=$ece ref=$eceRef")
+    assert(out.values.map(_._5).toSet.size == 1) // constant across rows
+  }
+
+  test("calibration: conf 1000000 lands in the top bucket, not bucket 10") {
+    val out = calib(Seq((1000000L, 1)))
+    assert(out.keySet == Set(9L))
+  }
 }
