@@ -19,7 +19,7 @@ object DedupQueries {
     q165VideoFrameDecode, q166FrameSampleOffsets, q168AudioMixdown,
     q169PixelDedup, q170MediaCuration, q171PairedShards, q172StreamMedia,
     q173StreamPixelDedup, q174AudioFir, q175JpegDecode, q176MjpegFrames,
-    q183AudioWht, q186AudioDedup, q190EntityResolution)
+    q183AudioWht, q186AudioDedup, q190EntityResolution, q192LeakageSplit)
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
@@ -1499,5 +1499,82 @@ object DedupQueries {
         col("found_b").cast("int").as("found_b"),
         (col("lid") === col("rid")).cast("int").as("is_correct"))
       .orderBy(col("lid"))
+  }
+
+  /** md5-hex bucket split (the q112 convention), single-line fragment
+    * shared by both engines: train < 'd0' (208/256), valid < 'e8'
+    * (24/256), else test. */
+  private def splitCase(idExpr: String): String =
+    s"CASE WHEN substr(md5(CAST($idExpr AS STRING) || '|split-v1'), 1, 2) < 'd0' THEN 'train' " +
+      s"WHEN substr(md5(CAST($idExpr AS STRING) || '|split-v1'), 1, 2) < 'e8' THEN 'valid' ELSE 'test' END"
+
+  /** Leakage-safe train/valid/test split — q112's hash split made
+    * DEDUP-AWARE (the decontamination concern behind q122 applied to the
+    * pipeline's OWN splits): near-duplicate documents in train and test
+    * leak evaluation data, so the split key is the near-dup CLUSTER
+    * representative (q103's LSH → Jaccard-verify → connected components),
+    * not the document — a whole cluster moves together by construction.
+    * `n_cluster_splits` pins that theorem at 1 per row; `naive_leaks`
+    * counts the clusters the naive per-document split WOULD have
+    * straddled (the demonstrated value of the operator). Mechanism as
+    * q103: candidate pairs through the scratch table; DuckDB replays
+    * Jaccard, the CC recursion, both md5 splits, and the straddle
+    * audit. */
+  val q192LeakageSplit: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q192_leakage_split")
+    QueryDef.sql(
+      "q192_leakage_split",
+      s"""WITH RECURSIVE
+         |c AS (SELECT id_a, id_b FROM read_parquet('$p/*.parquet')),
+         |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+         |      FROM documents),
+         |e AS (
+         |  SELECT c.id_a AS src, c.id_b AS dst
+         |  FROM c
+         |  JOIN t a ON a.doc_id = c.id_a
+         |  JOIN t b ON b.doc_id = c.id_b
+         |  WHERE CAST(len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS DOUBLE)
+         |        / len(list_distinct(a.tok || b.tok)) >= 0.2),
+         |bidir AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+         |nodes AS (SELECT DISTINCT a AS id FROM bidir),
+         |reach AS (
+         |  SELECT id AS src, id AS dst FROM nodes
+         |  UNION
+         |  SELECT r.src, e2.b FROM reach r JOIN bidir e2 ON e2.a = r.dst),
+         |comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+         |k AS (SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS keep_id
+         |      FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+         |sp AS (SELECT doc_id, keep_id,
+         |              ${splitCase("keep_id")} AS split,
+         |              ${splitCase("doc_id")} AS naive_split
+         |       FROM k),
+         |strad AS (SELECT keep_id,
+         |                 CAST(count(DISTINCT split) AS BIGINT) AS ncs,
+         |                 CAST(count(DISTINCT naive_split) AS BIGINT) AS nns
+         |          FROM sp GROUP BY keep_id)
+         |SELECT sp.doc_id, sp.keep_id, sp.split,
+         |       CAST(strad.ncs AS INT) AS n_cluster_splits,
+         |       CAST(CASE WHEN strad.nns > 1 THEN 1 ELSE 0 END AS INT) AS naive_leaks
+         |FROM sp JOIN strad USING (keep_id)
+         |ORDER BY sp.doc_id""".stripMargin) { (s, d) =>
+      val docsDf = Tables.documents(s, d)
+      val path = graft.core.Scratch.dir("q192_leakage_split", d)
+      Dedup.minhashLshCandidates(docsDf, "doc_id", "text")
+        .write.mode("overwrite").parquet(path)
+      val verified = Dedup.jaccardVerify(s.read.parquet(path), docsDf,
+        "doc_id", "text", threshold = 0.2)
+      val sp = Dedup.canonicalize(verified, docsDf, "doc_id")
+        .selectExpr("doc_id", "keep_id",
+          s"${splitCase("keep_id")} AS split",
+          s"${splitCase("doc_id")} AS naive_split")
+      val strad = sp.groupBy(col("keep_id"))
+        .agg(countDistinct(col("split")).as("ncs"),
+          countDistinct(col("naive_split")).as("nns"))
+      sp.join(strad, "keep_id")
+        .select(col("doc_id"), col("keep_id"), col("split"),
+          col("ncs").cast("int").as("n_cluster_splits"),
+          (col("nns") > 1).cast("int").as("naive_leaks"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

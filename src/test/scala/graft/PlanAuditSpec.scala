@@ -99,7 +99,9 @@ class PlanAuditSpec extends SparkSpec {
     // writes the merged MG summary to scratch for the oracle; the
     // sketch pass (mapPartitions, no raw-stream shuffle) is pinned in
     // FrequentItemsSpec
-    "q189_mg_heavy")
+    "q189_mg_heavy",
+    // q103's scratch mechanism with the cluster-keyed hash split
+    "q192_leakage_split")
 
   private def auditable: Seq[String] =
     SparkEntry.allQueries.map(_.name).filterNot(sideEffecting)

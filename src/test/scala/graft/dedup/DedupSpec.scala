@@ -236,4 +236,25 @@ class DedupSpec extends SparkSpec {
     assert(plans("simhashCandidates").contains("key"),
       plans("simhashCandidates").take(1500))
   }
+
+  test("cluster-keyed split is leakage-safe; the split hash matches an independent md5") {
+    // the q192 rule applied to a hand cluster {10, 11} (canonical 10)
+    // and a singleton {25}: members share 10's split; 25 follows its own.
+    import java.security.MessageDigest
+    def bucket(id: Long): String = {
+      val md = MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id|split-v1".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      val p = hex.substring(0, 2)
+      if (p < "d0") "train" else if (p < "e8") "valid" else "test"
+    }
+    val sp = Seq((10L, 10L), (11L, 10L), (25L, 25L)).toDF("doc_id", "keep_id")
+      .selectExpr("doc_id", "keep_id",
+        "CASE WHEN substr(md5(CAST(keep_id AS STRING) || '|split-v1'), 1, 2) < 'd0' THEN 'train' " +
+          "WHEN substr(md5(CAST(keep_id AS STRING) || '|split-v1'), 1, 2) < 'e8' THEN 'valid' ELSE 'test' END AS split")
+      .as[(Long, Long, String)].collect()
+      .map { case (d, k, s) => d -> ((k, s)) }.toMap
+    assert(sp(10L)._2 == sp(11L)._2, "cluster members must share a split")
+    assert(sp(10L)._2 == bucket(10L) && sp(25L)._2 == bucket(25L))
+  }
 }
