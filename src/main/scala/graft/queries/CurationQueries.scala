@@ -20,7 +20,7 @@ object CurationQueries {
     q121DedupKeepBest, q122FuzzyDecontam, q125DsirWeights,
     q126PerplexityBuckets, q127QualityClassifier, q129CurationPipeline,
     q153LrTrain, q155BpeTrain, q162BpeApply, q167TarShards, q178AucEval,
-    q180DupRegions, q185SkipgramPairs)
+    q180DupRegions, q185SkipgramPairs, q193GiniTree)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1123,5 +1123,89 @@ object CurationQueries {
     Curation.skipgramPairs(docs(s, d), "doc_id", "text",
         window = 2, thresholdPpm = 1000L, minCount = 3L)
       .orderBy(col("center"), col("context"))
+  }
+
+  /** One argmin-Gini split search as SQL text (the engine's bestSplit
+    * replayed): histogram → per-feature totals → prefix sums → candidate
+    * filter → the 1e-15-grid integer score with (f, bin) tie-break.
+    * Single-line concatenation (nested-stripMargin discipline). */
+  private def giniCte(tag: String, src: String): String =
+    s"h$tag AS (SELECT f, bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p FROM $src GROUP BY f, bin), " +
+      s"t$tag AS (SELECT f, CAST(sum(n) AS BIGINT) AS tn, CAST(sum(p) AS BIGINT) AS tp FROM h$tag GROUP BY f), " +
+      s"c$tag AS (SELECT f, bin, CAST(sum(n) OVER (PARTITION BY f ORDER BY bin) AS BIGINT) AS nl, CAST(sum(p) OVER (PARTITION BY f ORDER BY bin) AS BIGINT) AS pl FROM h$tag), " +
+      s"k$tag AS (SELECT c.f, c.bin, c.nl, c.pl, t.tn - c.nl AS nr, t.tp - c.pl AS pr FROM c$tag c JOIN t$tag t USING (f) WHERE c.nl > 0 AND t.tn - c.nl > 0), " +
+      s"b$tag AS (SELECT f, bin, nl, pl, nr, pr FROM k$tag ORDER BY CAST((CAST(pl * (nl - pl) AS HUGEINT) * nr + CAST(pr * (nr - pr) AS HUGEINT) * nl) * 1000000000000000 // (CAST(nl AS HUGEINT) * nr) AS BIGINT), f, bin LIMIT 1)"
+
+  /** Depth-2 CART training — `cluster.GiniTree.fitDepth2`: the
+    * tree-family classifier trainer beside q153's logistic GD, exact
+    * integer Gini on a 64-bin ppm feature grid (see GiniTree's scaladoc
+    * for the 1e-15-grid total-order trick: DECIMAL(38,0) in Spark ≡
+    * HUGEINT in DuckDB, identical truncation). Features: stopword ratio,
+    * scaled mean word length, distinct-token ratio; label lang='en'. The
+    * oracle replays ALL THREE split searches (root + both children),
+    * the node assignment, and the leaf histograms; the 7-row node table
+    * hash-pins the whole fitted model. Non-degenerate at every sf by
+    * construction (continuous ppm features); the degenerate-child leaf
+    * fallback is spec-pinned instead. */
+  val q193GiniTree: QueryDef = sql(
+    "q193_gini_tree",
+    s"""WITH d AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |         (CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS sw,
+       |         (n_chars * 1000000) // (len(string_split(text, ' ')) * 12) AS wl,
+       |         (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS dr
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id, y, 'sw' AS f, least(63, sw // 15625) AS bin FROM d
+       |  UNION ALL
+       |  SELECT doc_id, y, 'wl', least(63, wl // 15625) FROM d
+       |  UNION ALL
+       |  SELECT doc_id, y, 'dr', least(63, dr // 15625) FROM d),
+       |${giniCte("0", "feats")},
+       |a0 AS (SELECT fe.doc_id, CASE WHEN fe.bin <= b0.bin THEN 1 ELSE 0 END AS isl
+       |       FROM feats fe, b0 WHERE fe.f = b0.f),
+       |fl AS (SELECT fe.* FROM feats fe JOIN a0 USING (doc_id) WHERE a0.isl = 1),
+       |fr AS (SELECT fe.* FROM feats fe JOIN a0 USING (doc_id) WHERE a0.isl = 0),
+       |${giniCte("1", "fl")},
+       |${giniCte("2", "fr")},
+       |leaf34 AS (
+       |  SELECT CASE WHEN fe.bin <= b1.bin THEN 3 ELSE 4 END AS node_id,
+       |         CAST(count(*) AS BIGINT) AS n, CAST(sum(fe.y) AS BIGINT) AS pos
+       |  FROM fl fe, b1 WHERE fe.f = b1.f GROUP BY 1),
+       |leaf56 AS (
+       |  SELECT CASE WHEN fe.bin <= b2.bin THEN 5 ELSE 6 END AS node_id,
+       |         CAST(count(*) AS BIGINT) AS n, CAST(sum(fe.y) AS BIGINT) AS pos
+       |  FROM fr fe, b2 WHERE fe.f = b2.f GROUP BY 1),
+       |nodes AS (
+       |  SELECT 0 AS node_id, 'split' AS kind, f AS feature, bin AS thr_bin,
+       |         (bin + 1) * 15625 AS thr_ppm, nl + nr AS n, pl + pr AS pos FROM b0
+       |  UNION ALL
+       |  SELECT 1, 'split', f, bin, (bin + 1) * 15625, nl + nr, pl + pr FROM b1
+       |  UNION ALL
+       |  SELECT 2, 'split', f, bin, (bin + 1) * 15625, nl + nr, pl + pr FROM b2
+       |  UNION ALL
+       |  SELECT node_id, 'leaf', '', -1, 0, n, pos FROM leaf34
+       |  UNION ALL
+       |  SELECT node_id, 'leaf', '', -1, 0, n, pos FROM leaf56)
+       |SELECT CAST(node_id AS INT) AS node_id, kind, feature,
+       |       CAST(thr_bin AS BIGINT) AS thr_bin,
+       |       CAST(thr_ppm AS BIGINT) AS thr_ppm,
+       |       CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+       |       CAST(CASE WHEN 2 * pos >= n THEN 1 ELSE 0 END AS INT) AS pred
+       |FROM nodes
+       |ORDER BY node_id""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      when(col("lang") === "en", 1).otherwise(0).as("y"),
+      expr("(CAST(size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) * 1000000) div size(split(text, ' '))").as("sw"),
+      expr("(n_chars * 1000000) div (size(split(text, ' ')) * 12)").as("wl"),
+      expr("(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000) div size(split(text, ' '))").as("dr"))
+    val feats = base.select(col("doc_id"), col("y"),
+        explode(array(
+          struct(lit("sw").as("f"), col("sw").as("v")),
+          struct(lit("wl").as("f"), col("wl").as("v")),
+          struct(lit("dr").as("f"), col("dr").as("v")))).as("fv"))
+      .select(col("doc_id"), col("y"), col("fv.f").as("f"),
+        least(lit(63L), expr("fv.v div 15625")).as("bin"))
+    graft.cluster.GiniTree.fitDepth2(s, feats)
   }
 }

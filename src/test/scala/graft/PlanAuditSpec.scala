@@ -89,6 +89,10 @@ class PlanAuditSpec extends SparkSpec {
     // table; the distributed step shapes are pinned by their specs
     // (CurationSpec, KmeansPpmSpec)
     "q153_lr_train", "q154_kmeans_train", "q155_bpe_train",
+    // depth-2 Gini tree: three driver-side split searches execute during
+    // construction (the q153 bounded-model discipline); the histogram
+    // search shape is pinned in GiniTreeSpec
+    "q193_gini_tree",
     // runs a real drip-fed media stream (file staging + micro-batches);
     // the stateless decode plan is the q164 batch operator's, and
     // stream==batch is the oracle itself (same RIFF-layout SQL)
