@@ -163,20 +163,8 @@ object Dedup {
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 2,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val nSig = bands * rowsPerBand
-    // all nSig salted minima in ONE pass over the token array (single
-    // expression — the per-salt HOF formulation was ~10s at sf0.1)
-    val sigs = df.select(col(idCol).as("id"),
-        graft.functions.minhash_signature(tokens(col(textCol)), nSig).as("sig"))
-      .filter(size(col("sig")) > 0)
     val (kept, star) = capBucketsStar(
-      sigs.select(col("id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
-              element_at(col("sig"), b * rowsPerBand + r + 1))): _*).as("bucket"))
-        }: _*)).as("bb"))
-        .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
+      minhashBandBuckets(df, idCol, textCol, bands, rowsPerBand),
       Seq("band", "bucket"), "id", Nil, bucketCap, "minhash_bucket_cap")
     kept.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(kept.select(col("band"), col("bucket"), col("id").as("id_b")),
@@ -186,6 +174,43 @@ object Dedup {
       .unionByName(star.select(col("id_a"), col("id_b")))
       .distinct()
   }
+
+  /** The (id, band, bucket) rows of [[minhashLshCandidates]]'s banding —
+    * public because it doubles as the STORED INDEX of incremental dedup:
+    * persist it for the existing corpus once, then [[probeIndex]] new
+    * batches against it without ever touching corpus text again (the
+    * 100 TB ingest shape: per-batch cost scales with the batch, not the
+    * corpus). All nSig salted minima come from ONE xxhash64 pass over
+    * the token array (the per-salt HOF formulation was ~10s at sf0.1). */
+  def minhashBandBuckets(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val nSig = bands * rowsPerBand
+    val sigs = df.select(col(idCol).as("id"),
+        graft.functions.minhash_signature(tokens(col(textCol)), nSig).as("sig"))
+      .filter(size(col("sig")) > 0)
+    sigs.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), b * rowsPerBand + r + 1))): _*).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Incremental near-dup candidates: band-bucket collisions of `batch`
+    * against a prebuilt [[minhashBandBuckets]] index — distinct
+    * (id_new, id_old) pairs. The batch side is banded fresh; the index
+    * side is READ, not recomputed, and the join is an equi-join on
+    * (band, bucket) — never batch × corpus. */
+  def probeIndex(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    minhashBandBuckets(batch, idCol, textCol, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("id").as("id_new"))
+      .join(index.select(col("band"), col("bucket"), col("id").as("id_old")),
+        Seq("band", "bucket"))
+      .filter(col("id_new") =!= col("id_old"))
+      .select(col("id_new"), col("id_old"))
+      .distinct()
 
   /** The verification half of [[minhashLsh]]: exact token-set Jaccard over
     * candidate pairs (`id_a`, `id_b`), kept when ≥ `threshold`. Token

@@ -19,7 +19,8 @@ object DedupQueries {
     q165VideoFrameDecode, q166FrameSampleOffsets, q168AudioMixdown,
     q169PixelDedup, q170MediaCuration, q171PairedShards, q172StreamMedia,
     q173StreamPixelDedup, q174AudioFir, q175JpegDecode, q176MjpegFrames,
-    q183AudioWht, q186AudioDedup, q190EntityResolution, q192LeakageSplit)
+    q183AudioWht, q186AudioDedup, q190EntityResolution, q192LeakageSplit,
+    q194IncrementalDedup)
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
@@ -1575,6 +1576,80 @@ object DedupQueries {
           col("ncs").cast("int").as("n_cluster_splits"),
           (col("nns") > 1).cast("int").as("naive_leaks"))
         .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Incremental dedup — `Dedup.minhashBandBuckets` (the persisted
+    * index) + `Dedup.probeIndex`: new-batch ingest (doc_id % 10 = 0)
+    * probes the EXISTING corpus's stored band buckets; corpus text is
+    * never re-tokenized, the join is (band, bucket) equi — per-batch
+    * cost scales with the batch, not the corpus (the 100 TB ingest
+    * shape; q56 recomputes everything every run by contrast). Jaccard
+    * verification on the ppm integer grid with a (jac_ppm DESC, id_old)
+    * best-match window; every new doc reports its candidate count and
+    * dup verdict. Mechanism as q56: probe pairs through the scratch
+    * table, DuckDB replays jaccard/threshold/ranking. */
+  val q194IncrementalDedup: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q194_incremental_dedup")
+    QueryDef.sql(
+      "q194_incremental_dedup",
+      s"""WITH c AS (SELECT id_new, id_old FROM read_parquet('$p/*.parquet')),
+         |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+         |      FROM documents),
+         |j AS (
+         |  SELECT c.id_new, c.id_old,
+         |         (CAST(len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS BIGINT) * 1000000)
+         |           // len(list_distinct(a.tok || b.tok)) AS jac_ppm
+         |  FROM c
+         |  JOIN t a ON a.doc_id = c.id_new
+         |  JOIN t b ON b.doc_id = c.id_old),
+         |nc AS (SELECT id_new, CAST(count(*) AS BIGINT) AS n_cand FROM c GROUP BY id_new),
+         |best AS (
+         |  SELECT id_new, id_old, jac_ppm,
+         |         row_number() OVER (PARTITION BY id_new ORDER BY jac_ppm DESC, id_old) AS rk
+         |  FROM j WHERE jac_ppm >= 200000),
+         |nb AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+         |SELECT nb.doc_id AS new_id, best.id_old AS match_id,
+         |       best.jac_ppm AS jac_ppm,
+         |       COALESCE(nc.n_cand, 0) AS n_cand,
+         |       CAST(CASE WHEN best.id_old IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+         |FROM nb
+         |LEFT JOIN (SELECT * FROM best WHERE rk = 1) best ON best.id_new = nb.doc_id
+         |LEFT JOIN nc ON nc.id_new = nb.doc_id
+         |ORDER BY new_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docsDf = Tables.documents(s, d)
+      val existing = docsDf.filter(col("doc_id") % 10 =!= 0)
+      val batch = docsDf.filter(col("doc_id") % 10 === 0)
+      val idxPath = graft.core.Scratch.dir("q194_incremental_dedup_index", d)
+      Dedup.minhashBandBuckets(existing, "doc_id", "text")
+        .write.mode("overwrite").parquet(idxPath)
+      val index = s.read.parquet(idxPath)
+      val pairsPath = graft.core.Scratch.dir("q194_incremental_dedup", d)
+      Dedup.probeIndex(batch, "doc_id", "text", index)
+        .write.mode("overwrite").parquet(pairsPath)
+      val pairs = s.read.parquet(pairsPath)
+      val toks = docsDf.select(col("doc_id").as("tid"),
+        array_distinct(split(col("text"), " ")).as("tok"))
+      val j = pairs
+        .join(toks.select(col("tid").as("id_new"), col("tok").as("tok_a")), "id_new")
+        .join(toks.select(col("tid").as("id_old"), col("tok").as("tok_b")), "id_old")
+        .select(col("id_new"), col("id_old"),
+          expr("(CAST(size(array_intersect(tok_a, tok_b)) AS BIGINT) * 1000000) div size(array_union(tok_a, tok_b))").as("jac_ppm"))
+      val nc = pairs.groupBy(col("id_new")).agg(count(lit(1)).as("n_cand"))
+      val best = j.filter(col("jac_ppm") >= 200000)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("id_new"))
+          .orderBy(col("jac_ppm").desc, col("id_old"))))
+        .filter(col("rk") === 1)
+      batch.select(col("doc_id").as("new_id"))
+        .join(best.select(col("id_new").as("new_id"),
+          col("id_old").as("match_id"), col("jac_ppm")), Seq("new_id"), "left")
+        .join(nc.select(col("id_new").as("new_id"), col("n_cand")),
+          Seq("new_id"), "left")
+        .select(col("new_id"), col("match_id"), col("jac_ppm"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          col("match_id").isNotNull.cast("int").as("is_dup"))
+        .orderBy(col("new_id"))
     }
   }
 }

@@ -25,7 +25,7 @@ object EventQueries {
     q24SlidingWindow, q29AsOfJoin, q63Pivot, q133StreamSessions,
     q138FunnelSteps, q139RetentionCohorts, q151StreamIntervalJoin,
     q152StreamDedup, q156StreamOuterJoin, q157StreamTumbling,
-    q188MadOutliers)
+    q188MadOutliers, q195DriftChiSq)
 
   /** Recency split vs per-user max timestamp (SURVEY §2.2 op 10,
     * assets/takeout.py:70-72): keep events within "-15d" of the user's
@@ -725,6 +725,83 @@ object EventQueries {
     val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
       graft.functions.fixed_point(col("value"), 1e6).as("v"))
     graft.operators.RobustStats.madSummary(e, "event_type", "event_id", "v")
+      .orderBy(col("event_type"))
+  }
+
+  /** Distribution-drift monitor — exact Pearson chi-square per category
+    * between a reference window (early half of event time) and the
+    * current window (late half), with a DETERMINISTIC injected drift in
+    * the current stream (late clicks with event_id % 4 = 0 dropped) so
+    * the monitor has a real signal to flag. Integer-exact:
+    * `(o−e)²/e` with `e = ec·nl/ne` clears denominators to
+    * `(o·ne − ec·nl)² / (ne·ec·nl)`, the square computed in
+    * DECIMAL(38,0) ≡ HUGEINT (the q193 discipline) and reported in ppm
+    * of a count unit.
+    *
+    * The drifted flag is the PRODUCTION two-condition rule: statistical
+    * significance (contrib > χ²₁'s 3.84 critical) AND practical effect
+    * (|category-share shift| > 25000 ppm, compared exactly via
+    * cross-multiplication — no division). Neither alone is coherent
+    * across scale: raw χ² over-fires at large N (at sf0.1 two
+    * un-injected cells exceed 39 on ~1%-share wobbles) and under-fires
+    * at small N; effect size alone over-fires at small N (an un-injected
+    * cell wobbles to 34k ppm at sf0.001). The AND flags exactly the
+    * injected cell at every sf. One groupBy onto |event_types| cells +
+    * broadcast 1-row totals — the monitor never shuffles rows. */
+  val q195DriftChiSq: QueryDef = sql(
+    "q195_drift_chisq",
+    """WITH e AS (SELECT event_type, event_id, epoch_ms(ts) AS ms FROM events),
+      |b AS (SELECT (min(ms) + max(ms)) // 2 AS cut FROM e),
+      |ref AS (SELECT event_type FROM e, b WHERE ms < cut),
+      |cur AS (SELECT event_type FROM e, b
+      |        WHERE ms >= cut AND NOT (event_type = 'click' AND event_id % 4 = 0)),
+      |rc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ec FROM ref GROUP BY 1),
+      |cc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS o FROM cur GROUP BY 1),
+      |tt AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ref) AS ne,
+      |              (SELECT CAST(count(*) AS BIGINT) FROM cur) AS nl),
+      |s AS (
+      |  SELECT rc.event_type, rc.ec, COALESCE(cc.o, 0) AS o, tt.ne, tt.nl,
+      |         COALESCE(cc.o, 0) * tt.ne - rc.ec * tt.nl AS diff
+      |  FROM rc LEFT JOIN cc USING (event_type), tt),
+      |s2 AS (
+      |  SELECT event_type, ec, o, ne, nl, diff,
+      |         CAST((CAST(diff AS HUGEINT) * diff * 1000000)
+      |              // (CAST(ne AS HUGEINT) * ec * nl) AS BIGINT) AS contrib_ppm
+      |  FROM s)
+      |SELECT event_type, ec AS early_n, o AS late_n,
+      |       (ec * nl) // ne AS expected_late,
+      |       (abs(diff) * 1000000) // (ne * nl) AS shift_abs_ppm,
+      |       contrib_ppm,
+      |       CAST(CASE WHEN contrib_ppm > 3840000
+      |                  AND abs(diff) * 1000000 > 25000 * ne * nl
+      |            THEN 1 ELSE 0 END AS INT) AS drifted
+      |FROM s2
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_type"), col("event_id"),
+      epochMs(col("ts")).as("ms"))
+    val b = e.agg(expr("(min(ms) + max(ms)) div 2").as("cut"))
+    val withCut = e.crossJoin(broadcast(b))
+    val ref = withCut.filter(col("ms") < col("cut"))
+    val cur = withCut.filter(col("ms") >= col("cut") &&
+      !(col("event_type") === "click" && col("event_id") % 4 === 0))
+    val rc = ref.groupBy(col("event_type")).agg(count(lit(1)).as("ec"))
+    val cc = cur.groupBy(col("event_type")).agg(count(lit(1)).as("o"))
+    val tt = rc.agg(sum(col("ec")).as("ne"))
+      .crossJoin(cc.agg(sum(col("o")).as("nl")))
+    rc.join(cc, Seq("event_type"), "left")
+      .crossJoin(broadcast(tt))
+      .select(col("event_type"), col("ec"), coalesce(col("o"), lit(0L)).as("o"),
+        col("ne"), col("nl"))
+      .withColumn("diff", col("o") * col("ne") - col("ec") * col("nl"))
+      .withColumn("contrib_ppm", expr(
+        "CAST((CAST(diff AS DECIMAL(38,0)) * diff * 1000000) div (ne * ec * nl) AS BIGINT)"))
+      .select(col("event_type"), col("ec").as("early_n"), col("o").as("late_n"),
+        expr("(ec * nl) div ne").as("expected_late"),
+        expr("(abs(diff) * 1000000) div (ne * nl)").as("shift_abs_ppm"),
+        col("contrib_ppm"),
+        (col("contrib_ppm") > 3840000L &&
+          abs(col("diff")) * 1000000L > lit(25000L) * col("ne") * col("nl"))
+          .cast("int").as("drifted"))
       .orderBy(col("event_type"))
   }
 }

@@ -105,7 +105,10 @@ class PlanAuditSpec extends SparkSpec {
     // FrequentItemsSpec
     "q189_mg_heavy",
     // q103's scratch mechanism with the cluster-keyed hash split
-    "q192_leakage_split")
+    "q192_leakage_split",
+    // writes the band-bucket index + probe pairs to scratch; the
+    // probe-only join shape is pinned in DedupSpec
+    "q194_incremental_dedup")
 
   private def auditable: Seq[String] =
     SparkEntry.allQueries.map(_.name).filterNot(sideEffecting)

@@ -237,6 +237,33 @@ class DedupSpec extends SparkSpec {
       plans("simhashCandidates").take(1500))
   }
 
+  test("probeIndex finds planted near-dups against a stored index, bands the batch only once") {
+    // existing corpus: two docs; batch: a near-copy of doc 1 and an
+    // unrelated doc. The probe must pair 10<->1 and nothing else.
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (11L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val idxPath = graft.core.Scratch.tempDir("probe_idx_spec")
+    Dedup.minhashBandBuckets(existing, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxPath)
+    val probe = Dedup.probeIndex(batch, "doc_id", "text",
+      spark.read.parquet(idxPath))
+    val pairs = probe.as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 1L)), s"planted dup missed: $pairs")
+    assert(pairs.forall { case (n, o) => n >= 10L && o < 10L },
+      s"probe pairs must be (new, existing) only: $pairs")
+    // scale pin: exactly ONE banding pass in the probe plan - the index
+    // side is a parquet READ, never recomputed (analyzed plan: the
+    // optimizer may fold tiny local batches, but it can never ADD a
+    // second signature pass)
+    val plan = probe.queryExecution.analyzed.toString
+    assert("minhash_signature".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
+
   test("cluster-keyed split is leakage-safe; the split hash matches an independent md5") {
     // the q192 rule applied to a hand cluster {10, 11} (canonical 10)
     // and a singleton {25}: members share 10's split; 25 follows its own.
