@@ -1474,12 +1474,17 @@ object DedupQueries {
     val base = Tables.documents(s, d).selectExpr("doc_id AS id")
       .selectExpr("id", s"${erName("id")} AS name",
         "1900 + (id * 11) % 200 AS yr")
+    // cache both registries: the 48-branch name CASE + corruption
+    // surgery would otherwise be recomputed by BOTH blocking passes and
+    // the rank pipeline (projection collapse re-inlines them)
     val lreg = base.selectExpr("id AS lid", "name AS l_name", "yr AS l_yr")
+      .cache()
     val rreg = base.filter(col("id") % 10 =!= 0)
       .selectExpr("id", "name", "5 + id % (length(name) - 8) AS p",
         "id % 3 AS c", "yr")
       .selectExpr("id AS rid", s"$erCorrupt AS r_name",
         "CASE WHEN id % 7 = 3 THEN yr + 1 ELSE yr END AS r_yr")
+      .cache()
     val pa = RecordLinkage.equiBlock(
         lreg.selectExpr("lid", "l_name",
           "substr(l_name, 1, 4) || '|' || CAST(l_yr AS STRING) AS bkey"),

@@ -27,7 +27,7 @@ object TextQueries {
     q101SketchTopkShingles, q107EpochShuffle, q108TokenPacking,
     q109WindowManifest, q110MixtureWeights, q130LengthBatches,
     q131WeightedSample, q135TfidfTerms, q148Curriculum, q184Bm25TopK,
-    q187NormalizedDedup, q191Calibration,
+    q187NormalizedDedup, q191Calibration, q196HardNegatives,
     q149StratifiedExact, q177Blocklist)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
@@ -1224,5 +1224,81 @@ object TextQueries {
       when(col("lang") === "en", 1).otherwise(0).as("pos"))
     graft.text.Eval.calibration(scored, "conf", "pos")
       .orderBy(col("bucket"))
+  }
+
+  /** Hard-negative mining for retriever training —
+    * `text.Bm25.hardNegatives` over `Bm25.topK(k=20)` with lang as the
+    * weak-supervision relevance label: per query the best-ranked
+    * same-lang doc is the positive, the first three different-lang
+    * results are the hard negatives (lexically close, semantically
+    * wrong — the pairs a contrastive retriever actually needs; q163's
+    * random draws are the easy-negative baseline). The oracle replays
+    * the ENTIRE q184 scoring chain at k=20 plus the label joins and
+    * both selection windows. */
+  val q196HardNegatives: QueryDef = sql(
+    "q196_hard_negatives",
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
+      |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nd
+      |        FROM dl),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM (SELECT doc_id, unnest(w) AS tok FROM base)
+      |       GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+      |q AS (SELECT DISTINCT doc_id AS qid, unnest(w[1:8]) AS tok
+      |      FROM base WHERE doc_id < 10),
+      |sc AS (
+      |  SELECT q.qid, dt.doc_id,
+      |         CAST(sum(((nd * 1000) // df) *
+      |                  ((88 * tf * t * 1000000) //
+      |                   (40 * t * tf + 12 * t + 36 * dl.dl * nd))) AS BIGINT)
+      |           AS score_i
+      |  FROM q JOIN dfq USING (tok) JOIN dt USING (tok)
+      |  JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN tot
+      |  WHERE dt.doc_id <> q.qid
+      |  GROUP BY q.qid, dt.doc_id),
+      |rk AS (
+      |  SELECT qid, doc_id, score_i,
+      |         row_number() OVER (PARTITION BY qid
+      |                            ORDER BY score_i DESC, doc_id) AS rank
+      |  FROM sc),
+      |top AS (SELECT qid, doc_id, rank FROM rk WHERE rank <= 20),
+      |rel AS (
+      |  SELECT top.qid, top.doc_id, top.rank,
+      |         CASE WHEN ql.lang = dl2.lang THEN 1 ELSE 0 END AS relevant
+      |  FROM top
+      |  JOIN documents ql ON ql.doc_id = top.qid
+      |  JOIN documents dl2 ON dl2.doc_id = top.doc_id),
+      |pos AS (
+      |  SELECT qid, doc_id AS pos_id, rank AS pos_rank FROM (
+      |    SELECT qid, doc_id, rank,
+      |           row_number() OVER (PARTITION BY qid ORDER BY rank) AS pr
+      |    FROM rel WHERE relevant = 1)
+      |  WHERE pr = 1),
+      |neg AS (
+      |  SELECT qid, doc_id AS neg_id, rank AS neg_rank, neg_seq FROM (
+      |    SELECT qid, doc_id, rank,
+      |           row_number() OVER (PARTITION BY qid ORDER BY rank) AS neg_seq
+      |    FROM rel WHERE relevant = 0)
+      |  WHERE neg_seq <= 3)
+      |SELECT pos.qid, pos.pos_id, CAST(pos.pos_rank AS INT) AS pos_rank,
+      |       CAST(neg.neg_seq AS INT) AS neg_seq, neg.neg_id,
+      |       CAST(neg.neg_rank AS INT) AS neg_rank
+      |FROM pos JOIN neg USING (qid)
+      |ORDER BY qid, neg_seq""".stripMargin) { (s, d) =>
+    val probes = docs(s, d)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+      .distinct()
+    val ranked = graft.text.Bm25.topK(docs(s, d), "doc_id", "text",
+      probes, k = 20)
+    val labels = docs(s, d).select(col("doc_id").as("id"),
+      col("lang").as("label"))
+    graft.text.Bm25.hardNegatives(ranked, labels, nNeg = 3)
+      .select(col("qid"), col("pos_id"), col("pos_rank").cast("int").as("pos_rank"),
+        col("neg_seq").cast("int").as("neg_seq"), col("neg_id"),
+        col("neg_rank").cast("int").as("neg_rank"))
+      .orderBy(col("qid"), col("neg_seq"))
   }
 }

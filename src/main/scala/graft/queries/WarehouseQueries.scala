@@ -599,17 +599,25 @@ object WarehouseQueries {
          |       miss.m AS n_missing_heavy
          |FROM top JOIN vocab USING (tok), d, nn, miss
          |ORDER BY est_cnt DESC, tok""".stripMargin) { (s, d) =>
+      // cache the exploded stream: the trigram transform is an
+      // interpreted HOF and FOUR passes read it (sketch, N, vocab
+      // coverage, reported-token counts) — projection collapse would
+      // re-inline the explode into every one (4.7s -> benched via
+      // TimeQuery with the cache barrier)
       val toks = Tables.documents(s, d).select(explode(expr(
         "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))"))
-        .as("tok"))
+        .as("tok")).cache()
       val path = graft.core.Scratch.dir("q189_mg_heavy", d)
       graft.operators.FrequentItems.misraGries(toks, "tok", k = 64)
         .write.mode("overwrite").parquet(path)
       val summary = s.read.parquet(path)
       val dRow = summary.agg(min(col("d_total")).as("d"))
-      val nRow = toks.agg(count(lit(1)).as("n"))
+      // ONE verification shuffle onto the ≤377-key vocab; N, the
+      // reported-token exact counts, and the coverage audit all derive
+      // from it rather than re-reading the raw stream
       val vocab = toks.groupBy(col("tok"))
-        .agg(count(lit(1)).cast("long").as("cnt"))
+        .agg(count(lit(1)).cast("long").as("cnt")).cache()
+      val nRow = vocab.agg(sum(col("cnt")).as("n"))
       val top = summary.orderBy(col("est").desc, col("tok")).limit(10)
       val miss = vocab.join(summary.select("tok"), Seq("tok"), "left_anti")
         .crossJoin(broadcast(dRow)).filter(col("cnt") > col("d"))

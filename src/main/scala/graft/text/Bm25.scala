@@ -66,4 +66,37 @@ object Bm25 {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("doc_id"), col("score_i"))
   }
+
+  /** DPR-style hard-negative mining (Karpukhin et al. 2020) over a
+    * [[topK]] result: per query, the best-RANKED relevant document is the
+    * positive and the first `nNeg` non-relevant results are the hard
+    * negatives — lexically close enough to outrank real matches, which
+    * is exactly what a contrastive retriever must learn to push down
+    * (random negatives are trivially separable; BM25-mined ones are
+    * not). Relevance is a caller-provided (id, label) weak-supervision
+    * join. Queries with no relevant or no non-relevant result in the
+    * top-k drop out (deterministically). Scale: labels are a dimension
+    * join; both selections are per-query windows over ≤ k rows. */
+  def hardNegatives(ranked: DataFrame, labels: DataFrame,
+      nNeg: Int): DataFrame = {
+    val lab = labels.select(col("id"), col("label"))
+    val withRel = ranked
+      .join(lab.select(col("id").as("qid"), col("label").as("q_label")), "qid")
+      .join(lab.select(col("id").as("doc_id"), col("label").as("d_label")), "doc_id")
+      .withColumn("relevant", (col("q_label") === col("d_label")).cast("int"))
+    val pos = withRel.filter(col("relevant") === 1)
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rank"))))
+      .filter(col("pr") === 1)
+      .select(col("qid"), col("doc_id").as("pos_id"), col("rank").as("pos_rank"))
+    val negs = withRel.filter(col("relevant") === 0)
+      .withColumn("neg_seq", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rank"))))
+      .filter(col("neg_seq") <= nNeg)
+      .select(col("qid"), col("doc_id").as("neg_id"),
+        col("rank").as("neg_rank"), col("neg_seq"))
+    pos.join(negs, "qid")
+      .select(col("qid"), col("pos_id"), col("pos_rank"), col("neg_seq"),
+        col("neg_id"), col("neg_rank"))
+  }
 }

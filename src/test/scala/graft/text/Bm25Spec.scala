@@ -71,4 +71,26 @@ class Bm25Spec extends SparkSpec {
     val out = run(docs, Seq((1L, "alpha")), 5)
     assert(out.map(_._3) == Seq(2L))
   }
+
+  test("hardNegatives: best-ranked relevant is the positive, first nNeg others are negatives") {
+    // ranked list for qid 1: ranks 1..5, labels: doc 11 'b', 12 'a',
+    // 13 'b', 14 'b', 15 'a'; query label 'a' -> pos = 12 (first 'a',
+    // rank 2), negs = 11 (seq 1), 13 (seq 2) at nNeg = 2
+    val ranked = Seq((1L, 1, 11L, 500L), (1L, 2, 12L, 400L),
+      (1L, 3, 13L, 300L), (1L, 4, 14L, 200L), (1L, 5, 15L, 100L))
+      .toDF("qid", "rank", "doc_id", "score_i")
+    val labels = Seq((1L, "a"), (11L, "b"), (12L, "a"), (13L, "b"),
+      (14L, "b"), (15L, "a")).toDF("id", "label")
+    val out = Bm25.hardNegatives(ranked, labels, nNeg = 2)
+      .select("qid", "pos_id", "pos_rank", "neg_seq", "neg_id", "neg_rank")
+      .as[(Long, Long, Int, Int, Long, Int)].collect().sortBy(_._4)
+    assert(out.toSeq == Seq((1L, 12L, 2, 1, 11L, 1), (1L, 12L, 2, 2, 13L, 3)))
+  }
+
+  test("hardNegatives: queries with no relevant result drop out entirely") {
+    val ranked = Seq((7L, 1, 21L, 900L), (7L, 2, 22L, 800L))
+      .toDF("qid", "rank", "doc_id", "score_i")
+    val labels = Seq((7L, "zz"), (21L, "a"), (22L, "b")).toDF("id", "label")
+    assert(Bm25.hardNegatives(ranked, labels, nNeg = 3).count() == 0L)
+  }
 }
