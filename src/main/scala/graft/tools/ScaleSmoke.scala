@@ -64,11 +64,26 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
+    // fixed 1x index for the incremental-probe smoke: the claim is
+    // per-batch cost scales with the BATCH (the corpus is never
+    // re-banded), so the index is built once, outside the timers
+    val probeIdxPath = graft.core.Scratch.tempDir("smoke_probe_idx")
+    graft.dedup.Dedup.minhashBandBuckets(base, "doc_id", "text")
+      .write.mode("overwrite").parquet(probeIdxPath)
+
     for (k <- Seq(1, factor)) {
       val docs = scaled(k).cache()
       docs.count()
       time("exact_dedup", k)(
         graft.dedup.Dedup.exact(docs, "doc_id", "text"))
+      time("incremental_probe", k)(
+        graft.dedup.Dedup.probeIndex(docs, "doc_id", "text",
+          spark.read.parquet(probeIdxPath)))
+      time("mg_frequent_items", k)(
+        graft.operators.FrequentItems.misraGries(
+          docs.select(explode(expr(
+            "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))"))
+            .as("tok")), "tok", k = 64))
       time("minhash_lsh_canonical", k)(
         graft.dedup.Dedup.nearDupCanonical(docs, "doc_id", "text"))
       time("simhash_neardup", k)(
