@@ -20,7 +20,7 @@ object CurationQueries {
     q121DedupKeepBest, q122FuzzyDecontam, q125DsirWeights,
     q126PerplexityBuckets, q127QualityClassifier, q129CurationPipeline,
     q153LrTrain, q155BpeTrain, q162BpeApply, q167TarShards, q178AucEval,
-    q180DupRegions, q185SkipgramPairs, q193GiniTree)
+    q180DupRegions, q185SkipgramPairs, q193GiniTree, q197Augment)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1207,5 +1207,62 @@ object CurationQueries {
       .select(col("doc_id"), col("y"), col("fv.f").as("f"),
         least(lit(63L), expr("fv.v div 15625")).as("bin"))
     graft.cluster.GiniTree.fitDepth2(s, feats)
+  }
+
+  /** Deterministic text augmentation — `Curation.augmentDropout` /
+    * `augmentSwap` (EDA, Wei & Zou 2019, with md5 draws instead of RNG
+    * so a rerun regenerates the identical corpus — the reproducibility
+    * property an augmented-training run needs): 10% token dropout and
+    * 20% non-overlapping adjacent-pair swaps. The augmented STRINGS are
+    * pinned through md5 hashes (the oracle rebuilds each augmented text
+    * with string_agg ORDER BY the replayed position permutation), so a
+    * draw-salt slip, an off-by-one in pair indexing, or an unstable
+    * re-join order all hash-mismatch. */
+  val q197Augment: QueryDef = sql(
+    "q197_augment",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n, r.p AS pos, w[r.p + 1] AS tok
+      |      FROM d CROSS JOIN range(0, 1024) r(p) WHERE r.p < len(w)),
+      |drp AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS aug
+      |  FROM t
+      |  WHERE ('0x' || substr(md5(CAST(doc_id AS STRING) || '|aug-drop|' || CAST(pos AS STRING)), 1, 12))::BIGINT % 1000000 >= 100000
+      |  GROUP BY doc_id),
+      |swp AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY new_pos) AS aug
+      |  FROM (SELECT doc_id, n, tok,
+      |          CASE WHEN sw AND pos % 2 = 0 AND pos + 1 < n THEN pos + 1
+      |               WHEN sw AND pos % 2 = 1 THEN pos - 1 ELSE pos END AS new_pos
+      |        FROM (SELECT t.*,
+      |                ('0x' || substr(md5(CAST(doc_id AS STRING) || '|aug-swap|' || CAST(pos // 2 AS STRING)), 1, 12))::BIGINT % 1000000 < 200000 AS sw
+      |              FROM t))
+      |  GROUP BY doc_id),
+      |u AS (
+      |  SELECT d.doc_id, 'drop' AS variant, CAST(len(d.w) AS BIGINT) AS n_orig,
+      |         COALESCE(drp.aug, '') AS aug
+      |  FROM d LEFT JOIN drp USING (doc_id)
+      |  UNION ALL
+      |  SELECT d.doc_id, 'swap', CAST(len(d.w) AS BIGINT), swp.aug
+      |  FROM d JOIN swp USING (doc_id))
+      |SELECT doc_id, variant, n_orig,
+      |       CAST(CASE WHEN aug = '' THEN 0
+      |                 ELSE len(string_split(aug, ' ')) END AS BIGINT) AS n_aug,
+      |       md5(aug) AS aug_hash
+      |FROM u
+      |ORDER BY doc_id, variant""".stripMargin) { (s, d) =>
+    import graft.text.Curation
+    val base = Tables.documents(s, d)
+    val nOrig = base.select(col("doc_id").as("id"),
+      size(split(col("text"), " ")).cast("long").as("n_orig"))
+    def shape(aug: org.apache.spark.sql.DataFrame, variant: String) =
+      aug.join(nOrig, "id")
+        .select(col("id").as("doc_id"), lit(variant).as("variant"),
+          col("n_orig"),
+          when(col("aug_text") === "", 0L)
+            .otherwise(size(split(col("aug_text"), " ")).cast("long")).as("n_aug"),
+          md5(col("aug_text")).as("aug_hash"))
+    shape(Curation.augmentDropout(base, "doc_id", "text", 100000L), "drop")
+      .unionAll(shape(Curation.augmentSwap(base, "doc_id", "text", 200000L), "swap"))
+      .orderBy(col("doc_id"), col("variant"))
   }
 }

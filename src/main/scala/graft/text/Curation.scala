@@ -689,4 +689,48 @@ object Curation {
       .when(dup3 > maxDup3Frac, "4_repetitive")
       .otherwise("5_kept")
   }
+
+  /** md5 integer draw on [0, 1e6) for position `pos` of document `id`
+    * under `salt` — the deterministic randomness every augmentation op
+    * here uses (the skipgramPairs subsampling convention). */
+  private def augDraw(id: Column, salt: String, pos: Column): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(s"|$salt|"),
+      pos.cast("string"))), 1, 12), 16, 10).cast("long") % 1000000L
+
+  /** Token-DROPOUT augmentation (EDA, Wei & Zou 2019, "random deletion"
+    * made deterministic): token at `pos` is dropped when its md5 draw
+    * < `pPpm`. Returns (id, aug_text); a fully-dropped document yields
+    * the empty string, not a missing row. Pure per-row explode →
+    * filter → per-doc ordered re-join; one doc-keyed shuffle. */
+  def augmentDropout(df: DataFrame, idCol: String, textCol: String,
+      pPpm: Long, salt: String = "aug-drop"): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .filter(augDraw(col("id"), salt, col("pos")) >= pPpm)
+      .groupBy(col("id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+        .as("aug_text"))
+    df.select(col(idCol).as("id"))
+      .join(toks, Seq("id"), "left")
+      .select(col("id"), coalesce(col("aug_text"), lit("")).as("aug_text"))
+  }
+
+  /** Adjacent-SWAP augmentation (EDA "random swap", deterministic,
+    * non-overlapping): the token pair (2i, 2i+1) swaps when pair i's md5
+    * draw < `pPpm`; an unpaired tail token never moves. The swapped
+    * order is a permutation, so re-joining on the new position is
+    * total-order safe. */
+  def augmentSwap(df: DataFrame, idCol: String, textCol: String,
+      pPpm: Long, salt: String = "aug-swap"): DataFrame =
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).as("n"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .withColumn("swap",
+        augDraw(col("id"), salt, expr("pos div 2")) < pPpm)
+      .withColumn("new_pos", expr(
+        "CASE WHEN swap AND pos % 2 = 0 AND pos + 1 < n THEN pos + 1 " +
+          "WHEN swap AND pos % 2 = 1 THEN pos - 1 ELSE pos END"))
+      .groupBy(col("id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(new_pos, tok))), x -> x.tok), ' ')")
+        .as("aug_text"))
 }

@@ -509,4 +509,55 @@ class CurationSpec extends SparkSpec {
         s"trial $trial: planted run [$runStart, ${runStart + runLen}) uncovered in ${out.toSeq}")
     }
   }
+
+  /** The augmentation draw replayed with MessageDigest — independent of
+    * the Spark md5/conv chain. */
+  private def augDrawRef(id: Long, salt: String, pos: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$id|$salt|$pos".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 12), 16) % 1000000L
+  }
+
+  test("augmentDropout matches an independent md5 replay; repartition-stable") {
+    val corpus = Seq((1L, "a b c d e f g h i j k l"), (2L, "x y z"),
+      (7L, "one two three four five six seven"))
+    for (parts <- Seq(1, 5)) {
+      val got = Curation.augmentDropout(
+          corpus.toDF("doc_id", "text").repartition(parts),
+          "doc_id", "text", 300000L)
+        .as[(Long, String)].collect().toMap
+      corpus.foreach { case (id, text) =>
+        val kept = text.split(" ").zipWithIndex
+          .filter { case (_, p) => augDrawRef(id, "aug-drop", p) >= 300000L }
+          .map(_._1)
+        assert(got(id) == kept.mkString(" "), s"id=$id parts=$parts")
+      }
+    }
+  }
+
+  test("augmentSwap: non-overlapping pair permutation with fixed unpaired tail") {
+    val corpus = Seq((3L, "a b c d e"), (4L, "p q r s"))
+    val got = Curation.augmentSwap(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", 500000L)
+      .as[(Long, String)].collect().toMap
+    corpus.foreach { case (id, text) =>
+      val w = text.split(" ")
+      val out = w.clone()
+      for (i <- 0 until w.length / 2
+           if augDrawRef(id, "aug-swap", i) < 500000L) {
+        out(2 * i) = w(2 * i + 1); out(2 * i + 1) = w(2 * i)
+      }
+      assert(got(id) == out.mkString(" "), s"id=$id")
+      // a permutation: same multiset of tokens, same length
+      assert(got(id).split(" ").sorted.toSeq == w.sorted.toSeq)
+    }
+  }
+
+  test("augmentDropout: a fully-dropped document yields an empty string row") {
+    val got = Curation.augmentDropout(Seq((9L, "solo")).toDF("doc_id", "text"),
+        "doc_id", "text", 1000000L) // p = 1.0 -> drop everything
+      .as[(Long, String)].collect().toMap
+    assert(got(9L) == "")
+  }
 }
