@@ -25,7 +25,7 @@ object EventQueries {
     q24SlidingWindow, q29AsOfJoin, q63Pivot, q133StreamSessions,
     q138FunnelSteps, q139RetentionCohorts, q151StreamIntervalJoin,
     q152StreamDedup, q156StreamOuterJoin, q157StreamTumbling,
-    q188MadOutliers, q195DriftChiSq)
+    q188MadOutliers, q195DriftChiSq, q198ContribBound)
 
   /** Recency split vs per-user max timestamp (SURVEY §2.2 op 10,
     * assets/takeout.py:70-72): keep events within "-15d" of the user's
@@ -802,6 +802,60 @@ object EventQueries {
         (col("contrib_ppm") > 3840000L &&
           abs(col("diff")) * 1000000L > lit(25000L) * col("ne") * col("nl"))
           .cast("int").as("drifted"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-user contribution bounding — the user-level-privacy
+    * prerequisite (Wilson et al. 2020 "Differentially private SQL",
+    * and the k-anonymity companion to q179): before any released
+    * aggregate, each user's contribution is capped at K = 8 events,
+    * selected by content-addressed md5 order (growth-stable: a user's
+    * kept set never changes when OTHER users' events arrive). Released
+    * per-type counts carry the audit columns: uncapped count, capped
+    * count, contributing users, and the structural theorem
+    * max-per-user-contribution ≤ K pinned at 1. One per-user rank
+    * window + one aggregate; the cap bounds any single user's influence
+    * on every downstream released number. */
+  val q198ContribBound: QueryDef = sql(
+    "q198_contrib_bound",
+    """WITH e AS (
+      |  SELECT event_type, user_id, event_id,
+      |         row_number() OVER (PARTITION BY user_id
+      |            ORDER BY md5(CAST(user_id AS STRING) || '|cb-v1|' || CAST(event_id AS STRING)), event_id) AS rk
+      |  FROM events),
+      |kept AS (SELECT * FROM e WHERE rk <= 8),
+      |mx AS (
+      |  SELECT CAST(max(c) AS BIGINT) AS max_contrib
+      |  FROM (SELECT user_id, count(*) AS c FROM kept GROUP BY user_id)),
+      |unc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_uncapped
+      |        FROM e GROUP BY event_type),
+      |cap AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_capped,
+      |               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |        FROM kept GROUP BY event_type)
+      |SELECT unc.event_type, unc.n_uncapped, cap.n_capped, cap.n_users,
+      |       mx.max_contrib,
+      |       CAST(CASE WHEN mx.max_contrib <= 8 THEN 1 ELSE 0 END AS INT)
+      |         AS cap_ok
+      |FROM unc JOIN cap USING (event_type), mx
+      |ORDER BY unc.event_type""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_type"), col("user_id"),
+        col("event_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(
+          md5(concat(col("user_id").cast("string"), lit("|cb-v1|"),
+            col("event_id").cast("string"))), col("event_id"))))
+    val kept = e.filter(col("rk") <= 8).cache()
+    val mx = kept.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("max_contrib"))
+    val unc = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_uncapped"))
+    val cap = kept.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_capped"),
+        countDistinct(col("user_id")).as("n_users"))
+    unc.join(cap, "event_type").crossJoin(broadcast(mx))
+      .select(col("event_type"), col("n_uncapped"), col("n_capped"),
+        col("n_users"), col("max_contrib"),
+        (col("max_contrib") <= 8).cast("int").as("cap_ok"))
       .orderBy(col("event_type"))
   }
 }

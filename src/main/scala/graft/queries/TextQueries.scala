@@ -28,7 +28,7 @@ object TextQueries {
     q109WindowManifest, q110MixtureWeights, q130LengthBatches,
     q131WeightedSample, q135TfidfTerms, q148Curriculum, q184Bm25TopK,
     q187NormalizedDedup, q191Calibration, q196HardNegatives,
-    q149StratifiedExact, q177Blocklist)
+    q149StratifiedExact, q177Blocklist, q199BudgetSample)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1300,5 +1300,68 @@ object TextQueries {
         col("neg_seq").cast("int").as("neg_seq"), col("neg_id"),
         col("neg_rank").cast("int").as("neg_rank"))
       .orderBy(col("qid"), col("neg_seq"))
+  }
+
+  /** Budgeted proportional sampling with EXACT integer apportionment —
+    * Hamilton's largest-remainder method: per-stratum quota
+    * `200·n_g/N` floored, the leftover slots going to the largest
+    * remainders (ties by lang) — Σ alloc = 200 is a THEOREM, not a
+    * rounding hope (the sampling-family completion: q83 is rate-based,
+    * q131 weight-proportional, q149 fixed-per-stratum; this one hits a
+    * GLOBAL budget exactly while staying proportional). Members drawn
+    * per stratum in content-addressed md5 order (growth-stable).
+    * Precondition budget ≤ N (holds at every sf). Vocabulary-sized
+    * apportionment rows; one per-stratum rank window. */
+  val q199BudgetSample: QueryDef = sql(
+    "q199_budget_sample",
+    """WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_g
+      |           FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM g),
+      |quo AS (SELECT lang, n_g, (200 * n_g) // tot.n AS base,
+      |               (200 * n_g) % tot.n AS rem
+      |        FROM g, tot),
+      |short AS (SELECT 200 - CAST(sum(base) AS BIGINT) AS extra FROM quo),
+      |rked AS (SELECT lang, n_g, base, rem,
+      |                row_number() OVER (ORDER BY rem DESC, lang) AS rr
+      |         FROM quo),
+      |alloc AS (SELECT lang, n_g,
+      |                 CAST(base + CASE WHEN rr <= short.extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |          FROM rked, short),
+      |sel AS (
+      |  SELECT d.lang, d.doc_id,
+      |         row_number() OVER (PARTITION BY d.lang
+      |            ORDER BY md5(CAST(d.doc_id AS STRING) || '|bud-v1'), d.doc_id) AS pos
+      |  FROM documents d)
+      |SELECT sel.lang, CAST(sel.pos AS INT) AS pos, sel.doc_id,
+      |       alloc.alloc, alloc.n_g
+      |FROM sel JOIN alloc USING (lang)
+      |WHERE sel.pos <= alloc.alloc
+      |ORDER BY lang, pos""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = docs(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_g"))
+    val tot = g.agg(sum(col("n_g")).as("n"))
+    val quo = g.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_g"),
+        expr("(200 * n_g) div n").as("base"),
+        expr("(200 * n_g) % n").as("rem"))
+    val short = quo.agg((lit(200L) - sum(col("base"))).as("extra"))
+    val alloc = quo
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"))))
+      .crossJoin(broadcast(short))
+      .select(col("lang"), col("n_g"),
+        (col("base") + when(col("rr") <= col("extra"), 1L).otherwise(0L))
+          .as("alloc"))
+    val sel = docs(s, d)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(
+          md5(concat(col("doc_id").cast("string"), lit("|bud-v1"))),
+          col("doc_id"))))
+    sel.join(broadcast(alloc), "lang")
+      .filter(col("pos") <= col("alloc"))
+      .select(col("lang"), col("pos").cast("int").as("pos"), col("doc_id"),
+        col("alloc"), col("n_g"))
+      .orderBy(col("lang"), col("pos"))
   }
 }

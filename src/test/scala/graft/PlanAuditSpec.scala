@@ -42,7 +42,9 @@ class PlanAuditSpec extends SparkSpec {
     "q185_skipgram_pairs", // vocabulary × broadcast 1-row corpus total for keep_ppm (q113's shape)
     "q191_calibration", // ≤10 bucket rows × broadcast 1-row (N, gap) totals (q113's shape)
     "q196_hard_negatives", // q184's shape: postings × broadcast 1-row (T, Nd) corpus totals
-    "q195_drift_chisq") // events × broadcast 1-row time cut + 1-row (ne, nl) totals (q113's shape)
+    "q195_drift_chisq", // events × broadcast 1-row time cut + 1-row (ne, nl) totals (q113's shape)
+    "q198_contrib_bound", // per-type counts × broadcast 1-row max-contribution audit (q113's shape)
+    "q199_budget_sample") // 5-row strata × broadcast 1-row totals/shortfall (q113's shape)
 
   /** Queries whose run function EXECUTES side-effectful work (index build,
     * store writes, a scratch-table write, a streaming tick) before
