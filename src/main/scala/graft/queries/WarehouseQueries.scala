@@ -22,7 +22,8 @@ object WarehouseQueries {
   def all: Seq[QueryDef] = Seq(
     q140PagerankNations, q141ZorderLayout, q142BloomPrune, q143Scd2History,
     q144CountMinHeavy, q145EventTransitions, q146MergeTombstones,
-    q150IncrementalAgg, q179KAnonymity, q182LabelProp, q189MgHeavy)
+    q150IncrementalAgg, q179KAnonymity, q182LabelProp, q189MgHeavy,
+    q200QuantileSketch)
 
   /** The nation→nation supply graph: an edge when a customer of nation
     * `src` ordered a line item supplied from nation `dst`. Fact-fact join
@@ -632,6 +633,56 @@ object WarehouseQueries {
           (col("d") <= expr("n div 65")).cast("int").as("d_cap_ok"),
           col("m").as("n_missing_heavy"))
         .orderBy(col("est_cnt").desc, col("tok"))
+    }
+  }
+
+  /** Mergeable quantile sketch — `operators.QuantileSummary` (the
+    * MRL-lineage deterministic rank-sample summary, completing the
+    * mergeable-summaries shelf: KMV distinct, HLL registers, CMS point
+    * counts, MG frequent items, and now quantiles) over the events
+    * value stream on the ppm grid. Deciles are read off the merged
+    * summary; the oracle recomputes each reported value's TRUE rank
+    * window `[count(<x), count(≤x)]` from the raw table and pins the
+    * structure's theorems: `count(≤x) ≥ ⌈φN⌉` and
+    * `count(<x) < ⌈φN⌉ + 2E`, with N and the budget E = Σ_p ⌈n_p/m⌉
+    * carried in the summary itself (self-describing marker rows).
+    * Mechanism as q189: the decile table is engine-pinned via scratch;
+    * the bounds hold for ANY partition layout. */
+  val q200QuantileSketch: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q200_quantile_sketch")
+    QueryDef.sql(
+      "q200_quantile_sketch",
+      s"""WITH s AS (SELECT phi_pct, value, target_rank, n_total, err_bound
+         |           FROM read_parquet('$p/*.parquet')),
+         |e AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+         |r AS (SELECT s.phi_pct, s.value, s.target_rank, s.n_total, s.err_bound,
+         |        (SELECT CAST(count(*) AS BIGINT) FROM e WHERE e.v < s.value) AS rank_lo,
+         |        (SELECT CAST(count(*) AS BIGINT) FROM e WHERE e.v <= s.value) AS rank_hi
+         |      FROM s)
+         |SELECT phi_pct, value, target_rank, n_total, err_bound,
+         |       rank_lo, rank_hi,
+         |       CAST(rank_hi >= target_rank AS INT) AS hi_ok,
+         |       CAST(rank_lo < target_rank + 2 * err_bound AS INT) AS lo_ok
+         |FROM r ORDER BY phi_pct""".stripMargin) { (s, d) =>
+      import graft.operators.QuantileSummary
+      val ev = Tables.events(s, d)
+        .select(graft.functions.fixed_point(col("value"), 1e6).as("v"))
+      val path = graft.core.Scratch.dir("q200_quantile_sketch", d)
+      QuantileSummary.quantiles(
+          QuantileSummary.summaries(ev, "v", m = 256), q = 10)
+        .write.mode("overwrite").parquet(path)
+      val dec = s.read.parquet(path)
+      ev.crossJoin(broadcast(dec))
+        .groupBy(col("phi_pct"), col("value"), col("target_rank"),
+          col("n_total"), col("err_bound"))
+        .agg(sum(when(col("v") < col("value"), 1L).otherwise(0L)).as("rank_lo"),
+          sum(when(col("v") <= col("value"), 1L).otherwise(0L)).as("rank_hi"))
+        .select(col("phi_pct"), col("value"), col("target_rank"),
+          col("n_total"), col("err_bound"), col("rank_lo"), col("rank_hi"),
+          (col("rank_hi") >= col("target_rank")).cast("int").as("hi_ok"),
+          (col("rank_lo") < col("target_rank") + lit(2L) * col("err_bound"))
+            .cast("int").as("lo_ok"))
+        .orderBy(col("phi_pct"))
     }
   }
 }

@@ -112,7 +112,10 @@ class PlanAuditSpec extends SparkSpec {
     "q192_leakage_split",
     // writes the band-bucket index + probe pairs to scratch; the
     // probe-only join shape is pinned in DedupSpec
-    "q194_incremental_dedup")
+    "q194_incremental_dedup",
+    // writes the decile read to scratch for the oracle's true-rank
+    // audit; summary/read shapes pinned in QuantileSummarySpec
+    "q200_quantile_sketch")
 
   private def auditable: Seq[String] =
     SparkEntry.allQueries.map(_.name).filterNot(sideEffecting)
