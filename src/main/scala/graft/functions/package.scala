@@ -44,6 +44,12 @@ package object functions {
   def word_shingles(tokens: Column, k: Int): Column =
     c(WordShingles(e(tokens), k))
 
+  /** Character k-shingles of a string (codegen'd single boundary-walk
+    * pass; empty array below k characters) — substring/transform parity,
+    * see CharShingles. */
+  def char_shingles(text: Column, k: Int): Column =
+    c(CharShingles(e(text), k))
+
   /** min(md5(salt || shingle)) over word 3-shingles of a token array —
     * exact parity with `array_min(transform(shingles, md5(salt || s)))`
     * in one tight loop, no shingle materialization. */
@@ -127,6 +133,7 @@ package object functions {
     "extract_json_objects" -> ((es: Seq[CExpr]) => ExtractJsonObjects(es.head)),
     "simhash64" -> ((es: Seq[CExpr]) => SimHash64(es.head)),
     "word_shingles" -> ((es: Seq[CExpr]) => WordShingles(es.head, intArg(es, 1, 3))),
+    "char_shingles" -> ((es: Seq[CExpr]) => CharShingles(es.head, intArg(es, 1, 3))),
     "winnow_fingerprint" -> ((es: Seq[CExpr]) =>
       WinnowFingerprint(es.head, intArg(es, 1, 8), intArg(es, 2, 16))),
     "minhash_signature" -> ((es: Seq[CExpr]) =>

@@ -600,14 +600,13 @@ object WarehouseQueries {
          |       miss.m AS n_missing_heavy
          |FROM top JOIN vocab USING (tok), d, nn, miss
          |ORDER BY est_cnt DESC, tok""".stripMargin) { (s, d) =>
-      // cache the exploded stream: the trigram transform is an
-      // interpreted HOF and FOUR passes read it (sketch, N, vocab
+      // cache the exploded stream: FOUR passes read it (sketch, N, vocab
       // coverage, reported-token counts) — projection collapse would
-      // re-inline the explode into every one (4.7s -> benched via
-      // TimeQuery with the cache barrier)
-      val toks = Tables.documents(s, d).select(explode(expr(
-        "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))"))
-        .as("tok")).cache()
+      // re-inline the explode into every one (benched via TimeQuery with
+      // the cache barrier); char_shingles is the codegen'd O(n) kernel
+      // replacing the interpreted O(n²) substring HOF
+      val toks = Tables.documents(s, d).select(explode(
+        graft.functions.char_shingles(col("text"), 3)).as("tok")).cache()
       val path = graft.core.Scratch.dir("q189_mg_heavy", d)
       graft.operators.FrequentItems.misraGries(toks, "tok", k = 64)
         .write.mode("overwrite").parquet(path)

@@ -81,9 +81,9 @@ object ScaleSmoke {
           spark.read.parquet(probeIdxPath)))
       time("mg_frequent_items", k)(
         graft.operators.FrequentItems.misraGries(
-          docs.select(explode(expr(
-            "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))"))
-            .as("tok")), "tok", k = 64))
+          docs.select(explode(
+            graft.functions.char_shingles(col("text"), 3)).as("tok")),
+          "tok", k = 64))
       time("minhash_lsh_canonical", k)(
         graft.dedup.Dedup.nearDupCanonical(docs, "doc_id", "text"))
       time("simhash_neardup", k)(

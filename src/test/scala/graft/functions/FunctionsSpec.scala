@@ -287,6 +287,29 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("char_shingles ≡ the declarative substring HOF spelling (incl. multi-byte)") {
+    // the expression replaced this exact HOF formulation in q189's trigram
+    // stream for speed; equality (code-point character semantics, the
+    // short-string empty array) is the contract
+    val df = Seq(
+      "the quick brown fox",
+      "ab",                    // shorter than k=3
+      "",                      // empty
+      "héllo wörld",           // 2-byte UTF-8 sequences
+      "日本語のテキスト",        // 3-byte sequences
+      "a😀b😀c",               // 4-byte (supplementary) code points
+      "xyz"                    // exactly k
+    ).toDF("text")
+    for (k <- Seq(1, 3, 5)) {
+      val rows = df.select(char_shingles(col("text"), k).as("fast"),
+        when(length(col("text")) >= k,
+          transform(sequence(lit(1), length(col("text")) - (k - 1)),
+            i => col("text").substr(i, lit(k))))
+          .otherwise(array().cast("array<string>")).as("slow")).collect()
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"k=$k"))
+    }
+  }
+
   test("fnv1a64 is pinned (golden values)") {
     // golden values computed from the FNV-1a reference parameters
     assert(Fnv1a64.hashString("") == 0xcbf29ce484222325L)
