@@ -1145,8 +1145,12 @@ object CurationQueries {
     * oracle replays ALL THREE split searches (root + both children),
     * the node assignment, and the leaf histograms; the 7-row node table
     * hash-pins the whole fitted model. Non-degenerate at every sf by
-    * construction (continuous ppm features); the degenerate-child leaf
-    * fallback is spec-pinned instead. */
+    * construction (continuous ppm features), but the oracle ALSO replays
+    * the degenerate-child fallback (NOT EXISTS branches: pure/constant
+    * child → leaf node + two empty leaves, same fixed 7 rows) so a
+    * datagen change can't silently desynchronize the engines — DuckDB
+    * cross-checked against `fitDepth2` on a two-text degenerate fixture
+    * (both children constant; spec also pins the Spark side). */
   val q193GiniTree: QueryDef = sql(
     "q193_gini_tree",
     s"""WITH d AS (
@@ -1171,18 +1175,32 @@ object CurationQueries {
        |leaf34 AS (
        |  SELECT CASE WHEN fe.bin <= b1.bin THEN 3 ELSE 4 END AS node_id,
        |         CAST(count(*) AS BIGINT) AS n, CAST(sum(fe.y) AS BIGINT) AS pos
-       |  FROM fl fe, b1 WHERE fe.f = b1.f GROUP BY 1),
+       |  FROM fl fe, b1 WHERE fe.f = b1.f GROUP BY 1
+       |  UNION ALL
+       |  SELECT u.node_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM (SELECT 3 AS node_id UNION ALL SELECT 4) u
+       |  WHERE NOT EXISTS (SELECT 1 FROM b1)),
        |leaf56 AS (
        |  SELECT CASE WHEN fe.bin <= b2.bin THEN 5 ELSE 6 END AS node_id,
        |         CAST(count(*) AS BIGINT) AS n, CAST(sum(fe.y) AS BIGINT) AS pos
-       |  FROM fr fe, b2 WHERE fe.f = b2.f GROUP BY 1),
+       |  FROM fr fe, b2 WHERE fe.f = b2.f GROUP BY 1
+       |  UNION ALL
+       |  SELECT u.node_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM (SELECT 5 AS node_id UNION ALL SELECT 6) u
+       |  WHERE NOT EXISTS (SELECT 1 FROM b2)),
        |nodes AS (
        |  SELECT 0 AS node_id, 'split' AS kind, f AS feature, bin AS thr_bin,
        |         (bin + 1) * 15625 AS thr_ppm, nl + nr AS n, pl + pr AS pos FROM b0
        |  UNION ALL
        |  SELECT 1, 'split', f, bin, (bin + 1) * 15625, nl + nr, pl + pr FROM b1
        |  UNION ALL
+       |  SELECT 1, 'leaf', '', -1, 0, b0.nl, b0.pl FROM b0
+       |  WHERE NOT EXISTS (SELECT 1 FROM b1)
+       |  UNION ALL
        |  SELECT 2, 'split', f, bin, (bin + 1) * 15625, nl + nr, pl + pr FROM b2
+       |  UNION ALL
+       |  SELECT 2, 'leaf', '', -1, 0, b0.nr, b0.pr FROM b0
+       |  WHERE NOT EXISTS (SELECT 1 FROM b2)
        |  UNION ALL
        |  SELECT node_id, 'leaf', '', -1, 0, n, pos FROM leaf34
        |  UNION ALL
