@@ -20,6 +20,7 @@ object CurationQueries {
     q121DedupKeepBest, q122FuzzyDecontam, q125DsirWeights,
     q126PerplexityBuckets, q127QualityClassifier, q129CurationPipeline,
     q153LrTrain, q155BpeTrain, q162BpeApply, q167TarShards, q178AucEval,
+    q201ApEval,
     q180DupRegions, q185SkipgramPairs, q193GiniTree, q197Augment)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
@@ -1034,6 +1035,66 @@ object CurationQueries {
     val tasks = scored.crossJoin(broadcast(langs))
       .withColumn("is_pos", (col("lang") === col("eval_lang")).cast("int"))
     graft.text.Eval.rankAucByGroup(tasks, "eval_lang", "sw_ppm", "is_pos")
+      .orderBy(col("eval_lang"))
+  }
+
+  /** Exact average precision (non-interpolated Σ prec@k — the PR-curve
+    * companion to q178's ROC rank-AUC; same score, same one-vs-rest
+    * language task) with the deterministic (score DESC, doc_id ASC)
+    * tie-break. The per-term `(tp·10^9) div rank` floor keeps the whole
+    * statistic integer (float policy), and the shape never sorts the
+    * corpus globally: above-score terms come from the q178 histogram
+    * prefix, tie-local terms from a window bounded by the largest tie
+    * block — see `Eval.averagePrecisionByGroup`. */
+  val q201ApEval: QueryDef = sql(
+    "q201_ap_eval",
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |         (CAST(len(list_filter(string_split(text, ' '),
+      |                    t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+      |          * 1000000) // len(string_split(text, ' ')) AS sw_ppm
+      |  FROM documents),
+      |langs AS (SELECT DISTINCT lang AS eval_lang FROM documents),
+      |b AS (
+      |  SELECT l.eval_lang, s.doc_id, s.sw_ppm AS sc,
+      |         CASE WHEN s.lang = l.eval_lang THEN 1 ELSE 0 END AS is_pos
+      |  FROM s CROSS JOIN langs l),
+      |hist AS (
+      |  SELECT eval_lang, sc, CAST(sum(is_pos) AS BIGINT) AS pos_n,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM b GROUP BY 1, 2),
+      |pre AS (
+      |  SELECT eval_lang, sc,
+      |         CAST(coalesce(sum(pos_n) OVER (PARTITION BY eval_lang ORDER BY sc DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pos_above,
+      |         CAST(coalesce(sum(n) OVER (PARTITION BY eval_lang ORDER BY sc DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_above
+      |  FROM hist),
+      |r AS (
+      |  SELECT b.eval_lang, b.is_pos,
+      |         pre.n_above + row_number() OVER (PARTITION BY b.eval_lang, b.sc
+      |           ORDER BY b.doc_id) AS rnk,
+      |         pre.pos_above + CAST(sum(b.is_pos) OVER (PARTITION BY b.eval_lang, b.sc
+      |           ORDER BY b.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp
+      |  FROM b JOIN pre ON b.eval_lang = pre.eval_lang AND b.sc = pre.sc),
+      |a AS (
+      |  SELECT eval_lang, CAST(sum(is_pos) AS BIGINT) AS n_pos,
+      |         CAST(count(*) - sum(is_pos) AS BIGINT) AS n_neg,
+      |         CAST(sum(CASE WHEN is_pos = 1 THEN (tp * 1000000000) // rnk
+      |                       ELSE 0 END) AS BIGINT) AS ap_e9_sum
+      |  FROM r GROUP BY 1)
+      |SELECT eval_lang, n_pos, n_neg, ap_e9_sum,
+      |       CAST(CASE WHEN n_pos > 0 THEN ap_e9_sum // (n_pos * 1000) END AS BIGINT) AS ap_ppm
+      |FROM a ORDER BY eval_lang""".stripMargin) { (s, d) =>
+    val scored = docs(s, d).select(col("doc_id"), col("lang"),
+      expr("(CAST(size(filter(split(text, ' '), " +
+        "t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) * 1000000) " +
+        "div size(split(text, ' '))").as("sw_ppm"))
+    val langs = scored.select(col("lang").as("eval_lang")).distinct()
+    val tasks = scored.crossJoin(broadcast(langs))
+      .withColumn("is_pos", (col("lang") === col("eval_lang")).cast("int"))
+    graft.text.Eval.averagePrecisionByGroup(tasks, "eval_lang", "doc_id",
+        "sw_ppm", "is_pos")
       .orderBy(col("eval_lang"))
   }
 

@@ -73,6 +73,60 @@ object Eval {
         col("auc_ppm"))
   }
 
+  /** Per-group exact average precision (area under the PR curve in the
+    * standard non-interpolated Σ prec@k sense — Zhu 2004 / trec_eval's
+    * AP) of an integral score against a 0/1 positive flag, ranking by
+    * (score DESC, id ASC) — the deterministic doc-id tie-break trec_eval
+    * uses, so the statistic is a pure function of the data.
+    *
+    * {{{
+    *   rank(d) = nAbove(s_d) + tieSeq(d)                 // 1-based
+    *   tp(d)   = posAbove(s_d) + tiePos(d)
+    *   apE9    = Σ_{d: pos} (tp(d)·10^9) div rank(d)     // per-term floor
+    *   ap_ppm  = apE9 div (n_pos·10^3)
+    * }}}
+    * The per-term floor division makes apE9 a deterministic integer
+    * pinned EXACTLY in both engines (the repo float policy: never compare
+    * on a raw double); the ≤ n_pos·10^-9-scale floor bias is far below
+    * any decision threshold.
+    *
+    * Scale shape (100 TB story): no global per-group sort. The
+    * above-score prefix terms come from the q178 histogram (one shuffle
+    * onto |groups|·|distinct scores| ≤ 10^6·|groups| cells, window over
+    * distinct scores); the tie-local terms are a window partitioned by
+    * (group, score) — bounded by the largest tie block, never the
+    * corpus. Groups without positives emit NULL ap_ppm. */
+  def averagePrecisionByGroup(df: DataFrame, groupCol: String,
+      idCol: String, scoreCol: String, posCol: String): DataFrame = {
+    val base = df.select(col(groupCol), col(idCol).as("d_id"),
+      col(scoreCol).cast("long").as("s"),
+      when(col(posCol) =!= 0, 1L).otherwise(0L).as("is_pos"))
+    val hist = base.groupBy(col(groupCol), col("s"))
+      .agg(sum(col("is_pos")).as("pos_n"),
+        count(lit(1)).as("n"))
+    val wDesc = Window.partitionBy(col(groupCol)).orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = hist
+      .withColumn("pos_above", coalesce(sum(col("pos_n")).over(wDesc), lit(0L)))
+      .withColumn("n_above", coalesce(sum(col("n")).over(wDesc), lit(0L)))
+      .select(col(groupCol), col("s"), col("pos_above"), col("n_above"))
+    val wTie = Window.partitionBy(col(groupCol), col("s")).orderBy(col("d_id"))
+    val ranked = base.join(prefix, Seq(groupCol, "s"))
+      .withColumn("tie_seq", row_number().over(wTie).cast("long"))
+      .withColumn("tie_pos", sum(col("is_pos")).over(wTie))
+      .withColumn("rank", col("n_above") + col("tie_seq"))
+      .withColumn("tp", col("pos_above") + col("tie_pos"))
+    ranked.groupBy(col(groupCol))
+      .agg(
+        sum(col("is_pos")).as("n_pos"),
+        (count(lit(1)) - sum(col("is_pos"))).as("n_neg"),
+        sum(when(col("is_pos") =!= 0L,
+          expr("(tp * 1000000000) div rank")).otherwise(0L)).as("ap_e9_sum"))
+      .withColumn("ap_ppm",
+        when(col("n_pos") > 0, expr("ap_e9_sum div (n_pos * 1000)"))
+          .otherwise(lit(null).cast("long")))
+  }
+
   /** Reliability diagram + expected calibration error over ppm
     * confidences — AUC's companion: AUC measures RANKING quality, ECE
     * measures whether the score's VALUE means what it claims

@@ -68,6 +68,59 @@ class EvalSpec extends SparkSpec {
     assert(joint == solo)
   }
 
+  /** Brute-force AP reference: sort by (score DESC, id ASC), walk the
+    * ranking, Σ (tp·10^9) div rank over positives — the literal
+    * definition the distributed histogram+tie-window shape must match. */
+  private def bruteAp(rows: Seq[(Long, Long, Int)]): (Long, Long, Long, Long) = {
+    val sorted = rows.sortBy { case (id, s, _) => (-s, id) }
+    var tp = 0L; var apE9 = 0L
+    sorted.zipWithIndex.foreach { case ((_, _, p), i) =>
+      if (p != 0) { tp += 1; apE9 += tp * 1000000000L / (i + 1) }
+    }
+    val nPos = rows.count(_._3 != 0).toLong
+    val nNeg = rows.size - nPos
+    (nPos, nNeg, apE9, if (nPos > 0) apE9 / (nPos * 1000L) else -1L)
+  }
+
+  private def runAp(rows: Seq[(String, Long, Long, Int)]) = {
+    val df = spark.createDataFrame(rows).toDF("g", "id", "score", "is_pos")
+    Eval.averagePrecisionByGroup(df, "g", "id", "score", "is_pos")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+  }
+
+  test("AP hand goldens: perfect, inverted, tie-broken by id") {
+    val out = runAp(Seq(
+      // perfect: positives at ranks 1,2 → AP = 1
+      ("perfect", 1L, 10L, 1), ("perfect", 2L, 9L, 1),
+      ("perfect", 3L, 2L, 0), ("perfect", 4L, 1L, 0),
+      // single positive at rank 2 → AP = 1/2
+      ("half", 1L, 9L, 0), ("half", 2L, 5L, 1),
+      // tie block: pos id=2 after neg id=1 at same score → rank 2, AP 1/2
+      ("tie", 1L, 5L, 0), ("tie", 2L, 5L, 1)))
+    assert(out("perfect") == ((2L, 2L, 2000000000L, 1000000L)))
+    assert(out("half") == ((1L, 1L, 500000000L, 500000L)))
+    assert(out("tie") == ((1L, 1L, 500000000L, 500000L)))
+  }
+
+  test("AP degenerate: no positives → NULL ap_ppm") {
+    val out = runAp(Seq(("neg", 1L, 3L, 0), ("neg", 2L, 7L, 0)))
+    assert(out("neg") == ((0L, 2L, 0L, -1L)))
+  }
+
+  test("AP randomized agreement with the sorted-walk definition") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 10) {
+      val rows = (1 to 80).map { i =>
+        (i.toLong, rnd.nextInt(7).toLong, if (rnd.nextInt(3) == 0) 1 else 0)
+      }
+      val expect = bruteAp(rows)
+      val out = runAp(rows.map { case (id, s, p) => ("g", id, s, p) })
+      assert(out("g") == expect, s"trial $trial")
+    }
+  }
+
   import spark.implicits._
 
   private def calib(rows: Seq[(Long, Int)]) =
