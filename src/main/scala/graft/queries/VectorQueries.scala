@@ -24,7 +24,7 @@ object VectorQueries {
     q30Top1Similar, q31NearDupBucketed, q32KnnBruteForce, q33Centroids,
     q34LshTopK, q35IvfTopK, q36IvfIndexTopK, q88HofDot, q94IvfExactServe,
     q106IvfUpsertServe, q128PqAdcServe, q132IvfAdcServe, q147RetrievalChunks,
-    q154KmeansTrain, q163ContrastivePairs, q181Sq8Serve)
+    q154KmeansTrain, q163ContrastivePairs, q181Sq8Serve, q202KCenterSeeds)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
@@ -182,6 +182,57 @@ object VectorQueries {
           k = 4, iters = 2)
         .select(col("k"), col("j"), col("c").as("c_ppm"))
         .orderBy(col("k"), col("j"))
+    }
+  }
+
+  /** Farthest-point k-center seeding oracle-checked exactly
+    * (`cluster.KCenter.farthestPoints` — Gonzalez's deterministic
+    * 2-approximation, the reproducible alternative to k-means++ draws
+    * and the seeding stage under IVF/PQ builds): anchor = smallest id,
+    * then 3 argmax-of-min-integer-d² rounds with id tie-break, plus the
+    * final coverage radius. The oracle unrolls every round as a CTE
+    * chain over the same 1e-6-grid quantized vectors (the q154
+    * discipline); selection ranks, selection distances, and the radius
+    * all hash-pin the traversal. */
+  val q202KCenterSeeds: QueryDef = {
+    def dist(tag: String, centerSel: String): String =
+      s"c$tag AS (SELECT q.j, q.x AS cx FROM qx q JOIN $centerSel USING (vid)), " +
+        s"d$tag AS (SELECT q.vid, CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS d FROM qx q JOIN c$tag c USING (j) GROUP BY q.vid)"
+    sql(
+      "q202_kcenter_seeds",
+      s"""WITH qx AS (
+         |  SELECT vid, CAST(i - 1 AS BIGINT) AS j,
+         |         CAST(round(e * 1000000) AS BIGINT) AS x
+         |  FROM (SELECT vec_id AS vid,
+         |               unnest(CAST(embedding AS DOUBLE[]) ) AS e,
+         |               generate_subscripts(embedding, 1) AS i
+         |        FROM embeddings)),
+         |s0 AS (SELECT min(vid) AS vid FROM qx),
+         |${dist("0", "s0")},
+         |m0 AS (SELECT vid, d AS md FROM d0),
+         |s1 AS (SELECT vid, md FROM m0 ORDER BY md DESC, vid LIMIT 1),
+         |${dist("1", "s1")},
+         |m1 AS (SELECT m.vid, CASE WHEN d.d < m.md THEN d.d ELSE m.md END AS md
+         |       FROM m0 m JOIN d1 d USING (vid)),
+         |s2 AS (SELECT vid, md FROM m1 ORDER BY md DESC, vid LIMIT 1),
+         |${dist("2", "s2")},
+         |m2 AS (SELECT m.vid, CASE WHEN d.d < m.md THEN d.d ELSE m.md END AS md
+         |       FROM m1 m JOIN d2 d USING (vid)),
+         |s3 AS (SELECT vid, md FROM m2 ORDER BY md DESC, vid LIMIT 1),
+         |${dist("3", "s3")},
+         |m3 AS (SELECT m.vid, CASE WHEN d.d < m.md THEN d.d ELSE m.md END AS md
+         |       FROM m2 m JOIN d3 d USING (vid)),
+         |rad AS (SELECT CAST(max(md) AS BIGINT) AS r FROM m3),
+         |sel AS (
+         |  SELECT 0 AS center_no, vid, CAST(0 AS BIGINT) AS sel_d2 FROM s0
+         |  UNION ALL SELECT 1, vid, md FROM s1
+         |  UNION ALL SELECT 2, vid, md FROM s2
+         |  UNION ALL SELECT 3, vid, md FROM s3)
+         |SELECT CAST(center_no AS BIGINT) AS center_no,
+         |       CAST(vid AS BIGINT) AS vec_id, sel_d2, rad.r AS radius_d2
+         |FROM sel, rad ORDER BY center_no""".stripMargin) { (s, d) =>
+      graft.cluster.KCenter.farthestPoints(emb(s, d), "vec_id", "embedding",
+        k = 4)
     }
   }
 
