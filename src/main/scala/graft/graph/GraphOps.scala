@@ -149,4 +149,42 @@ object GraphOps {
     }
     labels.select(col("id"), col("lab").as("community"))
   }
+
+  /** Per-node triangle counts by the degree-ordered node-iterator
+    * (Suri & Vassilvitskii WWW 2011 — "the curse of the last reducer"):
+    * orient every edge from its lower-(degree, id) endpoint to the
+    * higher, enumerate wedges only at each edge's LOW-degree end, and
+    * close them against the undirected edge set. The orientation bounds
+    * per-node wedge fanout by O(√m) on any graph (a star's hub generates
+    * ZERO wedges because all its edges point outward-by-degree), which is
+    * what makes the self-join survive skew at 100 TB; every join is an
+    * equi-join (wedges shuffle on the closing (x, y) pair).
+    *
+    * @param pairs undirected edges normalized as (a, b) with a < b,
+    *              deduplicated.
+    * @return (id, tri) for nodes in ≥1 triangle. */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val pe = pairs.select(col("a"), col("b"))
+    val deg = pe.select(col("a").as("id"))
+      .union(pe.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+    // orient a→b iff (deg(a), a) < (deg(b), b); a < b makes the id
+    // tie-break "keep as-is"
+    val o = pe
+      .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
+    val wedges = o.select(col("u"), col("v").as("x"))
+      .join(o.select(col("u"), col("v").as("y")), "u")
+      .filter(col("x") < col("y"))
+    val tri = wedges.join(pe,
+      wedges("x") === pe("a") && wedges("y") === pe("b"))
+      .select(col("u"), col("x"), col("y"))
+    tri.select(col("u").as("id"))
+      .union(tri.select(col("x").as("id")))
+      .union(tri.select(col("y").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+  }
 }

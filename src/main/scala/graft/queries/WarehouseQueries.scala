@@ -23,6 +23,7 @@ object WarehouseQueries {
     q140PagerankNations, q141ZorderLayout, q142BloomPrune, q143Scd2History,
     q144CountMinHeavy, q145EventTransitions, q146MergeTombstones,
     q150IncrementalAgg, q179KAnonymity, q182LabelProp, q189MgHeavy,
+    q203CoTriangles,
     q200QuantileSketch)
 
   /** The nation→nation supply graph: an edge when a customer of nation
@@ -554,6 +555,59 @@ object WarehouseQueries {
         when(col("id") % 2 === 0, "customer").otherwise("supplier").as("kind"),
         col("community"), col("csize"))
       .orderBy(col("id"))
+  }
+
+  /** Triangle counting on the co-purchase graph (parts sharing an order)
+    * by the degree-ordered node-iterator — `GraphOps.triangleCounts`
+    * (Suri & Vassilvitskii WWW 2011): edges orient low→high (degree, id),
+    * wedges enumerate only at the low end (a hub emits ZERO wedges — the
+    * skew guard that survives 100 TB), and close against the undirected
+    * edge set. The one-mode projection is bounded per order (≤ C(7,2)
+    * pairs). Output: top-50 nodes by triangle membership with the global
+    * triangle total (Σ tri div 3) and edge count pinned alongside. */
+  val q203CoTriangles: QueryDef = sql(
+    "q203_co_triangles",
+    """WITH pe AS (
+      |  SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
+      |                  CAST(y.l_partkey AS BIGINT) AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |deg AS (
+      |  SELECT id, CAST(count(*) AS BIGINT) AS dg
+      |  FROM (SELECT a AS id FROM pe UNION ALL SELECT b FROM pe)
+      |  GROUP BY id),
+      |o AS (
+      |  SELECT CASE WHEN da.dg <= db.dg THEN pe.a ELSE pe.b END AS u,
+      |         CASE WHEN da.dg <= db.dg THEN pe.b ELSE pe.a END AS v
+      |  FROM pe JOIN deg da ON pe.a = da.id JOIN deg db ON pe.b = db.id),
+      |w AS (
+      |  SELECT o1.u, o1.v AS x, o2.v AS y
+      |  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v),
+      |tri AS (
+      |  SELECT w.u, w.x, w.y FROM w JOIN pe ON pe.a = w.x AND pe.b = w.y),
+      |pn AS (
+      |  SELECT id, CAST(count(*) AS BIGINT) AS tri
+      |  FROM (SELECT u AS id FROM tri UNION ALL SELECT x FROM tri
+      |        UNION ALL SELECT y FROM tri)
+      |  GROUP BY id),
+      |tot AS (SELECT CAST(sum(tri) // 3 AS BIGINT) AS n_tri FROM pn),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pe)
+      |SELECT pn.id AS part_id, pn.tri, tot.n_tri, m.n_edges
+      |FROM pn, tot, m
+      |ORDER BY pn.tri DESC, pn.id LIMIT 50""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pe = l.as("x").join(l.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").cast("long").as("a"),
+        col("y.l_partkey").cast("long").as("b"))
+      .distinct()
+    val pn = graft.graph.GraphOps.triangleCounts(pe)
+    val tot = pn.agg(expr("sum(tri) div 3").as("n_tri"))
+    val m = pe.agg(count(lit(1)).as("n_edges"))
+    pn.crossJoin(broadcast(tot)).crossJoin(broadcast(m))
+      .select(col("id").as("part_id"), col("tri"), col("n_tri"), col("n_edges"))
+      .orderBy(col("tri").desc, col("part_id")).limit(50)
   }
 
   /** Mergeable heavy hitters — `operators.FrequentItems.misraGries`

@@ -120,4 +120,47 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a == b && a == c)
   }
+
+  /** Brute-force triangle reference: enumerate all vertex triples over
+    * the adjacency set — the literal definition the degree-ordered
+    * node-iterator must match per node. */
+  private def bruteTriangles(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      i <- nodes; j <- nodes if j > i && adj(i)(j)
+      k <- nodes if k > j && adj(i)(k) && adj(j)(k)
+    } { counts(i) += 1; counts(j) += 1; counts(k) += 1 }
+    counts.toMap
+  }
+
+  private def triCounts(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.triangleCounts(pairs.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("triangleCounts: hand fixtures — triangle, square, clique, star") {
+    // K3: each node in 1 triangle
+    assert(triCounts(Seq((1L, 2L), (1L, 3L), (2L, 3L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // C4 (square, no diagonal): zero triangles
+    assert(triCounts(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))).isEmpty)
+    // K4: 4 triangles, each node in 3
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(triCounts(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // star: hub + leaves, no closing edges → zero
+    assert(triCounts(Seq((1L, 10L), (2L, 10L), (3L, 10L))).isEmpty)
+  }
+
+  test("triangleCounts: randomized agreement with the brute triple scan") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 5) {
+      val pairs = (for {
+        i <- 1L to 15L; j <- (i + 1) to 15L if rnd.nextInt(3) == 0
+      } yield (i, j)).toSeq
+      if (pairs.nonEmpty)
+        assert(triCounts(pairs) == bruteTriangles(pairs), s"trial $trial")
+    }
+  }
 }
