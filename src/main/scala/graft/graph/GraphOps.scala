@@ -187,4 +187,58 @@ object GraphOps {
       .union(tri.select(col("y").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("tri"))
   }
+
+  /** Result of a k-core peel: surviving nodes with their in-core degree,
+    * the surviving edge set, whether the peel reached its fixpoint within
+    * the round budget, and the rounds actually run. */
+  final case class KCoreResult(nodes: DataFrame, edges: DataFrame,
+      converged: Boolean, rounds: Int)
+
+  /** The k-core: the maximal subgraph in which every node has degree ≥ k
+    * (Seidman 1983; Matula & Beck JACM 1983's peeling), by synchronous
+    * iterative peeling — each round recomputes degrees over the surviving
+    * edge set and drops every node below k. The peel is monotone (nodes
+    * only leave), so an unchanged survivor COUNT is an exact fixpoint
+    * test, and the whole recurrence is integer counts end to end — a
+    * second engine unrolls the identical rounds (q204's oracle).
+    *
+    * Scale shape: one round = one union + count groupBy (degree) + two
+    * equi-joins (edge restriction) — no windows, no collects; survivor
+    * state stays distributed and lineage is cut per round. Rounds needed
+    * = the number of layers the synchronous peel collapses, typically
+    * far below the sequential min-degree peel's O(n) steps.
+    *
+    * @param pairs undirected edges normalized as (a, b) with a < b,
+    *              deduplicated.
+    * @param k     minimum in-core degree.
+    * @param maxRounds round budget; `converged=false` if the fixpoint
+    *              was not reached (output is then the round-`maxRounds`
+    *              iterate — still identical cross-engine). */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 12): KCoreResult = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var live = pairs.select(col("a"), col("b"))
+    var nodes: DataFrame = null
+    var prevCount = -1L
+    var converged = false
+    var round = 0
+    while (round < maxRounds && !converged) {
+      nodes = live.select(col("a").as("id"))
+        .union(live.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .localCheckpoint(true)
+      val n = nodes.count()
+      if (n == prevCount) converged = true
+      else {
+        prevCount = n
+        live = live
+          .join(nodes.select(col("id").as("a")), "a")
+          .join(nodes.select(col("id").as("b")), "b")
+          .select(col("a"), col("b"))
+          .localCheckpoint(false)
+      }
+      round += 1
+    }
+    KCoreResult(nodes, live, converged, round)
+  }
 }

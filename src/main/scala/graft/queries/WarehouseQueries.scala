@@ -23,7 +23,7 @@ object WarehouseQueries {
     q140PagerankNations, q141ZorderLayout, q142BloomPrune, q143Scd2History,
     q144CountMinHeavy, q145EventTransitions, q146MergeTombstones,
     q150IncrementalAgg, q179KAnonymity, q182LabelProp, q189MgHeavy,
-    q203CoTriangles,
+    q203CoTriangles, q204KCore,
     q200QuantileSketch)
 
   /** The nation→nation supply graph: an edge when a customer of nation
@@ -565,6 +565,27 @@ object WarehouseQueries {
     * edge set. The one-mode projection is bounded per order (≤ C(7,2)
     * pairs). Output: top-50 nodes by triangle membership with the global
     * triangle total (Σ tri div 3) and edge count pinned alongside. */
+  /** One-mode co-purchase projection: an edge between two parts when
+    * some order contains both. Bounded per order (≤ C(7,2) pairs per
+    * orderkey), so the projection never explodes — the safe bipartite
+    * fold at 100 TB. Shared by q203/q204. */
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    l.as("x").join(l.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").cast("long").as("a"),
+        col("y.l_partkey").cast("long").as("b"))
+      .distinct()
+  }
+
+  /** The same projection as a one-line SQL fragment (single-line so it
+    * embeds in any stripMargin template without the nested-`|` trap). */
+  private val coPurchaseSql: String =
+    "SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a, " +
+      "CAST(y.l_partkey AS BIGINT) AS b FROM lineitem x JOIN lineitem y " +
+      "ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"
+
   val q203CoTriangles: QueryDef = sql(
     "q203_co_triangles",
     """WITH pe AS (
@@ -595,19 +616,74 @@ object WarehouseQueries {
       |SELECT pn.id AS part_id, pn.tri, tot.n_tri, m.n_edges
       |FROM pn, tot, m
       |ORDER BY pn.tri DESC, pn.id LIMIT 50""".stripMargin) { (s, d) =>
-    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val pe = l.as("x").join(l.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").cast("long").as("a"),
-        col("y.l_partkey").cast("long").as("b"))
-      .distinct()
+    val pe = coPurchasePairs(s, d)
     val pn = graft.graph.GraphOps.triangleCounts(pe)
     val tot = pn.agg(expr("sum(tri) div 3").as("n_tri"))
     val m = pe.agg(count(lit(1)).as("n_edges"))
     pn.crossJoin(broadcast(tot)).crossJoin(broadcast(m))
       .select(col("id").as("part_id"), col("tri"), col("n_tri"), col("n_edges"))
       .orderBy(col("tri").desc, col("part_id")).limit(50)
+  }
+
+  /** One synchronous peel round for the q204 oracle: recompute degrees
+    * over the surviving edges, keep nodes at ≥ k, restrict edges.
+    * MATERIALIZED is load-bearing: each round references the previous
+    * one several times, so DuckDB's default CTE inlining would expand
+    * the 12-round chain exponentially (the first attempt died opening
+    * thousands of parquet handles). */
+  private def kcoreIterSql(i: Int): String =
+    s"""d$i AS MATERIALIZED (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+       |  GROUP BY id
+       |  HAVING CAST(count(*) AS BIGINT) >= (SELECT k FROM kk)),
+       |e$i AS MATERIALIZED (
+       |  SELECT e.a, e.b FROM e${i - 1} e
+       |  JOIN d$i da ON e.a = da.id JOIN d$i db ON e.b = db.id)""".stripMargin
+
+  /** k-core of the co-purchase graph — `GraphOps.kCore` (Seidman 1983
+    * peeling, synchronous rounds; the dense-region extractor used to
+    * focus crawl/spam pipelines on well-connected regions). k is derived
+    * from the graph itself — 7/10 of the mean degree, `(7·2m) div (10·n)`
+    * in shared integer arithmetic — so the peel is non-trivial at every
+    * SF (this corpus sits near the random-graph core threshold: at the
+    * mean itself the whole graph cascades away). The oracle unrolls 12
+    * identical rounds and pins convergence (d12 = d11) alongside; the
+    * peel fixpoints in 3/6/10 rounds at sf0.001/0.01/0.1. Output: top-50
+    * core members by in-core degree with k, core size, core edge count,
+    * and the converged flag. */
+  val q204KCore: QueryDef = sql(
+    "q204_kcore",
+    s"""WITH e0 AS MATERIALIZED ($coPurchaseSql),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+       |       FROM (SELECT a AS id FROM e0 UNION SELECT b FROM e0)),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+       |kk AS (SELECT CAST((7 * 2 * mm.m) // (10 * nn.n) AS BIGINT) AS k
+       |       FROM mm, nn),
+       |${(1 to 12).map(kcoreIterSql).mkString(",\n")},
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_core FROM d12),
+       |mc AS (SELECT CAST(count(*) AS BIGINT) AS m_core FROM e12),
+       |cv AS (SELECT CAST(CASE WHEN (SELECT count(*) FROM d12)
+       |                             = (SELECT count(*) FROM d11)
+       |                        THEN 1 ELSE 0 END AS BIGINT) AS converged)
+       |SELECT d12.id AS part_id, d12.deg, kk.k AS k_min,
+       |       nc.n_core, mc.m_core, cv.converged
+       |FROM d12, kk, nc, mc, cv
+       |ORDER BY d12.deg DESC, d12.id LIMIT 50""".stripMargin) { (s, d) =>
+    val pe = coPurchasePairs(s, d).cache()
+    val mEdges = pe.count()
+    val nNodes = pe.select(col("a").as("id"))
+      .union(pe.select(col("b").as("id"))).distinct().count()
+    val k = ((7L * 2L * mEdges) / (10L * nNodes)).toInt
+    val res = graft.graph.GraphOps.kCore(pe, k, maxRounds = 12)
+    pe.unpersist()
+    val nc = res.nodes.agg(count(lit(1)).as("n_core"))
+    val mc = res.edges.agg(count(lit(1)).as("m_core"))
+    res.nodes.crossJoin(broadcast(nc)).crossJoin(broadcast(mc))
+      .select(col("id").as("part_id"), col("deg"), lit(k.toLong).as("k_min"),
+        col("n_core"), col("m_core"),
+        lit(if (res.converged) 1L else 0L).as("converged"))
+      .orderBy(col("deg").desc, col("part_id")).limit(50)
   }
 
   /** Mergeable heavy hitters — `operators.FrequentItems.misraGries`

@@ -153,6 +153,59 @@ class GraphOpsSpec extends SparkSpec {
     assert(triCounts(Seq((1L, 10L), (2L, 10L), (3L, 10L))).isEmpty)
   }
 
+  /** Literal sequential peel: repeatedly delete ANY node with degree < k
+    * until none remains — order-independent result (the k-core is unique),
+    * so this is a valid reference for the synchronous peel. */
+  private def bruteKCore(pairs: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var edges = pairs.toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (id, v) => id -> v.size }
+      val drop = deg.filter(_._2 < k).keySet
+      changed = drop.nonEmpty
+      edges = edges.filterNot(p => drop(p._1) || drop(p._2))
+    }
+    edges.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (id, v) => id -> v.size.toLong }
+  }
+
+  private def coreNodes(pairs: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    GraphOps.kCore(pairs.toDF("a", "b"), k).nodes
+      .as[(Long, Long)].collect().toMap
+
+  test("kCore: hand fixtures — clique survives, tail peels, cascade empties") {
+    // K4 plus a pendant chain 4-5-6: 3-core = exactly the K4
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)) ++
+      Seq((4L, 5L), (5L, 6L))
+    assert(coreNodes(k4, 3) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // C4: every node degree 2 → 2-core is the whole cycle, 3-core empty
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    assert(coreNodes(c4, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    assert(coreNodes(c4, 3).isEmpty)
+    // path 1-2-3-4: 2-core empty via a multi-round endpoint cascade
+    assert(coreNodes(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 2).isEmpty)
+  }
+
+  test("kCore: randomized agreement with the sequential reference peel") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 5) {
+      val pairs = (for {
+        i <- 1L to 14L; j <- (i + 1) to 14L if rnd.nextInt(3) == 0
+      } yield (i, j)).toSeq
+      for (k <- Seq(2, 3, 4)) {
+        val res = GraphOps.kCore(pairs.toDF("a", "b"), k)
+        assert(res.converged, s"trial $trial k=$k did not converge")
+        val got = res.nodes.as[(Long, Long)].collect().toMap
+        assert(got == bruteKCore(pairs, k), s"trial $trial k=$k")
+        // the surviving edge set matches the node set exactly
+        val edgeEnds = res.edges.as[(Long, Long)].collect()
+          .flatMap(p => Seq(p._1, p._2)).toSet
+        assert(edgeEnds == got.keySet)
+      }
+    }
+  }
+
   test("triangleCounts: randomized agreement with the brute triple scan") {
     val rnd = new scala.util.Random(17)
     for (trial <- 1 to 5) {
