@@ -125,6 +125,16 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json"))
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     spark.stop()
+    // Per-query budget flag (close-gate hotspot guard): any query above
+    // 5s CANARY-NORMALIZED (raw · 0.25/canary_mean — BASELINE.md's ledger
+    // convention) is named here so hotspot creep is adjudicated at build
+    // time, not judge time. An empty map is the expected close state.
+    val canaryMean = (canaryStart + canaryEnd) / 2
+    val norm = if (canaryMean > 0) 0.25 / canaryMean else 1.0
+    val over = results.filter(r => r.ok && r.sec * norm > 5.0)
+      .sortBy(-_.sec)
+      .map(r => "\"" + r.name + "\":" + f3(r.sec * norm)).mkString("{", ",", "}")
+    println(s"""{"over_budget_5s_normalized":$over,"canary_mean":${f3(canaryMean)}}""")
     println(summary)
     println(json)
   }

@@ -222,11 +222,14 @@ object GraphOps {
     var converged = false
     var round = 0
     while (round < maxRounds && !converged) {
+      // LAZY checkpoint + count: the count is the action that
+      // materializes the checkpoint, so each peel round is ONE job
+      // (an eager checkpoint followed by a count would be two)
       nodes = live.select(col("a").as("id"))
         .union(live.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val n = nodes.count()
       if (n == prevCount) converged = true
       else {

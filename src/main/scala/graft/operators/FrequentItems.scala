@@ -35,10 +35,16 @@ object FrequentItems {
     StructField("cnt", LongType)))
 
   /** Per-partition MG(k) summaries: counter rows `(tok, cnt)` plus ONE
-    * `(NULL, dec_p)` decrement-marker row per non-empty partition. */
+    * `(NULL, dec_p)` decrement-marker row per non-empty partition.
+    *
+    * NULL tokens are dropped up front (the SQL `count(col)` convention):
+    * NULL carries no token identity, and a NULL counter row would be
+    * indistinguishable from the decrement marker — the merge would
+    * silently fold its count into D, corrupting every bound. */
   def misraGriesSummaries(tokens: DataFrame, tokenCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     tokens.select(col(tokenCol).cast("string"))
+      .filter(col(tokenCol).isNotNull)
       .mapPartitions { it =>
         val m = new java.util.HashMap[String, Long](2 * k)
         var dec = 0L

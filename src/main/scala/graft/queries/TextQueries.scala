@@ -1110,9 +1110,9 @@ object TextQueries {
       |      FROM base WHERE doc_id < 5),
       |sc AS (
       |  SELECT q.qid, dt.doc_id,
-      |         CAST(sum(((nd * 1000) // df) *
-      |                  ((88 * tf * t * 1000000) //
-      |                   (40 * t * tf + 12 * t + 36 * dl.dl * nd))) AS BIGINT)
+      |         CAST(sum(CAST((nd * 1000) // df AS HUGEINT) *
+      |                  ((88 * tf * CAST(t AS HUGEINT) * 1000000) //
+      |                   (40 * CAST(t AS HUGEINT) * tf + 12 * t + 36 * dl.dl * nd))) AS BIGINT)
       |           AS score_i
       |  FROM q JOIN dfq USING (tok) JOIN dt USING (tok)
       |  JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN tot
@@ -1249,9 +1249,9 @@ object TextQueries {
       |      FROM base WHERE doc_id < 10),
       |sc AS (
       |  SELECT q.qid, dt.doc_id,
-      |         CAST(sum(((nd * 1000) // df) *
-      |                  ((88 * tf * t * 1000000) //
-      |                   (40 * t * tf + 12 * t + 36 * dl.dl * nd))) AS BIGINT)
+      |         CAST(sum(CAST((nd * 1000) // df AS HUGEINT) *
+      |                  ((88 * tf * CAST(t AS HUGEINT) * 1000000) //
+      |                   (40 * CAST(t AS HUGEINT) * tf + 12 * t + 36 * dl.dl * nd))) AS BIGINT)
       |           AS score_i
       |  FROM q JOIN dfq USING (tok) JOIN dt USING (tok)
       |  JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN tot

@@ -616,12 +616,20 @@ object WarehouseQueries {
       |SELECT pn.id AS part_id, pn.tri, tot.n_tri, m.n_edges
       |FROM pn, tot, m
       |ORDER BY pn.tri DESC, pn.id LIMIT 50""".stripMargin) { (s, d) =>
-    val pe = coPurchasePairs(s, d)
-    val pn = graft.graph.GraphOps.triangleCounts(pe)
+    // cache is load-bearing: pe feeds FOUR consumers (degree count,
+    // orientation join, closure join, n_edges) and the lineitem self-join
+    // would otherwise re-execute per branch (exchange reuse does not
+    // cover it — the scan projections differ). The per-node counts are
+    // eagerly checkpointed (node-sized, the q204/kCore lineage-cut
+    // discipline) so pe can unpersist before the frame returns.
+    val pe = coPurchasePairs(s, d).cache()
+    val pn = graft.graph.GraphOps.triangleCounts(pe).localCheckpoint(true)
+    val nEdges = pe.count()
+    pe.unpersist()
     val tot = pn.agg(expr("sum(tri) div 3").as("n_tri"))
-    val m = pe.agg(count(lit(1)).as("n_edges"))
-    pn.crossJoin(broadcast(tot)).crossJoin(broadcast(m))
-      .select(col("id").as("part_id"), col("tri"), col("n_tri"), col("n_edges"))
+    pn.crossJoin(broadcast(tot))
+      .select(col("id").as("part_id"), col("tri"), col("n_tri"),
+        lit(nEdges).as("n_edges"))
       .orderBy(col("tri").desc, col("part_id")).limit(50)
   }
 
@@ -711,9 +719,11 @@ object WarehouseQueries {
     QueryDef.sql(
       "q189_mg_heavy",
       s"""WITH s AS (SELECT tok, est, d_total FROM read_parquet('$p/*.parquet')),
+         |mx AS (SELECT CAST(max(len(text)) AS BIGINT) AS m FROM documents),
+         |pos AS (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS i),
          |toks AS (
          |  SELECT substr(text, CAST(i AS INT), 3) AS tok
-         |  FROM documents CROSS JOIN range(1, 1024) r(i)
+         |  FROM documents CROSS JOIN pos
          |  WHERE i <= len(text) - 2),
          |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),

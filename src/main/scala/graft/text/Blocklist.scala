@@ -106,7 +106,10 @@ object Blocklist {
       .mapPartitions { it =>
         val ac = new Automaton(pats) // built once per partition, tiny
         it.map { r =>
-          val (hits, mask) = ac.scan(r.getAs[String]("__t"))
+          // NULL text degrades to (0 hits, empty mask) — the multimodal
+          // sentinel-row convention — instead of NPE-ing the whole task
+          val t = r.getAs[String]("__t")
+          val (hits, mask) = if (t == null) (0L, 0L) else ac.scan(t)
           Row(r.getAs[Long]("__id"), hits, java.lang.Long.bitCount(mask),
             if (hits > 0) 1 else 0)
         }

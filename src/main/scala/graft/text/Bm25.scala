@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   *    avgdl = T/Nd substituted, `ratio_ppm = (88·tf·T·10^6) div
   *    (40·T·tf + 12·T + 36·dl·Nd)` is the term ratio on a ppm grid
   *    (≤ 2.2·10^6 = k1+1), and the per-term contribution is
-  *    `idf_m · ratio_ppm` — products bounded ≪ 2^63 at any realistic
-  *    corpus (tf ≤ 10^4, T ≤ 10^13 needs re-scaling first; the factors
-  *    are ordered so the division happens BEFORE the idf multiply).
+  *    `idf_m · ratio_ppm`. The saturation numerator 88·tf·T·10^6 exceeds
+  *    2^63 already at T·tf ≈ 10^14 (e.g. T = 10^10 tokens with tf = 10^4,
+  *    well inside a 100 TB corpus) and non-ANSI Spark would WRAP it
+  *    silently, so every product is computed in DECIMAL(38,0) — the
+  *    GiniTree discipline, exact to 10^38 — and `DECIMAL(38,0) div`
+  *    matches DuckDB HUGEINT `//` bit for bit (the q193 parity rule).
   *
   * Scale shape: the corpus collapses to the (doc, tok, tf) pre-agg
   * before anything wide (the q113 discipline); df is a vocabulary-sized
@@ -55,8 +58,13 @@ object Bm25 {
       .join(dl, "doc_id")
       .crossJoin(broadcast(tot))
       .select(col("qid"), col("doc_id"),
-        (expr("(nd * 1000) div df") *
-          expr("(88 * tf * t * 1000000) div (40 * t * tf + 12 * t + 36 * dl * nd)"))
+        // DECIMAL(38,0) like GiniTree's sk: 88·tf·T·10^6 wraps a BIGINT
+        // once T·tf > ~10^14 (non-ANSI Spark wraps SILENTLY), so both
+        // products are cast wide BEFORE multiplying; DECIMAL(38,0) div
+        // ≡ DuckDB HUGEINT // (the q193 parity rule)
+        (expr("CAST((nd * 1000) div df AS DECIMAL(38,0))") *
+          expr("(88 * tf * CAST(t AS DECIMAL(38,0)) * 1000000) div " +
+            "(40 * CAST(t AS DECIMAL(38,0)) * tf + 12 * t + 36 * CAST(dl AS DECIMAL(38,0)) * nd)"))
           .as("contrib"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("contrib")).cast("long").as("score_i"))

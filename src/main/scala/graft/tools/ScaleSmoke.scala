@@ -406,6 +406,75 @@ object ScaleSmoke {
           .where(col("src") =!= col("dst"))
         graft.graph.GraphOps.pagerankPpm(edges, nodes, iters = 3)
       }
+      /** Skewed graph for the triangle/k-core/LPA smokes: n/8 disjoint
+        * 8-cliques (LINEAR triangle and core mass: 56 triangles, 28 edges
+        * per block), ONE planted star hub of degree n/10 (the skew bomb —
+        * naive wedge enumeration at the hub is (n/10)² candidate pairs,
+        * 2.5e8 at 20×, while degree orientation emits ZERO hub wedges),
+        * and a 6-node chain tail on every 4th clique (so the k=2 peel
+        * cascades a FIXED 7 rounds at every scale — round count tracks
+        * planted depth, never node count). Edges are (a, b) with a < b
+        * by construction. Returns (edges, n); hub/tail ids are ≥ n. */
+      def cliqueStarGraph(m: Int): (DataFrame, Long) = {
+        val n = 250_000L * m
+        val cliques = spark.range(n / 8).select(col("id").as("blk"))
+          .select(col("blk"), expr("explode(flatten(transform(sequence(0, 6), " +
+            "i -> transform(sequence(i + 1, 7), j -> struct(i, j)))))").as("p"))
+          .select((col("blk") * 8 + col("p.i")).cast("long").as("a"),
+            (col("blk") * 8 + col("p.j")).cast("long").as("b"))
+        val star = spark.range(n).where(col("id") % 10 === 0)
+          .select(col("id").as("a"), lit(n).as("b"))
+        val tails = spark.range(n / 8).where(col("id") % 4 === 0)
+          .select(col("id").as("blk"),
+            (lit(n + 1) + expr("id div 4") * 6).as("t0"))
+        val anchor = tails.select((col("blk") * 8).cast("long").as("a"),
+          col("t0").as("b"))
+        val chain = tails.select(col("t0"),
+            explode(sequence(lit(0), lit(4))).as("j"))
+          .select((col("t0") + col("j")).cast("long").as("a"),
+            (col("t0") + col("j") + 1).cast("long").as("b"))
+        (cliques.unionByName(star).unionByName(anchor).unionByName(chain), n)
+      }
+      time("triangle_counts", k) {
+        // degree-ordered node-iterator on the planted-star graph: a naive
+        // wedge pass at the hub would enumerate (n/10)² pairs; orientation
+        // keeps per-node fanout ≤ clique width, so wall must track edges
+        graft.graph.GraphOps.triangleCounts(cliqueStarGraph(k)._1)
+      }
+      if (k == 1 && "triangle_counts_check".contains(opFilter)) {
+        // structural assertions at 1×: the hub and tail nodes close no
+        // triangle, and total membership mass is exactly 3·56·(n/8) = 21n
+        val (g, n) = cliqueStarGraph(1)
+        val tri = graft.graph.GraphOps.triangleCounts(g).cache()
+        val hubRows = tri.filter(col("id") >= n).count()
+        val mass = tri.agg(sum(col("tri"))).head().getLong(0)
+        require(hubRows == 0, s"hub/tail rows in triangle output: $hubRows")
+        require(mass == 21L * n, s"triangle mass $mass != ${21L * n}")
+        println(s"""{"op":"triangle_counts_check","hub_tri_rows":$hubRows,"mass":$mass}""")
+        tri.unpersist()
+      }
+      time("kcore_peel", k) {
+        // synchronous Seidman peel at k=2: only the planted 6-chains
+        // cascade (one layer per round), so the peel must CONVERGE in 7
+        // rounds at every scale — round count tracks planted depth, and
+        // per-round cost (one degree agg + two equi-joins) tracks edges
+        val res = graft.graph.GraphOps.kCore(
+          cliqueStarGraph(k)._1, k = 2, maxRounds = 12)
+        require(res.converged && res.rounds <= 8,
+          s"peel did not converge in <=8 rounds: ${res.rounds}")
+        res.nodes
+      }
+      time("label_prop", k) {
+        // 3 fixed synchronous rounds: each an equi-join + two partial-
+        // aggregable groupBys; the hub's n/10-degree star is the skew
+        // case — its votes shuffle as (node, label) COUNTS, never as a
+        // per-node neighbor list, so wall must track edges
+        val (g, _) = cliqueStarGraph(k)
+        val nodes = g.select(col("a").as("id"))
+          .union(g.select(col("b").as("id"))).distinct()
+        graft.graph.GraphOps.labelPropagation(
+          g.select(col("a").as("src"), col("b").as("dst")), nodes, iters = 3)
+      }
       docs.unpersist()
     }
     spark.stop()

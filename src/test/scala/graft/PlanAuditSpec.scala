@@ -44,7 +44,10 @@ class PlanAuditSpec extends SparkSpec {
     "q196_hard_negatives", // q184's shape: postings × broadcast 1-row (T, Nd) corpus totals
     "q195_drift_chisq", // events × broadcast 1-row time cut + 1-row (ne, nl) totals (q113's shape)
     "q198_contrib_bound", // per-type counts × broadcast 1-row max-contribution audit (q113's shape)
-    "q199_budget_sample") // 5-row strata × broadcast 1-row totals/shortfall (q113's shape)
+    "q199_budget_sample", // 5-row strata × broadcast 1-row totals/shortfall (q113's shape)
+    "q201_ap_eval", // per-task AP rows × broadcast 1-row macro-mean total (q113's shape)
+    "q203_co_triangles", // per-node tri counts × broadcast 1-row (n_tri, n_edges) totals (q113's shape)
+    "q204_kcore") // core members × broadcast 1-row (n_core, m_core) totals (q113's shape)
 
   /** Queries whose run function EXECUTES side-effectful work (index build,
     * store writes, a scratch-table write, a streaming tick) before
@@ -181,7 +184,13 @@ class PlanAuditSpec extends SparkSpec {
     // histogram locate collects ≤ `buckets` aggregate rows (data-
     // independent bound, IterativeQuantile.scala) — the selected values
     // themselves never visit the driver.
-    "q137_order_stats")
+    "q137_order_stats",
+    // KCenter (Gonzalez farthest-point): the OUTPUT is a k-row model
+    // table built from one (vid, d²) row per round — the q153/q154
+    // bounded-model discipline (k rows, data-independent bound,
+    // KCenter.scala). The per-round distance sweep itself runs
+    // distributed; only the argmax row visits the driver.
+    "q202_kcenter_seeds")
 
   test("LocalTableScan only for driver-authored literal inputs") {
     val offenders = auditable.filter { n =>
