@@ -94,6 +94,54 @@ object GraphOps {
     ranks
   }
 
+  /** PERSONALIZED PageRank in ppm integer fixed point — random walk with
+    * restart to a SEED SET (Haveliwala WWW 2002; the P³/RP³ random-walk
+    * recommender of Cooper et al. 2014 when run on a bipartite
+    * interaction graph): teleport mass returns only to seeds, so the
+    * stationary mass concentrates in the seeds' neighborhood — the
+    * graph-based expansion step that grows a trusted seed corpus into
+    * its relevant surroundings.
+    *
+    *   r₀(v) = 10^6·[v ∈ S]
+    *   r_{t+1}(v) = (10^6 − d)·[v ∈ S] + (d · Σ_{u→v} r_t(u) div out(u)) div 10^6
+    *
+    * Same overflow-split product and truncating integer divisions as
+    * [[pagerankPpm]], so the iterate is bit-reproducible and a second
+    * engine unrolls it exactly. Dangling mass drops identically.
+    *
+    * Scale shape: identical joins to pagerankPpm, PLUS the sparsity PPR
+    * gives for free — nodes the walk has not reached carry r = 0 and are
+    * filtered out of the contribution join, so each round's work tracks
+    * the seed NEIGHBORHOOD, not the graph (at 100 TB a 3-hop ball is
+    * orders of magnitude below the node count). Lineage cut per round. */
+  def personalizedPagerankPpm(edges: DataFrame, nodes: DataFrame,
+      seeds: DataFrame, iters: Int = 3,
+      dampingPpm: Long = 850000L): DataFrame = {
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(outdeg, "src")
+    val base = 1000000L - dampingPpm
+    val seeded = nodes
+      .join(seeds.select(col("id"), lit(1L).as("s")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("s"), lit(0L)).as("is_seed"))
+    var ranks = seeded.select(col("id"), col("is_seed"),
+      (col("is_seed") * 1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.select(col("id").as("src"), col("r")), "src")
+        .filter(col("r") > 0) // sparse frontier: unreached nodes ship no rows
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      ranks = seeded
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), col("is_seed"),
+          (col("is_seed") * base +
+            expr(s"${dampingPpm}L * (coalesce(cs, 0L) div 1000000L) " +
+              s"+ (${dampingPpm}L * (coalesce(cs, 0L) % 1000000L)) div 1000000L"))
+            .as("r"))
+        .localCheckpoint(false)
+    }
+    ranks.select(col("id"), col("is_seed"), col("r").as("ppr_ppm"))
+  }
+
   /** Chains: maximal parent→child paths where each node has ≤1 out-edge
     * and ≤1 in-edge (the top-1 similarity graph is near-functional, so its
     * structure is mostly chains) — labeled by component. */

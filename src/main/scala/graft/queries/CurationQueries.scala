@@ -20,7 +20,7 @@ object CurationQueries {
     q121DedupKeepBest, q122FuzzyDecontam, q125DsirWeights,
     q126PerplexityBuckets, q127QualityClassifier, q129CurationPipeline,
     q153LrTrain, q155BpeTrain, q162BpeApply, q167TarShards, q178AucEval,
-    q201ApEval,
+    q201ApEval, q205BleuEval,
     q180DupRegions, q185SkipgramPairs, q193GiniTree, q197Augment)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
@@ -1096,6 +1096,79 @@ object CurationQueries {
     graft.text.Eval.averagePrecisionByGroup(tasks, "eval_lang", "doc_id",
         "sw_ppm", "is_pos")
       .orderBy(col("eval_lang"))
+  }
+
+  /** Corpus-level modified n-gram precision (the BLEU core, Papineni et
+    * al. 2002) — `Eval.ngramPrecision`, the generation-eval companion to
+    * q178/q201/q191's classifier metrics. The "candidate" is a
+    * deterministic lossy paraphrase of each document (1-based positions
+    * ≡ 1 mod 7 dropped, positions ≡ 4 mod 7 DOUBLED — both engines
+    * build it with the same indexed per-token list expansion), the
+    * document itself is the reference, so every branch is exercised:
+    * drops depress higher-n precision more than unigram (a shifted
+    * window breaks n-grams), and the stutter makes candidate counts
+    * EXCEED reference counts so the clip genuinely binds (unigram
+    * precision < 1). Per
+    * (lang, n ∈ 1..4): clipped matches, candidate total, precision on
+    * the ppm grid, with candidate/reference token totals and their ppm
+    * ratio (the brevity-penalty argument) alongside. */
+  val q205BleuEval: QueryDef = sql(
+    "q205_bleu_eval",
+    """WITH base AS (
+      |  -- candidate rebuilt split(join(...)) exactly like the engine's
+      |  -- string contract, so a fully-dropped doc is [''] in BOTH engines
+      |  SELECT lang, doc_id,
+      |         string_split(array_to_string(flatten(
+      |           list_transform(string_split(text, ' '), (t, i) ->
+      |             CASE WHEN i % 7 = 1 THEN []
+      |                  WHEN i % 7 = 4 THEN [t, t]
+      |                  ELSE [t] END)),
+      |           ' '), ' ') AS c_arr,
+      |         string_split(text, ' ') AS r_arr
+      |  FROM documents),
+      |ns AS (SELECT unnest(generate_series(1, 4)) AS n),
+      |cg AS (
+      |  SELECT lang, doc_id, n, gram, CAST(count(*) AS BIGINT) AS c_cnt
+      |  FROM (SELECT lang, doc_id, n,
+      |          unnest(list_transform(generate_series(1, len(c_arr) - n + 1),
+      |            i -> array_to_string(c_arr[i:i+n-1], ' '))) AS gram
+      |        FROM base CROSS JOIN ns)
+      |  GROUP BY 1, 2, 3, 4),
+      |rg AS (
+      |  SELECT lang, doc_id, n, gram, CAST(count(*) AS BIGINT) AS r_cnt
+      |  FROM (SELECT lang, doc_id, n,
+      |          unnest(list_transform(generate_series(1, len(r_arr) - n + 1),
+      |            i -> array_to_string(r_arr[i:i+n-1], ' '))) AS gram
+      |        FROM base CROSS JOIN ns)
+      |  GROUP BY 1, 2, 3, 4),
+      |cl AS (
+      |  SELECT cg.lang, cg.n,
+      |         CAST(sum(least(cg.c_cnt, coalesce(rg.r_cnt, 0))) AS BIGINT) AS match_n,
+      |         CAST(sum(cg.c_cnt) AS BIGINT) AS total_n
+      |  FROM cg LEFT JOIN rg ON cg.lang = rg.lang AND cg.doc_id = rg.doc_id
+      |                      AND cg.n = rg.n AND cg.gram = rg.gram
+      |  GROUP BY 1, 2),
+      |lens AS (
+      |  SELECT lang, CAST(sum(len(c_arr)) AS BIGINT) AS c_tokens,
+      |         CAST(sum(len(r_arr)) AS BIGINT) AS r_tokens
+      |  FROM base GROUP BY lang)
+      |SELECT cl.lang, CAST(cl.n AS INT) AS n, match_n, total_n,
+      |       CAST(CASE WHEN total_n > 0
+      |                 THEN (match_n * 1000000) // total_n END AS BIGINT) AS prec_ppm,
+      |       c_tokens, r_tokens,
+      |       CAST(CASE WHEN r_tokens > 0
+      |                 THEN (c_tokens * 1000000) // r_tokens END AS BIGINT) AS len_ratio_ppm
+      |FROM cl JOIN lens USING (lang)
+      |ORDER BY cl.lang, cl.n""".stripMargin) { (s, d) =>
+    val pairs = docs(s, d).select(col("lang"), col("doc_id"),
+      expr("array_join(flatten(transform(split(text, ' '), (t, i) -> " +
+        "CASE WHEN i % 7 = 0 THEN array() " +
+        "WHEN i % 7 = 3 THEN array(t, t) ELSE array(t) END)), ' ')")
+        .as("cand"),
+      col("text").as("ref"))
+    graft.text.Eval.ngramPrecision(pairs, "lang", "doc_id", "cand", "ref",
+        maxN = 4)
+      .orderBy(col("lang"), col("n"))
   }
 
   /** Maximal duplicated REGIONS per document (the exact-substring-dedup

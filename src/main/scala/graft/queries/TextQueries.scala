@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.QueryDef.{rowsOnly, sql}
@@ -28,7 +29,7 @@ object TextQueries {
     q109WindowManifest, q110MixtureWeights, q130LengthBatches,
     q131WeightedSample, q135TfidfTerms, q148Curriculum, q184Bm25TopK,
     q187NormalizedDedup, q191Calibration, q196HardNegatives,
-    q149StratifiedExact, q177Blocklist, q199BudgetSample)
+    q149StratifiedExact, q177Blocklist, q199BudgetSample, q206RrfFusion)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1132,6 +1133,105 @@ object TextQueries {
       .distinct()
     graft.text.Bm25.topK(Tables.documents(s, d), "doc_id", "text",
         probes, k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Hybrid-retrieval fusion — `similarity.Fusion.reciprocalRank`
+    * (Cormack et al. SIGIR 2009, k = 60) over TWO real rankers on the
+    * same probes: q184's BM25 top-10 and a token-set Jaccard top-10
+    * (`sim_ppm = (10^6·|q∩d|) div (|q|+|d|−|q∩d|)` over DISTINCT
+    * tokens). The oracle replays BOTH ranking chains end to end and the
+    * fusion arithmetic, so a rank slip in either retriever, a wrong
+    * damping constant, or a tie-break drift all hash-mismatch. Absent-
+    * from-one-list docs keep a NULL source rank and contribute 0 — the
+    * branch that makes RRF calibration-free.
+    *
+    * Scale shape: both rankers emit bounded top-k lists (≤ 10·|Q| rows),
+    * so the fusion's outer join and per-query window never touch the
+    * corpus; the BM25 chain keeps its q184 posting-list shape and the
+    * Jaccard chain pre-aggregates to (qid, doc, intersection) via the
+    * same broadcast-probes inverted lookup. */
+  val q206RrfFusion: QueryDef = sql(
+    "q206_rrf_fusion",
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
+      |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nd
+      |        FROM dl),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM (SELECT doc_id, unnest(w) AS tok FROM base)
+      |       GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+      |q AS (SELECT DISTINCT doc_id AS qid, unnest(w[1:8]) AS tok
+      |      FROM base WHERE doc_id < 5),
+      |sc AS (
+      |  SELECT q.qid, dt.doc_id,
+      |         CAST(sum(CAST((nd * 1000) // df AS HUGEINT) *
+      |                  ((88 * tf * CAST(t AS HUGEINT) * 1000000) //
+      |                   (40 * CAST(t AS HUGEINT) * tf + 12 * t + 36 * dl.dl * nd))) AS BIGINT)
+      |           AS score_i
+      |  FROM q JOIN dfq USING (tok) JOIN dt USING (tok)
+      |  JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN tot
+      |  WHERE dt.doc_id <> q.qid
+      |  GROUP BY q.qid, dt.doc_id),
+      |bm AS (SELECT qid, doc_id, r FROM (
+      |         SELECT qid, doc_id,
+      |                row_number() OVER (PARTITION BY qid
+      |                                   ORDER BY score_i DESC, doc_id) AS r
+      |         FROM sc) WHERE r <= 10),
+      |dtok AS (SELECT doc_id, unnest(list_distinct(w)) AS tok FROM base),
+      |dn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS d_n FROM dtok GROUP BY doc_id),
+      |qn AS (SELECT qid, CAST(count(*) AS BIGINT) AS q_n FROM q GROUP BY qid),
+      |itr AS (SELECT q.qid, dtok.doc_id, CAST(count(*) AS BIGINT) AS i_n
+      |        FROM q JOIN dtok USING (tok) WHERE dtok.doc_id <> q.qid
+      |        GROUP BY q.qid, dtok.doc_id),
+      |jsim AS (SELECT itr.qid, itr.doc_id,
+      |                CAST((i_n * 1000000) // (q_n + d_n - i_n) AS BIGINT) AS sim_ppm
+      |         FROM itr JOIN dn USING (doc_id) JOIN qn USING (qid)),
+      |jac AS (SELECT qid, doc_id, r FROM (
+      |          SELECT qid, doc_id,
+      |                 row_number() OVER (PARTITION BY qid
+      |                                    ORDER BY sim_ppm DESC, doc_id) AS r
+      |          FROM jsim) WHERE r <= 10),
+      |fu AS (
+      |  SELECT coalesce(bm.qid, jac.qid) AS qid,
+      |         coalesce(bm.doc_id, jac.doc_id) AS doc_id,
+      |         bm.r AS rank_bm25, jac.r AS rank_jac,
+      |         CAST(coalesce(1000000000 // (60 + bm.r), 0)
+      |            + coalesce(1000000000 // (60 + jac.r), 0) AS BIGINT) AS rrf_e9
+      |  FROM bm FULL OUTER JOIN jac
+      |    ON bm.qid = jac.qid AND bm.doc_id = jac.doc_id)
+      |SELECT qid, rank, doc_id, rrf_e9, rank_bm25, rank_jac FROM (
+      |  SELECT qid, doc_id, rrf_e9, rank_bm25, rank_jac,
+      |         row_number() OVER (PARTITION BY qid
+      |                            ORDER BY rrf_e9 DESC, doc_id) AS rank
+      |  FROM fu)
+      |WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val probes = Tables.documents(s, d)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+      .distinct()
+    val bm25 = graft.text.Bm25.topK(Tables.documents(s, d), "doc_id", "text",
+        probes, k = 10)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val dTok = Tables.documents(s, d).select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val dN = dTok.groupBy(col("doc_id")).agg(count(lit(1)).as("d_n"))
+    val qN = probes.groupBy(col("qid")).agg(count(lit(1)).as("q_n"))
+    val wj = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_ppm").desc, col("doc_id"))
+    val jac = broadcast(probes).join(dTok, "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("i_n"))
+      .join(dN, "doc_id").join(broadcast(qN), "qid")
+      .select(col("qid"), col("doc_id"),
+        expr("(i_n * 1000000) div (q_n + d_n - i_n)").as("sim_ppm"))
+      .withColumn("rank", row_number().over(wj))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    graft.similarity.Fusion
+      .reciprocalRank(Seq("bm25" -> bm25, "jac" -> jac), kConst = 60, topK = 10)
       .orderBy(col("qid"), col("rank"))
   }
 

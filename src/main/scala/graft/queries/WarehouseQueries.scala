@@ -23,7 +23,7 @@ object WarehouseQueries {
     q140PagerankNations, q141ZorderLayout, q142BloomPrune, q143Scd2History,
     q144CountMinHeavy, q145EventTransitions, q146MergeTombstones,
     q150IncrementalAgg, q179KAnonymity, q182LabelProp, q189MgHeavy,
-    q203CoTriangles, q204KCore,
+    q203CoTriangles, q204KCore, q207PprExpand,
     q200QuantileSketch)
 
   /** The nation→nation supply graph: an edge when a customer of nation
@@ -557,6 +557,84 @@ object WarehouseQueries {
       .orderBy(col("id"))
   }
 
+  /** One PPR round for the q207 oracle: contributions from positive-mass
+    * sources (the engine's sparse-frontier filter, replayed), the
+    * overflow-split damped product, restart mass only at seeds. */
+  private def pprIterSql(i: Int): String =
+    s"""pr$i AS (
+       |  SELECT n.id, n.is_seed,
+       |         CAST(n.is_seed * 150000
+       |              + 850000 * (coalesce(c.cs, 0) // 1000000)
+       |              + (850000 * (coalesce(c.cs, 0) % 1000000)) // 1000000
+       |           AS BIGINT) AS r
+       |  FROM ns n LEFT JOIN (
+       |    SELECT e.dst, CAST(sum(p.r // od.outdeg) AS BIGINT) AS cs
+       |    FROM e JOIN pr${i - 1} p ON e.src = p.id
+       |    JOIN od ON e.src = od.src
+       |    WHERE p.r > 0
+       |    GROUP BY e.dst) c ON n.id = c.dst)""".stripMargin
+
+  /** Personalized PageRank seed expansion —
+    * `graph.GraphOps.personalizedPagerankPpm` (Haveliwala 2002; the
+    * P³/RP³ random-walk recommender shape on a bipartite interaction
+    * graph): restart mass returns only to the 3 smallest customer nodes,
+    * so after 3 rounds the ppm mass ranks the seeds' purchase
+    * NEIGHBORHOOD — the graph-expansion step that grows a trusted seed
+    * set into its relevant surroundings (seed-corpus expansion at
+    * 100 TB). Graph: the q182 symmetrized customer–supplier purchase
+    * bipartite (even/odd node ids). The oracle unrolls the identical
+    * 3-round integer recurrence — restart-at-seeds, overflow-split
+    * damped product, sparse-frontier filter — and pins the top-50 by
+    * (mass, id). */
+  val q207PprExpand: QueryDef = sql(
+    "q207_ppr_expand",
+    s"""WITH raw AS (
+       |  SELECT DISTINCT CAST(c.c_custkey * 2 AS BIGINT) AS src,
+       |                  CAST(s.s_suppkey * 2 + 1 AS BIGINT) AS dst
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+       |e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+       |n AS (SELECT DISTINCT src AS id FROM e),
+       |sd AS (SELECT id FROM n ORDER BY id LIMIT 3),
+       |ns AS (SELECT n.id,
+       |              CAST(CASE WHEN sd.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+       |                AS is_seed
+       |       FROM n LEFT JOIN sd ON n.id = sd.id),
+       |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+       |pr0 AS (SELECT id, is_seed, CAST(is_seed * 1000000 AS BIGINT) AS r FROM ns),
+       |${pprIterSql(1)},
+       |${pprIterSql(2)},
+       |${pprIterSql(3)}
+       |SELECT id,
+       |       CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |       is_seed, r AS ppr_ppm
+       |FROM pr3
+       |ORDER BY r DESC, id LIMIT 50""".stripMargin) { (s, d) =>
+    import graft.graph.GraphOps
+    val byCust = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), (col("c_custkey") * 2).cast("long").as("src"))
+    val bySupp = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), (col("s_suppkey") * 2 + 1).cast("long").as("dst"))
+    val raw = byCust.join(bySupp, col("o_orderkey") === col("l_orderkey"))
+      .select(col("src"), col("dst")).distinct()
+    val e = raw
+      .union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nodes = e.select(col("src").as("id")).distinct()
+    val seeds = nodes.orderBy(col("id")).limit(3)
+    GraphOps.personalizedPagerankPpm(e, nodes, seeds, iters = 3)
+      .select(col("id"),
+        when(col("id") % 2 === 0, "customer").otherwise("supplier").as("kind"),
+        col("is_seed"), col("ppr_ppm"))
+      .orderBy(col("ppr_ppm").desc, col("id")).limit(50)
+  }
+
   /** Triangle counting on the co-purchase graph (parts sharing an order)
     * by the degree-ordered node-iterator — `GraphOps.triangleCounts`
     * (Suri & Vassilvitskii WWW 2011): edges orient low→high (degree, id),
@@ -616,20 +694,19 @@ object WarehouseQueries {
       |SELECT pn.id AS part_id, pn.tri, tot.n_tri, m.n_edges
       |FROM pn, tot, m
       |ORDER BY pn.tri DESC, pn.id LIMIT 50""".stripMargin) { (s, d) =>
-    // cache is load-bearing: pe feeds FOUR consumers (degree count,
-    // orientation join, closure join, n_edges) and the lineitem self-join
-    // would otherwise re-execute per branch (exchange reuse does not
-    // cover it — the scan projections differ). The per-node counts are
-    // eagerly checkpointed (node-sized, the q204/kCore lineage-cut
-    // discipline) so pe can unpersist before the frame returns.
-    val pe = coPurchasePairs(s, d).cache()
-    val pn = graft.graph.GraphOps.triangleCounts(pe).localCheckpoint(true)
-    val nEdges = pe.count()
-    pe.unpersist()
+    // Deliberately UNCACHED (measured at sf0.1, warm, local[32]): the
+    // four consumers of pe share the self-join via ReusedExchange in the
+    // one AQE-planned query — 15 jobs / ~14s. Caching pe BLOCKS that
+    // reuse behind an InMemoryRelation (143 jobs / ~50s) and an eager
+    // localCheckpoint of pn fragments the plan into per-stage jobs with
+    // a pre-AQE-sized layout (76 jobs / ~24s). The remaining wall is the
+    // wedge enumeration itself — compute, not plan shape.
+    val pe = coPurchasePairs(s, d)
+    val pn = graft.graph.GraphOps.triangleCounts(pe)
     val tot = pn.agg(expr("sum(tri) div 3").as("n_tri"))
-    pn.crossJoin(broadcast(tot))
-      .select(col("id").as("part_id"), col("tri"), col("n_tri"),
-        lit(nEdges).as("n_edges"))
+    val m = pe.agg(count(lit(1)).as("n_edges"))
+    pn.crossJoin(broadcast(tot)).crossJoin(broadcast(m))
+      .select(col("id").as("part_id"), col("tri"), col("n_tri"), col("n_edges"))
       .orderBy(col("tri").desc, col("part_id")).limit(50)
   }
 

@@ -162,4 +162,59 @@ object Eval {
         abs(col("conf_sum") - col("acc_sum")).as("gap_abs"),
         expr("gap_total div n_total").as("ece_ppm"))
   }
+
+  /** Corpus-level MODIFIED n-gram precision — the BLEU core (Papineni et
+    * al. ACL 2002): per pair and n, candidate n-gram counts are CLIPPED
+    * at the reference's count for the same gram, then matched and total
+    * counts sum over the corpus per group:
+    * {{{
+    *   p_n = Σ_pair Σ_gram min(cand(gram), ref(gram)) / Σ_pair Σ_gram cand(gram)
+    * }}}
+    * reported as `(match_n, total_n, prec_ppm)` for n = 1..maxN, plus the
+    * candidate/reference token totals and their ppm ratio. Documented
+    * rational deviation from full BLEU (the idf_m convention): the
+    * geometric mean and the `exp(1 − r/c)` brevity penalty never land on
+    * the integer grid, so the pinned statistics are the per-n precisions
+    * and `len_ratio_ppm = (10^6·c) div r` — monotone in the BP argument,
+    * which is what a generation-quality gate thresholds on.
+    *
+    * Scale shape: each side collapses FIRST to (pair, n, gram, count) —
+    * the q113 (doc, token, k) pre-agg discipline, built with the
+    * codegen'd `word_shingles` kernel (one pass over the token array per
+    * n, no interpreted HOF lambdas) — then ONE equi-join on
+    * (pair, n, gram) does the clipping; output is |groups|·maxN rows.
+    * No candidate row ever meets more than its own reference. */
+  def ngramPrecision(pairs: DataFrame, groupCol: String, idCol: String,
+      candCol: String, refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8], got $maxN")
+    val base = pairs.select(col(groupCol), col(idCol).as("pair_id"),
+      split(col(candCol), " ").as("c_arr"),
+      split(col(refCol), " ").as("r_arr"))
+    // all n in one scan per side: posexplode over the per-n shingle arrays
+    def gramCounts(arr: String, out: String): DataFrame =
+      base.select(col(groupCol), col("pair_id"),
+          posexplode(array((1 to maxN).map(n =>
+            graft.functions.word_shingles(col(arr), n)): _*)))
+        .select(col(groupCol), col("pair_id"), (col("pos") + 1).as("n"),
+          explode(col("col")).as("gram"))
+        .groupBy(col(groupCol), col("pair_id"), col("n"), col("gram"))
+        .agg(count(lit(1)).as(out))
+    val clipped = gramCounts("c_arr", "c_cnt")
+      .join(gramCounts("r_arr", "r_cnt"),
+        Seq(groupCol, "pair_id", "n", "gram"), "left")
+      .select(col(groupCol), col("n"), col("c_cnt"),
+        least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L))).as("m_cnt"))
+    val lens = base.groupBy(col(groupCol)).agg(
+      sum(size(col("c_arr")).cast("long")).as("c_tokens"),
+      sum(size(col("r_arr")).cast("long")).as("r_tokens"))
+    clipped.groupBy(col(groupCol), col("n"))
+      .agg(sum(col("m_cnt")).as("match_n"), sum(col("c_cnt")).as("total_n"))
+      .withColumn("prec_ppm",
+        when(col("total_n") > 0, expr("(match_n * 1000000) div total_n"))
+          .otherwise(lit(null).cast("long")))
+      .join(lens, Seq(groupCol))
+      .withColumn("len_ratio_ppm",
+        when(col("r_tokens") > 0, expr("(c_tokens * 1000000) div r_tokens"))
+          .otherwise(lit(null).cast("long")))
+  }
 }

@@ -46,6 +46,7 @@ class PlanAuditSpec extends SparkSpec {
     "q198_contrib_bound", // per-type counts × broadcast 1-row max-contribution audit (q113's shape)
     "q199_budget_sample", // 5-row strata × broadcast 1-row totals/shortfall (q113's shape)
     "q201_ap_eval", // per-task AP rows × broadcast 1-row macro-mean total (q113's shape)
+    "q206_rrf_fusion", // embeds q184's BM25 chain: postings × broadcast 1-row (T, Nd) totals
     "q203_co_triangles", // per-node tri counts × broadcast 1-row (n_tri, n_edges) totals (q113's shape)
     "q204_kcore") // core members × broadcast 1-row (n_core, m_core) totals (q113's shape)
 

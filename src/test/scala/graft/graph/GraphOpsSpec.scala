@@ -83,6 +83,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(r(1L) == 150000L)
   }
 
+  test("personalizedPagerankPpm matches the hand-unrolled seeded recurrence") {
+    // path 1→2→3 plus isolated 4; seed = {1}; r0 = (1e6, 0, 0, 0)
+    //   out(1)=1, out(2)=1, out(3)=0 (dangling), 4 untouched
+    //   r1(1) = 150000 (seed restart, no in-mass)
+    //   r1(2) = 0 + 850000·(1000000 div 1) div 1e6 = 850000
+    //   r1(3) = 0 (source r0(2) = 0 — sparse frontier ships nothing)
+    //   r1(4) = 0 (non-seed, unreached)
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val n = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val sd = Seq(1L).toDF("id")
+    val r1 = GraphOps.personalizedPagerankPpm(e, n, sd, iters = 1)
+      .select(col("id"), col("ppr_ppm")).as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L, 4L -> 0L))
+    // round 2: mass reaches 3; 4 stays exactly 0 (teleport-only-to-seeds)
+    val r2 = GraphOps.personalizedPagerankPpm(e, n, sd, iters = 2)
+      .select(col("id"), col("ppr_ppm")).as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 150000L, 2L -> 127500L,
+      3L -> 722500L, 4L -> 0L)) // r2(2) = 850000·150000 div 1e6; r2(3) = 850000·850000 div 1e6
+    // partitioning-independence (integer sums are order-free)
+    val a = GraphOps.personalizedPagerankPpm(e.repartition(4), n, sd, iters = 3)
+      .select(col("id"), col("ppr_ppm")).as[(Long, Long)].collect().toMap
+    assert(a == GraphOps.personalizedPagerankPpm(e, n, sd, iters = 3)
+      .select(col("id"), col("ppr_ppm")).as[(Long, Long)].collect().toMap)
+  }
+
+  test("personalizedPagerankPpm: unreachable component carries zero mass") {
+    // component {1,2} seeded; component {10,11} must stay at exactly 0 —
+    // the locality that makes PPR's per-round work track the seed ball
+    val e = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val n = Seq(1L, 2L, 10L, 11L).toDF("id")
+    val r = GraphOps.personalizedPagerankPpm(e, n, Seq(1L).toDF("id"), iters = 4)
+      .select(col("id"), col("ppr_ppm")).as[(Long, Long)].collect().toMap
+    assert(r(10L) == 0L && r(11L) == 0L)
+    assert(r(1L) > 0L && r(2L) > 0L)
+  }
+
   private def lpa(edges: Seq[(Long, Long)], nodes: Seq[Long], iters: Int = 3) =
     GraphOps.labelPropagation(
         edges.toDF("src", "dst"), nodes.toDF("id"), iters)

@@ -169,4 +169,84 @@ class EvalSpec extends SparkSpec {
     val out = calib(Seq((1000000L, 1)))
     assert(out.keySet == Set(9L))
   }
+
+  // ---- ngramPrecision (the BLEU core) ----
+
+  private def runNgram(pairs: Seq[(String, Long, String, String)], maxN: Int) = {
+    val df = spark.createDataFrame(pairs).toDF("g", "id", "cand", "ref")
+    Eval.ngramPrecision(df, "g", "id", "cand", "ref", maxN)
+      .collect().map { r =>
+        (r.getString(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) -1L else r.getLong(4))
+      }.toMap
+  }
+
+  /** The literal Papineni definition, enumerated: per pair, clip each
+    * candidate n-gram count at the reference's count for that gram. */
+  private def bruteNgram(pairs: Seq[(String, Long, String, String)],
+      maxN: Int): Map[(String, Int), (Long, Long)] = {
+    def grams(s: String, n: Int): Map[String, Long] =
+      s.split(" ", -1).toSeq.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq.groupBy(identity)
+        .map { case (g, o) => g -> o.size.toLong }
+    (for {
+      n <- 1 to maxN
+      g <- pairs.map(_._1).distinct
+    } yield {
+      val rows = pairs.filter(_._1 == g)
+      val m = rows.map { case (_, _, c, r) =>
+        val cg = grams(c, n); val rg = grams(r, n)
+        cg.map { case (k, v) => math.min(v, rg.getOrElse(k, 0L)) }.sum
+      }.sum
+      val t = rows.map { case (_, _, c, _) => grams(c, n).values.sum }.sum
+      (g, n) -> (m, t)
+    }).toMap
+  }
+
+  test("ngram goldens: the Papineni clipping example and an exact match") {
+    val out = runNgram(Seq(
+      // the classic degenerate candidate: p1 clips at ref('the') = 2 → 2/7
+      ("clip", 1L, "the the the the the the the", "the cat is on the mat"),
+      // identical strings: every precision exactly 1
+      ("same", 1L, "a b c d e", "a b c d e")), maxN = 2)
+    assert(out(("clip", 1)) == ((2L, 7L, 285714L)))
+    assert(out(("clip", 2)) == ((0L, 6L, 0L)))
+    assert(out(("same", 1)) == ((5L, 5L, 1000000L)))
+    assert(out(("same", 2)) == ((4L, 4L, 1000000L)))
+  }
+
+  test("ngram: clipping is PER PAIR, not corpus-pooled") {
+    // 'x' appears once in each pair's reference; a corpus-pooled clip
+    // would allow the doubled candidate of pair 1 to borrow pair 2's
+    // budget (match 4); the per-pair clip must yield 3
+    val out = runNgram(Seq(
+      ("g", 1L, "x x", "x y"),
+      ("g", 2L, "x x", "x z")), maxN = 1)
+    assert(out(("g", 1)) == ((2L, 4L, 500000L)))
+  }
+
+  test("ngram: candidate shorter than n contributes nothing, never fails") {
+    val out = runNgram(Seq(("g", 1L, "a", "a b c")), maxN = 3)
+    assert(out(("g", 1)) == ((1L, 1L, 1000000L)))
+    // a (group, n) with ZERO candidate grams emits no row at all — the
+    // same omission the SQL oracle produces, so cross-engine parity holds
+    assert(!out.contains(("g", 2)) && !out.contains(("g", 3)))
+  }
+
+  test("ngram randomized agreement with the enumerated definition") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d")
+    def sentence() =
+      Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val pairs = (1 to 40).map { i =>
+      (s"g${i % 3}", i.toLong, sentence(), sentence())
+    }
+    val got = runNgram(pairs, maxN = 3)
+    val want = bruteNgram(pairs, maxN = 3)
+    for (((g, n), (m, t)) <- want) {
+      val (gm, gt, _) = got((g, n))
+      assert((gm, gt) == ((m, t)), s"mismatch at ($g, $n)")
+    }
+  }
 }
