@@ -1,0 +1,71 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT all-pairs set-similarity join with prefix filtering — the
+  * PPJoin family (Chaudhuri, Ganti & Kaushik ICDE 2006's SSJoin;
+  * Xiao et al. WWW 2008): every document pair whose distinct-shingle
+  * Jaccard meets the threshold, WITHOUT the O(n²) all-pairs join and
+  * WITHOUT the false negatives LSH trades away (q56's MinHash banding is
+  * the probabilistic sibling; this is the exact one a contract-bound
+  * dedup needs).
+  *
+  * Prefix-filter theorem: order each document's shingles by ascending
+  * GLOBAL frequency (rarest first, ties by shingle string); a pair with
+  * `J(a, b) ≥ t` must share at least one shingle inside each side's
+  * first `|d| − ⌈t·|d|⌉ + 1` shingles — so equi-joining on prefix
+  * shingles alone generates a candidate superset (NO false negatives),
+  * and exact verification of the bounded candidate set gives the exact
+  * answer. Every boundary is integer: the prefix length uses the ppm
+  * ceiling `(t_ppm·sz + 999999) div 10^6`, and the final test is the
+  * cross-multiplied `i·10^6 ≥ t_ppm·(n_a + n_b − i)` — no float ever
+  * ranks or thresholds.
+  *
+  * Scale shape: the frequency order makes prefixes the RAREST shingles,
+  * so candidate buckets are small on any natural corpus — the quadratic
+  * work concentrates exactly where matches are plausible. One groupBy
+  * builds the frequency table; the per-doc prefix is a window bounded by
+  * document length; verification is two equi-joins per candidate pair.
+  * Degenerate bound (documented, inherent to EXACTNESS): on a corpus of
+  * N verbatim-identical documents the ANSWER is C(N, 2) pairs, so no
+  * exact algorithm beats quadratic OUTPUT there — the capped/approximate
+  * path for such corpora is `Dedup.capBucketsStar` + canonicalization.
+  */
+object SetSimJoin {
+
+  /** All pairs (id_a < id_b) with distinct-`shingleK`-shingle Jaccard
+    * ≥ `tPpm`/10^6. Output: (id_a, id_b, i_n, u_n, jac_ppm), exact. */
+  def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+      tPpm: Long, shingleK: Int = 3): DataFrame = {
+    require(tPpm > 0 && tPpm <= 1000000L, s"tPpm out of (0, 1e6]: $tPpm")
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(graft.functions.word_shingles(
+        split(col(textCol), " "), shingleK))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("f"), col("tok"))
+    val prefix = toks.join(freq, "tok")
+      .withColumn("pos", row_number().over(wDoc))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .filter(col("pos") <=
+        col("sz") - expr(s"(${tPpm}L * sz + 999999) div 1000000") + 1)
+      .select(col("id"), col("tok"))
+    val cand = prefix.select(col("id").as("id_a"), col("tok"))
+      .join(prefix.select(col("id").as("id_b"), col("tok")), "tok")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(toks.select(col("id").as("id_a"), col("tok")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i_n"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .filter(col("i_n") * 1000000L >=
+        lit(tPpm) * (col("n_a") + col("n_b") - col("i_n")))
+      .select(col("id_a"), col("id_b"), col("i_n"),
+        (col("n_a") + col("n_b") - col("i_n")).as("u_n"),
+        expr("(i_n * 1000000) div (n_a + n_b - i_n)").as("jac_ppm"))
+  }
+}

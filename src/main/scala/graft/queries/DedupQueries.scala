@@ -20,7 +20,56 @@ object DedupQueries {
     q169PixelDedup, q170MediaCuration, q171PairedShards, q172StreamMedia,
     q173StreamPixelDedup, q174AudioFir, q175JpegDecode, q176MjpegFrames,
     q183AudioWht, q186AudioDedup, q190EntityResolution, q192LeakageSplit,
-    q194IncrementalDedup)
+    q194IncrementalDedup, q208SetsimJoin)
+
+  /** EXACT all-pairs set-similarity join — `dedup.SetSimJoin.jaccardJoin`
+    * (PPJoin-family prefix filtering; Chaudhuri et al. 2006, Xiao et al.
+    * 2008): every pair with distinct-3-shingle Jaccard ≥ 0.5, with NO
+    * false negatives — the exact sibling of q56's MinHash banding for
+    * contract-bound dedup. Prefixes are the RAREST shingles (global
+    * frequency ascending, ties by shingle), so candidate buckets stay
+    * small on natural corpora; the final test is the cross-multiplied
+    * integer `i·10^6 ≥ t_ppm·(n_a + n_b − i)` — no float thresholds.
+    * The oracle replays the whole chain (frequency order, ppm-ceiling
+    * prefix length, candidate join, exact verify); the no-false-negative
+    * theorem is pinned against a brute-force join in SetSimJoinSpec. */
+  val q208SetsimJoin: QueryDef = QueryDef.sql(
+    "q208_setsim_join",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |toks AS (
+      |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+      |           generate_series(1, len(w) - 2),
+      |           i -> array_to_string(w[i:i+2], ' ')))) AS tok
+      |  FROM t),
+      |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY tok),
+      |pref AS (
+      |  SELECT id, tok FROM (
+      |    SELECT toks.id, toks.tok,
+      |           row_number() OVER (PARTITION BY toks.id
+      |                              ORDER BY f.f, toks.tok) AS pos,
+      |           count(*) OVER (PARTITION BY toks.id) AS sz
+      |    FROM toks JOIN freq f USING (tok))
+      |  WHERE pos <= sz - ((500000 * sz + 999999) // 1000000) + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.id < b.id),
+      |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY id),
+      |itr AS (
+      |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i_n
+      |  FROM cand c
+      |  JOIN toks ta ON ta.id = c.id_a
+      |  JOIN toks tb ON tb.id = c.id_b AND tb.tok = ta.tok
+      |  GROUP BY c.id_a, c.id_b)
+      |SELECT i.id_a, i.id_b, i.i_n,
+      |       CAST(sa.n + sb.n - i.i_n AS BIGINT) AS u_n,
+      |       CAST((i.i_n * 1000000) // (sa.n + sb.n - i.i_n) AS BIGINT) AS jac_ppm
+      |FROM itr i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+      |WHERE i.i_n * 1000000 >= 500000 * (sa.n + sb.n - i.i_n)
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.dedup.SetSimJoin.jaccardJoin(
+        Tables.documents(s, d), "doc_id", "text", tPpm = 500000L, shingleK = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,

@@ -1,0 +1,84 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Prefix-filtered exact set-similarity join contract. Independent
+  * reference: the brute-force all-pairs join over driver-side shingle
+  * SETS — the no-false-negative theorem means the prefix-filtered result
+  * must equal it EXACTLY (not approximately), on every corpus. */
+class SetSimJoinSpec extends SparkSpec {
+
+  private def shingleSet(text: String, k: Int): Set[String] =
+    text.split(" ", -1).toSeq.sliding(k).filter(_.size == k)
+      .map(_.mkString(" ")).toSet
+
+  private def brute(docs: Seq[(Long, String)], tPpm: Long,
+      k: Int): Set[(Long, Long, Long, Long)] =
+    (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = shingleSet(ta, k); sb = shingleSet(tb, k)
+      i = (sa intersect sb).size.toLong
+      u = sa.size + sb.size - i
+      if u > 0 && i * 1000000L >= tPpm * u
+    } yield (ia, ib, i, u)).toSet
+
+  private def run(docs: Seq[(Long, String)], tPpm: Long, k: Int = 3) = {
+    import spark.implicits._
+    SetSimJoin.jaccardJoin(docs.toDF("doc_id", "text"), "doc_id", "text",
+        tPpm, k)
+      .select(col("id_a"), col("id_b"), col("i_n"), col("u_n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+  }
+
+  test("hand fixture: the near-dup pair survives, the unrelated doc does not") {
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat", // 6 of 8 shingles shared: J = 0.75
+      3L -> "completely different words in this one here now")
+    val out = run(docs, tPpm = 500000L)
+    assert(out == Set((1L, 2L, 6L, 8L)))
+    // at a stricter threshold the pair drops out — the boundary is exact
+    assert(run(docs, tPpm = 800000L).isEmpty)
+  }
+
+  test("threshold boundary is the exact cross-multiplied integer test") {
+    // shingles {abc,bcd,cde} vs {abc,bcd,cdf}: i=2, u=4 → J = 1/2
+    // exactly — kept at t=0.5, dropped at t_ppm=500001
+    val docs = Seq(1L -> "a b c d e", 2L -> "a b c d f")
+    assert(run(docs, 500000L) == Set((1L, 2L, 2L, 4L)))
+    assert(run(docs, 500001L).isEmpty)
+  }
+
+  test("degenerate identical corpus: the answer itself is all pairs") {
+    val docs = (1L to 6L).map(i => i -> "same exact text in every document")
+    val out = run(docs, 800000L)
+    assert(out.size == 15) // C(6,2): exactness implies quadratic OUTPUT here
+    assert(out.forall { case (_, _, i, u) => i == u })
+  }
+
+  test("randomized agreement with the brute-force join, planted near-dups") {
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def sentence(n: Int) =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 1 to 5) {
+      val base = (1L to 12L).map(i => i -> sentence(8 + rnd.nextInt(8)))
+      // plant near-dups: copy with one token appended
+      val planted = base.take(3).map { case (i, t) =>
+        (i + 100L) -> (t + " " + vocab(rnd.nextInt(vocab.size)))
+      }
+      val docs = base ++ planted
+      for (t <- Seq(300000L, 500000L, 700000L)) {
+        assert(run(docs, t) == brute(docs, t, 3), s"trial $trial t=$t")
+      }
+    }
+  }
+
+  test("short documents (< k tokens) have no shingles and emit no pairs") {
+    val docs = Seq(1L -> "a b", 2L -> "a b", 3L -> "a b c d e f")
+    assert(run(docs, 100000L).isEmpty)
+  }
+}
