@@ -241,8 +241,18 @@ object Dedup {
     * value-checked from a scratch table (q98) without DuckDB re-deriving
     * the engine-pinned FNV-1a64 fingerprints. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    fingerprintCandidates(
+      df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("fp")),
+      bucketCap)
+
+  /** The fingerprint-agnostic banding core of [[simhashCandidates]]:
+    * candidate pairs for ANY (id, fp) 64-bit fingerprint frame via the
+    * 4×16-bit chunk pigeonhole (hamming ≤ 3 ⇒ some chunk equal) with the
+    * hot-bucket star cap. Shared by SimHash text near-dup and the
+    * perceptual image aHash ([[graft.multimodal.PerceptualHash]]). */
+  def fingerprintCandidates(fp: DataFrame,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("fp"))
     val (kept, star) = capBucketsStar(
       fp.select(col("id"), col("fp"),
         explode(array((0 until 4).map(i =>

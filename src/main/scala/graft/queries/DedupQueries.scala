@@ -20,7 +20,101 @@ object DedupQueries {
     q169PixelDedup, q170MediaCuration, q171PairedShards, q172StreamMedia,
     q173StreamPixelDedup, q174AudioFir, q175JpegDecode, q176MjpegFrames,
     q183AudioWht, q186AudioDedup, q190EntityResolution, q192LeakageSplit,
-    q194IncrementalDedup, q208SetsimJoin)
+    q194IncrementalDedup, q208SetsimJoin, q209PhashNeardup)
+
+  /** Perceptual image NEAR-dup — `multimodal.PerceptualHash` (average
+    * hash): q169's blob/pixel fingerprint collapses byte-identical
+    * rasters only; aHash maps coarse luminance structure to 64 bits so
+    * lightly-retouched copies land within hamming ≤ 3, then the SimHash
+    * banding machinery (`Dedup.fingerprintCandidates`: 4×16-bit chunk
+    * pigeonhole + hot-bucket cap + popcount verify) finds the pairs —
+    * the image-side twin of q57.
+    *
+    * Input realism: per selected doc a 16×12 RGB PNG is synthesized from
+    * an md5-mixed per-2×2-block integer formula (groups of 3 variants
+    * differ by a sparse +2 luminance bump — retouch noise), ENCODED to
+    * real PNG bytes, and decoded back through the independent chunk-walk
+    * codec before hashing (the q161 encode→decode discipline). The
+    * oracle replays pixels → gray cells → mean threshold → bits →
+    * chunk-bucket candidates → hamming from the FORMULA alone, so a
+    * resize-mapping slip, a mean tie-break drift, or a chunk-key bug
+    * all hash-mismatch. */
+  val q209PhashNeardup: QueryDef = QueryDef.sql(
+    "q209_phash_neardup",
+    """WITH sel AS (SELECT doc_id AS id FROM documents WHERE doc_id % 10 = 0),
+      |px AS (
+      |  SELECT id, tx.x AS x, ty.y AS y,
+      |         ('0x' || substr(md5(CAST((tx.x // 2) + 8 * (ty.y // 2)
+      |                                  + 48 * (id // 30) AS VARCHAR)), 1, 6))::BIGINT % 250
+      |         + CASE WHEN (tx.x + ty.y * 16 + ((id // 10) % 3) * 13) % 31 = 0
+      |                THEN 2 ELSE 0 END AS v
+      |  FROM sel CROSS JOIN range(16) tx(x) CROSS JOIN range(12) ty(y)),
+      |cell AS (
+      |  SELECT id, (y * 8) // 12 AS oy, (x * 8) // 16 AS ox,
+      |         CAST(sum(v) // count(*) AS BIGINT) AS cv
+      |  FROM px GROUP BY id, oy, ox),
+      |mn AS (SELECT id, CAST(sum(cv) // 64 AS BIGINT) AS m FROM cell GROUP BY id),
+      |bits AS (
+      |  SELECT cell.id, oy * 8 + ox AS bitpos,
+      |         CASE WHEN cv > m THEN 1 ELSE 0 END AS bit
+      |  FROM cell JOIN mn ON cell.id = mn.id),
+      |ck AS (
+      |  SELECT id, bitpos // 16 AS chunk,
+      |         CAST(sum(bit * (1 << CAST(bitpos % 16 AS INT))) AS BIGINT) AS key
+      |  FROM bits GROUP BY id, chunk),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM ck a JOIN ck b ON a.chunk = b.chunk AND a.key = b.key
+      |                     AND a.id < b.id),
+      |ham AS (
+      |  SELECT c.id_a, c.id_b,
+      |         CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS INT)
+      |           AS hamming
+      |  FROM cand c
+      |  JOIN bits ba ON ba.id = c.id_a
+      |  JOIN bits bb ON bb.id = c.id_b AND bb.bitpos = ba.bitpos
+      |  GROUP BY c.id_a, c.id_b)
+      |SELECT id_a, id_b, hamming FROM ham
+      |WHERE hamming <= 3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("bytes", BinaryType)))
+    val media = Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def mix(idx: Long): Long = {
+          val hex = md.digest(idx.toString.getBytes("US-ASCII"))
+            .take(3).map(b => f"${b & 0xff}%02x").mkString
+          java.lang.Long.parseLong(hex, 16) % 250L
+        }
+        it.map { r =>
+          val id = r.getLong(0); val grp = id / 30; val v = (id / 10) % 3
+          val (w, h) = (16, 12)
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val base = mix((x / 2) + 8L * (y / 2) + 48L * grp)
+              val bump = if ((x + y * 16 + v * 13) % 31 == 0) 2L else 0L
+              val px = (base + bump).toByte
+              val p = (y * w + x) * 3
+              rgb(p) = px; rgb(p + 1) = px; rgb(p + 2) = px
+              x += 1
+            }
+            y += 1
+          }
+          org.apache.spark.sql.Row(id,
+            graft.multimodal.ImageDecode.encodePng(w, h, rgb))
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+    graft.multimodal.PerceptualHash
+      .nearDupPairs(graft.multimodal.PerceptualHash.aHashes(media),
+        maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** EXACT all-pairs set-similarity join — `dedup.SetSimJoin.jaccardJoin`
     * (PPJoin-family prefix filtering; Chaudhuri et al. 2006, Xiao et al.
