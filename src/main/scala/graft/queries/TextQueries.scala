@@ -29,7 +29,8 @@ object TextQueries {
     q109WindowManifest, q110MixtureWeights, q130LengthBatches,
     q131WeightedSample, q135TfidfTerms, q148Curriculum, q184Bm25TopK,
     q187NormalizedDedup, q191Calibration, q196HardNegatives,
-    q149StratifiedExact, q177Blocklist, q199BudgetSample, q206RrfFusion)
+    q149StratifiedExact, q177Blocklist, q199BudgetSample, q206RrfFusion,
+    q210PhraseSearch)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1151,6 +1152,48 @@ object TextQueries {
     * corpus; the BM25 chain keeps its q184 posting-list shape and the
     * Jaccard chain pre-aggregates to (qid, doc, intersection) via the
     * same broadcast-probes inverted lookup. */
+  /** Exact phrase search over a positional inverted index —
+    * `text.PhraseSearch.phraseMatches` (the anchor-intersection form:
+    * posting (doc, pos, tok) × query token (qid, off, tok) → anchor
+    * `pos − off`; a length-L phrase occurs where all L offsets hit one
+    * anchor). Probes are the first-3-token prefixes of docs 0–4, so the
+    * corpus's planted near-dups give real cross-document matches. The
+    * oracle replays the identical anchor algebra in SQL; overlap and
+    * repeated-token semantics are pinned in PhraseSearchSpec against a
+    * sliding-window brute scan. */
+  val q210PhraseSearch: QueryDef = sql(
+    "q210_phrase_search",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |q AS (SELECT doc_id AS qid, array_to_string(w[1:3], ' ') AS phrase
+      |      FROM t WHERE doc_id < 5),
+      |qt AS (
+      |  SELECT qid, CAST(i - 1 AS BIGINT) AS off, p[CAST(i AS INT)] AS tok,
+      |         CAST(len(p) AS BIGINT) AS plen
+      |  FROM (SELECT qid, string_split(phrase, ' ') AS p FROM q)
+      |       CROSS JOIN UNNEST(generate_series(1, 8)) AS r(i)
+      |  WHERE i <= len(p)),
+      |post AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[CAST(i AS INT)] AS tok
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+      |        FROM t)),
+      |anch AS (
+      |  SELECT qt.qid, p.doc_id, p.pos - qt.off AS anchor, qt.plen
+      |  FROM qt JOIN post p USING (tok)),
+      |occ AS (
+      |  SELECT qid, doc_id, anchor, plen, CAST(count(*) AS BIGINT) AS hits
+      |  FROM anch GROUP BY qid, doc_id, anchor, plen)
+      |SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_occ
+      |FROM occ WHERE hits = plen
+      |GROUP BY qid, doc_id
+      |ORDER BY qid, doc_id""".stripMargin) { (s, d) =>
+    val queries = docs(s, d).filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 3), " ").as("phrase"))
+    graft.text.PhraseSearch
+      .phraseMatches(docs(s, d), "doc_id", "text", queries)
+      .orderBy(col("qid"), col("doc_id"))
+  }
+
   val q206RrfFusion: QueryDef = sql(
     "q206_rrf_fusion",
     """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

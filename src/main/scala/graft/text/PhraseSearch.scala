@@ -1,0 +1,51 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact PHRASE search over a positional inverted index — the retrieval
+  * primitive BM25's bag-of-words scoring cannot express ("new york
+  * times" as a phrase, not three independent terms), and the dedup-side
+  * tool for finding verbatim quotation of a specific passage across a
+  * corpus.
+  *
+  * Algorithm (the classic positional-intersection, re-expressed as one
+  * join + one aggregate instead of a per-term join chain): posting
+  * (doc, pos, tok) matches query token (qid, off, tok) at anchor
+  * `pos − off`; a phrase of length L occurs at (doc, anchor) iff ALL L
+  * offsets matched there — `count(hits) = L` after grouping by
+  * (qid, doc, anchor). Occurrences per document are then a second
+  * count. Handles any phrase length, repeated tokens inside a phrase
+  * (offsets are distinct rows), and OVERLAPPING occurrences ("a a a"
+  * contains "a a" twice) with no special cases.
+  *
+  * Scale shape: the query set is broadcast (a serving workload's phrase
+  * list is tiny next to the corpus); the posting list never self-joins —
+  * one equi-join on tok ships only rows for tokens that appear in some
+  * phrase, then two partial-aggregable counts. The corpus-side work is
+  * proportional to the matched postings, never corpus². */
+object PhraseSearch {
+
+  /** Exact occurrences of each whitespace phrase. `queries`: (qid,
+    * phrase). Output: (qid, doc_id, n_occ) for documents containing the
+    * phrase at least once. */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String = "qid",
+      phraseCol: String = "phrase"): DataFrame = {
+    val post = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val qtok = queries.select(col(qidCol).cast("long").as("qid"),
+        posexplode(split(col(phraseCol), " ")).as(Seq("off", "tok")))
+      .withColumn("plen",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))))
+    broadcast(qtok).join(post, "tok")
+      .select(col("qid"), col("doc_id"),
+        (col("pos") - col("off")).as("anchor"), col("plen"))
+      .groupBy(col("qid"), col("doc_id"), col("anchor"), col("plen"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === col("plen"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
+}
