@@ -58,4 +58,21 @@ class HllSketchSpec extends SparkSpec {
     val err = math.abs(est1._2 - 5000.0) / 5000.0
     assert(err < 3.0 / math.sqrt(64), s"raw_est=${est1._2} err=$err")
   }
+
+  test("windowed merge law: rolling max over daily sketches equals the " +
+      "sketch of the unioned window (q211's shape)") {
+    // 3 days of overlapping user sets; the 3-day rolling register table
+    // built by element-wise max over per-day sketches must equal the
+    // registers computed directly on the union of the window's rows
+    val ev = spark.range(300).select(
+      (col("id") % 3).as("day"), (col("id") % 97).as("user_id"))
+    val daily = HllSketch.registers(ev, "day", "user_id")
+    val rolledW = daily.select(lit("w").as("grp"), col("reg"), col("max_rho"))
+      .groupBy(col("grp"), col("reg")).agg(max(col("max_rho")).as("max_rho"))
+      .as[(String, Long, Long)].collect().map(r => (r._2, r._3)).toMap
+    val direct = HllSketch.registers(
+        ev.select(lit("w").as("grp"), col("user_id")), "grp", "user_id")
+      .as[(String, Long, Long)].collect().map(r => (r._2, r._3)).toMap
+    assert(rolledW == direct)
+  }
 }
