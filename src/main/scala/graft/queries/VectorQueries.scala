@@ -24,7 +24,97 @@ object VectorQueries {
     q30Top1Similar, q31NearDupBucketed, q32KnnBruteForce, q33Centroids,
     q34LshTopK, q35IvfTopK, q36IvfIndexTopK, q88HofDot, q94IvfExactServe,
     q106IvfUpsertServe, q128PqAdcServe, q132IvfAdcServe, q147RetrievalChunks,
-    q154KmeansTrain, q163ContrastivePairs, q181Sq8Serve, q202KCenterSeeds)
+    q154KmeansTrain, q163ContrastivePairs, q181Sq8Serve, q202KCenterSeeds,
+    q212MmrDiversify)
+
+  /** One MMR greedy round for the q212 oracle: remaining candidates score
+    * `λ·simq − (1−λ)·max sim to the selected set`, argmax with id
+    * tie-break joins the selection. */
+  private def mmrIterSql(i: Int): String =
+    s"""ms$i AS (
+       |  SELECT c.qid, c.id, c.simq, max(cp.sim_ppb) AS msim
+       |  FROM cand c
+       |  JOIN cp ON cp.qid = c.qid AND cp.id_a = c.id
+       |  JOIN sel${i - 1} s ON s.qid = cp.qid AND s.id = cp.id_b
+       |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} z
+       |                    WHERE z.qid = c.qid AND z.id = c.id)
+       |  GROUP BY c.qid, c.id, c.simq),
+       |pick$i AS (
+       |  SELECT qid, $i AS sel_round, id,
+       |         CAST(700000 * simq - 300000 * msim AS BIGINT) AS mmr_score
+       |  FROM (
+       |    SELECT qid, id, simq, msim,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY 700000 * simq - 300000 * msim DESC, id) AS rn
+       |    FROM ms$i) WHERE rn = 1),
+       |sel$i AS (SELECT qid, sel_round, id, mmr_score FROM sel${i - 1}
+       |          UNION ALL
+       |          SELECT qid, sel_round, id, mmr_score FROM pick$i)""".stripMargin
+
+  /** MMR diversified re-ranking — `similarity.Mmr.select` (Carbonell &
+    * Goldstein 1998, λ = 0.7) over the q32 brute retriever's top-8: the
+    * serving stage that trades raw relevance for coverage, so three
+    * near-identical top hits collapse to one plus genuinely different
+    * results. Similarities on the q163 `round(cos·10^9)` ppb grid, λ in
+    * ppm — every greedy argmax orders integers with an id tie-break, and
+    * the oracle unrolls all 5 rounds (anti-join, max-sim-to-selected,
+    * window argmax) as a CTE chain, q204-style. */
+  val q212MmrDiversify: QueryDef = sql(
+    "q212_mmr_diversify",
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |q AS (SELECT id AS qid, v AS qv FROM e WHERE id < 3),
+       |sc AS (
+       |  SELECT q.qid, e.id,
+       |         CAST(round(list_cosine_similarity(q.qv, e.v) * 1000000000)
+       |              AS BIGINT) AS simq
+       |  FROM q JOIN e ON e.id <> q.qid),
+       |cand AS (SELECT qid, id, simq FROM (
+       |           SELECT qid, id, simq,
+       |                  row_number() OVER (PARTITION BY qid
+       |                                     ORDER BY simq DESC, id) AS rn
+       |           FROM sc) WHERE rn <= 8),
+       |cp AS (
+       |  SELECT x.qid, x.id AS id_a, y.id AS id_b,
+       |         CAST(round(list_cosine_similarity(ex.v, ey.v) * 1000000000)
+       |              AS BIGINT) AS sim_ppb
+       |  FROM cand x JOIN cand y ON x.qid = y.qid AND x.id <> y.id
+       |  JOIN e ex ON ex.id = x.id JOIN e ey ON ey.id = y.id),
+       |sel1 AS (
+       |  SELECT qid, 1 AS sel_round, id,
+       |         CAST(700000 * simq AS BIGINT) AS mmr_score
+       |  FROM (
+       |    SELECT qid, id, simq,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY simq DESC, id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |${(2 to 5).map(mmrIterSql).mkString(",\n")}
+       |SELECT qid, sel_round, id, mmr_score FROM sel5
+       |ORDER BY qid, sel_round""".stripMargin) { (s, d) =>
+    val e = emb(s, d).select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val probes = e.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("simq_ppb").desc, col("id"))
+    val cands = broadcast(probes).join(e, col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        graft.functions.fixed_point(
+          cosine_similarity(col("qv"), col("v")), 1e9).as("simq_ppb"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 8)
+      .select(col("qid"), col("id"), col("simq_ppb"))
+    val cv = cands.join(e, "id").select(col("qid"), col("id"), col("v"))
+    val pairSims = cv.select(col("qid"), col("id").as("id_a"), col("v").as("va"))
+      .join(cv.select(col("qid"), col("id").as("id_b"), col("v").as("vb")),
+        "qid")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("qid"), col("id_a"), col("id_b"),
+        graft.functions.fixed_point(
+          cosine_similarity(col("va"), col("vb")), 1e9).as("sim_ppb"))
+    graft.similarity.Mmr.select(cands, pairSims, k = 5, lambdaPpm = 700000L)
+      .orderBy(col("qid"), col("sel_round"))
+  }
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
