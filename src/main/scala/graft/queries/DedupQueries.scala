@@ -20,7 +20,107 @@ object DedupQueries {
     q169PixelDedup, q170MediaCuration, q171PairedShards, q172StreamMedia,
     q173StreamPixelDedup, q174AudioFir, q175JpegDecode, q176MjpegFrames,
     q183AudioWht, q186AudioDedup, q190EntityResolution, q192LeakageSplit,
-    q194IncrementalDedup, q208SetsimJoin, q209PhashNeardup)
+    q194IncrementalDedup, q208SetsimJoin, q209PhashNeardup,
+    q213LshRecallAudit)
+
+  /** LSH RECALL AUDIT — the self-measuring closure of the dedup shelf:
+    * q208's prefix-filtered join is exact ground truth (no false
+    * negatives, by theorem), so joining the md5-MinHash banded candidate
+    * set (q43/q45's replayable signature convention, 4 bands × 2 rows)
+    * against it measures the banding's TRUE recall per Jaccard decile —
+    * the number a 100 TB dedup owner needs before trading exactness for
+    * the O(n) banded path. Both chains and the decile aggregate replay
+    * in SQL end to end; recall is monotone in the decile by construction
+    * of the banding probability (J^2 per band), which the output makes
+    * visible. */
+  val q213LshRecallAudit: QueryDef = QueryDef.sql(
+    "q213_lsh_recall_audit",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |sh AS (SELECT doc_id,
+      |              CASE WHEN len(tok) >= 3
+      |                   THEN list_transform(range(len(tok) - 2),
+      |                        i -> tok[i + 1] || ' ' || tok[i + 2] || ' ' || tok[i + 3])
+      |                   ELSE [] END AS shingles
+      |       FROM t),
+      |bd AS (SELECT doc_id, b AS band_idx,
+      |              md5(list_aggregate(list_transform(shingles,
+      |                    s -> md5(CAST(2 * b AS VARCHAR) || s)), 'min')
+      |                  || list_aggregate(list_transform(shingles,
+      |                    s -> md5(CAST(2 * b + 1 AS VARCHAR) || s)), 'min'))
+      |                AS band_val
+      |       FROM sh CROSS JOIN range(4) r(b)
+      |       WHERE len(shingles) > 0),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bd a JOIN bd b ON a.band_idx = b.band_idx
+      |                            AND a.band_val = b.band_val
+      |                            AND a.doc_id < b.doc_id),
+      |jt AS (
+      |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+      |           generate_series(1, len(tok) - 2),
+      |           i -> array_to_string(tok[i:i+2], ' ')))) AS g
+      |  FROM t),
+      |freq AS (SELECT g, CAST(count(*) AS BIGINT) AS f FROM jt GROUP BY g),
+      |pref AS (
+      |  SELECT id, g FROM (
+      |    SELECT jt.id, jt.g,
+      |           row_number() OVER (PARTITION BY jt.id
+      |                              ORDER BY freq.f, jt.g) AS pos,
+      |           count(*) OVER (PARTITION BY jt.id) AS sz
+      |    FROM jt JOIN freq USING (g))
+      |  WHERE pos <= sz - ((500000 * sz + 999999) // 1000000) + 1),
+      |pcand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM pref a JOIN pref b ON a.g = b.g AND a.id < b.id),
+      |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM jt GROUP BY id),
+      |itr AS (
+      |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i_n
+      |  FROM pcand c
+      |  JOIN jt ta ON ta.id = c.id_a
+      |  JOIN jt tb ON tb.id = c.id_b AND tb.g = ta.g
+      |  GROUP BY c.id_a, c.id_b),
+      |truth AS (
+      |  SELECT i.id_a, i.id_b,
+      |         CAST((i.i_n * 1000000) // (sa.n + sb.n - i.i_n) AS BIGINT) AS jac_ppm
+      |  FROM itr i JOIN sizes sa ON sa.id = i.id_a
+      |             JOIN sizes sb ON sb.id = i.id_b
+      |  WHERE i.i_n * 1000000 >= 500000 * (sa.n + sb.n - i.i_n)),
+      |flagged AS (
+      |  SELECT truth.jac_ppm // 100000 AS jac_decile,
+      |         CASE WHEN cand.id_a IS NULL THEN 0 ELSE 1 END AS found
+      |  FROM truth LEFT JOIN cand
+      |    ON cand.id_a = truth.id_a AND cand.id_b = truth.id_b)
+      |SELECT CAST(jac_decile AS BIGINT) AS jac_decile,
+      |       CAST(count(*) AS BIGINT) AS n_true,
+      |       CAST(sum(found) AS BIGINT) AS n_found,
+      |       CAST((sum(found) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+      |FROM flagged
+      |GROUP BY jac_decile
+      |ORDER BY jac_decile""".stripMargin) { (s, d) =>
+    val docsDf = Tables.documents(s, d)
+    val truth = graft.dedup.SetSimJoin.jaccardJoin(
+      docsDf, "doc_id", "text", tPpm = 500000L, shingleK = 3)
+    def sig(salt: String) =
+      graft.functions.salted_md5_min(col("tok"), salt)
+    val bands = docsDf.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+        md5(concat(sig((2 * b).toString), sig((2 * b + 1).toString)))): _*))
+        .as(Seq("band_idx", "band_val")))
+      .filter(col("band_val").isNotNull)
+    val cand = bands
+      .select(col("band_idx"), col("band_val"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band_idx"), col("band_val"),
+        col("doc_id").as("id_b")), Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    truth
+      .join(cand.withColumn("found", lit(1L)), Seq("id_a", "id_b"), "left")
+      .select(expr("jac_ppm div 100000").as("jac_decile"),
+        coalesce(col("found"), lit(0L)).as("found"))
+      .groupBy(col("jac_decile"))
+      .agg(count(lit(1)).as("n_true"), sum(col("found")).as("n_found"))
+      .withColumn("recall_ppm", expr("(n_found * 1000000) div n_true"))
+      .orderBy(col("jac_decile"))
+  }
 
   /** Perceptual image NEAR-dup — `multimodal.PerceptualHash` (average
     * hash): q169's blob/pixel fingerprint collapses byte-identical

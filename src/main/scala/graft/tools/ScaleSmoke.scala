@@ -300,6 +300,21 @@ object ScaleSmoke {
         require(agree >= 0.9,
           f"LSH similarity-graph recall $agree%.4f below the 0.9 smoke floor")
       }
+      time("setsim_prefix_join", k) {
+        // EXACT PPJoin at scale: per-copy token suffixes keep the copies'
+        // shingle sets fully disjoint, so the ANSWER stays the base
+        // corpus's near-dup pairs × k (output linear in k) and the wall
+        // must track rows — an un-filtered exact join would be C(N,2).
+        // (The scaled() " copyidN" suffix would instead make every copy a
+        // near-dup of its original — answer-quadratic by construction.)
+        val disjoint = (0 until k).map { i =>
+          base.select((col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+            expr(s"array_join(transform(split(text, ' '), " +
+              s"t -> concat(t, '_$i')), ' ')").as("text"))
+        }.reduce(_ unionByName _)
+        graft.dedup.SetSimJoin.jaccardJoin(
+          disjoint, "doc_id", "text", tPpm = 500000L)
+      }
       time("minhash_hot_bucket_cap", k) {
         // Degenerate-corpus pressure (VERDICT r10 item 1): 80% of the
         // corpus is VERBATIM boilerplate, so one band bucket holds 0.8·N
