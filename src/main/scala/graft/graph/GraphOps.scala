@@ -111,9 +111,14 @@ object GraphOps {
     *
     * Scale shape: identical joins to pagerankPpm, PLUS the sparsity PPR
     * gives for free — nodes the walk has not reached carry r = 0 and are
-    * filtered out of the contribution join, so each round's work tracks
-    * the seed NEIGHBORHOOD, not the graph (at 100 TB a 3-hop ball is
-    * orders of magnitude below the node count). Lineage cut per round. */
+    * filtered out of the contribution join's BUILD side, so the shuffled
+    * contribution volume and the per-node aggregation track the seed
+    * NEIGHBORHOOD, not the graph (at 100 TB a 3-hop ball is orders of
+    * magnitude below the node count). The edge list itself is still
+    * scanned once per round to probe the join — the standard
+    * pregel-as-joins cost, linear and sequential-read-friendly; what the
+    * frontier filter removes is the quadratic-prone part (shuffle +
+    * state), not the scan. Lineage cut per round. */
   def personalizedPagerankPpm(edges: DataFrame, nodes: DataFrame,
       seeds: DataFrame, iters: Int = 3,
       dampingPpm: Long = 850000L): DataFrame = {

@@ -421,6 +421,21 @@ object ScaleSmoke {
           .where(col("src") =!= col("dst"))
         graft.graph.GraphOps.pagerankPpm(edges, nodes, iters = 3)
       }
+      time("ppr_seed_expansion", k) {
+        // personalized PageRank on the pagerank_ppm hash graph with a
+        // CONSTANT 3-seed set: per-round shuffle volume tracks the seed
+        // neighborhood while the edge scan is linear — wall must track
+        // edges (3 rounds), never blow up with graph size
+        val n = 500_000L * k
+        val nodes = spark.range(n).select(col("id"))
+        val edges = spark.range(4 * n).select(
+          (col("id") % n).as("src"),
+          pmod(hash(col("id") * 13), lit(n)).cast("long").as("dst"))
+          .where(col("src") =!= col("dst"))
+        val seeds = spark.range(3).select(col("id"))
+        graft.graph.GraphOps.personalizedPagerankPpm(edges, nodes, seeds,
+          iters = 3)
+      }
       /** Skewed graph for the triangle/k-core/LPA smokes: n/8 disjoint
         * 8-cliques (LINEAR triangle and core mass: 56 triangles, 28 edges
         * per block), ONE planted star hub of degree n/10 (the skew bomb —
