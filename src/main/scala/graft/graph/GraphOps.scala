@@ -125,8 +125,11 @@ object GraphOps {
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val e = edges.join(outdeg, "src")
     val base = 1000000L - dampingPpm
+    // distinct: a duplicated seed id would fan the left join out and
+    // silently double that node's restart and contribution mass
     val seeded = nodes
-      .join(seeds.select(col("id"), lit(1L).as("s")), Seq("id"), "left")
+      .join(seeds.select(col("id")).distinct().withColumn("s", lit(1L)),
+        Seq("id"), "left")
       .select(col("id"), coalesce(col("s"), lit(0L)).as("is_seed"))
     var ranks = seeded.select(col("id"), col("is_seed"),
       (col("is_seed") * 1000000L).as("r"))

@@ -81,6 +81,9 @@ object PerceptualHash {
   def aHashes(media: DataFrame, idCol: String = "media_id",
       bytesCol: String = "bytes"): DataFrame =
     media.select(col(idCol).cast("long").as("__id"), col(bytesCol).as("__b"))
+      // NULL ids/blobs drop here, not NPE inside decode — the same
+      // degradation the doc promises for undecodable bytes
+      .filter(col("__id").isNotNull && col("__b").isNotNull)
       .mapPartitions { it =>
         it.flatMap { r =>
           ImageDecode.decode(r.getAs[Array[Byte]]("__b"))

@@ -1137,21 +1137,6 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Hybrid-retrieval fusion — `similarity.Fusion.reciprocalRank`
-    * (Cormack et al. SIGIR 2009, k = 60) over TWO real rankers on the
-    * same probes: q184's BM25 top-10 and a token-set Jaccard top-10
-    * (`sim_ppm = (10^6·|q∩d|) div (|q|+|d|−|q∩d|)` over DISTINCT
-    * tokens). The oracle replays BOTH ranking chains end to end and the
-    * fusion arithmetic, so a rank slip in either retriever, a wrong
-    * damping constant, or a tie-break drift all hash-mismatch. Absent-
-    * from-one-list docs keep a NULL source rank and contribute 0 — the
-    * branch that makes RRF calibration-free.
-    *
-    * Scale shape: both rankers emit bounded top-k lists (≤ 10·|Q| rows),
-    * so the fusion's outer join and per-query window never touch the
-    * corpus; the BM25 chain keeps its q184 posting-list shape and the
-    * Jaccard chain pre-aggregates to (qid, doc, intersection) via the
-    * same broadcast-probes inverted lookup. */
   /** Exact phrase search over a positional inverted index —
     * `text.PhraseSearch.phraseMatches` (the anchor-intersection form:
     * posting (doc, pos, tok) × query token (qid, off, tok) → anchor
@@ -1194,6 +1179,21 @@ object TextQueries {
       .orderBy(col("qid"), col("doc_id"))
   }
 
+  /** Hybrid-retrieval fusion — `similarity.Fusion.reciprocalRank`
+    * (Cormack et al. SIGIR 2009, k = 60) over TWO real rankers on the
+    * same probes: q184's BM25 top-10 and a token-set Jaccard top-10
+    * (`sim_ppm = (10^6·|q∩d|) div (|q|+|d|−|q∩d|)` over DISTINCT
+    * tokens). The oracle replays BOTH ranking chains end to end and the
+    * fusion arithmetic, so a rank slip in either retriever, a wrong
+    * damping constant, or a tie-break drift all hash-mismatch. Absent-
+    * from-one-list docs keep a NULL source rank and contribute 0 — the
+    * branch that makes RRF calibration-free.
+    *
+    * Scale shape: both rankers emit bounded top-k lists (≤ 10·|Q| rows),
+    * so the fusion's outer join and per-query window never touch the
+    * corpus; the BM25 chain keeps its q184 posting-list shape and the
+    * Jaccard chain pre-aggregates to (qid, doc, intersection) via the
+    * same broadcast-probes inverted lookup. */
   val q206RrfFusion: QueryDef = sql(
     "q206_rrf_fusion",
     """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

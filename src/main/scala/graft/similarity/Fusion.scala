@@ -44,7 +44,9 @@ object Fusion {
     }
     val joined = tagged.reduce(_.join(_, Seq("qid", "doc_id"), "full_outer"))
     val fused = rankings.map { case (name, _) =>
-      coalesce(expr(s"1000000000 div ($kConst + rank_$name)"), lit(0L))
+      // backticks: a ranker name like "bm-25" must stay one identifier,
+      // not parse as `rank_bm - 25`
+      coalesce(expr(s"1000000000 div ($kConst + `rank_$name`)"), lit(0L))
     }.reduce(_ + _)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("rrf_e9").desc, col("doc_id"))

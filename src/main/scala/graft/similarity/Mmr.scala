@@ -49,15 +49,22 @@ object Mmr {
         .join(pairSims.withColumnRenamed("id_a", "id"), Seq("qid", "id"))
         .join(sel.select(col("qid"), col("id").as("id_b")), Seq("qid", "id_b"))
         .groupBy(col("qid"), col("id")).agg(max(col("sim_ppb")).as("msim"))
-      val pick = remaining.join(maxSim, Seq("qid", "id"))
+      // LEFT join + coalesce: a candidate with NO pair row to any selected
+      // item (sparse pair tables omit zero-similarity pairs) penalizes at
+      // msim = 0 — an inner join would silently DROP the most diverse
+      // candidates, the exact opposite of MMR's point
+      val pick = remaining.join(maxSim, Seq("qid", "id"), "left")
         .select(col("qid"), col("id"),
           (lit(lambdaPpm) * col("simq_ppb") -
-            lit(1000000L - lambdaPpm) * col("msim")).as("mmr_score"))
+            lit(1000000L - lambdaPpm) * coalesce(col("msim"), lit(0L)))
+            .as("mmr_score"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("qid"), lit(r).as("sel_round"), col("id"),
           col("mmr_score"))
-      sel = sel.unionByName(pick)
+      // lineage cut per round (the kCore discipline): pick references sel
+      // three times, so an uncut plan grows ~4^k nodes
+      sel = sel.unionByName(pick).localCheckpoint(false)
     }
     sel
   }

@@ -60,6 +60,20 @@ class MmrSpec extends SparkSpec {
       ((2L, 700000L * 800000000L - 300000L * 990000000L)))
   }
 
+  test("sparse pair tables: a candidate with no sim row to the selected " +
+      "set penalizes at zero, it is not dropped") {
+    // only the nonzero pair (1,2) is present — the natural sparse
+    // representation; the diverse id 3 must still win round 2 with
+    // score λ·simq − 0, and round 3 must still emit a row
+    val cands = Seq((0L, 1L, 900000000L), (0L, 2L, 800000000L),
+      (0L, 3L, 500000000L))
+    val pairs = Seq((0L, 1L, 2L, 990000000L))
+    val out = run(cands, pairs, k = 3, lambdaPpm = 700000L)
+    assert(out((0L, 1))._1 == 1L)
+    assert(out((0L, 2)) == ((3L, 700000L * 500000000L)))
+    assert(out((0L, 3))._1 == 2L)
+  }
+
   test("lambda = 1 reduces to pure relevance order") {
     val cands = Seq((0L, 5L, 100L), (0L, 6L, 300L), (0L, 7L, 200L))
     val pairs = for (a <- Seq(5L, 6L, 7L); b <- Seq(5L, 6L, 7L) if a < b)
