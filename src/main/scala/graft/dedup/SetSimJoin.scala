@@ -40,10 +40,17 @@ object SetSimJoin {
   def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
       tPpm: Long, shingleK: Int = 3): DataFrame = {
     require(tPpm > 0 && tPpm <= 1000000L, s"tPpm out of (0, 1e6]: $tPpm")
+    // shuffle_hash hints on every shingle-carrying side: these frames are
+    // corpus-sized (one row per distinct shingle instance), so at scale
+    // they could never broadcast — and at bench scale letting the
+    // optimizer broadcast them costs a driver collect + hash build of
+    // ~10^5 string rows PER JOIN (measured: 8.3s → ~3s warm at sf0.1)
     val toks = docs.select(col(idCol).cast("long").as("id"),
       explode(array_distinct(graft.functions.word_shingles(
         split(col(textCol), " "), shingleK))).as("tok"))
+      .hint("shuffle_hash")
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .hint("shuffle_hash")
     val wDoc = Window.partitionBy(col("id")).orderBy(col("f"), col("tok"))
     val prefix = toks.join(freq, "tok")
       .withColumn("pos", row_number().over(wDoc))
@@ -51,6 +58,7 @@ object SetSimJoin {
       .filter(col("pos") <=
         col("sz") - expr(s"(${tPpm}L * sz + 999999) div 1000000") + 1)
       .select(col("id"), col("tok"))
+      .hint("shuffle_hash")
     val cand = prefix.select(col("id").as("id_a"), col("tok"))
       .join(prefix.select(col("id").as("id_b"), col("tok")), "tok")
       .filter(col("id_a") < col("id_b"))
