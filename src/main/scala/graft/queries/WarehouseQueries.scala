@@ -623,9 +623,13 @@ object WarehouseQueries {
       .select(col("l_orderkey"), (col("s_suppkey") * 2 + 1).cast("long").as("dst"))
     val raw = byCust.join(bySupp, col("o_orderkey") === col("l_orderkey"))
       .select(col("src"), col("dst")).distinct()
+    // cache: unlike q203 (one AQE-planned job, exchange reuse), the PPR
+    // rounds materialize as SEPARATE checkpoint jobs, so without the
+    // cache each round re-runs the 4-table bipartite build
     val e = raw
       .union(raw.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .cache()
     val nodes = e.select(col("src").as("id")).distinct()
     val seeds = nodes.orderBy(col("id")).limit(3)
     GraphOps.personalizedPagerankPpm(e, nodes, seeds, iters = 3)
