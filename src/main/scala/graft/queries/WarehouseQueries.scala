@@ -543,8 +543,12 @@ object WarehouseQueries {
       .join(broadcast(Tables.supplier(s, d)),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("l_orderkey"), (col("s_suppkey") * 2 + 1).cast("long").as("dst"))
+    // cache: the LPA rounds materialize as separate checkpoint jobs
+    // (the q207 adjudication), so each round would otherwise re-run the
+    // 4-table bipartite build
     val raw = byCust.join(bySupp, col("o_orderkey") === col("l_orderkey"))
       .select(col("src"), col("dst")).distinct()
+      .cache()
     val nodes = raw.select(col("src").as("id"))
       .union(raw.select(col("dst").as("id"))).distinct()
     val lp = GraphOps.labelPropagation(raw, nodes, iters = 3)
