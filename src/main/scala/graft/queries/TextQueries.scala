@@ -30,7 +30,7 @@ object TextQueries {
     q131WeightedSample, q135TfidfTerms, q148Curriculum, q184Bm25TopK,
     q187NormalizedDedup, q191Calibration, q196HardNegatives,
     q149StratifiedExact, q177Blocklist, q199BudgetSample, q206RrfFusion,
-    q210PhraseSearch)
+    q210PhraseSearch, q214RetrievalEval)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1276,6 +1276,133 @@ object TextQueries {
     graft.similarity.Fusion
       .reciprocalRank(Seq("bm25" -> bm25, "jac" -> jac), kConst = 60, topK = 10)
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Retrieval-quality evaluation of ALL THREE rankers on the shared
+    * probes — the eval that closes the retrieval shelf the way q213
+    * closed dedup: per (ranker ∈ {bm25, jac, rrf}, probe), the number of
+    * same-language hits in the top-10 (the q178/q196 one-vs-rest weak
+    * supervision), precision@list on the ppm grid, and the FIRST
+    * relevant rank (the serving latency-of-first-good-result metric;
+    * NULL when the list has no relevant hit). The oracle replays every
+    * ranking chain (BM25 postings, Jaccard overlap, RRF fusion), the
+    * label joins, and the aggregates — all integer. Scale: all inputs
+    * are the bounded top-10 lists; the eval itself is a dimension join +
+    * one groupBy per ranker. */
+  val q214RetrievalEval: QueryDef = sql(
+    "q214_retrieval_eval",
+    """WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
+      |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nd
+      |        FROM dl),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM (SELECT doc_id, unnest(w) AS tok FROM base)
+      |       GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+      |q AS (SELECT DISTINCT doc_id AS qid, unnest(w[1:8]) AS tok
+      |      FROM base WHERE doc_id < 5),
+      |sc AS (
+      |  SELECT q.qid, dt.doc_id,
+      |         CAST(sum(CAST((nd * 1000) // df AS HUGEINT) *
+      |                  ((88 * tf * CAST(t AS HUGEINT) * 1000000) //
+      |                   (40 * CAST(t AS HUGEINT) * tf + 12 * t + 36 * dl.dl * nd))) AS BIGINT)
+      |           AS score_i
+      |  FROM q JOIN dfq USING (tok) JOIN dt USING (tok)
+      |  JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN tot
+      |  WHERE dt.doc_id <> q.qid
+      |  GROUP BY q.qid, dt.doc_id),
+      |bm AS (SELECT qid, doc_id, r FROM (
+      |         SELECT qid, doc_id,
+      |                row_number() OVER (PARTITION BY qid
+      |                                   ORDER BY score_i DESC, doc_id) AS r
+      |         FROM sc) WHERE r <= 10),
+      |dtok AS (SELECT doc_id, unnest(list_distinct(w)) AS tok FROM base),
+      |dn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS d_n FROM dtok GROUP BY doc_id),
+      |qn AS (SELECT qid, CAST(count(*) AS BIGINT) AS q_n FROM q GROUP BY qid),
+      |itr AS (SELECT q.qid, dtok.doc_id, CAST(count(*) AS BIGINT) AS i_n
+      |        FROM q JOIN dtok USING (tok) WHERE dtok.doc_id <> q.qid
+      |        GROUP BY q.qid, dtok.doc_id),
+      |jsim AS (SELECT itr.qid, itr.doc_id,
+      |                CAST((i_n * 1000000) // (q_n + d_n - i_n) AS BIGINT) AS sim_ppm
+      |         FROM itr JOIN dn USING (doc_id) JOIN qn USING (qid)),
+      |jac AS (SELECT qid, doc_id, r FROM (
+      |          SELECT qid, doc_id,
+      |                 row_number() OVER (PARTITION BY qid
+      |                                    ORDER BY sim_ppm DESC, doc_id) AS r
+      |          FROM jsim) WHERE r <= 10),
+      |fu AS (
+      |  SELECT coalesce(bm.qid, jac.qid) AS qid,
+      |         coalesce(bm.doc_id, jac.doc_id) AS doc_id,
+      |         CAST(coalesce(1000000000 // (60 + bm.r), 0)
+      |            + coalesce(1000000000 // (60 + jac.r), 0) AS BIGINT) AS rrf_e9
+      |  FROM bm FULL OUTER JOIN jac
+      |    ON bm.qid = jac.qid AND bm.doc_id = jac.doc_id),
+      |rrf AS (SELECT qid, doc_id, r FROM (
+      |          SELECT qid, doc_id,
+      |                 row_number() OVER (PARTITION BY qid
+      |                                    ORDER BY rrf_e9 DESC, doc_id) AS r
+      |          FROM fu) WHERE r <= 10),
+      |lists AS (
+      |  SELECT 'bm25' AS ranker, qid, doc_id, r FROM bm
+      |  UNION ALL SELECT 'jac', qid, doc_id, r FROM jac
+      |  UNION ALL SELECT 'rrf', qid, doc_id, r FROM rrf),
+      |lab AS (SELECT doc_id, lang FROM base),
+      |flagged AS (
+      |  SELECT l.ranker, l.qid, l.r,
+      |         CASE WHEN dlab.lang = qlab.lang THEN 1 ELSE 0 END AS rel
+      |  FROM lists l
+      |  JOIN lab dlab ON dlab.doc_id = l.doc_id
+      |  JOIN lab qlab ON qlab.doc_id = l.qid)
+      |SELECT ranker, qid,
+      |       CAST(count(*) AS BIGINT) AS n_ranked,
+      |       CAST(sum(rel) AS BIGINT) AS n_rel,
+      |       CAST((sum(rel) * 1000000) // count(*) AS BIGINT) AS prec_ppm,
+      |       CAST(min(CASE WHEN rel = 1 THEN r END) AS BIGINT) AS first_rel_rank
+      |FROM flagged
+      |GROUP BY ranker, qid
+      |ORDER BY ranker, qid""".stripMargin) { (s, d) =>
+    val probes = docs(s, d).filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+      .distinct()
+    val bm25 = graft.text.Bm25.topK(docs(s, d), "doc_id", "text",
+        probes, k = 10)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val dTok = docs(s, d).select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val dN = dTok.groupBy(col("doc_id")).agg(count(lit(1)).as("d_n"))
+    val qN = probes.groupBy(col("qid")).agg(count(lit(1)).as("q_n"))
+    val wj = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_ppm").desc, col("doc_id"))
+    val jac = broadcast(probes).join(dTok, "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("i_n"))
+      .join(dN, "doc_id").join(broadcast(qN), "qid")
+      .select(col("qid"), col("doc_id"),
+        expr("(i_n * 1000000) div (q_n + d_n - i_n)").as("sim_ppm"))
+      .withColumn("rank", row_number().over(wj))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val rrf = graft.similarity.Fusion
+      .reciprocalRank(Seq("bm25" -> bm25, "jac" -> jac), kConst = 60,
+        topK = 10)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val lists = bm25.withColumn("ranker", lit("bm25"))
+      .unionByName(jac.withColumn("ranker", lit("jac")))
+      .unionByName(rrf.withColumn("ranker", lit("rrf")))
+    val lab = docs(s, d).select(col("doc_id"), col("lang"))
+    lists
+      .join(broadcast(lab.select(col("doc_id"), col("lang").as("d_lang"))),
+        "doc_id")
+      .join(broadcast(lab.select(col("doc_id").as("qid"),
+        col("lang").as("q_lang"))), "qid")
+      .withColumn("rel", (col("d_lang") === col("q_lang")).cast("long"))
+      .groupBy(col("ranker"), col("qid"))
+      .agg(count(lit(1)).as("n_ranked"), sum(col("rel")).as("n_rel"),
+        expr("(sum(rel) * 1000000) div count(1)").as("prec_ppm"),
+        min(when(col("rel") === 1, col("rank"))).cast("long")
+          .as("first_rel_rank"))
+      .orderBy(col("ranker"), col("qid"))
   }
 
   /** Normalization-aware exact dedup — `text.Normalize.normalized`
