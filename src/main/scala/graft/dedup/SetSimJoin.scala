@@ -76,4 +76,79 @@ object SetSimJoin {
         (col("n_a") + col("n_b") - col("i_n")).as("u_n"),
         expr("(i_n * 1000000) div (n_a + n_b - i_n)").as("jac_ppm"))
   }
+
+  /** Persistable EXACT-dedup index over a corpus — ONE frame holding
+    * every distinct shingle instance with the metadata the probe needs:
+    * `(id, tok, f, n, is_prefix)` (corpus shingle frequency, the
+    * document's set size, and whether the shingle falls in the
+    * document's threshold prefix). The incremental twin of
+    * `Dedup.minhashBandBuckets` for the exact path: build once, persist,
+    * probe each ingest batch against it. */
+  def prefixIndex(docs: DataFrame, idCol: String, textCol: String,
+      tPpm: Long, shingleK: Int = 3): DataFrame = {
+    require(tPpm > 0 && tPpm <= 1000000L, s"tPpm out of (0, 1e6]: $tPpm")
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(graft.functions.word_shingles(
+        split(col(textCol), " "), shingleK))).as("tok"))
+      .hint("shuffle_hash")
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .hint("shuffle_hash")
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("f"), col("tok"))
+    toks.join(freq, "tok")
+      .withColumn("pos", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .select(col("id"), col("tok"), col("f"), col("n"),
+        (col("pos") <=
+          col("n") - expr(s"(${tPpm}L * n + 999999) div 1000000") + 1)
+          .as("is_prefix"))
+  }
+
+  /** Probe a NEW batch against a persisted [[prefixIndex]]: all pairs
+    * (batch doc, INDEXED doc) with Jaccard ≥ `tPpm`/10^6 — per-batch
+    * cost tracks the batch and the index rows its prefix shingles touch,
+    * never a corpus re-shingle (q194's ingest shape for the exact path).
+    *
+    * Batch shingles order by the INDEX frequency, with unseen shingles
+    * at f = 0 (rarest-first). That is a consistent extension of the
+    * fixed global order the index prefixes were built under — common
+    * shingles carry the same f, unseen shingles occur on the batch side
+    * only — so the no-false-negative prefix theorem holds ACROSS the
+    * batch/corpus boundary. Output: (new_id, old_id, i_n, u_n, jac_ppm),
+    * exact. */
+  def probePrefixIndex(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, tPpm: Long, shingleK: Int = 3): DataFrame = {
+    val bt = batch.select(col(idCol).cast("long").as("new_id"),
+      explode(array_distinct(graft.functions.word_shingles(
+        split(col(textCol), " "), shingleK))).as("tok"))
+      .hint("shuffle_hash")
+    val freq = index.select(col("tok"), col("f")).distinct()
+      .hint("shuffle_hash")
+    val wDoc = Window.partitionBy(col("new_id"))
+      .orderBy(col("f0"), col("tok"))
+    val bPrefix = bt.join(freq, Seq("tok"), "left")
+      .withColumn("f0", coalesce(col("f"), lit(0L)))
+      .withColumn("pos", row_number().over(wDoc))
+      .withColumn("bn", count(lit(1)).over(
+        Window.partitionBy(col("new_id"))))
+      .filter(col("pos") <=
+        col("bn") - expr(s"(${tPpm}L * bn + 999999) div 1000000") + 1)
+      .select(col("new_id"), col("tok"))
+    val cand = bPrefix
+      .join(index.filter(col("is_prefix"))
+        .select(col("id").as("old_id"), col("tok")), "tok")
+      .select(col("new_id"), col("old_id")).distinct()
+    val bSizes = bt.groupBy(col("new_id")).agg(count(lit(1)).as("n_b"))
+    cand
+      .join(bt, "new_id")
+      .join(index.select(col("id").as("old_id"), col("tok"), col("n")),
+        Seq("old_id", "tok"))
+      .groupBy(col("new_id"), col("old_id"), col("n"))
+      .agg(count(lit(1)).as("i_n"))
+      .join(bSizes, "new_id")
+      .filter(col("i_n") * 1000000L >=
+        lit(tPpm) * (col("n_b") + col("n") - col("i_n")))
+      .select(col("new_id"), col("old_id"), col("i_n"),
+        (col("n_b") + col("n") - col("i_n")).as("u_n"),
+        expr("(i_n * 1000000) div (n_b + n - i_n)").as("jac_ppm"))
+  }
 }

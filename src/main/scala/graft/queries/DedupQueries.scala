@@ -21,7 +21,76 @@ object DedupQueries {
     q173StreamPixelDedup, q174AudioFir, q175JpegDecode, q176MjpegFrames,
     q183AudioWht, q186AudioDedup, q190EntityResolution, q192LeakageSplit,
     q194IncrementalDedup, q208SetsimJoin, q209PhashNeardup,
-    q213LshRecallAudit)
+    q213LshRecallAudit, q215IncrementalSetsim)
+
+  /** Incremental EXACT dedup — `SetSimJoin.prefixIndex` persisted once
+    * over the standing corpus, `SetSimJoin.probePrefixIndex` per ingest
+    * batch: q194's batch-proportional ingest shape for the EXACT path
+    * (q194's MinHash probe is the probabilistic sibling). Batch shingles
+    * order by INDEX frequency with unseen shingles at f = 0 — a
+    * consistent extension of the index's fixed global order, so the
+    * no-false-negative prefix theorem holds across the batch/corpus
+    * boundary (pinned against the brute cross join in SetSimJoinSpec).
+    * The engine really persists/reads the index through the scratch
+    * mechanism; the oracle replays BOTH the index build and the probe
+    * from first principles. */
+  val q215IncrementalSetsim: QueryDef = QueryDef.sql(
+    "q215_incremental_setsim",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |jt AS (SELECT doc_id AS id, unnest(list_distinct(list_transform(
+      |         generate_series(1, len(w) - 2),
+      |         i -> array_to_string(w[i:i+2], ' ')))) AS g
+      |       FROM t),
+      |corp AS (SELECT * FROM jt WHERE id % 10 <> 0),
+      |bat AS (SELECT id AS new_id, g FROM jt WHERE id % 10 = 0),
+      |freq AS (SELECT g, CAST(count(*) AS BIGINT) AS f FROM corp GROUP BY g),
+      |cpref AS (
+      |  SELECT id, g FROM (
+      |    SELECT corp.id, corp.g,
+      |           row_number() OVER (PARTITION BY corp.id
+      |                              ORDER BY freq.f, corp.g) AS pos,
+      |           count(*) OVER (PARTITION BY corp.id) AS n
+      |    FROM corp JOIN freq USING (g))
+      |  WHERE pos <= n - ((500000 * n + 999999) // 1000000) + 1),
+      |csz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM corp GROUP BY id),
+      |bpref AS (
+      |  SELECT new_id, g FROM (
+      |    SELECT b.new_id, b.g,
+      |           row_number() OVER (PARTITION BY b.new_id
+      |                              ORDER BY coalesce(freq.f, 0), b.g) AS pos,
+      |           count(*) OVER (PARTITION BY b.new_id) AS bn
+      |    FROM bat b LEFT JOIN freq USING (g))
+      |  WHERE pos <= bn - ((500000 * bn + 999999) // 1000000) + 1),
+      |bsz AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_b
+      |        FROM bat GROUP BY new_id),
+      |cand AS (SELECT DISTINCT bp.new_id, cp.id AS old_id
+      |         FROM bpref bp JOIN cpref cp ON bp.g = cp.g),
+      |itr AS (
+      |  SELECT c.new_id, c.old_id, CAST(count(*) AS BIGINT) AS i_n
+      |  FROM cand c
+      |  JOIN bat b ON b.new_id = c.new_id
+      |  JOIN corp o ON o.id = c.old_id AND o.g = b.g
+      |  GROUP BY c.new_id, c.old_id)
+      |SELECT i.new_id, i.old_id, i.i_n,
+      |       CAST(bsz.n_b + csz.n - i.i_n AS BIGINT) AS u_n,
+      |       CAST((i.i_n * 1000000) // (bsz.n_b + csz.n - i.i_n) AS BIGINT)
+      |         AS jac_ppm
+      |FROM itr i JOIN bsz USING (new_id) JOIN csz ON csz.id = i.old_id
+      |WHERE i.i_n * 1000000 >= 500000 * (bsz.n_b + csz.n - i.i_n)
+      |ORDER BY new_id, old_id""".stripMargin) { (s, d) =>
+    val docsDf = Tables.documents(s, d)
+    val corpus = docsDf.filter(col("doc_id") % 10 =!= 0)
+    val batch = docsDf.filter(col("doc_id") % 10 === 0)
+    val idxPath = graft.core.Scratch.dir("q215_incremental_setsim_index", d)
+    graft.dedup.SetSimJoin
+      .prefixIndex(corpus, "doc_id", "text", tPpm = 500000L, shingleK = 3)
+      .write.mode("overwrite").parquet(idxPath)
+    val index = s.read.parquet(idxPath)
+    graft.dedup.SetSimJoin
+      .probePrefixIndex(batch, "doc_id", "text", index, tPpm = 500000L,
+        shingleK = 3)
+      .orderBy(col("new_id"), col("old_id"))
+  }
 
   /** LSH RECALL AUDIT — the self-measuring closure of the dedup shelf:
     * q208's prefix-filtered join is exact ground truth (no false

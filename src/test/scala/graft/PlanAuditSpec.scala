@@ -118,6 +118,9 @@ class PlanAuditSpec extends SparkSpec {
     // writes the band-bucket index + probe pairs to scratch; the
     // probe-only join shape is pinned in DedupSpec
     "q194_incremental_dedup",
+    // persists the exact-dedup prefix index to scratch before probing;
+    // the probe join shapes are pinned in SetSimJoinSpec
+    "q215_incremental_setsim",
     // writes the decile read to scratch for the oracle's true-rank
     // audit; summary/read shapes pinned in QuantileSummarySpec
     "q200_quantile_sketch")

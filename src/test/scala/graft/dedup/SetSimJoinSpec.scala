@@ -81,4 +81,54 @@ class SetSimJoinSpec extends SparkSpec {
     val docs = Seq(1L -> "a b", 2L -> "a b", 3L -> "a b c d e f")
     assert(run(docs, 100000L).isEmpty)
   }
+
+  private def bruteCross(corpus: Seq[(Long, String)],
+      batch: Seq[(Long, String)], tPpm: Long,
+      k: Int): Set[(Long, Long, Long, Long)] =
+    (for {
+      (ib, tb) <- batch; (ic, tc) <- corpus
+      sb = shingleSet(tb, k); sc = shingleSet(tc, k)
+      i = (sb intersect sc).size.toLong
+      u = sb.size + sc.size - i
+      if u > 0 && i * 1000000L >= tPpm * u
+    } yield (ib, ic, i, u)).toSet
+
+  test("index probe equals the brute batch × corpus join — the theorem " +
+      "holds across the boundary, including unseen batch shingles") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("ash", "oak", "fir", "elm", "yew", "bay")
+    def sentence(n: Int) =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 1 to 3) {
+      val corpus = (1L to 10L).map(i => i -> sentence(8 + rnd.nextInt(6)))
+      // batch: a near-copy of a corpus doc, a verbatim copy, and a doc
+      // whose shingles are all UNSEEN by the index (f = 0 ordering path)
+      val batch = Seq(
+        101L -> (corpus.head._2 + " bay"),
+        102L -> corpus(1)._2,
+        103L -> "zzz yyy xxx www vvv uuu")
+      for (t <- Seq(400000L, 600000L)) {
+        val idx = SetSimJoin.prefixIndex(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", t, 3)
+        val got = SetSimJoin.probePrefixIndex(batch.toDF("doc_id", "text"),
+            "doc_id", "text", idx, t, 3)
+          .select(col("new_id"), col("old_id"), col("i_n"), col("u_n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+        assert(got == bruteCross(corpus, batch, t, 3), s"trial $trial t=$t")
+      }
+    }
+  }
+
+  test("index probe never pairs batch docs with each other") {
+    import spark.implicits._
+    val corpus = Seq(1L -> "p q r s t u v w")
+    val batch = Seq(2L -> "a b c d e", 3L -> "a b c d e") // mutual dups
+    val idx = SetSimJoin.prefixIndex(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", 500000L, 3)
+    val got = SetSimJoin.probePrefixIndex(batch.toDF("doc_id", "text"),
+      "doc_id", "text", idx, 500000L, 3).collect()
+    assert(got.isEmpty) // batch-batch dedup is the NEXT index build's job
+  }
 }
