@@ -70,6 +70,10 @@ object ScaleSmoke {
     val probeIdxPath = graft.core.Scratch.tempDir("smoke_probe_idx")
     graft.dedup.Dedup.minhashBandBuckets(base, "doc_id", "text")
       .write.mode("overwrite").parquet(probeIdxPath)
+    // same discipline for the EXACT-path prefix index (q215's shape)
+    val setsimIdxPath = graft.core.Scratch.tempDir("smoke_setsim_idx")
+    graft.dedup.SetSimJoin.prefixIndex(base, "doc_id", "text", 500000L)
+      .write.mode("overwrite").parquet(setsimIdxPath)
 
     for (k <- Seq(1, factor)) {
       val docs = scaled(k).cache()
@@ -79,6 +83,11 @@ object ScaleSmoke {
       time("incremental_probe", k)(
         graft.dedup.Dedup.probeIndex(docs, "doc_id", "text",
           spark.read.parquet(probeIdxPath)))
+      time("incremental_setsim_probe", k)(
+        // exact-path ingest (q215): probing a k× batch against the FIXED
+        // 1× prefix index must track the batch, never re-shingle the corpus
+        graft.dedup.SetSimJoin.probePrefixIndex(docs, "doc_id", "text",
+          spark.read.parquet(setsimIdxPath), tPpm = 500000L))
       time("mg_frequent_items", k)(
         graft.operators.FrequentItems.misraGries(
           docs.select(explode(
