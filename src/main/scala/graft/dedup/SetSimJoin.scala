@@ -117,6 +117,7 @@ object SetSimJoin {
     * exact. */
   def probePrefixIndex(batch: DataFrame, idCol: String, textCol: String,
       index: DataFrame, tPpm: Long, shingleK: Int = 3): DataFrame = {
+    require(tPpm > 0 && tPpm <= 1000000L, s"tPpm out of (0, 1e6]: $tPpm")
     val bt = batch.select(col(idCol).cast("long").as("new_id"),
       explode(array_distinct(graft.functions.word_shingles(
         split(col(textCol), " "), shingleK))).as("tok"))
@@ -133,9 +134,13 @@ object SetSimJoin {
       .filter(col("pos") <=
         col("bn") - expr(s"(${tPpm}L * bn + 999999) div 1000000") + 1)
       .select(col("new_id"), col("tok"))
+    // new_id =!= old_id: re-ingesting an id already present in the index
+    // must not emit the trivial self-pair (jac_ppm = 1e6) — the caller's
+    // contract is pairs BETWEEN the batch and the standing corpus.
     val cand = bPrefix
       .join(index.filter(col("is_prefix"))
         .select(col("id").as("old_id"), col("tok")), "tok")
+      .filter(col("new_id") =!= col("old_id"))
       .select(col("new_id"), col("old_id")).distinct()
     val bSizes = bt.groupBy(col("new_id")).agg(count(lit(1)).as("n_b"))
     cand

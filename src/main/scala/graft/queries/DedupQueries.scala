@@ -279,9 +279,17 @@ object DedupQueries {
             graft.multimodal.ImageDecode.encodePng(w, h, rgb))
         }
       }(org.apache.spark.sql.Encoders.row(schema))
+    // bucketCap = Int.MaxValue: this oracle enumerates FULL per-chunk
+    // buckets, so the engine's hot-bucket star cap must provably never
+    // bind — on a degenerate corpus (> cap images sharing one 16-bit
+    // chunk key) the capped path would drop non-representative pairs the
+    // oracle reports. Int.MaxValue makes "never binds" a theorem rather
+    // than a property of the synthetic data (capBucketsStar's hot set is
+    // empty for any input with < 2^31 rows per bucket); capped-path
+    // parity is pinned separately where the oracle replays the cap (q57).
     graft.multimodal.PerceptualHash
       .nearDupPairs(graft.multimodal.PerceptualHash.aHashes(media),
-        maxHamming = 3)
+        maxHamming = 3, bucketCap = Int.MaxValue)
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -39,8 +39,13 @@ object Fusion {
     require(rankings.nonEmpty, "need at least one ranking")
     require(kConst >= 1, s"k must be >= 1, got $kConst")
     val tagged = rankings.map { case (name, df) =>
-      df.select(col("qid"), col("doc_id"),
-        col("rank").cast("long").as(s"rank_$name"))
+      // min-rank dedup: the fold below full-outer-joins on (qid, doc_id),
+      // so a ranker that emitted duplicate rows for one (qid, doc_id)
+      // would fan out MULTIPLICATIVELY across rankers and silently
+      // inflate rrf_e9 — enforce the one-row-per-key contract here
+      df.select(col("qid"), col("doc_id"), col("rank").cast("long").as("r"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(min(col("r")).as(s"rank_$name"))
     }
     val joined = tagged.reduce(_.join(_, Seq("qid", "doc_id"), "full_outer"))
     val fused = rankings.map { case (name, _) =>

@@ -67,7 +67,17 @@ object Bm25 {
             "(40 * CAST(t AS DECIMAL(38,0)) * tf + 12 * t + 36 * CAST(dl AS DECIMAL(38,0)) * nd)"))
           .as("contrib"))
       .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("contrib")).cast("long").as("score_i"))
+      // the SUM stays DECIMAL(38,0) (exact to 10^38); the landing on the
+      // long score grid FAILS LOUDLY instead of wrapping — the grid
+      // ceiling is idf_m·ratio_ppm ≈ Nd·1000·2.2e6 per term, so a sum
+      // over |Q| terms exceeds 2^63 around Nd ≈ 4e9/|Q| docs, at which
+      // point the caller re-scales the grid (divide idf_m), not the cast
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("score_i",
+        expr("CASE WHEN s > CAST(9223372036854775807 AS DECIMAL(38,0)) " +
+          "THEN CAST(raise_error('bm25 score grid overflow: re-scale idf_m') AS LONG) " +
+          "ELSE CAST(s AS LONG) END"))
+      .drop("s")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score_i").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w))
