@@ -224,23 +224,37 @@ object GraphOps {
     val deg = pe.select(col("a").as("id"))
       .union(pe.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("dg"))
-    // orient a→b iff (deg(a), a) < (deg(b), b); a < b makes the id
-    // tie-break "keep as-is"
+    // shuffle_hash everywhere a wedge-volume frame meets a join: the
+    // wedge frame is O(m^1.5)-sized (41M rows at sf0.1 for 1.2M edges)
+    // and a SortMergeJoin SORTS it — profiled at sf0.1 that sort spilled
+    // 2.5 GB memory + 0.5 GB disk and was the superlinear-under-
+    // contention hotspot in BENCH_r12 (105.5s vs 17.8s quiet at ~1.6x
+    // ambient load: sort spill + GC degrade non-proportionally when CPU
+    // is starved). A shuffled hash join streams the wedge side with no
+    // sort and builds only the edge/degree side per partition; none of
+    // these sides could ever broadcast at real scale (edges and nodes
+    // are corpus-sized), so the hint also keeps the bench plan honest.
     val o = pe
-      .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
-      .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")
+      .join(deg.select(col("id").as("a"), col("dg").as("da"))
+        .hint("shuffle_hash"), "a")
+      .join(deg.select(col("id").as("b"), col("dg").as("db"))
+        .hint("shuffle_hash"), "b")
       .select(
         when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
         when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
     val wedges = o.select(col("u"), col("v").as("x"))
-      .join(o.select(col("u"), col("v").as("y")), "u")
+      .join(o.select(col("u"), col("v").as("y")).hint("shuffle_hash"), "u")
       .filter(col("x") < col("y"))
-    val tri = wedges.join(pe,
+    val tri = wedges.join(pe.hint("shuffle_hash"),
       wedges("x") === pe("a") && wedges("y") === pe("b"))
       .select(col("u"), col("x"), col("y"))
-    tri.select(col("u").as("id"))
-      .union(tri.select(col("x").as("id")))
-      .union(tri.select(col("y").as("id")))
+    // ONE pass over the closing join's output: each triangle credits its
+    // three corners via explode. The previous three-projection union made
+    // the per-node count a THREE-consumer plan — the wedge exchange was
+    // read (and its SMJ side sorted) once per branch, tripling the
+    // heaviest stage's shuffle read (profiled: 1067 MB read ≈ 3× the
+    // 350 MB wedge shuffle).
+    tri.select(explode(array(col("u"), col("x"), col("y"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("tri"))
   }
 

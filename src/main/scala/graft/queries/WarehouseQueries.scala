@@ -707,8 +707,15 @@ object WarehouseQueries {
     // one AQE-planned query — 15 jobs / ~14s. Caching pe BLOCKS that
     // reuse behind an InMemoryRelation (143 jobs / ~50s) and an eager
     // localCheckpoint of pn fragments the plan into per-stage jobs with
-    // a pre-AQE-sized layout (76 jobs / ~24s). The remaining wall is the
-    // wedge enumeration itself — compute, not plan shape.
+    // a pre-AQE-sized layout (76 jobs / ~24s).
+    // r13 root cause of the BENCH_r12 contention blowup (105.5s driver vs
+    // 17.8s quiet): the wedge SMJ sorted the 41M-row wedge frame and
+    // spilled 2.5 GB mem + 0.5 GB disk EVEN QUIET, and the 3-way union
+    // for corner credit read (and re-sorted) the wedge exchange once per
+    // branch — sort spill + GC degrade superlinearly under CPU
+    // starvation. Fixed in GraphOps.triangleCounts (shuffle_hash joins,
+    // one explode pass): warm 16.5→4.9s quiet / 20.1→7.9s under 2x
+    // synthetic load, spill 3.0 GB → 0 (ProfTaskMetrics, BASELINE.md).
     val pe = coPurchasePairs(s, d)
     val pn = graft.graph.GraphOps.triangleCounts(pe)
     val tot = pn.agg(expr("sum(tri) div 3").as("n_tri"))
