@@ -543,9 +543,12 @@ object WarehouseQueries {
       .join(broadcast(Tables.supplier(s, d)),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("l_orderkey"), (col("s_suppkey") * 2 + 1).cast("long").as("dst"))
-    // cache: the LPA rounds materialize as separate checkpoint jobs
-    // (the q207 adjudication), so each round would otherwise re-run the
-    // 4-table bipartite build
+    // cache + per-round cuts KEPT for LPA — the q207 single-action
+    // rewrite was measured here too and LOST (warm sf0.1: 38 jobs/8.1s
+    // cached+cut vs 42 jobs/8.8s single-action): labels is referenced
+    // twice per round, so the uncut tree doubles per round and the
+    // extra exchanges outweigh the shared build. Each round otherwise
+    // re-runs the 4-table bipartite build as separate checkpoint jobs.
     val raw = byCust.join(bySupp, col("o_orderkey") === col("l_orderkey"))
       .select(col("src"), col("dst")).distinct()
       .cache()
@@ -627,16 +630,20 @@ object WarehouseQueries {
       .select(col("l_orderkey"), (col("s_suppkey") * 2 + 1).cast("long").as("dst"))
     val raw = byCust.join(bySupp, col("o_orderkey") === col("l_orderkey"))
       .select(col("src"), col("dst")).distinct()
-    // cache: unlike q203 (one AQE-planned job, exchange reuse), the PPR
-    // rounds materialize as SEPARATE checkpoint jobs, so without the
-    // cache each round re-runs the 4-table bipartite build
+    // r13 (VERDICT item 2, measured): with cutLineage=false the whole
+    // 3-round recurrence is ONE AQE-planned action, so the 4-table
+    // bipartite build is shared by ReusedExchange across rounds — the
+    // r12 shape (per-round checkpoint jobs + e.cache() to keep the
+    // build warm) cost 49 jobs / 8.6s warm; the single-action plan
+    // drops both the cache and the cuts (cache would BLOCK the reuse —
+    // the q203 lesson). Numbers at the BASELINE.md graph-family entry.
     val e = raw
       .union(raw.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .cache()
     val nodes = e.select(col("src").as("id")).distinct()
     val seeds = nodes.orderBy(col("id")).limit(3)
-    GraphOps.personalizedPagerankPpm(e, nodes, seeds, iters = 3)
+    GraphOps.personalizedPagerankPpm(e, nodes, seeds, iters = 3,
+        cutLineage = false)
       .select(col("id"),
         when(col("id") % 2 === 0, "customer").otherwise("supplier").as("kind"),
         col("is_seed"), col("ppr_ppm"))
