@@ -212,6 +212,20 @@ object Dedup {
       .select(col("id_new"), col("id_old"))
       .distinct()
 
+  /** Fold an ingest batch INTO a persisted [[minhashBandBuckets]] index.
+    * MinHash band rows are a pure per-document function (no global
+    * statistics — unlike `SetSimJoin.prefixIndex`, whose rarest-first
+    * order depends on corpus frequencies), so the merge is exactly the
+    * union of the standing index with the batch's fresh band rows, and
+    * `mergeIntoIndex(batch, index) ≡ minhashBandBuckets(corpus ∪ batch)`
+    * row for row (pinned in DedupSpec). Contract: batch ids disjoint
+    * from index ids (a re-ingested id would duplicate its band rows —
+    * dedup with a distinct on (id, band) first if re-ingest is possible). */
+  def mergeIntoBandIndex(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    index.select(col("id"), col("band"), col("bucket"))
+      .unionByName(minhashBandBuckets(batch, idCol, textCol, bands, rowsPerBand))
+
   /** The verification half of [[minhashLsh]]: exact token-set Jaccard over
     * candidate pairs (`id_a`, `id_b`), kept when ≥ `threshold`. Token
     * arrays join in only here — they never travel through the bucketing. */

@@ -103,6 +103,75 @@ object SetSimJoin {
           .as("is_prefix"))
   }
 
+  /** Fold an ingest batch INTO a persisted [[prefixIndex]] — the
+    * index-maintenance path that closes the rebuild-per-cycle gap: the
+    * merged frame is ROW-IDENTICAL to `prefixIndex(corpus ∪ batch)`
+    * (pinned in SetSimJoinSpec and by q217's oracle, whose SQL replays
+    * the rebuild), so a probe against the merged index ≡ a probe against
+    * a full rebuild, with NO staleness bound to carry.
+    *
+    * Why exact equivalence is affordable: corpus shingle frequencies
+    * only enter the index through each document's rarest-first ORDER,
+    * and a batch changes the frequency of exactly the shingles it
+    * contains. So only three row groups can differ from a rebuild:
+    *  - batch documents (derived fresh under the merged frequencies),
+    *  - TOUCHED corpus documents — those sharing ≥ 1 shingle with the
+    *    batch, whose rarest-first order may have shifted (re-derived
+    *    from their stored (id, tok) rows; one window per doc),
+    *  - every row's `f` for batch-touched shingles (a broadcast-sized
+    *    delta added in).
+    * Untouched documents' rows pass through VERBATIM — no re-shingling,
+    * no text access; the merge never reads the original corpus. Cost is
+    * batch + the index rows of touched documents. On a natural corpus
+    * prefixes are rare shingles but documents share COMMON ones, so the
+    * touched set is the honest price of exact frequency parity; the
+    * worst case (a batch containing a universal stopword shingle
+    * touches every document) degrades to an index-sized window pass —
+    * still cheaper than a rebuild (no corpus scan, no re-shingle).
+    * Measured at 20× in ScaleSmoke (`setsim_index_merge` vs
+    * `setsim_index_rebuild`, fixed batch): merge wall grows 2.1× while
+    * the rebuild grows 3.4× — at bench scale the absolute walls are
+    * close because the exploded shingle index dwarfs the tiny document
+    * text, but the corpus-text read the merge never performs is the
+    * dominant cost at 100 TB.
+    *
+    * Contract (same as [[probePrefixIndex]]): batch ids are disjoint
+    * from index ids — re-ingesting an existing id would double-count
+    * its shingle frequencies. */
+  def mergeIntoIndex(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, tPpm: Long, shingleK: Int = 3): DataFrame = {
+    require(tPpm > 0 && tPpm <= 1000000L, s"tPpm out of (0, 1e6]: $tPpm")
+    val bt = batch.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(graft.functions.word_shingles(
+        split(col(textCol), " "), shingleK))).as("tok"))
+      .hint("shuffle_hash")
+    val delta = bt.groupBy(col("tok")).agg(count(lit(1)).as("fd"))
+    val mergedFreq = index.select(col("tok"), col("f")).distinct()
+      .join(delta, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("f"), lit(0L)) + coalesce(col("fd"), lit(0L))).as("f"))
+      .hint("shuffle_hash")
+    val touchedIds = index.join(delta.select(col("tok")), Seq("tok"), "left_semi")
+      .select(col("id")).distinct()
+    val untouched = index.join(touchedIds, Seq("id"), "left_anti")
+      .select(col("id"), col("tok"), col("f"), col("n"), col("is_prefix"))
+    // identical derivation to prefixIndex, but over stored (id, tok)
+    // rows + the merged frequency table instead of a corpus re-shingle
+    def derive(rows: DataFrame): DataFrame = {
+      val wDoc = Window.partitionBy(col("id")).orderBy(col("f"), col("tok"))
+      rows.join(mergedFreq, "tok")
+        .withColumn("pos", row_number().over(wDoc))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+        .select(col("id"), col("tok"), col("f"), col("n"),
+          (col("pos") <=
+            col("n") - expr(s"(${tPpm}L * n + 999999) div 1000000") + 1)
+            .as("is_prefix"))
+    }
+    val touchedRows = derive(index.join(touchedIds, Seq("id"), "left_semi")
+      .select(col("id"), col("tok")).hint("shuffle_hash"))
+    untouched.unionByName(touchedRows).unionByName(derive(bt))
+  }
+
   /** Probe a NEW batch against a persisted [[prefixIndex]]: all pairs
     * (batch doc, INDEXED doc) with Jaccard ≥ `tPpm`/10^6 — per-batch
     * cost tracks the batch and the index rows its prefix shingles touch,

@@ -21,7 +21,7 @@ object DedupQueries {
     q173StreamPixelDedup, q174AudioFir, q175JpegDecode, q176MjpegFrames,
     q183AudioWht, q186AudioDedup, q190EntityResolution, q192LeakageSplit,
     q194IncrementalDedup, q208SetsimJoin, q209PhashNeardup,
-    q213LshRecallAudit, q215IncrementalSetsim)
+    q213LshRecallAudit, q215IncrementalSetsim, q217IndexMerge)
 
   /** Incremental EXACT dedup — `SetSimJoin.prefixIndex` persisted once
     * over the standing corpus, `SetSimJoin.probePrefixIndex` per ingest
@@ -34,8 +34,14 @@ object DedupQueries {
     * The engine really persists/reads the index through the scratch
     * mechanism; the oracle replays BOTH the index build and the probe
     * from first principles. */
-  val q215IncrementalSetsim: QueryDef = QueryDef.sql(
-    "q215_incremental_setsim",
+  /** Rebuild-from-first-principles + probe, shared by q215 (which builds
+    * the index on id%10<>0 directly) and q217 (which builds on
+    * id%10∉{0,5} and FOLDS the id%10=5 batch in via
+    * `SetSimJoin.mergeIntoIndex`): because the merge is row-identical to
+    * a rebuild (SetSimJoinSpec), both engines' probes of the id%10=0
+    * batch must hash-match this one SQL — the probe-after-merge ≡
+    * probe-after-rebuild gate IS the shared oracle. */
+  private val setsimRebuildProbeSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |jt AS (SELECT doc_id AS id, unnest(list_distinct(list_transform(
       |         generate_series(1, len(w) - 2),
@@ -77,7 +83,11 @@ object DedupQueries {
       |         AS jac_ppm
       |FROM itr i JOIN bsz USING (new_id) JOIN csz ON csz.id = i.old_id
       |WHERE i.i_n * 1000000 >= 500000 * (bsz.n_b + csz.n - i.i_n)
-      |ORDER BY new_id, old_id""".stripMargin) { (s, d) =>
+      |ORDER BY new_id, old_id""".stripMargin
+
+  val q215IncrementalSetsim: QueryDef = QueryDef.sql(
+    "q215_incremental_setsim",
+    setsimRebuildProbeSql) { (s, d) =>
     val docsDf = Tables.documents(s, d)
     val corpus = docsDf.filter(col("doc_id") % 10 =!= 0)
     val batch = docsDf.filter(col("doc_id") % 10 === 0)
@@ -89,6 +99,40 @@ object DedupQueries {
     graft.dedup.SetSimJoin
       .probePrefixIndex(batch, "doc_id", "text", index, tPpm = 500000L,
         shingleK = 3)
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
+  /** INDEX MAINTENANCE for the exact-dedup path — closes q215's
+    * rebuild-per-cycle gap: the standing corpus (id%10 ∉ {0,5}) is
+    * indexed and PERSISTED once, an ingest batch (id%10 = 5) is FOLDED
+    * into the persisted index with `SetSimJoin.mergeIntoIndex` (touched
+    * documents re-derived under the merged frequencies, untouched rows
+    * verbatim — no corpus re-shingle), the merged index is persisted,
+    * and the next batch (id%10 = 0) probes it. The oracle is the shared
+    * rebuild-from-(corpus ∪ batch) + probe SQL, so the hash gate IS the
+    * probe-after-merge ≡ probe-after-rebuild equivalence; the row-level
+    * index equivalence is pinned separately in SetSimJoinSpec, and the
+    * merge-vs-rebuild cost at 20× in ScaleSmoke `setsim_index_merge`. */
+  val q217IndexMerge: QueryDef = QueryDef.sql(
+    "q217_index_merge",
+    setsimRebuildProbeSql) { (s, d) =>
+    val docsDf = Tables.documents(s, d)
+    val standing = docsDf.filter(col("doc_id") % 10 =!= 0 &&
+      col("doc_id") % 10 =!= 5)
+    val ingest = docsDf.filter(col("doc_id") % 10 === 5)
+    val probe = docsDf.filter(col("doc_id") % 10 === 0)
+    val basePath = graft.core.Scratch.dir("q217_index_merge_base", d)
+    graft.dedup.SetSimJoin
+      .prefixIndex(standing, "doc_id", "text", tPpm = 500000L, shingleK = 3)
+      .write.mode("overwrite").parquet(basePath)
+    val mergedPath = graft.core.Scratch.dir("q217_index_merge_merged", d)
+    graft.dedup.SetSimJoin
+      .mergeIntoIndex(ingest, "doc_id", "text", s.read.parquet(basePath),
+        tPpm = 500000L, shingleK = 3)
+      .write.mode("overwrite").parquet(mergedPath)
+    graft.dedup.SetSimJoin
+      .probePrefixIndex(probe, "doc_id", "text", s.read.parquet(mergedPath),
+        tPpm = 500000L, shingleK = 3)
       .orderBy(col("new_id"), col("old_id"))
   }
 

@@ -30,6 +30,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("mergeIntoBandIndex equals banding the union corpus row for row") {
+    val corpus = docs.filter(col("doc_id") <= 3)
+    val batch = docs.filter(col("doc_id") > 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "band", "bucket").as[(Long, Int, Long)].collect().toSet
+    val merged = Dedup.mergeIntoBandIndex(batch, "doc_id", "text",
+      Dedup.minhashBandBuckets(corpus, "doc_id", "text"))
+    assert(rows(merged) == rows(Dedup.minhashBandBuckets(docs, "doc_id", "text")))
+    // and a probe against the merged index behaves like one against the
+    // rebuilt index (doc 1's dup pair is findable through either)
+    val probe = Dedup.probeIndex(
+      Seq((10L, docs.filter(col("doc_id") === 1)
+        .select("text").as[String].head)).toDF("doc_id", "text"),
+      "doc_id", "text", merged)
+      .as[(Long, Long)].collect().toSet
+    assert(probe.contains((10L, 1L)) && probe.contains((10L, 2L)))
+  }
+
   test("simhash near-dup: identical docs at hamming 0; hamming bound holds") {
     val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue()).toMap

@@ -121,6 +121,38 @@ class SetSimJoinSpec extends SparkSpec {
     }
   }
 
+  test("mergeIntoIndex is row-identical to a full rebuild — randomized, " +
+      "with unseen batch shingles and untouched-verbatim documents") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector("ash", "oak", "fir", "elm", "yew", "bay")
+    def sentence(n: Int) =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("tok"), col("f"), col("n"), col("is_prefix"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).toSet
+    for (trial <- 1 to 3) {
+      // doc 99 shares NO shingle with any batch — its rows must pass
+      // through verbatim (the untouched fast path)
+      val corpus = (1L to 8L).map(i => i -> sentence(8 + rnd.nextInt(6))) :+
+        (99L -> "k1 k2 k3 k4 k5 k6 k7")
+      val batch = Seq(
+        101L -> (corpus.head._2 + " bay"), // shifts frequencies of seen shingles
+        102L -> sentence(10),
+        103L -> "zzz yyy xxx www vvv uuu") // all shingles unseen (f from delta only)
+      for (t <- Seq(400000L, 600000L)) {
+        val base = SetSimJoin.prefixIndex(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", t, 3)
+        val merged = SetSimJoin.mergeIntoIndex(batch.toDF("doc_id", "text"),
+          "doc_id", "text", base, t, 3)
+        val rebuilt = SetSimJoin.prefixIndex(
+          (corpus ++ batch).toDF("doc_id", "text"), "doc_id", "text", t, 3)
+        assert(rows(merged) == rows(rebuilt), s"trial $trial t=$t")
+      }
+    }
+  }
+
   test("index probe never pairs batch docs with each other") {
     import spark.implicits._
     val corpus = Seq(1L -> "p q r s t u v w")
