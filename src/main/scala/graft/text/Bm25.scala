@@ -36,6 +36,43 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  /** The per-(query, doc, term) contribution on the DECIMAL(38,0) grid —
+    * expects columns `nd`, `df`, `tf`, `t`, `dl`. Shared by [[topK]]
+    * (corpus recompute) and `PostingsIndex.bm25TopK` (persisted-index
+    * serve) so the two paths are the same expression by construction. */
+  private[text] def contrib: org.apache.spark.sql.Column =
+    // DECIMAL(38,0) like GiniTree's sk: 88·tf·T·10^6 wraps a BIGINT
+    // once T·tf > ~10^14 (non-ANSI Spark wraps SILENTLY), so both
+    // products are cast wide BEFORE multiplying; DECIMAL(38,0) div
+    // ≡ DuckDB HUGEINT // (the q193 parity rule)
+    expr("CAST((nd * 1000) div df AS DECIMAL(38,0))") *
+      expr("(88 * tf * CAST(t AS DECIMAL(38,0)) * 1000000) div " +
+        "(40 * CAST(t AS DECIMAL(38,0)) * tf + 12 * t + 36 * CAST(dl AS DECIMAL(38,0)) * nd)")
+
+  /** Sum per-term contributions per (qid, doc_id), land on the long
+    * score grid (failing LOUDLY on overflow instead of wrapping), rank,
+    * and keep the top `k` — the second shared half of the BM25 serve. */
+  private[text] def sumAndRank(perTerm: DataFrame, k: Int): DataFrame = {
+    val scored = perTerm
+      .groupBy(col("qid"), col("doc_id"))
+      // the SUM stays DECIMAL(38,0) (exact to 10^38); the landing on the
+      // long score grid FAILS LOUDLY instead of wrapping — the grid
+      // ceiling is idf_m·ratio_ppm ≈ Nd·1000·2.2e6 per term, so a sum
+      // over |Q| terms exceeds 2^63 around Nd ≈ 4e9/|Q| docs, at which
+      // point the caller re-scales the grid (divide idf_m), not the cast
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("score_i",
+        expr("CASE WHEN s > CAST(9223372036854775807 AS DECIMAL(38,0)) " +
+          "THEN CAST(raise_error('bm25 score grid overflow: re-scale idf_m') AS LONG) " +
+          "ELSE CAST(s AS LONG) END"))
+      .drop("s")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_i").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score_i"))
+  }
+
   /** Top-`k` BM25 results per probe. `queries`: (qid, tok) distinct
     * term rows. Output: (qid, rank, doc_id, score_i), self-hits
     * excluded when qid collides with a doc_id. */
@@ -57,32 +94,8 @@ object Bm25 {
       .filter(col("doc_id") =!= col("qid"))
       .join(dl, "doc_id")
       .crossJoin(broadcast(tot))
-      .select(col("qid"), col("doc_id"),
-        // DECIMAL(38,0) like GiniTree's sk: 88·tf·T·10^6 wraps a BIGINT
-        // once T·tf > ~10^14 (non-ANSI Spark wraps SILENTLY), so both
-        // products are cast wide BEFORE multiplying; DECIMAL(38,0) div
-        // ≡ DuckDB HUGEINT // (the q193 parity rule)
-        (expr("CAST((nd * 1000) div df AS DECIMAL(38,0))") *
-          expr("(88 * tf * CAST(t AS DECIMAL(38,0)) * 1000000) div " +
-            "(40 * CAST(t AS DECIMAL(38,0)) * tf + 12 * t + 36 * CAST(dl AS DECIMAL(38,0)) * nd)"))
-          .as("contrib"))
-      .groupBy(col("qid"), col("doc_id"))
-      // the SUM stays DECIMAL(38,0) (exact to 10^38); the landing on the
-      // long score grid FAILS LOUDLY instead of wrapping — the grid
-      // ceiling is idf_m·ratio_ppm ≈ Nd·1000·2.2e6 per term, so a sum
-      // over |Q| terms exceeds 2^63 around Nd ≈ 4e9/|Q| docs, at which
-      // point the caller re-scales the grid (divide idf_m), not the cast
-      .agg(sum(col("contrib")).as("s"))
-      .withColumn("score_i",
-        expr("CASE WHEN s > CAST(9223372036854775807 AS DECIMAL(38,0)) " +
-          "THEN CAST(raise_error('bm25 score grid overflow: re-scale idf_m') AS LONG) " +
-          "ELSE CAST(s AS LONG) END"))
-      .drop("s")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score_i").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("doc_id"), col("score_i"))
+      .select(col("qid"), col("doc_id"), contrib.as("contrib"))
+    sumAndRank(scored, k)
   }
 
   /** DPR-style hard-negative mining (Karpukhin et al. 2020) over a

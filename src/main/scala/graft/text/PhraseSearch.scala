@@ -31,15 +31,24 @@ object PhraseSearch {
     * phrase at least once. */
   def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String = "qid",
-      phraseCol: String = "phrase"): DataFrame = {
-    val post = docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      phraseCol: String = "phrase"): DataFrame =
+    phraseMatchesFromPostings(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok"))),
+      queries, qidCol, phraseCol)
+
+  /** The same anchor intersection over a PREBUILT positional postings
+    * frame `(doc_id, pos, tok)` — the serving entry `PostingsIndex`
+    * probes with its bucket-pruned scan instead of re-deriving the
+    * postings from the corpus per query batch. */
+  def phraseMatchesFromPostings(post: DataFrame, queries: DataFrame,
+      qidCol: String = "qid", phraseCol: String = "phrase"): DataFrame = {
     val qtok = queries.select(col(qidCol).cast("long").as("qid"),
         posexplode(split(col(phraseCol), " ")).as(Seq("off", "tok")))
       .withColumn("plen",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid"))))
-    broadcast(qtok).join(post, "tok")
+    broadcast(qtok).join(post.select(col("doc_id"), col("pos"), col("tok")), "tok")
       .select(col("qid"), col("doc_id"),
         (col("pos") - col("off")).as("anchor"), col("plen"))
       .groupBy(col("qid"), col("doc_id"), col("anchor"), col("plen"))

@@ -324,6 +324,28 @@ object ScaleSmoke {
         graft.dedup.SetSimJoin.jaccardJoin(
           disjoint, "doc_id", "text", tPpm = 500000L)
       }
+      if ("postings_probe_index".contains(opFilter) ||
+          "postings_probe_corpus".contains(opFilter)) {
+        // standing-index serving (q216): a FIXED probe batch served from
+        // the PERSISTED postings index of the k× corpus vs recomputed
+        // from the corpus text. The index build is outside the timer
+        // (standing state). The recompute re-tokenizes, re-groupBys and
+        // re-counts df over the whole k× corpus per batch; the serve
+        // reads only the probed token-hash buckets — the gap between
+        // the two rows is what the standing index buys per query batch.
+        val probes = base.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"),
+            explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+          .distinct().cache()
+        probes.count()
+        val pidxPath = graft.core.Scratch.tempDir(s"smoke_postings_idx_$k")
+        val pidx = graft.text.PostingsIndex.build(docs, pidxPath,
+          "doc_id", "text")
+        time("postings_probe_index", k)(pidx.bm25TopK(probes, k = 10))
+        time("postings_probe_corpus", k)(
+          graft.text.Bm25.topK(docs, "doc_id", "text", probes, k = 10))
+        probes.unpersist()
+      }
       time("setsim_index_rebuild", k) {
         // comparator for setsim_index_merge: the full rebuild of the k×
         // disjoint-vocabulary index — the cost the merge path avoids

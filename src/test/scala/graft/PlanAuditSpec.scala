@@ -122,6 +122,14 @@ class PlanAuditSpec extends SparkSpec {
     // persists the exact-dedup prefix index to scratch before probing;
     // the probe join shapes are pinned in SetSimJoinSpec
     "q215_incremental_setsim",
+    // builds + persists the prefix index, MERGES a batch into it, and
+    // persists the merged index before probing; merge/probe shapes are
+    // pinned in SetSimJoinSpec
+    "q217_index_merge",
+    // builds + persists the postings index before serving; the serve's
+    // pruned-scan and broadcast-1-row-totals shapes (q184's BNLJ shape)
+    // are pinned in PostingsIndexSpec, incl. the partition-filter assert
+    "q216_postings_serve",
     // writes the decile read to scratch for the oracle's true-rank
     // audit; summary/read shapes pinned in QuantileSummarySpec
     "q200_quantile_sketch")

@@ -1,0 +1,81 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted postings-index contract: a serve from the index must equal
+  * the corpus recompute EXACTLY (Bm25.topK / PhraseSearch.phraseMatches
+  * are the independent references — they never touch the index code
+  * path beyond the shared scoring expressions), and the serve's scans
+  * must be partition-PRUNED to the probed token buckets. */
+class PostingsIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(n: Int, seed: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("ash", "oak", "fir", "elm", "yew", "bay", "box", "may")
+    (1L to n.toLong).map(i =>
+      i -> Seq.fill(6 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+  }
+
+  test("bm25 from the persisted index equals the corpus recompute") {
+    for (trial <- 1 to 2) {
+      val corpus = fixture(20, 50 + trial).toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+      val idx = PostingsIndex.build(corpus, dir, "doc_id", "text", nBuckets = 8)
+      val probes = corpus.filter(col("doc_id") <= 3)
+        .select(col("doc_id").as("qid"),
+          explode(slice(split(col("text"), " "), 1, 4)).as("tok"))
+        .distinct()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "rank", "doc_id", "score_i")
+          .as[(Long, Int, Long, Long)].collect().toSet
+      assert(rows(idx.bm25TopK(probes, 5)) ==
+        rows(Bm25.topK(corpus, "doc_id", "text", probes, 5)), s"trial $trial")
+    }
+  }
+
+  test("phrase serve from the persisted index equals the corpus scan, " +
+      "including overlapping and repeated-token phrases") {
+    val corpus = (fixture(15, 99) :+ (100L -> "a a a b a a")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+    val idx = PostingsIndex.build(corpus, dir, "doc_id", "text", nBuckets = 8)
+    val queries = Seq((1L, "ash oak"), (2L, "a a"), (3L, "zz qq"))
+      .toDF("qid", "phrase")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "doc_id", "n_occ")
+        .as[(Long, Long, Long)].collect().toSet
+    val got = rows(idx.phraseMatches(queries))
+    assert(got == rows(PhraseSearch.phraseMatches(
+      corpus, "doc_id", "text", queries)))
+    assert(got.contains((2L, 100L, 3L))) // "a a" overlaps: (0,1),(1,2),(4,5)
+  }
+
+  test("the serve's index scan is partition-pruned to the probed buckets") {
+    val corpus = fixture(20, 7).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+    val idx = PostingsIndex.build(corpus, dir, "doc_id", "text", nBuckets = 8)
+    // one single-term probe → at most 1 of the 8 bucket directories read
+    val one = idx.bm25TopK(Seq((1L, "ash")).toDF("qid", "tok"), 5)
+    val scanned = one.queryExecution.executedPlan.toString()
+    // the postings scan node must carry the bkt partition filter (static
+    // pruning, the IvfIndex discipline) — not a post-scan Filter
+    assert(scanned.contains("PartitionFilters") && scanned.contains("bkt"),
+      s"expected a bkt PartitionFilter in:\n$scanned")
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other =>
+        other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val postingFiles = scans(one.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+      .map(f => f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+        .map(_.files.size).sum)
+    assert(postingFiles.nonEmpty && postingFiles.forall(_ <= 2),
+      s"probed-bucket file count should be ~1 of 8, got $postingFiles")
+  }
+}
