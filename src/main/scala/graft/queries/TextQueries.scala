@@ -1370,20 +1370,35 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Retrieval-quality evaluation of ALL THREE rankers on the shared
+  /** Retrieval-quality evaluation of ALL FOUR rankers on the shared
     * probes — the eval that closes the retrieval shelf the way q213
-    * closed dedup: per (ranker ∈ {bm25, jac, rrf}, probe), the number of
-    * same-language hits in the top-10 (the q178/q196 one-vs-rest weak
-    * supervision), precision@list on the ppm grid, and the FIRST
-    * relevant rank (the serving latency-of-first-good-result metric;
-    * NULL when the list has no relevant hit). The oracle replays every
-    * ranking chain (BM25 postings, Jaccard overlap, RRF fusion), the
-    * label joins, and the aggregates — all integer. Scale: all inputs
-    * are the bounded top-10 lists; the eval itself is a dimension join +
-    * one groupBy per ranker. */
+    * closed dedup: per (ranker ∈ {bm25, jac, rrf, vec}, probe), the
+    * number of same-language hits in the top-10 (the q178/q196
+    * one-vs-rest weak supervision), precision@list on the ppm grid, and
+    * the FIRST relevant rank (the serving latency-of-first-good-result
+    * metric; NULL when the list has no relevant hit). `vec` (r13, VERDICT
+    * item 5) is the deterministic md5-window DOCUMENT embedding scored
+    * by brute cosine on the sim_ppb grid — lexical and vector retrieval
+    * graded on the SAME ground truth, the comparison a hybrid-serving
+    * owner makes. The oracle replays every ranking chain (BM25
+    * postings, Jaccard overlap, RRF fusion, embedding cosine), the label
+    * joins, and the aggregates — every rank boundary integer. Scale: all
+    * inputs are the bounded top-10 lists; the eval itself is a dimension
+    * join + one groupBy per ranker. */
+  /** Dim `j` of the deterministic 16-dim DOCUMENT embedding (the q147
+    * chunk-embedding seam applied to the whole text): a 16-bit hex
+    * window of md5(text || "|e<j div 8>") mapped to [−1, 1] — the
+    * cross-engine-replayable stand-in for a model embedding, so the
+    * vector ranker is hash-checkable on the same ground truth as the
+    * lexical ones. */
+  private def docEmbedDimSql(j: Int): String = {
+    val salt = j / 8; val p = (j % 8) * 4 + 1
+    s"CAST((('0x' || substr(md5(text || '|e$salt'), $p, 4))::BIGINT % 2001) - 1000 AS DOUBLE) / 1000.0"
+  }
+
   val q214RetrievalEval: QueryDef = sql(
     "q214_retrieval_eval",
-    """WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    s"""WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nd
       |        FROM dl),
@@ -1434,10 +1449,26 @@ object TextQueries {
       |                 row_number() OVER (PARTITION BY qid
       |                                    ORDER BY rrf_e9 DESC, doc_id) AS r
       |          FROM fu) WHERE r <= 10),
+      |demb AS (
+      |  SELECT doc_id,
+      |         [${(0 until 16).map(docEmbedDimSql).mkString(",\n      |          ")}] AS emb
+      |  FROM documents),
+      |vsc AS (
+      |  SELECT q.doc_id AS qid, e.doc_id,
+      |         CAST(round(list_cosine_similarity(q.emb, e.emb) * 1000000000)
+      |              AS BIGINT) AS sim_ppb
+      |  FROM (SELECT * FROM demb WHERE doc_id < 5) q
+      |  JOIN demb e ON e.doc_id <> q.doc_id),
+      |vec AS (SELECT qid, doc_id, r FROM (
+      |          SELECT qid, doc_id,
+      |                 row_number() OVER (PARTITION BY qid
+      |                                    ORDER BY sim_ppb DESC, doc_id) AS r
+      |          FROM vsc) WHERE r <= 10),
       |lists AS (
       |  SELECT 'bm25' AS ranker, qid, doc_id, r FROM bm
       |  UNION ALL SELECT 'jac', qid, doc_id, r FROM jac
-      |  UNION ALL SELECT 'rrf', qid, doc_id, r FROM rrf),
+      |  UNION ALL SELECT 'rrf', qid, doc_id, r FROM rrf
+      |  UNION ALL SELECT 'vec', qid, doc_id, r FROM vec),
       |lab AS (SELECT doc_id, lang FROM base),
       |flagged AS (
       |  SELECT l.ranker, l.qid, l.r,
@@ -1479,9 +1510,34 @@ object TextQueries {
       .reciprocalRank(Seq("bm25" -> bm25, "jac" -> jac), kConst = 60,
         topK = 10)
       .select(col("qid"), col("doc_id"), col("rank"))
+    // 4th ranker (VERDICT r12 item 5): the deterministic md5-window
+    // document embedding + brute cosine on the sim_ppb fixed-point grid
+    // — vector retrieval graded on the SAME weak-supervision ground
+    // truth as the lexical rankers, the comparison a hybrid-serving
+    // owner makes before choosing what to fuse
+    def docEmbedDim(j: Int): Column = {
+      val salt = j / 8; val p = (j % 8) * 4 + 1
+      ((conv(substring(md5(concat(col("text"), lit(s"|e$salt"))), p, 4),
+        16, 10).cast("long") % 2001) - 1000).cast("double") / lit(1000.0)
+    }
+    val demb = docs(s, d).select(col("doc_id"),
+      array((0 until 16).map(docEmbedDim): _*).as("emb"))
+    val wv = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_ppb").desc, col("doc_id"))
+    val vec = broadcast(demb.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("emb").as("qe")))
+      .join(demb, col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        graft.functions.fixed_point(
+          graft.functions.cosine_similarity(col("qe"), col("emb")), 1e9)
+          .as("sim_ppb"))
+      .withColumn("rank", row_number().over(wv))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("doc_id"), col("rank"))
     val lists = bm25.withColumn("ranker", lit("bm25"))
       .unionByName(jac.withColumn("ranker", lit("jac")))
       .unionByName(rrf.withColumn("ranker", lit("rrf")))
+      .unionByName(vec.withColumn("ranker", lit("vec")))
     val lab = docs(s, d).select(col("doc_id"), col("lang"))
     lists
       .join(broadcast(lab.select(col("doc_id"), col("lang").as("d_lang"))),
