@@ -30,7 +30,7 @@ object TextQueries {
     q131WeightedSample, q135TfidfTerms, q148Curriculum, q184Bm25TopK,
     q187NormalizedDedup, q191Calibration, q196HardNegatives,
     q149StratifiedExact, q177Blocklist, q199BudgetSample, q206RrfFusion,
-    q210PhraseSearch, q214RetrievalEval, q216PostingsServe)
+    q210PhraseSearch, q214RetrievalEval, q216PostingsServe, q218PostingsMerge)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1194,8 +1194,14 @@ object TextQueries {
     * from first principles, so any index-side drift (a bucket routing a
     * token wrong, stale df, a lost position) hash-mismatches; probe cost
     * vs corpus size is pinned in ScaleSmoke `postings_index_probe`. */
-  val q216PostingsServe: QueryDef = sql(
-    "q216_postings_serve",
+  /** Rebuild-from-first-principles + both serves, shared by q216 (index
+    * built on the full corpus directly) and q218 (index built on
+    * id%10≠5, then the id%10=5 batch FOLDED in via `PostingsIndex
+    * .merge`): the merge is rebuild-equivalent by construction, so both
+    * engines' serves must hash-match this one SQL — serve-after-merge ≡
+    * serve-after-rebuild IS the shared oracle (the q215/q217 mechanism,
+    * applied to the retrieval index). */
+  private val postingsRebuildServeSql: String =
     """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nd
@@ -1250,10 +1256,12 @@ object TextQueries {
       |SELECT 'phrase' AS kind, qid, doc_id, n_occ AS r,
       |       CAST(0 AS BIGINT) AS score_i
       |FROM phres
-      |ORDER BY kind, qid, r, doc_id""".stripMargin) { (s, d) =>
-    val dd = docs(s, d)
-    val idxPath = graft.core.Scratch.dir("q216_postings_index", d)
-    val idx = graft.text.PostingsIndex.build(dd, idxPath, "doc_id", "text")
+      |ORDER BY kind, qid, r, doc_id""".stripMargin
+
+  /** Both serves (q184-probe BM25 + q210-probe phrase) from a
+    * PostingsIndex, shared by q216/q218. */
+  private def serveFromPostingsIndex(dd: DataFrame,
+      idx: graft.text.PostingsIndex): DataFrame = {
     val probes = dd.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"),
         explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
@@ -1269,6 +1277,36 @@ object TextQueries {
         col("n_occ").as("r"), lit(0L).as("score_i"))
     bm.unionByName(ph)
       .orderBy(col("kind"), col("qid"), col("r"), col("doc_id"))
+  }
+
+  val q216PostingsServe: QueryDef = sql(
+    "q216_postings_serve",
+    postingsRebuildServeSql) { (s, d) =>
+    val dd = docs(s, d)
+    val idxPath = graft.core.Scratch.dir("q216_postings_index", d)
+    serveFromPostingsIndex(dd,
+      graft.text.PostingsIndex.build(dd, idxPath, "doc_id", "text"))
+  }
+
+  /** RETRIEVAL-INDEX MAINTENANCE — closes the postings index's
+    * rebuild-per-cycle gap the way q217 closed the dedup index's: the
+    * standing corpus (id%10 ≠ 5) is indexed and persisted, the ingest
+    * batch (id%10 = 5) is FOLDED in with `PostingsIndex.merge`
+    * (postings/positions/lengths APPEND — nothing corpus-sized is
+    * rewritten; the vocabulary-sized df table and 1-row stats are the
+    * only rewrites), and the same probe batches as q216 are served from
+    * the merged index. The oracle is the shared rebuild + serve SQL, so
+    * the hash gate IS serve-after-merge ≡ serve-after-rebuild; the
+    * row-level equivalences are pinned in PostingsIndexSpec. */
+  val q218PostingsMerge: QueryDef = sql(
+    "q218_postings_merge",
+    postingsRebuildServeSql) { (s, d) =>
+    val dd = docs(s, d)
+    val idxPath = graft.core.Scratch.dir("q218_postings_index", d)
+    val idx = graft.text.PostingsIndex.build(
+      dd.filter(col("doc_id") % 10 =!= 5), idxPath, "doc_id", "text")
+    idx.merge(dd.filter(col("doc_id") % 10 === 5), "doc_id", "text")
+    serveFromPostingsIndex(dd, idx)
   }
 
   /** Hybrid-retrieval fusion — `similarity.Fusion.reciprocalRank`

@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * time; a serve touches only the probed index partitions.
   *
   * Layout (all parquet under `path`):
-  *  - `postings/bkt=<b>/…`  (tok, doc_id, tf) — term postings with the
-  *    token's document frequency folded in as `df` (denormalized: df is
-  *    per-token, so carrying it on each posting row costs one long and
-  *    saves the serve a second bucketed lookup).
+  *  - `postings/bkt=<b>/…`  (tok, doc_id, tf) — term postings.
   *  - `positions/bkt=<b>/…` (tok, doc_id, pos) — positional postings.
+  *  - `df/bkt=<b>/…`        (tok, df) — document frequencies, a
+  *    vocabulary-sized table of their own (NOT denormalized onto the
+  *    posting rows: df is the one GLOBAL statistic here, and keeping it
+  *    separate is what makes [[merge]] append-only for the
+  *    corpus-sized tables — folding a batch in only ever REWRITES the
+  *    small df table, never the postings).
   *  - `lengths/…`           (doc_id, dl) — document lengths.
   *  - `stats/…`             (t, nd) — 1-row corpus totals.
   *
@@ -36,6 +39,7 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
 
   def postings: DataFrame = spark.read.parquet(s"$path/postings")
   def positions: DataFrame = spark.read.parquet(s"$path/positions")
+  def docFreq: DataFrame = spark.read.parquet(s"$path/df")
   def lengths: DataFrame = spark.read.parquet(s"$path/lengths")
   def stats: DataFrame = spark.read.parquet(s"$path/stats")
 
@@ -55,8 +59,11 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     val q = queries.select(col("qid").cast("long").as("qid"), col("tok"))
     val probed = probedBuckets(q)
     val post = postings.filter(col("bkt").isin(probed: _*))
-      .select(col("tok"), col("doc_id"), col("tf"), col("df"))
+      .select(col("tok"), col("doc_id"), col("tf"))
+    val dfb = docFreq.filter(col("bkt").isin(probed: _*))
+      .select(col("tok"), col("df"))
     val perTerm = broadcast(q)
+      .join(dfb, "tok")
       .join(post, "tok")
       .filter(col("doc_id") =!= col("qid"))
       // lengths is a corpus-sized dimension: it could never broadcast
@@ -66,6 +73,64 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc_id"), Bm25.contrib.as("contrib"))
     Bm25.sumAndRank(perTerm, k)
+  }
+
+  /** Fold an ingest batch INTO the standing index — rebuild-equivalent
+    * by construction (pinned in PostingsIndexSpec; q218's oracle replays
+    * the rebuild): postings, positions and lengths are per-document
+    * facts, so the batch's rows APPEND (new files in the bucket
+    * directories — nothing corpus-sized is rewritten); df and the 1-row
+    * stats are the only global statistics, and both are rewritten whole
+    * — affordable forever because df is vocabulary-sized and stats is
+    * one row. This is why df lives in its own table instead of on the
+    * posting rows: denormalized df would force an index-sized rewrite
+    * per merge. The df rewrite stages through a parquet barrier before
+    * overwriting the files its plan reads (the IvfIndex.upsert
+    * discipline — a cache is only best-effort and a recompute after the
+    * overwrite starts would read corrupt state).
+    *
+    * Contract: batch ids disjoint from indexed ids, one merge per batch
+    * (a re-run would double-append the batch's postings). */
+  def merge(batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val base = batch.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    val bkt = pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("bkt")
+    val dlNew = base.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    // stats first, computed from the OLD stats + the batch (1-row math)
+    val (t0, nd0) = {
+      val r = stats.select(col("t"), col("nd")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val add = dlNew.agg(
+      coalesce(sum(col("dl")), lit(0L)).as("ts"),
+      count(lit(1)).as("ns")).collect()(0)
+    import spark.implicits._
+    Seq((t0 + add.getLong(0), nd0 + add.getLong(1))).toDF("t", "nd")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    dlNew.write.mode("append").parquet(s"$path/lengths")
+    val dt = base.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    dt.select(col("tok"), col("doc_id"), col("tf"), bkt)
+      .write.mode("append").partitionBy("bkt").parquet(s"$path/postings")
+    base.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"), bkt)
+      .write.mode("append").partitionBy("bkt").parquet(s"$path/positions")
+    // df = old ∪ delta summed per token (full outer: unseen batch tokens
+    // enter, untouched corpus tokens pass through)
+    val delta = dt.groupBy(col("tok")).agg(count(lit(1)).as("dfd"))
+    val staging = s"$path/df_staging"
+    docFreq.select(col("tok"), col("df"))
+      .join(delta, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("dfd"), lit(0L))).as("df"))
+      .write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging)
+      .select(col("tok"), col("df"), bkt)
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/df")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
   }
 
   /** Exact phrase occurrences served from the persisted POSITIONAL
@@ -101,12 +166,13 @@ object PostingsIndex {
     val bkt = pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("bkt")
     val dt = base.select(col("doc_id"), explode(col("w")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .hint("shuffle_hash") // vocabulary-sized: never broadcastable at scale
-    dt.join(dfreq, "tok")
-      .select(col("tok"), col("doc_id"), col("tf"), col("df"), bkt)
+    dt.select(col("tok"), col("doc_id"), col("tf"), bkt)
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/postings")
+    dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .select(col("tok"), col("df"), bkt)
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/df")
     base.select(col("doc_id"),
         posexplode(col("w")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"), bkt)

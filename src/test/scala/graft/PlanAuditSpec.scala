@@ -130,6 +130,10 @@ class PlanAuditSpec extends SparkSpec {
     // pruned-scan and broadcast-1-row-totals shapes (q184's BNLJ shape)
     // are pinned in PostingsIndexSpec, incl. the partition-filter assert
     "q216_postings_serve",
+    // builds + persists the postings index, MERGES a batch (appends +
+    // df/stats rewrite), then serves; equivalences pinned in
+    // PostingsIndexSpec
+    "q218_postings_merge",
     // writes the decile read to scratch for the oracle's true-rank
     // audit; summary/read shapes pinned in QuantileSummarySpec
     "q200_quantile_sketch")

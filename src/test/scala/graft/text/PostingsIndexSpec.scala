@@ -52,6 +52,32 @@ class PostingsIndexSpec extends SparkSpec {
     assert(got.contains((2L, 100L, 3L))) // "a a" overlaps: (0,1),(1,2),(4,5)
   }
 
+  test("merge is rebuild-equivalent: every table row-identical, serves equal") {
+    val all = fixture(24, 11)
+    val (standing, batch) = all.partition(_._1 % 5 != 0)
+    val mergedDir = java.nio.file.Files.createTempDirectory("pidx").toString
+    val idx = PostingsIndex.build(standing.toDF("doc_id", "text"),
+      mergedDir, "doc_id", "text", nBuckets = 8)
+    idx.merge(batch.toDF("doc_id", "text"), "doc_id", "text")
+    val rebuiltDir = java.nio.file.Files.createTempDirectory("pidx").toString
+    val rebuilt = PostingsIndex.build(all.toDF("doc_id", "text"),
+      rebuiltDir, "doc_id", "text", nBuckets = 8)
+    def set(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(set(idx.postings, "tok", "doc_id", "tf", "bkt") ==
+      set(rebuilt.postings, "tok", "doc_id", "tf", "bkt"))
+    assert(set(idx.positions, "tok", "doc_id", "pos", "bkt") ==
+      set(rebuilt.positions, "tok", "doc_id", "pos", "bkt"))
+    assert(set(idx.docFreq, "tok", "df", "bkt") ==
+      set(rebuilt.docFreq, "tok", "df", "bkt"))
+    assert(set(idx.lengths, "doc_id", "dl") == set(rebuilt.lengths, "doc_id", "dl"))
+    assert(set(idx.stats, "t", "nd") == set(rebuilt.stats, "t", "nd"))
+    val probes = all.take(3).map { case (i, t) =>
+      (i, t.split(" ").head) }.toDF("qid", "tok")
+    assert(set(idx.bm25TopK(probes, 5), "qid", "rank", "doc_id", "score_i") ==
+      set(rebuilt.bm25TopK(probes, 5), "qid", "rank", "doc_id", "score_i"))
+  }
+
   test("the serve's index scan is partition-pruned to the probed buckets") {
     val corpus = fixture(20, 7).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("pidx").toString
