@@ -30,7 +30,8 @@ object TextQueries {
     q131WeightedSample, q135TfidfTerms, q148Curriculum, q184Bm25TopK,
     q187NormalizedDedup, q191Calibration, q196HardNegatives,
     q149StratifiedExact, q177Blocklist, q199BudgetSample, q206RrfFusion,
-    q210PhraseSearch, q214RetrievalEval, q216PostingsServe, q218PostingsMerge)
+    q210PhraseSearch, q214RetrievalEval, q216PostingsServe, q218PostingsMerge,
+    q219Rm3Expand)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1194,6 +1195,83 @@ object TextQueries {
     * from first principles, so any index-side drift (a bucket routing a
     * token wrong, stale df, a lost position) hash-mismatches; probe cost
     * vs corpus size is pinned in ScaleSmoke `postings_index_probe`. */
+  /** RM3 pseudo-relevance-feedback expansion + re-retrieval —
+    * `Bm25.rm3ExpandedTerms` then a second `Bm25.topK` pass: the
+    * first-pass top-5 documents per probe vote terms by Σ tf·idf_m (the
+    * DECIMAL(38,0) grid), the 5 heaviest NEW terms join the query, and
+    * the expanded term set re-retrieves. The oracle replays BOTH passes
+    * and the term-vote window, so a feedback-depth slip, a tie-break
+    * drift in the term rank, or an expansion term leaking from the
+    * original query all hash-mismatch. Scale: the feedback set is ≤
+    * 5·|Q| doc ids, so the vote join ships only those documents'
+    * posting rows; both retrieval passes keep q184's posting-traversal
+    * shape. */
+  val q219Rm3Expand: QueryDef = sql(
+    "q219_rm3_expand",
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
+      |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nd
+      |        FROM dl),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM (SELECT doc_id, unnest(w) AS tok FROM base)
+      |       GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+      |q AS (SELECT DISTINCT doc_id AS qid, unnest(w[1:8]) AS tok
+      |      FROM base WHERE doc_id < 5),
+      |sc1 AS (
+      |  SELECT q.qid, dt.doc_id,
+      |         CAST(sum(CAST((nd * 1000) // df AS HUGEINT) *
+      |                  ((88 * tf * CAST(t AS HUGEINT) * 1000000) //
+      |                   (40 * CAST(t AS HUGEINT) * tf + 12 * t + 36 * dl.dl * nd))) AS BIGINT)
+      |           AS score_i
+      |  FROM q JOIN dfq USING (tok) JOIN dt USING (tok)
+      |  JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN tot
+      |  WHERE dt.doc_id <> q.qid
+      |  GROUP BY q.qid, dt.doc_id),
+      |fb AS (SELECT qid, doc_id FROM (
+      |         SELECT qid, doc_id,
+      |                row_number() OVER (PARTITION BY qid
+      |                                   ORDER BY score_i DESC, doc_id) AS r
+      |         FROM sc1) WHERE r <= 5),
+      |tw AS (
+      |  SELECT fb.qid, dt.tok,
+      |         sum(dt.tf * CAST((tot.nd * 1000) // dfq.df AS HUGEINT)) AS wgt
+      |  FROM fb JOIN dt USING (doc_id) JOIN dfq USING (tok) CROSS JOIN tot
+      |  GROUP BY fb.qid, dt.tok),
+      |ex AS (SELECT qid, tok FROM (
+      |         SELECT tw.qid, tw.tok,
+      |                row_number() OVER (PARTITION BY tw.qid
+      |                                   ORDER BY tw.wgt DESC, tw.tok) AS tr
+      |         FROM tw ANTI JOIN q ON q.qid = tw.qid AND q.tok = tw.tok)
+      |       WHERE tr <= 5),
+      |q2 AS (SELECT qid, tok FROM q UNION ALL SELECT qid, tok FROM ex),
+      |sc2 AS (
+      |  SELECT q2.qid, dt.doc_id,
+      |         CAST(sum(CAST((nd * 1000) // df AS HUGEINT) *
+      |                  ((88 * tf * CAST(t AS HUGEINT) * 1000000) //
+      |                   (40 * CAST(t AS HUGEINT) * tf + 12 * t + 36 * dl.dl * nd))) AS BIGINT)
+      |           AS score_i
+      |  FROM q2 JOIN dfq USING (tok) JOIN dt USING (tok)
+      |  JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN tot
+      |  WHERE dt.doc_id <> q2.qid
+      |  GROUP BY q2.qid, dt.doc_id)
+      |SELECT qid, rank, doc_id, score_i FROM (
+      |  SELECT qid, doc_id, score_i,
+      |         row_number() OVER (PARTITION BY qid
+      |                            ORDER BY score_i DESC, doc_id) AS rank
+      |  FROM sc2)
+      |WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val probes = docs(s, d).filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+      .distinct()
+    val expanded = graft.text.Bm25.rm3ExpandedTerms(docs(s, d),
+      "doc_id", "text", probes, k = 10, fbDocs = 5, fbTerms = 5)
+    graft.text.Bm25.topK(docs(s, d), "doc_id", "text", expanded, k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Rebuild-from-first-principles + both serves, shared by q216 (index
     * built on the full corpus directly) and q218 (index built on
     * id%10≠5, then the id%10=5 batch FOLDED in via `PostingsIndex

@@ -98,6 +98,49 @@ object Bm25 {
     sumAndRank(scored, k)
   }
 
+  /** RM3-style pseudo-relevance-feedback query EXPANSION (Lavrenko &
+    * Croft SIGIR 2001's relevance models as popularized by Abdul-Jaleel
+    * et al. TREC 2004), on the repo's integer grids: retrieve top-k with
+    * the original terms, weight every term of the top-`fbDocs` feedback
+    * documents by `Σ tf · idf_m` (idf on the q135 rational grid, the sum
+    * in DECIMAL(38,0) — tf·idf_m products reach ~10^15 per doc at large
+    * Nd and must not wrap), keep the `fbTerms` heaviest terms NOT in the
+    * original query (ties toward the smaller term string), and return
+    * the UNION term set ready for a second [[topK]] pass. Deterministic
+    * end to end, so the full expand→re-retrieve composition is
+    * hash-checkable (q219).
+    *
+    * Scale shape: the feedback set is ≤ k·|Q| doc ids (bounded), so the
+    * weighting join ships only the feedback documents' posting rows;
+    * the term rank is a per-query window over those rows. */
+  def rm3ExpandedTerms(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int, fbDocs: Int, fbTerms: Int): DataFrame = {
+    val q = queries.select(col("qid").cast("long").as("qid"), col("tok"))
+    val fb = topK(docs, idCol, textCol, q, k)
+      .filter(col("rank") <= fbDocs)
+      .select(col("qid"), col("doc_id"))
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    val dt = base.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nd = base.agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("wgt").desc, col("tok"))
+    val expansion = fb
+      .join(dt.hint("shuffle_hash"), "doc_id")
+      .join(dfreq.hint("shuffle_hash"), "tok")
+      .crossJoin(broadcast(nd))
+      .groupBy(col("qid"), col("tok"))
+      .agg(sum(expr(
+        "tf * CAST((nd * 1000) div df AS DECIMAL(38,0))")).as("wgt"))
+      .join(q, Seq("qid", "tok"), "left_anti") // only NEW terms expand
+      .withColumn("trank", row_number().over(w))
+      .filter(col("trank") <= fbTerms)
+      .select(col("qid"), col("tok"))
+    q.unionByName(expansion)
+  }
+
   /** DPR-style hard-negative mining (Karpukhin et al. 2020) over a
     * [[topK]] result: per query, the best-RANKED relevant document is the
     * positive and the first `nNeg` non-relevant results are the hard

@@ -47,7 +47,8 @@ class PlanAuditSpec extends SparkSpec {
     "q199_budget_sample", // 5-row strata × broadcast 1-row totals/shortfall (q113's shape)
     "q201_ap_eval", // per-task AP rows × broadcast 1-row macro-mean total (q113's shape)
     "q206_rrf_fusion", // embeds q184's BM25 chain: postings × broadcast 1-row (T, Nd) totals
-    "q214_retrieval_eval", // evaluates q206's three rankers: same embedded BM25 totals shape
+    "q214_retrieval_eval", // evaluates q206's four rankers: same embedded BM25 totals shape
+    "q219_rm3_expand", // two q184 BM25 passes + the term-vote's broadcast 1-row nd total: the same broadcast-1-row crossJoin shape, three times
     "q212_mmr_diversify", // broadcast(3 probes) × corpus retriever, non-equi by design (q32's shape)
     "q203_co_triangles", // per-node tri counts × broadcast 1-row (n_tri, n_edges) totals (q113's shape)
     "q204_kcore") // core members × broadcast 1-row (n_core, m_core) totals (q113's shape)

@@ -93,4 +93,40 @@ class Bm25Spec extends SparkSpec {
     val labels = Seq((7L, "zz"), (21L, "a"), (22L, "b")).toDF("id", "label")
     assert(Bm25.hardNegatives(ranked, labels, nNeg = 3).count() == 0L)
   }
+
+  test("rm3ExpandedTerms: expansion equals the brute feedback term vote, " +
+      "never re-adds an original term, and caps at fbTerms") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("ash", "oak", "fir", "elm", "yew", "bay", "box", "may")
+    val docs = (1L to 12L).map(i =>
+      i -> Seq.fill(6 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val probes = Seq((1L, "ash"), (1L, "oak"), (2L, "fir"))
+    val got = Bm25.rm3ExpandedTerms(docs.toDF("doc_id", "text"),
+        "doc_id", "text", probes.toDF("qid", "tok"),
+        k = 10, fbDocs = 3, fbTerms = 2)
+      .as[(Long, String)].collect().toSet
+    // brute reference: first-pass ranking via topK (already pinned
+    // against the textbook formula above), then a driver-side vote
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val df = vocab.map(t => t -> toks.values.count(_.contains(t)).toLong).toMap
+    val nd = docs.size.toLong
+    val fb = Bm25.topK(docs.toDF("doc_id", "text"), "doc_id", "text",
+        probes.toDF("qid", "tok"), 10)
+      .filter(col("rank") <= 3).select("qid", "doc_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2))
+    val expect = probes.toSet ++ fb.flatMap { case (qid, ids) =>
+      val orig = probes.filter(_._1 == qid).map(_._2).toSet
+      ids.flatMap(id => toks(id)).groupBy(identity).view
+        .mapValues(g => g.map(t => BigInt(1) * (nd * 1000 / df(t))).sum)
+        .toSeq.filterNot { case (t, _) => orig(t) }
+        .sortBy { case (t, w) => (-w, t) }.take(2)
+        .map { case (t, _) => (qid, t) }
+    }.toSet
+    assert(got == expect)
+    val origSet = probes.toSet
+    val added = got -- origSet
+    assert(added.groupBy(_._1).values.forall(_.size <= 2))
+    assert(added.forall(p => !origSet.contains(p)))
+  }
 }
