@@ -345,6 +345,20 @@ object ScaleSmoke {
         time("postings_probe_corpus", k)(
           graft.text.Bm25.topK(docs, "doc_id", "text", probes, k = 10))
         probes.unpersist()
+        // postings-index maintenance (q218): fold a FIXED 1×-sized batch
+        // into the k× index. Appends are batch-sized and the only
+        // rewrite is the vocabulary-sized df table, so merge wall must
+        // stay near-flat in k. merge() is an action (writes), so time it
+        // directly rather than through the noop-write helper.
+        if ("postings_index_merge".contains(opFilter)) {
+          val batch = base.select(
+            (col("doc_id") + lit(900_000_000L)).as("doc_id"), col("text"))
+          val t0 = System.nanoTime()
+          pidx.merge(batch, "doc_id", "text")
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"""{"op":"postings_index_merge","scale":$k,"rows_in":${n0 * k},"sec":$sec%.2f}""")
+          spark.catalog.clearCache()
+        }
       }
       time("setsim_index_rebuild", k) {
         // comparator for setsim_index_merge: the full rebuild of the k×
