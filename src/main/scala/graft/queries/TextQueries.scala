@@ -31,7 +31,7 @@ object TextQueries {
     q187NormalizedDedup, q191Calibration, q196HardNegatives,
     q149StratifiedExact, q177Blocklist, q199BudgetSample, q206RrfFusion,
     q210PhraseSearch, q214RetrievalEval, q216PostingsServe, q218PostingsMerge,
-    q219Rm3Expand)
+    q219Rm3Expand, q220StreamPostings)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1384,6 +1384,45 @@ object TextQueries {
     val idx = graft.text.PostingsIndex.build(
       dd.filter(col("doc_id") % 10 =!= 5), idxPath, "doc_id", "text")
     idx.merge(dd.filter(col("doc_id") % 10 === 5), "doc_id", "text")
+    serveFromPostingsIndex(dd, idx)
+  }
+
+  /** STREAMING INGEST into the standing retrieval index — the
+    * composition a live corpus actually runs: a document stream arrives
+    * in micro-batches (file source, `maxFilesPerTrigger`), each batch is
+    * FOLDED into the persisted `PostingsIndex` by a `foreachBatch`
+    * `merge` (append-only for the corpus-sized tables, q218's shape),
+    * and after the stream drains the index serves q216's probe batches.
+    * Because every merge is rebuild-equivalent, the final index state ≡
+    * a batch build of the full corpus — so the oracle is the SAME
+    * rebuild+serve SQL as q216/q218, and the hash gate pins the whole
+    * stream-merge-serve composition. At-least-once caveat (documented,
+    * inherent to blind appends): a RETRIED micro-batch would
+    * double-append its postings — a production deployment keys the
+    * append files by batchId and skips committed ids (the
+    * IncrementalDriver discipline); the drained-stream equivalence here
+    * is the semantic gate. */
+  val q220StreamPostings: QueryDef = sql(
+    "q220_stream_postings",
+    postingsRebuildServeSql) { (s, d) =>
+    val dd = docs(s, d)
+    val tmp = graft.core.Scratch.tempDir("q220stream")
+    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"
+    dd.filter(col("doc_id") % 3 =!= 0).repartition(6).write.parquet(inDir)
+    val idxPath = graft.core.Scratch.dir("q220_postings_index", d)
+    val idx = graft.text.PostingsIndex.build(
+      dd.filter(col("doc_id") % 3 === 0), idxPath, "doc_id", "text")
+    val schema = s.read.parquet(inDir).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        idx.merge(batch, "doc_id", "text")
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
     serveFromPostingsIndex(dd, idx)
   }
 

@@ -135,6 +135,10 @@ class PlanAuditSpec extends SparkSpec {
     // df/stats rewrite), then serves; equivalences pinned in
     // PostingsIndexSpec
     "q218_postings_merge",
+    // runs a real file-drip stream whose foreachBatch merges each
+    // micro-batch into the persisted postings index before serving;
+    // merge/serve shapes pinned in PostingsIndexSpec
+    "q220_stream_postings",
     // writes the decile read to scratch for the oracle's true-rank
     // audit; summary/read shapes pinned in QuantileSummarySpec
     "q200_quantile_sketch")
