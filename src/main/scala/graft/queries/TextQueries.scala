@@ -31,7 +31,7 @@ object TextQueries {
     q187NormalizedDedup, q191Calibration, q196HardNegatives,
     q149StratifiedExact, q177Blocklist, q199BudgetSample, q206RrfFusion,
     q210PhraseSearch, q214RetrievalEval, q216PostingsServe, q218PostingsMerge,
-    q219Rm3Expand, q220StreamPostings)
+    q219Rm3Expand, q220StreamPostings, q221PhraseSnippets)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1177,6 +1177,62 @@ object TextQueries {
         array_join(slice(split(col("text"), " "), 1, 3), " ").as("phrase"))
     graft.text.PhraseSearch
       .phraseMatches(docs(s, d), "doc_id", "text", queries)
+      .orderBy(col("qid"), col("doc_id"))
+  }
+
+  /** Phrase SNIPPET rendering — `PhraseSearch.phraseAnchors` +
+    * `PhraseSearch.snippets`: the positional index FINDS every exact
+    * occurrence (q210's anchor intersection, now kept at anchor
+    * granularity), and the FORWARD store (the documents table) renders
+    * a ±2-token window around each match's FIRST anchor — the serving
+    * step a retrieval stack runs after ranking. Snippets deliberately
+    * come from the row-oriented forward side: rebuilding context from
+    * tok-partitioned postings would scan every bucket, while the
+    * forward join touches only the MATCHED doc ids. The oracle replays
+    * anchors, first-anchor selection, and the exact slice arithmetic
+    * (both engines clamp a window that overruns the document
+    * identically), so an off-by-one in the window or a wrong first
+    * anchor hash-mismatches the snippet STRING itself. */
+  val q221PhraseSnippets: QueryDef = sql(
+    "q221_phrase_snippets",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |q AS (SELECT doc_id AS qid, array_to_string(w[1:3], ' ') AS phrase
+      |      FROM t WHERE doc_id < 5),
+      |qt AS (
+      |  SELECT qid, CAST(i - 1 AS BIGINT) AS off, p[CAST(i AS INT)] AS tok,
+      |         CAST(len(p) AS BIGINT) AS plen
+      |  FROM (SELECT qid, string_split(phrase, ' ') AS p FROM q)
+      |       CROSS JOIN UNNEST(generate_series(1, 8)) AS r(i)
+      |  WHERE i <= len(p)),
+      |post AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[CAST(i AS INT)] AS tok
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+      |        FROM t)),
+      |anch AS (
+      |  SELECT qt.qid, p.doc_id, p.pos - qt.off AS anchor, qt.plen
+      |  FROM qt JOIN post p USING (tok)),
+      |occ AS (
+      |  SELECT qid, doc_id, anchor, plen, CAST(count(*) AS BIGINT) AS hits
+      |  FROM anch GROUP BY qid, doc_id, anchor, plen),
+      |hit AS (SELECT qid, doc_id, anchor, plen FROM occ WHERE hits = plen),
+      |fst AS (
+      |  SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+      |         min(anchor) AS first_anchor, min(plen) AS plen
+      |  FROM hit GROUP BY qid, doc_id)
+      |SELECT f.qid, f.doc_id, f.n_occ, f.first_anchor,
+      |       array_to_string(
+      |         t.w[CAST(greatest(f.first_anchor - 2, 0) + 1 AS INT)
+      |             :CAST(f.first_anchor + f.plen + 2 AS INT)], ' ') AS snippet
+      |FROM fst f JOIN t ON t.doc_id = f.doc_id
+      |ORDER BY f.qid, f.doc_id""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val queries = dd.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 3), " ").as("phrase"))
+    val post = dd.select(col("doc_id").cast("long").as("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val anchors = graft.text.PhraseSearch.phraseAnchors(post, queries)
+    graft.text.PhraseSearch.snippets(anchors, dd, "doc_id", "text", window = 2)
       .orderBy(col("qid"), col("doc_id"))
   }
 

@@ -42,6 +42,15 @@ object PhraseSearch {
     * probes with its bucket-pruned scan instead of re-deriving the
     * postings from the corpus per query batch. */
   def phraseMatchesFromPostings(post: DataFrame, queries: DataFrame,
+      qidCol: String = "qid", phraseCol: String = "phrase"): DataFrame =
+    phraseAnchors(post, queries, qidCol, phraseCol)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+
+  /** Every exact occurrence as its anchor position: (qid, doc_id,
+    * anchor, plen) — the granular form [[phraseMatchesFromPostings]]
+    * counts and [[snippets]] renders. */
+  def phraseAnchors(post: DataFrame, queries: DataFrame,
       qidCol: String = "qid", phraseCol: String = "phrase"): DataFrame = {
     val qtok = queries.select(col(qidCol).cast("long").as("qid"),
         posexplode(split(col(phraseCol), " ")).as(Seq("off", "tok")))
@@ -54,7 +63,30 @@ object PhraseSearch {
       .groupBy(col("qid"), col("doc_id"), col("anchor"), col("plen"))
       .agg(count(lit(1)).as("hits"))
       .filter(col("hits") === col("plen"))
+      .select(col("qid"), col("doc_id"), col("anchor"), col("plen"))
+  }
+
+  /** Render a ±`window`-token SNIPPET around each match's FIRST anchor —
+    * the serving step after retrieval: the inverted index FINDS (the
+    * anchors come from the tok-partitioned positional postings), the
+    * FORWARD store renders (`forward`: (doc_id, text) — re-reading
+    * around a position from tok-partitioned postings would scan every
+    * bucket, so snippets correctly come from the row-oriented side, and
+    * the join touches only the MATCHED doc ids, never the corpus).
+    * Output: (qid, doc_id, n_occ, first_anchor, snippet). */
+  def snippets(anchors: DataFrame, forward: DataFrame, idCol: String,
+      textCol: String, window: Int): DataFrame = {
+    val firsts = anchors
       .groupBy(col("qid"), col("doc_id"))
-      .agg(count(lit(1)).as("n_occ"))
+      .agg(count(lit(1)).as("n_occ"), min(col("anchor")).as("first_anchor"),
+        min_by(col("plen"), col("anchor")).as("plen"))
+    firsts.join(forward.select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("w")), "doc_id")
+      .select(col("qid"), col("doc_id"), col("n_occ"), col("first_anchor"),
+        concat_ws(" ", slice(col("w"),
+          (greatest(col("first_anchor") - window, lit(0)) + 1).cast("int"),
+          (col("first_anchor") + col("plen") + window -
+            greatest(col("first_anchor") - window, lit(0))).cast("int")))
+          .as("snippet"))
   }
 }

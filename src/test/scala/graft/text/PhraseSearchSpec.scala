@@ -53,4 +53,26 @@ class PhraseSearchSpec extends SparkSpec {
       assert(run(docs, qs) == brute(docs, qs), s"trial $trial")
     }
   }
+
+  test("snippets: first-anchor window, clamped at both document edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y a b c d e"), // mid-doc match: 2 tokens either side
+      (2L, "a b z z z z z"), // match at position 0: left clamp
+      (3L, "z z z z z a b"), // match at the end: right clamp
+      (4L, "a b q a b r s")) // two occurrences: FIRST anchor renders
+    val qs = Seq((7L, "a b"))
+    val post = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "tok")))
+    val anchors = PhraseSearch.phraseAnchors(post, qs.toDF("qid", "phrase"))
+    val got = PhraseSearch.snippets(anchors, docs.toDF("doc_id", "text"),
+        "doc_id", "text", window = 2)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((1L, 2L, "x y a b c d")))
+    assert(got(2L) == ((1L, 0L, "a b z z")))
+    assert(got(3L) == ((1L, 5L, "z z a b")))
+    assert(got(4L) == ((2L, 0L, "a b q a"))) // first anchor, not the second
+  }
 }
