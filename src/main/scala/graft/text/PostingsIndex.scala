@@ -133,6 +133,33 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
   }
 
+  /** Compact the index after a run of [[merge]]s: every merge APPENDS
+    * one file set per bucket directory, so a long ingest run degrades
+    * scan cost with small files. Compaction rewrites the three bucketed
+    * tables one-file-per-bucket through a staging barrier (the rewrite
+    * reads the files it replaces — the same durability argument as the
+    * df rewrite in [[merge]]) and coalesces the lengths table. Contents
+    * are untouched: serve-equivalence is pinned in PostingsIndexSpec. */
+  def compact(): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (table <- Seq("postings", "positions", "df")) {
+      val staging = s"$path/${table}_compact_staging"
+      spark.read.parquet(s"$path/$table")
+        .write.mode("overwrite").parquet(staging)
+      spark.read.parquet(staging)
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/$table")
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
+    }
+    val staging = s"$path/lengths_compact_staging"
+    spark.read.parquet(s"$path/lengths")
+      .write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/lengths")
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
+  }
+
   /** Exact phrase occurrences served from the persisted POSITIONAL
     * postings — `PhraseSearch.phraseMatchesFromPostings` over the
     * bucket-pruned scan. `queries`: (qid, phrase). */

@@ -78,6 +78,32 @@ class PostingsIndexSpec extends SparkSpec {
       set(rebuilt.bm25TopK(probes, 5), "qid", "rank", "doc_id", "score_i"))
   }
 
+  test("compact after merges: fewer files, identical serves") {
+    val all = fixture(24, 13)
+    val (standing, rest) = all.partition(_._1 % 4 != 0)
+    val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+    val idx = PostingsIndex.build(standing.toDF("doc_id", "text"),
+      dir, "doc_id", "text", nBuckets = 4)
+    rest.grouped(3).foreach(b =>
+      idx.merge(b.toDF("doc_id", "text"), "doc_id", "text"))
+    def postingFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/postings"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val probes = all.take(3).map { case (i, t) =>
+      (i, t.split(" ").head) }.toDF("qid", "tok")
+    def serve() = idx.bm25TopK(probes, 5)
+      .select("qid", "rank", "doc_id", "score_i")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val (filesBefore, before) = (postingFiles(), serve())
+    idx.compact()
+    assert(postingFiles() < filesBefore,
+      s"expected fewer posting files after compact, had $filesBefore")
+    assert(serve() == before)
+  }
+
   test("the serve's index scan is partition-pruned to the probed buckets") {
     val corpus = fixture(20, 7).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("pidx").toString
