@@ -100,7 +100,23 @@ object SetSimJoin {
       .select(col("id"), col("tok"), col("f"), col("n"),
         (col("pos") <=
           col("n") - expr(s"(${tPpm}L * n + 999999) div 1000000") + 1)
-          .as("is_prefix"))
+          .as("is_prefix"),
+        // the build threshold travels WITH the index (RLE-compressed to
+        // nothing on disk): prefixes computed under one threshold are
+        // meaningless to a probe or merge at another, and the frame is
+        // plain parquet with nowhere else to carry the contract
+        lit(tPpm).as("t_ppm"))
+  }
+
+  /** Fail fast when a persisted index's build threshold disagrees with
+    * the caller's: `is_prefix` under a different threshold voids the
+    * no-false-negative theorem SILENTLY (missed pairs, not errors).
+    * One 1-row collect; an empty index passes vacuously. */
+  private def requireSameThreshold(index: DataFrame, tPpm: Long): Unit = {
+    val stored = index.select(col("t_ppm")).limit(1).collect()
+    require(stored.isEmpty || stored(0).getLong(0) == tPpm,
+      s"index built with t_ppm=${stored.headOption.map(_.getLong(0)).orNull}, " +
+        s"probed/merged with t_ppm=$tPpm")
   }
 
   /** Fold an ingest batch INTO a persisted [[prefixIndex]] — the
@@ -141,6 +157,7 @@ object SetSimJoin {
   def mergeIntoIndex(batch: DataFrame, idCol: String, textCol: String,
       index: DataFrame, tPpm: Long, shingleK: Int = 3): DataFrame = {
     require(tPpm > 0 && tPpm <= 1000000L, s"tPpm out of (0, 1e6]: $tPpm")
+    requireSameThreshold(index, tPpm)
     val bt = batch.select(col(idCol).cast("long").as("id"),
       explode(array_distinct(graft.functions.word_shingles(
         split(col(textCol), " "), shingleK))).as("tok"))
@@ -154,7 +171,8 @@ object SetSimJoin {
     val touchedIds = index.join(delta.select(col("tok")), Seq("tok"), "left_semi")
       .select(col("id")).distinct()
     val untouched = index.join(touchedIds, Seq("id"), "left_anti")
-      .select(col("id"), col("tok"), col("f"), col("n"), col("is_prefix"))
+      .select(col("id"), col("tok"), col("f"), col("n"), col("is_prefix"),
+        col("t_ppm"))
     // identical derivation to prefixIndex, but over stored (id, tok)
     // rows + the merged frequency table instead of a corpus re-shingle
     def derive(rows: DataFrame): DataFrame = {
@@ -165,7 +183,8 @@ object SetSimJoin {
         .select(col("id"), col("tok"), col("f"), col("n"),
           (col("pos") <=
             col("n") - expr(s"(${tPpm}L * n + 999999) div 1000000") + 1)
-            .as("is_prefix"))
+            .as("is_prefix"),
+          lit(tPpm).as("t_ppm"))
     }
     val touchedRows = derive(index.join(touchedIds, Seq("id"), "left_semi")
       .select(col("id"), col("tok")).hint("shuffle_hash"))
@@ -187,6 +206,7 @@ object SetSimJoin {
   def probePrefixIndex(batch: DataFrame, idCol: String, textCol: String,
       index: DataFrame, tPpm: Long, shingleK: Int = 3): DataFrame = {
     require(tPpm > 0 && tPpm <= 1000000L, s"tPpm out of (0, 1e6]: $tPpm")
+    requireSameThreshold(index, tPpm)
     val bt = batch.select(col(idCol).cast("long").as("new_id"),
       explode(array_distinct(graft.functions.word_shingles(
         split(col(textCol), " "), shingleK))).as("tok"))

@@ -194,7 +194,7 @@ object GraphOps {
     * @return (id, community) — community = the label held after `iters`
     *         rounds. */
   def labelPropagation(edges: DataFrame, nodes: DataFrame,
-      iters: Int = 3, cutLineage: Boolean = true): DataFrame = {
+      iters: Int = 3): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -209,13 +209,13 @@ object GraphOps {
         .groupBy(col("id"))
         .agg(min(struct((-col("cnt")).as("nc"), col("lab"))).as("best"))
         .select(col("id"), col("best.lab").as("lab"))
-      // same single-action rationale as personalizedPagerankPpm, with
-      // one caveat scaled in: labels is referenced TWICE per round
-      // (neighbor join + self-vote), so the uncut logical tree doubles
-      // per round — bounded for a small fixed `iters` (2^3 = 8 leaf
-      // copies at 3 rounds, deduped at runtime by ReusedExchange), but
-      // the default keeps the cuts for larger budgets.
-      if (cutLineage) labels = labels.localCheckpoint(false)
+        // per-round cut KEPT unconditionally (unlike personalizedPagerank
+        // Ppm's cutLineage escape hatch): labels is referenced TWICE per
+        // round (neighbor join + self-vote), so the uncut logical tree
+        // doubles per round — the single-action variant was measured at
+        // the q182 site and LOST (38 jobs/8.1s cached+cut vs 42
+        // jobs/8.8s single-action)
+        .localCheckpoint(false)
     }
     labels.select(col("id"), col("lab").as("community"))
   }

@@ -43,12 +43,26 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
   def lengths: DataFrame = spark.read.parquet(s"$path/lengths")
   def stats: DataFrame = spark.read.parquet(s"$path/stats")
 
+  /** nBuckets validated ONCE against the persisted layout: opening an
+    * index with a different bucket count would route probe terms to the
+    * wrong partition directories — matches silently pruned away, merges
+    * appended into wrong buckets — so every bucket computation goes
+    * through this check instead of the raw constructor argument.
+    * (Prefer [[PostingsIndex.open]], which reads the count from disk.) */
+  private lazy val checkedBuckets: Long = {
+    val stored = spark.read.parquet(s"$path/meta")
+      .select(col("n_buckets")).collect()(0).getLong(0)
+    require(stored == nBuckets.toLong,
+      s"index at $path was built with n_buckets=$stored, opened with $nBuckets")
+    stored
+  }
+
   /** The probed buckets of a term frame as a literal partition filter.
     * The collect is bounded by the DISTINCT probe terms (serving-batch
     * sized by construction — same argument as IvfIndex.topK's probe
     * collect). */
   private def probedBuckets(toks: DataFrame): Seq[Long] =
-    toks.select(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("bkt"))
+    toks.select(pmod(xxhash64(col("tok")), lit(checkedBuckets)).as("bkt"))
       .distinct().collect().map(_.getLong(0)).toSeq
 
   /** Top-`k` BM25 per probe, served from the PERSISTED index: identical
@@ -89,14 +103,23 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     * discipline — a cache is only best-effort and a recompute after the
     * overwrite starts would read corrupt state).
     *
-    * Contract: batch ids disjoint from indexed ids, one merge per batch
-    * (a re-run would double-append the batch's postings). */
+    * Contract: batch ids disjoint from indexed ids, one COMPLETED merge
+    * per batch (a re-run would double-append the batch's postings).
+    * Crash consistency: the 1-row stats overwrite runs LAST as the
+    * commit point — a merge that died mid-way leaves stats at the
+    * pre-merge value, so "stats unchanged" detects the torn state
+    * (partial appends with stale df are then bounded: unseen batch
+    * tokens are absent from df and drop out of the serve's inner join).
+    * A torn index should be restored or rebuilt; exactly-once ingest
+    * under micro-batch retry needs batch-keyed appends + a committed-id
+    * ledger (the IncrementalDriver discipline), deliberately outside
+    * this operator. */
   def merge(batch: DataFrame, idCol: String, textCol: String): Unit = {
     val base = batch.select(col(idCol).cast("long").as("doc_id"),
       split(col(textCol), " ").as("w"))
-    val bkt = pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("bkt")
+    val bkt = pmod(xxhash64(col("tok")), lit(checkedBuckets)).as("bkt")
     val dlNew = base.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
-    // stats first, computed from the OLD stats + the batch (1-row math)
+    // read the OLD stats up front (the write happens last)
     val (t0, nd0) = {
       val r = stats.select(col("t"), col("nd")).collect()(0)
       (r.getLong(0), r.getLong(1))
@@ -104,17 +127,20 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     val add = dlNew.agg(
       coalesce(sum(col("dl")), lit(0L)).as("ts"),
       count(lit(1)).as("ns")).collect()(0)
-    import spark.implicits._
-    Seq((t0 + add.getLong(0), nd0 + add.getLong(1))).toDF("t", "nd")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    dlNew.write.mode("append").parquet(s"$path/lengths")
     val dt = base.select(col("doc_id"), explode(col("w")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // repartition by bucket before the appends: without it every shuffle
+    // partition writes one file into every bucket directory it holds
+    // (O(partitions × buckets) files per merge); with it a merge adds at
+    // most one file per touched bucket
     dt.select(col("tok"), col("doc_id"), col("tf"), bkt)
+      .repartition(col("bkt"))
       .write.mode("append").partitionBy("bkt").parquet(s"$path/postings")
     base.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"), bkt)
+      .repartition(col("bkt"))
       .write.mode("append").partitionBy("bkt").parquet(s"$path/positions")
+    dlNew.write.mode("append").parquet(s"$path/lengths")
     // df = old ∪ delta summed per token (full outer: unseen batch tokens
     // enter, untouched corpus tokens pass through)
     val delta = dt.groupBy(col("tok")).agg(count(lit(1)).as("dfd"))
@@ -131,6 +157,11 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
+    // commit point: the 1-row stats write lands only after every other
+    // table has
+    import spark.implicits._
+    Seq((t0 + add.getLong(0), nd0 + add.getLong(1))).toDF("t", "nd")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** Compact the index after a run of [[merge]]s: every merge APPENDS
@@ -177,6 +208,15 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
 
 object PostingsIndex {
 
+  /** Open a persisted index, reading the bucket count from its meta
+    * table — the mistake-proof loader (a hand-passed count that differs
+    * from the build's is rejected by `checkedBuckets` anyway). */
+  def open(spark: SparkSession, path: String): PostingsIndex = {
+    val n = spark.read.parquet(s"$path/meta")
+      .select(col("n_buckets")).collect()(0).getLong(0)
+    new PostingsIndex(spark, path, n.toInt)
+  }
+
   /** Build + persist the index: two linear passes over the corpus (term
     * postings with df folded in; positional postings), one tiny lengths
     * table, one 1-row stats table. Writes shuffle on the token-hash
@@ -184,6 +224,11 @@ object PostingsIndex {
   def build(docs: DataFrame, path: String, idCol: String, textCol: String,
       nBuckets: Int = 64): PostingsIndex = {
     val spark = docs.sparkSession
+    locally {
+      import spark.implicits._
+      Seq(nBuckets.toLong).toDF("n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       split(col(textCol), " ").as("w"))
     val dl = base.select(col("doc_id"), size(col("w")).cast("long").as("dl"))

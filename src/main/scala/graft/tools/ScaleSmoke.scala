@@ -325,7 +325,8 @@ object ScaleSmoke {
           disjoint, "doc_id", "text", tPpm = 500000L)
       }
       if ("postings_probe_index".contains(opFilter) ||
-          "postings_probe_corpus".contains(opFilter)) {
+          "postings_probe_corpus".contains(opFilter) ||
+          "postings_index_merge".contains(opFilter)) {
         // standing-index serving (q216): a FIXED probe batch served from
         // the PERSISTED postings index of the k× corpus vs recomputed
         // from the corpus text. The index build is outside the timer

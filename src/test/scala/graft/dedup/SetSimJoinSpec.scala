@@ -129,9 +129,10 @@ class SetSimJoinSpec extends SparkSpec {
     def sentence(n: Int) =
       Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
     def rows(df: org.apache.spark.sql.DataFrame) =
-      df.select(col("id"), col("tok"), col("f"), col("n"), col("is_prefix"))
+      df.select(col("id"), col("tok"), col("f"), col("n"), col("is_prefix"),
+          col("t_ppm"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-          r.getLong(3), r.getBoolean(4))).toSet
+          r.getLong(3), r.getBoolean(4), r.getLong(5))).toSet
     for (trial <- 1 to 3) {
       // doc 99 shares NO shingle with any batch — its rows must pass
       // through verbatim (the untouched fast path)
@@ -150,6 +151,21 @@ class SetSimJoinSpec extends SparkSpec {
           (corpus ++ batch).toDF("doc_id", "text"), "doc_id", "text", t, 3)
         assert(rows(merged) == rows(rebuilt), s"trial $trial t=$t")
       }
+    }
+  }
+
+  test("probe and merge REJECT an index built under a different threshold") {
+    import spark.implicits._
+    val corpus = Seq(1L -> "p q r s t u v w").toDF("doc_id", "text")
+    val batch = Seq(2L -> "p q r s t").toDF("doc_id", "text")
+    val idx = SetSimJoin.prefixIndex(corpus, "doc_id", "text", 500000L)
+    intercept[IllegalArgumentException] {
+      SetSimJoin.probePrefixIndex(batch, "doc_id", "text", idx, 600000L)
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      SetSimJoin.mergeIntoIndex(batch, "doc_id", "text", idx, 600000L)
+        .collect()
     }
   }
 

@@ -78,6 +78,17 @@ class PostingsIndexSpec extends SparkSpec {
       set(rebuilt.bm25TopK(probes, 5), "qid", "rank", "doc_id", "score_i"))
   }
 
+  test("a persisted index rejects a mismatched bucket count; open() reads it") {
+    val corpus = fixture(10, 3).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+    PostingsIndex.build(corpus, dir, "doc_id", "text", nBuckets = 8)
+    val probes = Seq((1L, "ash")).toDF("qid", "tok")
+    intercept[IllegalArgumentException] {
+      new PostingsIndex(spark, dir, 32).bm25TopK(probes, 5).collect()
+    }
+    assert(PostingsIndex.open(spark, dir).bm25TopK(probes, 5).count() >= 0)
+  }
+
   test("compact after merges: fewer files, identical serves") {
     val all = fixture(24, 13)
     val (standing, rest) = all.partition(_._1 % 4 != 0)
