@@ -1675,11 +1675,40 @@ object TextQueries {
       |                 row_number() OVER (PARTITION BY qid
       |                                    ORDER BY sim_ppb DESC, doc_id) AS r
       |          FROM vsc) WHERE r <= 10),
+      |fbx AS (SELECT qid, doc_id FROM bm WHERE r <= 5),
+      |twx AS (
+      |  SELECT fbx.qid, dt.tok,
+      |         sum(dt.tf * CAST((tot.nd * 1000) // dfq.df AS HUGEINT)) AS wgt
+      |  FROM fbx JOIN dt USING (doc_id) JOIN dfq USING (tok) CROSS JOIN tot
+      |  GROUP BY fbx.qid, dt.tok),
+      |exx AS (SELECT qid, tok FROM (
+      |          SELECT twx.qid, twx.tok,
+      |                 row_number() OVER (PARTITION BY twx.qid
+      |                                    ORDER BY twx.wgt DESC, twx.tok) AS tr
+      |          FROM twx ANTI JOIN q ON q.qid = twx.qid AND q.tok = twx.tok)
+      |        WHERE tr <= 5),
+      |q2x AS (SELECT qid, tok FROM q UNION ALL SELECT qid, tok FROM exx),
+      |scx AS (
+      |  SELECT q2x.qid, dt.doc_id,
+      |         CAST(sum(CAST((nd * 1000) // df AS HUGEINT) *
+      |                  ((88 * tf * CAST(t AS HUGEINT) * 1000000) //
+      |                   (40 * CAST(t AS HUGEINT) * tf + 12 * t + 36 * dl.dl * nd))) AS BIGINT)
+      |           AS score_i
+      |  FROM q2x JOIN dfq USING (tok) JOIN dt USING (tok)
+      |  JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN tot
+      |  WHERE dt.doc_id <> q2x.qid
+      |  GROUP BY q2x.qid, dt.doc_id),
+      |rm3 AS (SELECT qid, doc_id, r FROM (
+      |          SELECT qid, doc_id,
+      |                 row_number() OVER (PARTITION BY qid
+      |                                    ORDER BY score_i DESC, doc_id) AS r
+      |          FROM scx) WHERE r <= 10),
       |lists AS (
       |  SELECT 'bm25' AS ranker, qid, doc_id, r FROM bm
       |  UNION ALL SELECT 'jac', qid, doc_id, r FROM jac
       |  UNION ALL SELECT 'rrf', qid, doc_id, r FROM rrf
-      |  UNION ALL SELECT 'vec', qid, doc_id, r FROM vec),
+      |  UNION ALL SELECT 'vec', qid, doc_id, r FROM vec
+      |  UNION ALL SELECT 'rm3', qid, doc_id, r FROM rm3),
       |lab AS (SELECT doc_id, lang FROM base),
       |flagged AS (
       |  SELECT l.ranker, l.qid, l.r,
@@ -1745,10 +1774,18 @@ object TextQueries {
       .withColumn("rank", row_number().over(wv))
       .filter(col("rank") <= 10)
       .select(col("qid"), col("doc_id"), col("rank"))
+    // 5th ranker: the q219 RM3 expand-and-re-retrieve chain — the eval
+    // now answers "does expansion HELP on this ground truth", graded
+    // against the un-expanded bm25 row it feeds from
+    val rm3 = graft.text.Bm25.topK(docs(s, d), "doc_id", "text",
+        graft.text.Bm25.rm3ExpandedTerms(docs(s, d), "doc_id", "text",
+          probes, k = 10, fbDocs = 5, fbTerms = 5), k = 10)
+      .select(col("qid"), col("doc_id"), col("rank"))
     val lists = bm25.withColumn("ranker", lit("bm25"))
       .unionByName(jac.withColumn("ranker", lit("jac")))
       .unionByName(rrf.withColumn("ranker", lit("rrf")))
       .unionByName(vec.withColumn("ranker", lit("vec")))
+      .unionByName(rm3.withColumn("ranker", lit("rm3")))
     val lab = docs(s, d).select(col("doc_id"), col("lang"))
     lists
       .join(broadcast(lab.select(col("doc_id"), col("lang").as("d_lang"))),

@@ -12,10 +12,10 @@ class RetrievalEvalSpec extends SparkSpec {
   test("q214 metrics satisfy their definitions row by row") {
     val rows = SparkEntry.queries("q214_retrieval_eval")(spark, sf).collect()
     val rankers = rows.map(_.getString(0)).toSet
-    assert(rankers == Set("bm25", "jac", "rrf", "vec"))
-    // one row per (ranker, probe): 4 × 5
-    assert(rows.length == 20)
-    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet.size == 20)
+    assert(rankers == Set("bm25", "jac", "rrf", "vec", "rm3"))
+    // one row per (ranker, probe): 5 × 5
+    assert(rows.length == 25)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet.size == 25)
     for (r <- rows) {
       val (nRanked, nRel) = (r.getLong(2), r.getLong(3))
       assert(nRanked >= 1 && nRanked <= 10)
