@@ -31,7 +31,7 @@ object TextQueries {
     q187NormalizedDedup, q191Calibration, q196HardNegatives,
     q149StratifiedExact, q177Blocklist, q199BudgetSample, q206RrfFusion,
     q210PhraseSearch, q214RetrievalEval, q216PostingsServe, q218PostingsMerge,
-    q219Rm3Expand, q220StreamPostings, q221PhraseSnippets)
+    q219Rm3Expand, q220StreamPostings, q221PhraseSnippets, q222Rm3Index)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1262,8 +1262,11 @@ object TextQueries {
     * 5·|Q| doc ids, so the vote join ships only those documents'
     * posting rows; both retrieval passes keep q184's posting-traversal
     * shape. */
-  val q219Rm3Expand: QueryDef = sql(
-    "q219_rm3_expand",
+  /** q219's full oracle chain, shared by q219 (corpus recompute) and
+    * q222 (every stage served from the persisted postings index): the
+    * index serve is rebuild-equivalent by construction, so both engines
+    * must hash-match this one SQL. */
+  private val rm3RebuildSql: String =
     """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nd
@@ -1317,14 +1320,41 @@ object TextQueries {
       |                            ORDER BY score_i DESC, doc_id) AS rank
       |  FROM sc2)
       |WHERE rank <= 10
-      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
-    val probes = docs(s, d).filter(col("doc_id") < 5)
+      |ORDER BY qid, rank""".stripMargin
+
+  private def rm3Probes(dd: DataFrame): DataFrame =
+    dd.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"),
         explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
       .distinct()
+
+  val q219Rm3Expand: QueryDef = sql(
+    "q219_rm3_expand",
+    rm3RebuildSql) { (s, d) =>
+    val probes = rm3Probes(docs(s, d))
     val expanded = graft.text.Bm25.rm3ExpandedTerms(docs(s, d),
       "doc_id", "text", probes, k = 10, fbDocs = 5, fbTerms = 5)
     graft.text.Bm25.topK(docs(s, d), "doc_id", "text", expanded, k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The FULLY index-backed retrieval stack — every stage of q219's
+    * expand-and-re-retrieve runs against the persisted `PostingsIndex`
+    * (first-pass BM25, feedback term vote with df from the persisted
+    * vocabulary table and term vectors from the FORWARD store, expanded
+    * second pass), closing the "expansion still recomputes from the
+    * corpus" gap: at serve time the corpus text is read only for the
+    * ≤ 25 feedback documents. The oracle is q219's chain verbatim — the
+    * hash gate IS serve-from-index ≡ recompute-from-corpus. */
+  val q222Rm3Index: QueryDef = sql(
+    "q222_rm3_index",
+    rm3RebuildSql) { (s, d) =>
+    val dd = docs(s, d)
+    val idxPath = graft.core.Scratch.dir("q222_postings_index", d)
+    val idx = graft.text.PostingsIndex.build(dd, idxPath, "doc_id", "text")
+    val expanded = idx.rm3ExpandedTerms(rm3Probes(dd), dd, "doc_id", "text",
+      k = 10, fbDocs = 5, fbTerms = 5)
+    idx.bm25TopK(expanded, k = 10)
       .orderBy(col("qid"), col("rank"))
   }
 

@@ -191,6 +191,49 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
   }
 
+  /** RM3 expansion SERVED from the standing index — the index-backed
+    * twin of `Bm25.rm3ExpandedTerms` (identical output by construction:
+    * same feedback depth, vote arithmetic, anti-join and tie-breaks,
+    * pinned in PostingsIndexSpec and by q222's shared oracle): the
+    * first pass is [[bm25TopK]] (bucket-pruned), and the term VOTE
+    * tokenizes the ≤ k·|Q| feedback documents from the FORWARD store —
+    * deliberately, because a document's full term vector is spread
+    * across every tok-partitioned bucket (the q221 snippets argument),
+    * while the forward join touches only the feedback doc ids. Vote
+    * idf comes from the persisted df table, pruned to the feedback
+    * documents' term buckets; corpus text beyond the feedback set is
+    * never read. */
+  def rm3ExpandedTerms(queries: DataFrame, forward: DataFrame,
+      idCol: String, textCol: String, k: Int, fbDocs: Int,
+      fbTerms: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("qid").cast("long").as("qid"), col("tok"))
+    val fb = bm25TopK(q, k)
+      .filter(col("rank") <= fbDocs)
+      .select(col("qid"), col("doc_id"))
+    val fbToks = fb.join(forward.select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("w")), "doc_id")
+      .select(col("qid"), col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("qid"), col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val probed = probedBuckets(fbToks.select(col("tok")).distinct())
+    val dfb = docFreq.filter(col("bkt").isin(probed: _*))
+      .select(col("tok"), col("df"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("wgt").desc, col("tok"))
+    val expansion = fbToks
+      .join(dfb, "tok")
+      .crossJoin(broadcast(stats.select(col("nd"))))
+      .groupBy(col("qid"), col("tok"))
+      .agg(sum(expr(
+        "tf * CAST((nd * 1000) div df AS DECIMAL(38,0))")).as("wgt"))
+      .join(q, Seq("qid", "tok"), "left_anti")
+      .withColumn("trank", row_number().over(w))
+      .filter(col("trank") <= fbTerms)
+      .select(col("qid"), col("tok"))
+    q.unionByName(expansion)
+  }
+
   /** Exact phrase occurrences served from the persisted POSITIONAL
     * postings — `PhraseSearch.phraseMatchesFromPostings` over the
     * bucket-pruned scan. `queries`: (qid, phrase). */

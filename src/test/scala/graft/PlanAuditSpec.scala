@@ -139,6 +139,9 @@ class PlanAuditSpec extends SparkSpec {
     // micro-batch into the persisted postings index before serving;
     // merge/serve shapes pinned in PostingsIndexSpec
     "q220_stream_postings",
+    // builds + persists the postings index, then serves BOTH RM3 passes
+    // from it; serve/vote shapes pinned in PostingsIndexSpec
+    "q222_rm3_index",
     // writes the decile read to scratch for the oracle's true-rank
     // audit; summary/read shapes pinned in QuantileSummarySpec
     "q200_quantile_sketch")

@@ -78,6 +78,24 @@ class PostingsIndexSpec extends SparkSpec {
       set(rebuilt.bm25TopK(probes, 5), "qid", "rank", "doc_id", "score_i"))
   }
 
+  test("rm3 expansion from the index equals the corpus recompute") {
+    for (trial <- 1 to 2) {
+      val corpus = fixture(20, 60 + trial).toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+      val idx = PostingsIndex.build(corpus, dir, "doc_id", "text", nBuckets = 8)
+      val probes = corpus.filter(col("doc_id") <= 3)
+        .select(col("doc_id").as("qid"),
+          explode(slice(split(col("text"), " "), 1, 3)).as("tok"))
+        .distinct()
+      def terms(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, String)].collect().toSet
+      assert(terms(idx.rm3ExpandedTerms(probes, corpus, "doc_id", "text",
+          k = 8, fbDocs = 4, fbTerms = 3)) ==
+        terms(Bm25.rm3ExpandedTerms(corpus, "doc_id", "text", probes,
+          k = 8, fbDocs = 4, fbTerms = 3)), s"trial $trial")
+    }
+  }
+
   test("a persisted index rejects a mismatched bucket count; open() reads it") {
     val corpus = fixture(10, 3).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("pidx").toString
