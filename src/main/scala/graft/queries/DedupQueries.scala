@@ -21,7 +21,8 @@ object DedupQueries {
     q173StreamPixelDedup, q174AudioFir, q175JpegDecode, q176MjpegFrames,
     q183AudioWht, q186AudioDedup, q190EntityResolution, q192LeakageSplit,
     q194IncrementalDedup, q208SetsimJoin, q209PhashNeardup,
-    q213LshRecallAudit, q215IncrementalSetsim, q217IndexMerge)
+    q213LshRecallAudit, q215IncrementalSetsim, q217IndexMerge,
+    q227StreamDedupExactlyOnce)
 
   /** Incremental EXACT dedup — `SetSimJoin.prefixIndex` persisted once
     * over the standing corpus, `SetSimJoin.probePrefixIndex` per ingest
@@ -1996,6 +1997,115 @@ object DedupQueries {
       val index = s.read.parquet(idxPath)
       val pairsPath = graft.core.Scratch.dir("q194_incremental_dedup", d)
       Dedup.probeIndex(batch, "doc_id", "text", index)
+        .write.mode("overwrite").parquet(pairsPath)
+      val pairs = s.read.parquet(pairsPath)
+      val toks = docsDf.select(col("doc_id").as("tid"),
+        array_distinct(split(col("text"), " ")).as("tok"))
+      val j = pairs
+        .join(toks.select(col("tid").as("id_new"), col("tok").as("tok_a")), "id_new")
+        .join(toks.select(col("tid").as("id_old"), col("tok").as("tok_b")), "id_old")
+        .select(col("id_new"), col("id_old"),
+          expr("(CAST(size(array_intersect(tok_a, tok_b)) AS BIGINT) * 1000000) div size(array_union(tok_a, tok_b))").as("jac_ppm"))
+      val nc = pairs.groupBy(col("id_new")).agg(count(lit(1)).as("n_cand"))
+      val best = j.filter(col("jac_ppm") >= 200000)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("id_new"))
+          .orderBy(col("jac_ppm").desc, col("id_old"))))
+        .filter(col("rk") === 1)
+      batch.select(col("doc_id").as("new_id"))
+        .join(best.select(col("id_new").as("new_id"),
+          col("id_old").as("match_id"), col("jac_ppm")), Seq("new_id"), "left")
+        .join(nc.select(col("id_new").as("new_id"), col("n_cand")),
+          Seq("new_id"), "left")
+        .select(col("new_id"), col("match_id"), col("jac_ppm"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          col("match_id").isNotNull.cast("int").as("is_dup"))
+        .orderBy(col("new_id"))
+    }
+  }
+
+  /** EXACTLY-ONCE streaming ingest into the persisted BAND index — the
+    * dedup-shelf twin of q223 (`dedup.LedgeredBandIndex`), closing
+    * q194/q217's blind-append gap: the standing corpus (id%10 ≠ 0)
+    * arrives as a file-drip stream whose every micro-batch is FOLDED in
+    * twice (at-least-once delivery made literal — the redelivery must be
+    * a no-op), after a TORN earlier attempt (a ghost band row under the
+    * first epoch's batch key, no ledger row) that the bootstrap must
+    * heal. After the drain the query require-asserts the exactly-once
+    * THEOREM itself — committed rows ≡ `Dedup.minhashBandBuckets`
+    * (standing) as a MULTISET (both exceptAll directions empty; band
+    * rows are a pure per-doc function, so a double-append, lost batch,
+    * or unhealed ghost each break it) — then probes the id%10 = 0 batch
+    * and dumps the candidate pairs to scratch. The oracle is q194's
+    * replay: exact Jaccard verify, best-match ranking, per-doc candidate
+    * counts over the dumped pairs (a lost batch surfaces as a missing
+    * candidate → is_dup flips → hash mismatch; the require covers the
+    * additive failure modes a LEFT-join replay cannot see). */
+  val q227StreamDedupExactlyOnce: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q227_stream_dedup")
+    QueryDef.sql(
+      "q227_stream_dedup_exactly_once",
+      s"""WITH c AS (SELECT id_new, id_old FROM read_parquet('$p/*.parquet')),
+         |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+         |      FROM documents),
+         |j AS (
+         |  SELECT c.id_new, c.id_old,
+         |         (CAST(len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS BIGINT) * 1000000)
+         |           // len(list_distinct(a.tok || b.tok)) AS jac_ppm
+         |  FROM c
+         |  JOIN t a ON a.doc_id = c.id_new
+         |  JOIN t b ON b.doc_id = c.id_old),
+         |nc AS (SELECT id_new, CAST(count(*) AS BIGINT) AS n_cand FROM c GROUP BY id_new),
+         |best AS (
+         |  SELECT id_new, id_old, jac_ppm,
+         |         row_number() OVER (PARTITION BY id_new ORDER BY jac_ppm DESC, id_old) AS rk
+         |  FROM j WHERE jac_ppm >= 200000),
+         |nb AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+         |SELECT nb.doc_id AS new_id, best.id_old AS match_id,
+         |       best.jac_ppm AS jac_ppm,
+         |       COALESCE(nc.n_cand, 0) AS n_cand,
+         |       CAST(CASE WHEN best.id_old IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+         |FROM nb
+         |LEFT JOIN (SELECT * FROM best WHERE rk = 1) best ON best.id_new = nb.doc_id
+         |LEFT JOIN nc ON nc.id_new = nb.doc_id
+         |ORDER BY new_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.dedup.LedgeredBandIndex
+      val docsDf = Tables.documents(s, d)
+      val standing = docsDf.filter(col("doc_id") % 10 =!= 0)
+      val batch = docsDf.filter(col("doc_id") % 10 === 0)
+      val tmp = graft.core.Scratch.tempDir("q227stream")
+      val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"
+      standing.repartition(6).write.parquet(inDir)
+      val idxPath = graft.core.Scratch.dir("q227_band_index", d)
+      val idx = LedgeredBandIndex.create(s, idxPath)
+      // torn earlier attempt of epoch 0: a ghost doc wearing a REAL
+      // standing bucket, so an unhealed ghost would probe-collide
+      Dedup.minhashBandBuckets(standing.orderBy(col("doc_id")).limit(1),
+          "doc_id", "text")
+        .select(lit(999999999L).as("id"), col("band"), col("bucket"))
+        .limit(1)
+        .withColumn("batch", lit("b0"))
+        .write.mode("append").partitionBy("batch").parquet(s"$idxPath/buckets")
+      val schema = s.read.parquet(inDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(inDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+          require(idx.mergeOnce(b, "doc_id", "text", bid))
+          require(!idx.mergeOnce(b, "doc_id", "text", bid),
+            s"redelivered micro-batch $bid must be a no-op")
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // the exactly-once theorem, multiset-exact at every SF
+      val fresh = Dedup.minhashBandBuckets(standing, "doc_id", "text")
+      val com = idx.committedRows()
+      require(com.exceptAll(fresh).isEmpty && fresh.exceptAll(com).isEmpty,
+        "committed index state must equal a fresh banding of the corpus")
+      val pairsPath = graft.core.Scratch.dir("q227_stream_dedup", d)
+      idx.probe(batch, "doc_id", "text")
         .write.mode("overwrite").parquet(pairsPath)
       val pairs = s.read.parquet(pairsPath)
       val toks = docsDf.select(col("doc_id").as("tid"),

@@ -31,7 +31,9 @@ object TextQueries {
     q187NormalizedDedup, q191Calibration, q196HardNegatives,
     q149StratifiedExact, q177Blocklist, q199BudgetSample, q206RrfFusion,
     q210PhraseSearch, q214RetrievalEval, q216PostingsServe, q218PostingsMerge,
-    q219Rm3Expand, q220StreamPostings, q221PhraseSnippets, q222Rm3Index)
+    q219Rm3Expand, q220StreamPostings, q221PhraseSnippets, q222Rm3Index,
+    q223StreamExactlyOnce, q224IndexedEval, q225Collocations,
+    q226DpNoisyCounts)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1512,6 +1514,97 @@ object TextQueries {
     serveFromPostingsIndex(dd, idx)
   }
 
+  /** EXACTLY-ONCE streaming ingest — closes q220's documented
+    * at-least-once caveat (NEXT.md round-14 item 1) with
+    * `text.LedgeredPostingsIndex`: batch-keyed partition appends,
+    * per-batch df/stats PARTIALS (append-only, summed at serve), and a
+    * committed-id ledger written LAST as the per-batch commit point.
+    * The query runs the full adversarial protocol inline:
+    *
+    *  1. a TORN merge is simulated before the standing build (postings +
+    *     lengths rows for a ghost document on the PROBED tokens, no
+    *     ledger row) — the bootstrap merge must HEAL it, or the ghost
+    *     doc scores tf=99 on every probe and the hash flips;
+    *  2. the standing corpus bootstraps through the same `mergeOnce`
+    *     path (batch 10^6), then is REDELIVERED — must be a no-op;
+    *  3. the stream delivers every micro-batch, and `foreachBatch`
+    *     deliberately delivers each one TWICE (at-least-once delivery
+    *     made literal) — the second call must return false;
+    *  4. after the drain the index is COMPACTED (partials fold into the
+    *     reserved partition) and a pre-compaction batch id is
+    *     redelivered once more — still a no-op.
+    *
+    * The oracle is the SAME rebuild+serve SQL as q216/q218/q220, so the
+    * hash gate IS "at-least-once delivery + idempotent merge + heal +
+    * compaction ≡ one batch build". Row-level halves are pinned in
+    * LedgeredPostingsIndexSpec. */
+  val q223StreamExactlyOnce: QueryDef = sql(
+    "q223_stream_exactly_once",
+    postingsRebuildServeSql) { (s, d) =>
+    val dd = docs(s, d)
+    val tmp = graft.core.Scratch.tempDir("q223stream")
+    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"
+    dd.filter(col("doc_id") % 3 =!= 0).repartition(6).write.parquet(inDir)
+    val idxPath = graft.core.Scratch.dir("q223_ledger_index", d)
+    val idx = graft.text.LedgeredPostingsIndex.create(s, idxPath, nBuckets = 64)
+    val standingId = 1000000L // outside the stream's epoch-id namespace
+    // torn state from a "crashed" earlier attempt of the standing merge:
+    // ghost doc 999999999 posted on the actual probe tokens so a heal
+    // failure is VISIBLE in the served top-10 (and thus in the hash)
+    dd.filter(col("doc_id") < 5)
+      .select(explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+      .distinct()
+      .select(col("tok"), lit(999999999L).as("doc_id"), lit(99L).as("tf"),
+        pmod(xxhash64(col("tok")), lit(64L)).as("bkt"),
+        lit(s"b$standingId").as("batch"))
+      .write.mode("append").partitionBy("bkt", "batch")
+      .parquet(s"$idxPath/postings")
+    locally {
+      import s.implicits._
+      Seq((999999999L, 10L)).toDF("doc_id", "dl")
+        .withColumn("batch", lit(s"b$standingId"))
+        .write.mode("append").partitionBy("batch")
+        .parquet(s"$idxPath/lengths")
+    }
+    val standing = dd.filter(col("doc_id") % 3 === 0)
+    require(idx.mergeOnce(standing, "doc_id", "text", standingId),
+      "bootstrap merge must commit")
+    require(!idx.mergeOnce(standing, "doc_id", "text", standingId),
+      "redelivered bootstrap batch must be a no-op")
+    val schema = s.read.parquet(inDir).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        require(idx.mergeOnce(batch, "doc_id", "text", batchId))
+        require(!idx.mergeOnce(batch, "doc_id", "text", batchId),
+          s"redelivered micro-batch $batchId must be a no-op")
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    idx.compact()
+    require(!idx.mergeOnce(dd.limit(1), "doc_id", "text", 0L),
+      "pre-compaction batch id must stay committed after compact")
+    // same probe batches as q216/q218/q220, served from the ledgered index
+    val probes = dd.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+      .distinct()
+    val bm = idx.bm25TopK(probes, k = 10)
+      .select(lit("bm25").as("kind"), col("qid"), col("doc_id"),
+        col("rank").cast("long").as("r"), col("score_i"))
+    val phq = dd.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 3), " ").as("phrase"))
+    val ph = idx.phraseMatches(phq)
+      .select(lit("phrase").as("kind"), col("qid"), col("doc_id"),
+        col("n_occ").as("r"), lit(0L).as("score_i"))
+    bm.unionByName(ph)
+      .orderBy(col("kind"), col("qid"), col("r"), col("doc_id"))
+  }
+
   /** Hybrid-retrieval fusion — `similarity.Fusion.reciprocalRank`
     * (Cormack et al. SIGIR 2009, k = 60) over TWO real rankers on the
     * same probes: q184's BM25 top-10 and a token-set Jaccard top-10
@@ -1637,8 +1730,39 @@ object TextQueries {
     s"CAST((('0x' || substr(md5(text || '|e$salt'), $p, 4))::BIGINT % 2001) - 1000 AS DOUBLE) / 1000.0"
   }
 
-  val q214RetrievalEval: QueryDef = sql(
-    "q214_retrieval_eval",
+  /** Engine twin of [[docEmbedDimSql]] (shared by q214/q224). */
+  private def docEmbedDim(j: Int): Column = {
+    val salt = j / 8; val p = (j % 8) * 4 + 1
+    ((conv(substring(md5(concat(col("text"), lit(s"|e$salt"))), p, 4),
+      16, 10).cast("long") % 2001) - 1000).cast("double") / lit(1000.0)
+  }
+
+  /** The eval tail shared by q214/q224: per (ranker, probe), hits in the
+    * top-10 under the one-vs-rest lang weak supervision, precision on
+    * the ppm grid, first relevant rank. `lists`: (ranker, qid, doc_id,
+    * rank) top-k rows. */
+  private def gradeRankers(dd: DataFrame, lists: DataFrame): DataFrame = {
+    val lab = dd.select(col("doc_id"), col("lang"))
+    lists
+      .join(broadcast(lab.select(col("doc_id"), col("lang").as("d_lang"))),
+        "doc_id")
+      .join(broadcast(lab.select(col("doc_id").as("qid"),
+        col("lang").as("q_lang"))), "qid")
+      .withColumn("rel", (col("d_lang") === col("q_lang")).cast("long"))
+      .groupBy(col("ranker"), col("qid"))
+      .agg(count(lit(1)).as("n_ranked"), sum(col("rel")).as("n_rel"),
+        expr("(sum(rel) * 1000000) div count(1)").as("prec_ppm"),
+        min(when(col("rel") === 1, col("rank"))).cast("long")
+          .as("first_rel_rank"))
+      .orderBy(col("ranker"), col("qid"))
+  }
+
+  /** The five-ranker retrieval-eval oracle, shared by q214 (rankers
+    * recomputed from the corpus) and q224 (every ranker served from a
+    * persisted index): DuckDB replays all five ranking chains and the
+    * eval aggregate from first principles, so the q224 hash gate is
+    * "index-served eval ≡ corpus-recomputed eval". */
+  private def retrievalEvalSql: String =
     s"""WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nd
@@ -1753,7 +1877,11 @@ object TextQueries {
       |       CAST(min(CASE WHEN rel = 1 THEN r END) AS BIGINT) AS first_rel_rank
       |FROM flagged
       |GROUP BY ranker, qid
-      |ORDER BY ranker, qid""".stripMargin) { (s, d) =>
+      |ORDER BY ranker, qid""".stripMargin
+
+  val q214RetrievalEval: QueryDef = sql(
+    "q214_retrieval_eval",
+    retrievalEvalSql) { (s, d) =>
     val probes = docs(s, d).filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"),
         explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
@@ -1785,11 +1913,6 @@ object TextQueries {
     // — vector retrieval graded on the SAME weak-supervision ground
     // truth as the lexical rankers, the comparison a hybrid-serving
     // owner makes before choosing what to fuse
-    def docEmbedDim(j: Int): Column = {
-      val salt = j / 8; val p = (j % 8) * 4 + 1
-      ((conv(substring(md5(concat(col("text"), lit(s"|e$salt"))), p, 4),
-        16, 10).cast("long") % 2001) - 1000).cast("double") / lit(1000.0)
-    }
     val demb = docs(s, d).select(col("doc_id"),
       array((0 until 16).map(docEmbedDim): _*).as("emb"))
     val wv = Window.partitionBy(col("qid"))
@@ -1816,19 +1939,131 @@ object TextQueries {
       .unionByName(rrf.withColumn("ranker", lit("rrf")))
       .unionByName(vec.withColumn("ranker", lit("vec")))
       .unionByName(rm3.withColumn("ranker", lit("rm3")))
-    val lab = docs(s, d).select(col("doc_id"), col("lang"))
-    lists
-      .join(broadcast(lab.select(col("doc_id"), col("lang").as("d_lang"))),
-        "doc_id")
-      .join(broadcast(lab.select(col("doc_id").as("qid"),
-        col("lang").as("q_lang"))), "qid")
-      .withColumn("rel", (col("d_lang") === col("q_lang")).cast("long"))
-      .groupBy(col("ranker"), col("qid"))
-      .agg(count(lit(1)).as("n_ranked"), sum(col("rel")).as("n_rel"),
-        expr("(sum(rel) * 1000000) div count(1)").as("prec_ppm"),
-        min(when(col("rel") === 1, col("rank"))).cast("long")
-          .as("first_rel_rank"))
-      .orderBy(col("ranker"), col("qid"))
+    gradeRankers(docs(s, d), lists)
+  }
+
+  /** The FULLY INDEX-BACKED retrieval eval — q214's five rankers, every
+    * one served from a STANDING index (NEXT.md round-14 item 2: "serve
+    * them from the index for a fully index-backed retrieval stack"):
+    * bm25/rm3 from the persisted `PostingsIndex` (bucket-pruned postings
+    * + persisted df/lengths/stats), jac from the same index's postings +
+    * the `dln` per-doc fact, rrf as fusion of the two served lists, and
+    * vec from a persisted `sources.IvfIndex` over the deterministic
+    * md5-window document embeddings (exact-degenerate serve, the q94
+    * mechanism: nprobe ≥ centroid count ⇒ provably equals brute force).
+    * At serve time the corpus TEXT is read only for the ≤ 25 RM3
+    * feedback documents — everything else comes off index partitions.
+    * The oracle is q214's recompute chain verbatim, so the hash gate IS
+    * "index-served eval ≡ corpus-recomputed eval" for all five rankers
+    * at once. */
+  val q224IndexedEval: QueryDef = sql(
+    "q224_indexed_retrieval_eval",
+    retrievalEvalSql) { (s, d) =>
+    val dd = docs(s, d)
+    val idx = graft.text.PostingsIndex.build(dd,
+      graft.core.Scratch.dir("q224_postings_index", d), "doc_id", "text")
+    val probes = dd.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+      .distinct()
+    val bm25 = idx.bm25TopK(probes, k = 10)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val jac = idx.jaccardTopK(probes, k = 10)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val rrf = graft.similarity.Fusion
+      .reciprocalRank(Seq("bm25" -> bm25, "jac" -> jac), kConst = 60,
+        topK = 10)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val rm3 = idx.bm25TopK(idx.rm3ExpandedTerms(probes, dd, "doc_id",
+        "text", k = 10, fbDocs = 5, fbTerms = 5), k = 10)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val demb = dd.select(col("doc_id"),
+      array((0 until 16).map(docEmbedDim): _*).as("emb"))
+    val vidx = graft.sources.IvfIndex.build(demb,
+      graft.core.Scratch.tempDir("q224ivf") + "/idx", "doc_id", "emb",
+      nCentroids = 8, iters = 1)
+    // simDecimals=9 ranks on the 1e-9 grid — the same total order as
+    // q214's fixed_point(cos, 1e9) key (both land on round(sim·1e9))
+    val vec = vidx.topK(demb.filter(col("doc_id") < 5), "doc_id", "emb",
+        k = 10, nprobe = 8, simDecimals = Some(9))
+      .select(col("qid"), col("nn").as("doc_id"), col("rank"))
+    val lists = bm25.withColumn("ranker", lit("bm25"))
+      .unionByName(jac.withColumn("ranker", lit("jac")))
+      .unionByName(rrf.withColumn("ranker", lit("rrf")))
+      .unionByName(vec.withColumn("ranker", lit("vec")))
+      .unionByName(rm3.withColumn("ranker", lit("rm3")))
+    gradeRankers(dd, lists)
+  }
+
+  /** Collocation mining — `text.Collocations.topLift`: top-50 adjacent
+    * token pairs with count ≥ 5 by PMI-equivalent LIFT on the ppm grid
+    * (log is monotone, so the integer lift ranks identically to PMI —
+    * the float-policy trick applied to association mining). The oracle
+    * replays pair extraction, both count tables, and the HUGEINT lift
+    * arithmetic; (lift, x, y) is a total order, so the LIMIT boundary
+    * is deterministic on both engines. */
+  val q225Collocations: QueryDef = sql(
+    "q225_collocations",
+    """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+      |        FROM (SELECT unnest(w) AS tok FROM w) GROUP BY tok),
+      |pr AS (SELECT w[CAST(i AS INT)] AS x, w[CAST(i + 1 AS INT)] AS y
+      |       FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+      |             FROM w)),
+      |pc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+      |       FROM pr GROUP BY x, y HAVING count(*) >= 5),
+      |tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS n_tok,
+      |               CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS n_big
+      |        FROM w)
+      |SELECT x, y, n_xy, ux.n AS n_x, uy.n AS n_y,
+      |       CAST((CAST(n_xy AS HUGEINT) * n_tok * n_tok * 1000000) //
+      |            (CAST(n_big AS HUGEINT) * ux.n * uy.n) AS BIGINT)
+      |         AS lift_ppm
+      |FROM pc
+      |JOIN uni ux ON ux.tok = pc.x
+      |JOIN uni uy ON uy.tok = pc.y
+      |CROSS JOIN tot
+      |ORDER BY lift_ppm DESC, x, y
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    graft.text.Collocations.topLift(docs(s, d), "doc_id", "text",
+      minCount = 5L, k = 50)
+  }
+
+  /** DP noisy count release — `operators.DpNoise`: per-(lang, source)
+    * document counts released through the two-sided geometric mechanism
+    * at ε = ln 2 (each document contributes to exactly one group, so the
+    * count sensitivity is 1 without extra bounding; q198 is the
+    * composition for many-rows-per-user releases). The uniform is the
+    * q131 48-bit md5 prefix of the release key and the inverse-CDF table
+    * is EXACT BigInt arithmetic emitted into both engines as the same
+    * literal CASE chain — the oracle replays group counts, the uniform,
+    * the whole 61-branch lookup, and the zero clamp. */
+  val q226DpNoisyCounts: QueryDef = sql(
+    "q226_dp_noisy_counts",
+    s"""WITH c AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY lang, source),
+      |u AS (
+      |  SELECT lang, source, n,
+      |         ('0x' || substr(md5(lang || '|' || source || '|dp1'), 1, 12))::BIGINT
+      |           AS u48
+      |  FROM c),
+      |z AS (
+      |  SELECT lang, source, n, u48,
+      |         ${graft.operators.DpNoise.noiseForSql("u48", 30)} AS z
+      |  FROM u)
+      |SELECT lang, source, n, z, greatest(n + z, 0) AS n_noisy
+      |FROM z
+      |ORDER BY lang, source""".stripMargin) { (s, d) =>
+    import graft.operators.DpNoise
+    docs(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("u48", DpNoise.uniform48(
+        concat(col("lang"), lit("|"), col("source")), "|dp1"))
+      .select(col("lang"), col("source"), col("n"),
+        DpNoise.noiseFor(col("u48"), 30).as("z"),
+        DpNoise.noisyCount(col("n"), col("u48"), 30).as("n_noisy"))
+      .orderBy(col("lang"), col("source"))
   }
 
   /** Normalization-aware exact dedup — `text.Normalize.normalized`

@@ -89,6 +89,39 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     Bm25.sumAndRank(perTerm, k)
   }
 
+  /** Top-`k` distinct-token Jaccard per probe, served from the PERSISTED
+    * index — the q206/q214 `jac` ranker without touching corpus text:
+    * the postings table holds exactly one row per (doc, distinct token),
+    * so the probed join counts `|q ∩ d|` directly, and `|d|` is the
+    * `dln` per-doc fact carried in lengths (recovering it from the
+    * token-partitioned postings would touch every bucket — the q221
+    * forward-store argument, answered at build time instead).
+    * `sim_ppm = (|q∩d|·10^6) div (|q|+|d|−|q∩d|)`, rank ties by doc_id
+    * — identical arithmetic and tie-breaks to the corpus recompute
+    * (pinned in PostingsIndexSpec; q224's shared oracle). */
+  def jaccardTopK(queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("qid").cast("long").as("qid"), col("tok"))
+    val probed = probedBuckets(q)
+    val post = postings.filter(col("bkt").isin(probed: _*))
+      .select(col("tok"), col("doc_id"))
+    val qN = q.groupBy(col("qid")).agg(count(lit(1)).as("q_n"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_ppm").desc, col("doc_id"))
+    broadcast(q).join(post, "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("i_n"))
+      // lengths is corpus-sized; matched candidates are probe-bounded —
+      // equi-hash, never broadcast (the bm25TopK argument)
+      .join(lengths.select(col("doc_id"), col("dln").as("d_n"))
+        .hint("shuffle_hash"), "doc_id")
+      .join(broadcast(qN), "qid")
+      .select(col("qid"), col("doc_id"),
+        expr("(i_n * 1000000) div (q_n + d_n - i_n)").as("sim_ppm"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Fold an ingest batch INTO the standing index — rebuild-equivalent
     * by construction (pinned in PostingsIndexSpec; q218's oracle replays
     * the rebuild): postings, positions and lengths are per-document
@@ -118,7 +151,9 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     val base = batch.select(col(idCol).cast("long").as("doc_id"),
       split(col(textCol), " ").as("w"))
     val bkt = pmod(xxhash64(col("tok")), lit(checkedBuckets)).as("bkt")
-    val dlNew = base.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val dlNew = base.select(col("doc_id"),
+      size(col("w")).cast("long").as("dl"),
+      size(array_distinct(col("w"))).cast("long").as("dln"))
     // read the OLD stats up front (the write happens last)
     val (t0, nd0) = {
       val r = stats.select(col("t"), col("nd")).collect()(0)
@@ -274,7 +309,13 @@ object PostingsIndex {
     }
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       split(col(textCol), " ").as("w"))
-    val dl = base.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    // dln (distinct-token count) rides along as a second per-doc fact:
+    // the index-served Jaccard ranker's |d| (q224) — a per-doc statistic
+    // is appendable, so carrying it here costs nothing at merge time,
+    // while recovering it from the token-partitioned postings would
+    // touch every bucket (the q221 forward-store argument)
+    val dl = base.select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+      size(array_distinct(col("w"))).cast("long").as("dln"))
     dl.write.mode("overwrite").parquet(s"$path/lengths")
     dl.agg(sum(col("dl")).as("t"), count(lit(1)).as("nd"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")

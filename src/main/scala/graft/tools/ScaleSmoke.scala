@@ -361,6 +361,29 @@ object ScaleSmoke {
           spark.catalog.clearCache()
         }
       }
+      if ("ledgered_ingest".contains(opFilter) ||
+          "ledgered_redelivery".contains(opFilter)) {
+        // exactly-once ingest (q223): merge a FIXED 1×-sized batch into
+        // a LEDGERED index holding the k× corpus, then REDELIVER it.
+        // The merge wall tracks the batch (appends + one vocabulary-
+        // sized df partial — nothing is rewritten, unlike the plain
+        // index's df rewrite); the redelivery wall must track the
+        // LEDGER (a batch-count-sized metadata read), i.e. stay ~flat
+        // and tiny at every k — that no-op cost is what makes blind
+        // micro-batch retries affordable at 100 TB.
+        val lpath = graft.core.Scratch.tempDir(s"smoke_ledger_idx_$k")
+        val lidx = graft.text.LedgeredPostingsIndex.create(spark, lpath, 64)
+        lidx.mergeOnce(docs, "doc_id", "text", 0L): Unit // standing, untimed
+        val batch = base.select(
+          (col("doc_id") + lit(900_000_000L)).as("doc_id"), col("text"))
+        var t0 = System.nanoTime()
+        require(lidx.mergeOnce(batch, "doc_id", "text", 1L))
+        println(f"""{"op":"ledgered_ingest","scale":$k,"rows_in":${n0 * k},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        t0 = System.nanoTime()
+        require(!lidx.mergeOnce(batch, "doc_id", "text", 1L))
+        println(f"""{"op":"ledgered_redelivery","scale":$k,"rows_in":${n0 * k},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        spark.catalog.clearCache()
+      }
       time("setsim_index_rebuild", k) {
         // comparator for setsim_index_merge: the full rebuild of the k×
         // disjoint-vocabulary index — the cost the merge path avoids

@@ -142,6 +142,19 @@ class PlanAuditSpec extends SparkSpec {
     // builds + persists the postings index, then serves BOTH RM3 passes
     // from it; serve/vote shapes pinned in PostingsIndexSpec
     "q222_rm3_index",
+    // runs the full exactly-once protocol (torn-state write, ledgered
+    // merges, redeliveries, a file-drip stream, compaction) before
+    // serving; merge/heal/serve shapes pinned in
+    // LedgeredPostingsIndexSpec
+    "q223_stream_exactly_once",
+    // builds + persists the postings index AND the IVF vector index
+    // before serving all five eval rankers from them; serve shapes
+    // pinned in PostingsIndexSpec/KnnSpec
+    "q224_indexed_retrieval_eval",
+    // runs the full exactly-once protocol on the BAND index (torn ghost,
+    // file-drip stream, redeliveries, multiset theorem, probe dump);
+    // merge/heal/probe shapes pinned in LedgeredBandIndexSpec
+    "q227_stream_dedup_exactly_once",
     // writes the decile read to scratch for the oracle's true-rank
     // audit; summary/read shapes pinned in QuantileSummarySpec
     "q200_quantile_sketch")

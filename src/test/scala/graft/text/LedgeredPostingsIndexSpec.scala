@@ -1,0 +1,152 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Exactly-once contract of the ledgered postings index: at-least-once
+  * delivery (every batch delivered twice) + `mergeOnce` must leave the
+  * index state identical to a batch build — PostingsIndex.build over the
+  * same corpus is the independent reference for every serve. Plus the
+  * two failure-path halves: a TORN batch (appends without a ledger row)
+  * is invisible to serves and healed by the retry, and compaction
+  * preserves serves while keeping committed ids committed. */
+class LedgeredPostingsIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(n: Int, seed: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("ash", "oak", "fir", "elm", "yew", "bay", "box", "may")
+    (1L to n.toLong).map(i =>
+      i -> Seq.fill(6 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("lpidx").toString
+
+  private def bmRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("qid", "rank", "doc_id", "score_i")
+      .as[(Long, Int, Long, Long)].collect().toSet
+
+  private def phRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("qid", "doc_id", "n_occ")
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("every batch delivered TWICE still equals the batch build " +
+      "(at-least-once delivery + idempotent merge = exactly-once state)") {
+    val all = fixture(24, 41)
+    val idx = LedgeredPostingsIndex.create(spark, tmp(), nBuckets = 8)
+    all.grouped(6).zipWithIndex.foreach { case (b, i) =>
+      val bdf = b.toDF("doc_id", "text")
+      assert(idx.mergeOnce(bdf, "doc_id", "text", i.toLong))
+      assert(!idx.mergeOnce(bdf, "doc_id", "text", i.toLong),
+        s"redelivery of batch $i must be a no-op")
+    }
+    val reference = PostingsIndex.build(all.toDF("doc_id", "text"),
+      tmp(), "doc_id", "text", nBuckets = 8)
+    val probes = all.take(3).map { case (i, t) => (i, t.split(" ").head) }
+      .toDF("qid", "tok")
+    assert(bmRows(idx.bm25TopK(probes, 5)) ==
+      bmRows(reference.bm25TopK(probes, 5)))
+    val phrases = all.take(2).map { case (i, t) =>
+      (i, t.split(" ").take(2).mkString(" ")) }.toDF("qid", "phrase")
+    assert(phRows(idx.phraseMatches(phrases)) ==
+      phRows(reference.phraseMatches(phrases)))
+  }
+
+  test("a torn batch (appends, no ledger row) is invisible to serves " +
+      "and healed by the retry") {
+    val all = fixture(20, 7)
+    val dir = tmp()
+    val idx = LedgeredPostingsIndex.create(spark, dir, nBuckets = 8)
+    assert(idx.mergeOnce(all.take(10).toDF("doc_id", "text"),
+      "doc_id", "text", 0L))
+    // simulate a merge of batch 1 that died after some appends: postings
+    // + lengths rows for a ghost document on a REAL token, no ledger row
+    val probeTok = all.head._2.split(" ").head
+    Seq((probeTok, 999L, 50L))
+      .toDF("tok", "doc_id", "tf")
+      .withColumn("bkt", pmod(xxhash64(col("tok")), lit(8L)))
+      .withColumn("batch", lit("b1"))
+      .write.mode("append").partitionBy("bkt", "batch")
+      .parquet(s"$dir/postings")
+    Seq((999L, 10L)).toDF("doc_id", "dl")
+      .withColumn("batch", lit("b1"))
+      .write.mode("append").partitionBy("batch").parquet(s"$dir/lengths")
+    val probes = Seq((1L, probeTok)).toDF("qid", "tok")
+    assert(!bmRows(idx.bm25TopK(probes, 10)).exists(_._3 == 999L),
+      "torn rows must be invisible before the retry")
+    // the retry of batch 1 heals the torn partitions, then appends
+    assert(idx.mergeOnce(all.drop(10).toDF("doc_id", "text"),
+      "doc_id", "text", 1L))
+    val reference = PostingsIndex.build(all.toDF("doc_id", "text"),
+      tmp(), "doc_id", "text", nBuckets = 8)
+    assert(bmRows(idx.bm25TopK(probes, 10)) ==
+      bmRows(reference.bm25TopK(probes, 10)))
+  }
+
+  test("compact folds partials, preserves serves, and keeps committed " +
+      "ids committed (late redelivery still a no-op)") {
+    val all = fixture(24, 13)
+    val dir = tmp()
+    val idx = LedgeredPostingsIndex.create(spark, dir, nBuckets = 4)
+    all.grouped(4).zipWithIndex.foreach { case (b, i) =>
+      idx.mergeOnce(b.toDF("doc_id", "text"), "doc_id", "text", i.toLong): Unit
+    }
+    def parquetFiles(table: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/$table"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val probes = all.take(3).map { case (i, t) => (i, t.split(" ").head) }
+      .toDF("qid", "tok")
+    val before = bmRows(idx.bm25TopK(probes, 5))
+    val filesBefore = parquetFiles("postings") + parquetFiles("dfp")
+    idx.compact()
+    assert(parquetFiles("postings") + parquetFiles("dfp") < filesBefore)
+    assert(bmRows(idx.bm25TopK(probes, 5)) == before)
+    // dfp partials collapsed to one row per token
+    val dfRows = spark.read.parquet(s"$dir/dfp")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    assert(dfRows == 1L, s"expected 1 dfp row per token, max was $dfRows")
+    assert(!idx.mergeOnce(all.take(4).toDF("doc_id", "text"),
+      "doc_id", "text", 0L), "pre-compaction batch id must stay committed")
+  }
+
+  test("an EMPTY batch commits its id (redelivery no-op) without " +
+      "disturbing serves") {
+    val all = fixture(12, 5)
+    val idx = LedgeredPostingsIndex.create(spark, tmp(), nBuckets = 4)
+    assert(idx.mergeOnce(all.toDF("doc_id", "text"), "doc_id", "text", 0L))
+    val probes = all.take(2).map { case (i, t) => (i, t.split(" ").head) }
+      .toDF("qid", "tok")
+    val before = bmRows(idx.bm25TopK(probes, 5))
+    val empty = all.toDF("doc_id", "text").limit(0)
+    assert(idx.mergeOnce(empty, "doc_id", "text", 1L))
+    assert(!idx.mergeOnce(empty, "doc_id", "text", 1L))
+    assert(bmRows(idx.bm25TopK(probes, 5)) == before)
+  }
+
+  test("create() is FRESH (old ledger cannot no-op new batches); " +
+      "mismatched bucket count rejected; negative batch id rejected") {
+    val all = fixture(8, 3)
+    val dir = tmp()
+    val idx0 = LedgeredPostingsIndex.create(spark, dir, nBuckets = 4)
+    assert(idx0.mergeOnce(all.toDF("doc_id", "text"), "doc_id", "text", 0L))
+    val idx1 = LedgeredPostingsIndex.create(spark, dir, nBuckets = 4)
+    assert(idx1.committedIds().isEmpty)
+    assert(idx1.mergeOnce(all.toDF("doc_id", "text"), "doc_id", "text", 0L),
+      "batch 0 must merge into the re-created index")
+    intercept[IllegalArgumentException] {
+      new LedgeredPostingsIndex(spark, dir, 32)
+        .bm25TopK(Seq((1L, "ash")).toDF("qid", "tok"), 5).collect()
+    }
+    intercept[IllegalArgumentException] {
+      idx1.mergeOnce(all.toDF("doc_id", "text"), "doc_id", "text", -1L)
+    }
+    assert(LedgeredPostingsIndex.open(spark, dir)
+      .bm25TopK(Seq((1L, "ash")).toDF("qid", "tok"), 5).count() >= 0)
+  }
+}

@@ -78,6 +78,40 @@ class PostingsIndexSpec extends SparkSpec {
       set(rebuilt.bm25TopK(probes, 5), "qid", "rank", "doc_id", "score_i"))
   }
 
+  test("jaccard from the persisted index equals the corpus recompute " +
+      "(distinct-token overlap, dln per-doc fact)") {
+    import org.apache.spark.sql.expressions.Window
+    for (trial <- 1 to 2) {
+      val corpus = fixture(20, 80 + trial).toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+      val idx = PostingsIndex.build(corpus, dir, "doc_id", "text", nBuckets = 8)
+      val probes = corpus.filter(col("doc_id") <= 3)
+        .select(col("doc_id").as("qid"),
+          explode(slice(split(col("text"), " "), 1, 4)).as("tok"))
+        .distinct()
+      // independent reference: the q214 corpus-recompute jac chain
+      val dTok = corpus.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val dN = dTok.groupBy(col("doc_id")).agg(count(lit(1)).as("d_n"))
+      val qN = probes.groupBy(col("qid")).agg(count(lit(1)).as("q_n"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim_ppm").desc, col("doc_id"))
+      val reference = probes.join(dTok, "tok")
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("i_n"))
+        .join(dN, "doc_id").join(qN, "qid")
+        .select(col("qid"), col("doc_id"),
+          expr("(i_n * 1000000) div (q_n + d_n - i_n)").as("sim_ppm"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "rank", "doc_id", "sim_ppm")
+          .as[(Long, Int, Long, Long)].collect().toSet
+      assert(rows(idx.jaccardTopK(probes, 5)) == rows(reference),
+        s"trial $trial")
+    }
+  }
+
   test("rm3 expansion from the index equals the corpus recompute") {
     for (trial <- 1 to 2) {
       val corpus = fixture(20, 60 + trial).toDF("doc_id", "text")
