@@ -78,12 +78,19 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     * reserved compacted partition. Torn appends (batch dirs without a
     * ledger row) are invisible here — the read-side half of the
     * exactly-once contract. `batch` is a partition column and the
-    * predicate is a literal isin, so the filter prunes statically. */
-  private def visible(table: String): DataFrame = {
-    val vals: Seq[Any] = committedIds().toSeq.sorted.map(i => s"b$i") :+ Compacted
+    * predicate is a literal isin, so the filter prunes statically.
+    * Callers touching several tables read the ledger ONCE and share the
+    * snapshot — each ledger read is a driver round-trip, and a serve
+    * would otherwise pay one per table. */
+  private def visibleVals(): Seq[Any] =
+    committedIds().toSeq.sorted.map(i => s"b$i") :+ Compacted
+
+  private def visible(table: String, vals: Seq[Any]): DataFrame =
     spark.read.parquet(s"$path/$table")
       .filter(col("batch").isin(vals: _*))
-  }
+
+  private def visible(table: String): DataFrame =
+    visible(table, visibleVals())
 
   /** Probed buckets as a literal partition filter (the PostingsIndex /
     * IvfIndex discipline; collect bounded by distinct probe terms). */
@@ -170,13 +177,14 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
   def bm25TopK(queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("qid").cast("long").as("qid"), col("tok"))
     val probed = probedBuckets(q)
-    val post = visible("postings").filter(col("bkt").isin(probed: _*))
+    val vals = visibleVals()
+    val post = visible("postings", vals).filter(col("bkt").isin(probed: _*))
       .select(col("tok"), col("doc_id"), col("tf"))
-    val dfb = visible("dfp").filter(col("bkt").isin(probed: _*))
+    val dfb = visible("dfp", vals).filter(col("bkt").isin(probed: _*))
       .groupBy(col("tok")).agg(sum(col("dfp")).as("df"))
-    val stats = visible("statsp")
+    val stats = visible("statsp", vals)
       .agg(sum(col("t")).as("t"), sum(col("nd")).as("nd"))
-    val lengths = visible("lengths").select(col("doc_id"), col("dl"))
+    val lengths = visible("lengths", vals).select(col("doc_id"), col("dl"))
     val perTerm = broadcast(q)
       .join(dfb, "tok")
       .join(post, "tok")
@@ -212,10 +220,11 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     * read, which is the correct disposition for state whose retry will
     * re-derive it from the source anyway. */
   def compact(): Unit = {
+    val vals = visibleVals()
     def rewrite(table: String, prep: DataFrame => DataFrame,
         bucketed: Boolean): Unit = {
       val staging = s"$path/${table}_compact_staging"
-      prep(visible(table).drop("batch"))
+      prep(visible(table, vals).drop("batch"))
         .write.mode("overwrite").parquet(staging)
       val folded = spark.read.parquet(staging)
         .withColumn("batch", lit(Compacted))
