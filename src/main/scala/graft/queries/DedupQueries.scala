@@ -22,7 +22,7 @@ object DedupQueries {
     q183AudioWht, q186AudioDedup, q190EntityResolution, q192LeakageSplit,
     q194IncrementalDedup, q208SetsimJoin, q209PhashNeardup,
     q213LshRecallAudit, q215IncrementalSetsim, q217IndexMerge,
-    q227StreamDedupExactlyOnce)
+    q227StreamDedupExactlyOnce, q230StreamingDedupLoop)
 
   /** Incremental EXACT dedup — `SetSimJoin.prefixIndex` persisted once
     * over the standing corpus, `SetSimJoin.probePrefixIndex` per ingest
@@ -2129,6 +2129,107 @@ object DedupQueries {
           coalesce(col("n_cand"), lit(0L)).as("n_cand"),
           col("match_id").isNotNull.cast("int").as("is_dup"))
         .orderBy(col("new_id"))
+    }
+  }
+
+  /** The PRODUCTION streaming-dedup ingest loop — probe each arriving
+    * micro-batch against everything ingested BEFORE it, then fold the
+    * batch into the standing index (q227 pins the exactly-once merge;
+    * this pins the probe-BEFORE-merge composition a live corpus runs).
+    * Micro-batch ORDER is not deterministic (the file source lists in
+    * whatever order the FS returns), so the query is built on an
+    * order-independence THEOREM instead of fighting it: the corpus is
+    * written as six single-file shards keyed by doc_id % 6 and streamed
+    * one file per trigger, so every cross-shard band-colliding pair is
+    * found EXACTLY once — when its later shard arrives, in whichever
+    * order — and same-shard pairs never (both sides arrive together).
+    * The normalized (min, max) candidate set is therefore a pure
+    * function of the data, require-asserted in-query against a batch
+    * banding self-join restricted to shard(a) ≠ shard(b) (exceptAll
+    * both ways). The dumped candidates then verify with the q194
+    * integer-Jaccard arithmetic, which the oracle replays. */
+  val q230StreamingDedupLoop: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q230_stream_dedup_loop")
+    QueryDef.sql(
+      "q230_streaming_dedup_loop",
+      s"""WITH c AS (SELECT id_a, id_b FROM read_parquet('$p/*.parquet')),
+         |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+         |      FROM documents),
+         |j AS (
+         |  SELECT c.id_a, c.id_b,
+         |         (CAST(len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS BIGINT) * 1000000)
+         |           // len(list_distinct(a.tok || b.tok)) AS jac_ppm
+         |  FROM c
+         |  JOIN t a ON a.doc_id = c.id_a
+         |  JOIN t b ON b.doc_id = c.id_b)
+         |SELECT id_a, id_b,
+         |       CAST(id_a % 6 AS BIGINT) AS shard_a,
+         |       CAST(id_b % 6 AS BIGINT) AS shard_b,
+         |       jac_ppm
+         |FROM j
+         |WHERE jac_ppm >= 200000
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      import graft.dedup.LedgeredBandIndex
+      val docsDf = Tables.documents(s, d)
+      val tmp = graft.core.Scratch.tempDir("q230stream")
+      val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"
+      val pairsDir = s"$tmp/pairs"
+      // six single-file shards by doc_id % 6 — one micro-batch each
+      (0 until 6).foreach { i =>
+        docsDf.filter(col("doc_id") % 6 === i).coalesce(1)
+          .write.mode("append").parquet(inDir)
+      }
+      // prime the accumulator with the pair schema (a batch that finds
+      // nothing appends nothing; the final read needs a schema source)
+      docsDf.limit(0)
+        .select(col("doc_id").as("id_a"), col("doc_id").as("id_b"))
+        .write.mode("overwrite").parquet(pairsDir)
+      val idxPath = graft.core.Scratch.dir("q230_band_index", d)
+      val idx = LedgeredBandIndex.create(s, idxPath)
+      val schema = s.read.parquet(inDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+          // probe FIRST (against strictly-earlier batches), then merge
+          idx.probe(b, "doc_id", "text")
+            .select(least(col("id_new"), col("id_old")).as("id_a"),
+              greatest(col("id_new"), col("id_old")).as("id_b"))
+            .write.mode("append").parquet(pairsDir)
+          require(idx.mergeOnce(b, "doc_id", "text", bid))
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = s.read.parquet(pairsDir).distinct()
+      // order-independence theorem: the streamed candidate set is
+      // exactly the batch band-collision set across different shards
+      val bb = Dedup.minhashBandBuckets(docsDf, "doc_id", "text")
+      val full = bb.select(col("band"), col("bucket"), col("id").as("id_a"))
+        .join(bb.select(col("band"), col("bucket"), col("id").as("id_b")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("id_a") % 6 =!= col("id_b") % 6)
+        .select(col("id_a"), col("id_b")).distinct()
+      require(streamed.exceptAll(full).isEmpty &&
+        full.exceptAll(streamed).isEmpty,
+        "streamed cross-shard candidates must equal the batch banding")
+      val scratch = graft.core.Scratch.dir("q230_stream_dedup_loop", d)
+      streamed.write.mode("overwrite").parquet(scratch)
+      val pairs = s.read.parquet(scratch)
+      val toks = docsDf.select(col("doc_id").as("tid"),
+        array_distinct(split(col("text"), " ")).as("tok"))
+      pairs
+        .join(toks.select(col("tid").as("id_a"), col("tok").as("tok_a")), "id_a")
+        .join(toks.select(col("tid").as("id_b"), col("tok").as("tok_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          expr("(CAST(size(array_intersect(tok_a, tok_b)) AS BIGINT) * 1000000) div size(array_union(tok_a, tok_b))").as("jac_ppm"))
+        .filter(col("jac_ppm") >= 200000)
+        .select(col("id_a"), col("id_b"),
+          (col("id_a") % 6).as("shard_a"), (col("id_b") % 6).as("shard_b"),
+          col("jac_ppm"))
+        .orderBy(col("id_a"), col("id_b"))
     }
   }
 }

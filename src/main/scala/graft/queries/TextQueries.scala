@@ -33,7 +33,7 @@ object TextQueries {
     q210PhraseSearch, q214RetrievalEval, q216PostingsServe, q218PostingsMerge,
     q219Rm3Expand, q220StreamPostings, q221PhraseSnippets, q222Rm3Index,
     q223StreamExactlyOnce, q224IndexedEval, q225Collocations,
-    q226DpNoisyCounts)
+    q226DpNoisyCounts, q228WinnowOverlap, q229RbpEval, q231BitextMining)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1767,12 +1767,11 @@ object TextQueries {
       .orderBy(col("ranker"), col("qid"))
   }
 
-  /** The five-ranker retrieval-eval oracle, shared by q214 (rankers
-    * recomputed from the corpus) and q224 (every ranker served from a
-    * persisted index): DuckDB replays all five ranking chains and the
-    * eval aggregate from first principles, so the q224 hash gate is
-    * "index-served eval ≡ corpus-recomputed eval". */
-  private def retrievalEvalSql: String =
+  /** The five-ranker lists + relevance flags as a shared CTE prefix:
+    * q214/q224 append the precision tail, q229 the RBP tail. DuckDB
+    * replays all five ranking chains from first principles, so q224's
+    * hash gate is "index-served eval ≡ corpus-recomputed eval". */
+  private def retrievalListsSql: String =
     s"""WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nd
@@ -1879,7 +1878,10 @@ object TextQueries {
       |         CASE WHEN dlab.lang = qlab.lang THEN 1 ELSE 0 END AS rel
       |  FROM lists l
       |  JOIN lab dlab ON dlab.doc_id = l.doc_id
-      |  JOIN lab qlab ON qlab.doc_id = l.qid)
+      |  JOIN lab qlab ON qlab.doc_id = l.qid)""".stripMargin
+
+  private def retrievalEvalSql: String = retrievalListsSql +
+    """
       |SELECT ranker, qid,
       |       CAST(count(*) AS BIGINT) AS n_ranked,
       |       CAST(sum(rel) AS BIGINT) AS n_rel,
@@ -1889,9 +1891,9 @@ object TextQueries {
       |GROUP BY ranker, qid
       |ORDER BY ranker, qid""".stripMargin
 
-  val q214RetrievalEval: QueryDef = sql(
-    "q214_retrieval_eval",
-    retrievalEvalSql) { (s, d) =>
+  /** The five recomputed-from-corpus ranker lists (ranker, qid, doc_id,
+    * rank) — q214's chains, shared with the q229 RBP grading. */
+  private def recomputedRankerLists(s: SparkSession, d: String): DataFrame = {
     val probes = docs(s, d).filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"),
         explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
@@ -1944,12 +1946,117 @@ object TextQueries {
         graft.text.Bm25.rm3ExpandedTerms(docs(s, d), "doc_id", "text",
           probes, k = 10, fbDocs = 5, fbTerms = 5), k = 10)
       .select(col("qid"), col("doc_id"), col("rank"))
-    val lists = bm25.withColumn("ranker", lit("bm25"))
+    bm25.withColumn("ranker", lit("bm25"))
       .unionByName(jac.withColumn("ranker", lit("jac")))
       .unionByName(rrf.withColumn("ranker", lit("rrf")))
       .unionByName(vec.withColumn("ranker", lit("vec")))
       .unionByName(rm3.withColumn("ranker", lit("rm3")))
-    gradeRankers(docs(s, d), lists)
+  }
+
+  val q214RetrievalEval: QueryDef = sql(
+    "q214_retrieval_eval",
+    retrievalEvalSql) { (s, d) =>
+    gradeRankers(docs(s, d), recomputedRankerLists(s, d))
+  }
+
+  /** Rank-biased precision (Moffat & Zobel TOIS 2008) at persistence
+    * p = 1/2 for the same five rankers — the TOP-WEIGHTED companion to
+    * q214's unweighted precision@10 (a ranker that front-loads its hits
+    * wins here even when hit COUNTS tie). p = 1/2 is the float-policy
+    * choice: every term (1−p)·p^(i−1) = 2^−i is exactly dyadic, so
+    * RBP accumulates as the INTEGER Σ rel_i · 2^(10−i) on the 1/1024
+    * grid — no float ever enters, and the truncated-tail residual of a
+    * depth-10 list is exactly 2^−10 (the metric's own uncertainty
+    * bound, reported per row as the max_more headroom). */
+  val q229RbpEval: QueryDef = sql(
+    "q229_rbp_eval",
+    retrievalListsSql +
+      """
+        |SELECT ranker, qid,
+        |       CAST(sum(rel * (1 << (10 - r))) AS BIGINT) AS rbp_scaled,
+        |       CAST((sum(rel * (1 << (10 - r))) * 1000000) // 1024 AS BIGINT)
+        |         AS rbp_ppm,
+        |       CAST(1024 - sum(1 << (10 - r)) AS BIGINT) AS missing_scaled
+        |FROM flagged
+        |GROUP BY ranker, qid
+        |ORDER BY ranker, qid""".stripMargin) { (s, d) =>
+    val lab = docs(s, d).select(col("doc_id"), col("lang"))
+    recomputedRankerLists(s, d)
+      .join(broadcast(lab.select(col("doc_id"), col("lang").as("d_lang"))),
+        "doc_id")
+      .join(broadcast(lab.select(col("doc_id").as("qid"),
+        col("lang").as("q_lang"))), "qid")
+      .withColumn("rel", (col("d_lang") === col("q_lang")).cast("long"))
+      .groupBy(col("ranker"), col("qid"))
+      .agg(
+        sum(expr("rel * shiftleft(1, 10 - rank)")).as("rbp_scaled"),
+        expr("(sum(rel * shiftleft(1, 10 - rank)) * 1000000) div 1024")
+          .as("rbp_ppm"),
+        (lit(1024L) - sum(expr("shiftleft(1, 10 - rank)")))
+          .as("missing_scaled"))
+      .orderBy(col("ranker"), col("qid"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk ACL 2019) —
+    * `similarity.BitextMine.mutualMargin` over the en → de document
+    * pools on the deterministic md5-window embeddings: cosine relative
+    * to BOTH sides' top-4 neighborhood density, reciprocal-best matches
+    * only — the parallel-corpus miner of an MT data pipeline, with the
+    * hub correction raw-cosine mining lacks (spec-pinned). Everything
+    * ranks on integer grids (sim_ppb, margin_ppm with positive-only
+    * operands so div ≡ //); the oracle replays the pairwise block, both
+    * neighborhood sums, the margin arithmetic and both reciprocal
+    * windows. */
+  val q231BitextMining: QueryDef = sql(
+    "q231_bitext_mining",
+    s"""WITH demb AS (
+      |  SELECT doc_id, lang,
+      |         [${(0 until 16).map(docEmbedDimSql).mkString(",\n      |          ")}] AS emb
+      |  FROM documents),
+      |s AS (SELECT doc_id AS src_id, emb FROM demb WHERE lang = 'en'),
+      |t AS (SELECT doc_id AS tgt_id, emb FROM demb WHERE lang = 'de'),
+      |p AS (
+      |  SELECT src_id, tgt_id,
+      |         CAST(round(list_cosine_similarity(s.emb, t.emb) * 1000000000)
+      |              AS BIGINT) AS sim_ppb
+      |  FROM s CROSS JOIN t),
+      |pp AS (SELECT * FROM p WHERE sim_ppb > 0),
+      |sx AS (SELECT src_id, CAST(sum(sim_ppb) AS BIGINT) AS sumk_x FROM (
+      |         SELECT src_id, sim_ppb,
+      |                row_number() OVER (PARTITION BY src_id
+      |                                   ORDER BY sim_ppb DESC, tgt_id) AS r
+      |         FROM pp) WHERE r <= 4 GROUP BY src_id),
+      |sy AS (SELECT tgt_id, CAST(sum(sim_ppb) AS BIGINT) AS sumk_y FROM (
+      |         SELECT tgt_id, sim_ppb,
+      |                row_number() OVER (PARTITION BY tgt_id
+      |                                   ORDER BY sim_ppb DESC, src_id) AS r
+      |         FROM pp) WHERE r <= 4 GROUP BY tgt_id),
+      |sc AS (
+      |  SELECT pp.src_id, pp.tgt_id, pp.sim_ppb,
+      |         CAST((pp.sim_ppb * 8 * 1000000) // (sumk_x + sumk_y) AS BIGINT)
+      |           AS margin_ppm
+      |  FROM pp JOIN sx USING (src_id) JOIN sy USING (tgt_id)),
+      |fw AS (SELECT src_id, tgt_id, sim_ppb, margin_ppm FROM (
+      |         SELECT sc.*,
+      |                row_number() OVER (PARTITION BY src_id
+      |                                   ORDER BY margin_ppm DESC, sim_ppb DESC,
+      |                                            tgt_id) AS r
+      |         FROM sc) WHERE r = 1),
+      |bw AS (SELECT src_id, tgt_id FROM (
+      |         SELECT src_id, tgt_id,
+      |                row_number() OVER (PARTITION BY tgt_id
+      |                                   ORDER BY margin_ppm DESC, sim_ppb DESC,
+      |                                            src_id) AS r
+      |         FROM sc) WHERE r = 1)
+      |SELECT fw.src_id, fw.tgt_id, fw.sim_ppb, fw.margin_ppm
+      |FROM fw JOIN bw ON bw.src_id = fw.src_id AND bw.tgt_id = fw.tgt_id
+      |ORDER BY fw.src_id""".stripMargin) { (s, d) =>
+    val demb = docs(s, d).select(col("doc_id"), col("lang"),
+      array((0 until 16).map(docEmbedDim): _*).as("emb"))
+    graft.similarity.BitextMine.mutualMargin(
+      demb.filter(col("lang") === "en").select(col("doc_id"), col("emb")),
+      demb.filter(col("lang") === "de").select(col("doc_id"), col("emb")),
+      "doc_id", "emb", k = 4)
   }
 
   /** The FULLY INDEX-BACKED retrieval eval — q214's five rankers, every
@@ -2078,6 +2185,85 @@ object TextQueries {
         DpNoise.noiseFor(col("u48"), 30).as("z"),
         DpNoise.noisyCount(col("n"), col("u48"), 30).as("n_noisy"))
       .orderBy(col("lang"), col("source"))
+  }
+
+  /** LOCAL-overlap plagiarism pairs (MOSS, Schleimer–Wilkerson–Aiken
+    * SIGMOD 2003) — the winnowing shelf's pair detector: q48's
+    * fingerprints become a shared-print equi-join, scoring CONTAINMENT
+    * (shared prints over the smaller signature) so a short document
+    * lifted wholesale into a long one scores ~10^6 even though its
+    * global Jaccard (q44's metric) is tiny — the partial-copy case
+    * global dedup structurally misses. Ubiquitous prints (> 20 docs)
+    * are dropped first — MOSS's noise rule, and the join bound: kept
+    * pairs ≤ cap · |prints| (the capBucketsStar argument, answered here
+    * by an idf-style filter instead of a star rewrite because dropped
+    * prints are NOISE, not candidates someone must still see). The
+    * oracle replays the full FNV-1a winnowing (q48's chain), the
+    * ubiquity cap, the pair join and the containment grid; the top-50
+    * cut orders by the total key (containment, shared, id_a, id_b). */
+  val q228WinnowOverlap: QueryDef = sql(
+    "q228_winnow_overlap",
+    s"""WITH g AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+       |         substr(text, CAST(u.i AS INT), 8) AS gram
+       |  FROM documents, unnest(range(1, len(text) - 6)) AS u(i)),
+       |h AS (
+       |  SELECT doc_id, pos, ${fnvExpr("gram")} AS hv,
+       |         count(*) OVER (PARTITION BY doc_id) AS ngrams
+       |  FROM g),
+       |wm AS (
+       |  SELECT doc_id,
+       |         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mh
+       |  FROM h
+       |  QUALIFY ngrams > 16 AND pos <= ngrams - 15),
+       |sm AS (
+       |  SELECT doc_id, min(hv) AS mh FROM h WHERE ngrams <= 16 GROUP BY doc_id),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, mh FROM wm
+       |  UNION ALL
+       |  SELECT doc_id, mh FROM sm),
+       |dfp AS (SELECT mh, CAST(count(*) AS BIGINT) AS ndoc FROM fp GROUP BY mh),
+       |keepfp AS (
+       |  SELECT fp.doc_id, fp.mh FROM fp JOIN dfp USING (mh)
+       |  WHERE dfp.ndoc <= 20),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS fp_n
+       |       FROM keepfp GROUP BY doc_id),
+       |pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(count(*) AS BIGINT) AS shared
+       |  FROM keepfp a JOIN keepfp b
+       |    ON a.mh = b.mh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b, shared, sa.fp_n AS fp_a, sb.fp_n AS fp_b,
+       |       CAST((shared * 1000000) // least(sa.fp_n, sb.fp_n) AS BIGINT)
+       |         AS containment_ppm
+       |FROM pr
+       |JOIN sz sa ON sa.doc_id = pr.id_a
+       |JOIN sz sb ON sb.doc_id = pr.id_b
+       |ORDER BY containment_ppm DESC, shared DESC, id_a, id_b
+       |LIMIT 50""".stripMargin) { (s, d) =>
+    val fp = docs(s, d)
+      .select(col("doc_id"),
+        explode(winnow_fingerprint(col("text"))).as("hv"))
+      .distinct()
+    val dfp = fp.groupBy(col("hv")).agg(count(lit(1)).as("ndoc"))
+    val keep = fp.join(dfp.filter(col("ndoc") <= 20).select("hv"), "hv")
+    val sz = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("fp_n"))
+    val pairs = keep.select(col("hv"), col("doc_id").as("id_a"))
+      .join(keep.select(col("hv"), col("doc_id").as("id_b")), "hv")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sz.select(col("doc_id").as("id_a"), col("fp_n").as("fp_a")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("fp_n").as("fp_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared"), col("fp_a"),
+        col("fp_b"),
+        expr("(shared * 1000000) div least(fp_a, fp_b)")
+          .as("containment_ppm"))
+      .orderBy(col("containment_ppm").desc, col("shared").desc,
+        col("id_a"), col("id_b"))
+      .limit(50)
   }
 
   /** Normalization-aware exact dedup — `text.Normalize.normalized`

@@ -382,6 +382,18 @@ object ScaleSmoke {
         t0 = System.nanoTime()
         require(!lidx.mergeOnce(batch, "doc_id", "text", 1L))
         println(f"""{"op":"ledgered_redelivery","scale":$k,"rows_in":${n0 * k},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        // serve from the ledgered index (committed filter + df-partial
+        // sums on top of the plain index's pruned-scan shape): must stay
+        // flat at 20× like postings_probe_index — the comparison that
+        // prices what exactly-once bookkeeping costs a probe
+        val lprobes = base.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"),
+            explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+          .distinct()
+        t0 = System.nanoTime()
+        lidx.bm25TopK(lprobes, k = 10)
+          .write.format("noop").mode("overwrite").save()
+        println(f"""{"op":"ledgered_serve","scale":$k,"rows_in":${n0 * k},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
         spark.catalog.clearCache()
       }
       time("setsim_index_rebuild", k) {

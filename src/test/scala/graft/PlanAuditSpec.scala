@@ -51,7 +51,10 @@ class PlanAuditSpec extends SparkSpec {
     "q219_rm3_expand", // two q184 BM25 passes + the term-vote's broadcast 1-row nd total: the same broadcast-1-row crossJoin shape, three times
     "q212_mmr_diversify", // broadcast(3 probes) × corpus retriever, non-equi by design (q32's shape)
     "q203_co_triangles", // per-node tri counts × broadcast 1-row (n_tri, n_edges) totals (q113's shape)
-    "q204_kcore") // core members × broadcast 1-row (n_core, m_core) totals (q113's shape)
+    "q204_kcore", // core members × broadcast 1-row (n_core, m_core) totals (q113's shape)
+    "q225_collocations", // pair counts × broadcast 1-row (n_tok, n_big) totals (q113's shape)
+    "q229_rbp_eval", // embeds q214's five ranker chains: same broadcast-1-row BM25 totals shape
+    "q231_bitext_mining") // tgt pool × broadcast src pool, conditionless block product (q32's shape)
 
   /** Queries whose run function EXECUTES side-effectful work (index build,
     * store writes, a scratch-table write, a streaming tick) before
@@ -155,6 +158,10 @@ class PlanAuditSpec extends SparkSpec {
     // file-drip stream, redeliveries, multiset theorem, probe dump);
     // merge/heal/probe shapes pinned in LedgeredBandIndexSpec
     "q227_stream_dedup_exactly_once",
+    // probe-before-merge streaming dedup loop (file-drip stream, per-
+    // batch probes + merges, order-independence theorem, scratch dump);
+    // probe/merge shapes pinned in LedgeredBandIndexSpec/DedupSpec
+    "q230_streaming_dedup_loop",
     // writes the decile read to scratch for the oracle's true-rank
     // audit; summary/read shapes pinned in QuantileSummarySpec
     "q200_quantile_sketch")
