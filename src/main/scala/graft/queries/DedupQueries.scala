@@ -22,7 +22,8 @@ object DedupQueries {
     q183AudioWht, q186AudioDedup, q190EntityResolution, q192LeakageSplit,
     q194IncrementalDedup, q208SetsimJoin, q209PhashNeardup,
     q213LshRecallAudit, q215IncrementalSetsim, q217IndexMerge,
-    q227StreamDedupExactlyOnce, q230StreamingDedupLoop)
+    q227StreamDedupExactlyOnce, q230StreamingDedupLoop,
+    q232VersionedIndexIngest)
 
   /** Incremental EXACT dedup — `SetSimJoin.prefixIndex` persisted once
     * over the standing corpus, `SetSimJoin.probePrefixIndex` per ingest
@@ -2130,6 +2131,57 @@ object DedupQueries {
           col("match_id").isNotNull.cast("int").as("is_dup"))
         .orderBy(col("new_id"))
     }
+  }
+
+  /** EXACTLY-ONCE ingest for the VERSIONED prefix index — the third
+    * index family's close of the q223/q227 discipline, and the one
+    * batch-keyed appends structurally cannot cover: prefix rows depend
+    * on GLOBAL corpus frequencies, so a merge rewrites touched corpus
+    * rows, and the retry-safe shape is COPY-ON-WRITE versioning
+    * (`dedup.VersionedSetSimIndex`): each merge writes a complete new
+    * `v<n>` directory, the (batch_id, version) ledger row commits LAST,
+    * readers resolve the highest committed version. The protocol run
+    * inline: an ORPHAN version ABOVE live (a crashed future merge whose
+    * junk WOULD probe-match — a reader resolving by directory listing
+    * instead of by ledger flips the hash), a TORN directory at the next
+    * version number that the real merge overwrites, both batches
+    * redelivered (no-ops), then prune() keeps only the live version and
+    * a post-prune redelivery stays a no-op. Oracle = q215/q217's shared
+    * rebuild+probe SQL: probe-after-versioned-ingest ≡
+    * probe-after-rebuild. */
+  val q232VersionedIndexIngest: QueryDef = QueryDef.sql(
+    "q232_versioned_index_ingest",
+    setsimRebuildProbeSql) { (s, d) =>
+    import graft.dedup.{SetSimJoin, VersionedSetSimIndex}
+    val docsDf = Tables.documents(s, d)
+    val standing = docsDf.filter(col("doc_id") % 10 =!= 0 &&
+      col("doc_id") % 10 =!= 5)
+    val ingest = docsDf.filter(col("doc_id") % 10 === 5)
+    val probe = docsDf.filter(col("doc_id") % 10 === 0)
+    val idxPath = graft.core.Scratch.dir("q232_versioned_index", d)
+    val idx = VersionedSetSimIndex.create(s, idxPath, tPpm = 500000L)
+    // orphan "crashed future merge" above live: a ghost doc wearing a
+    // PROBE doc's text, so a ledger-bypassing reader would emit a
+    // jac=10^6 match for it
+    val ghost = probe.orderBy(col("doc_id")).limit(1)
+      .select(lit(999999999L).as("doc_id"), col("text"))
+    SetSimJoin.prefixIndex(ghost, "doc_id", "text", 500000L)
+      .write.mode("overwrite").parquet(s"$idxPath/v7")
+    require(idx.mergeOnce(standing, "doc_id", "text", 100L),
+      "bootstrap must commit")
+    require(!idx.mergeOnce(standing, "doc_id", "text", 100L),
+      "redelivered bootstrap must be a no-op")
+    // torn attempt of the ingest merge at the version number the real
+    // merge will claim — the retry must overwrite it
+    SetSimJoin.prefixIndex(ghost, "doc_id", "text", 500000L)
+      .write.mode("overwrite").parquet(s"$idxPath/v1")
+    require(idx.mergeOnce(ingest, "doc_id", "text", 101L))
+    require(!idx.mergeOnce(ingest, "doc_id", "text", 101L))
+    idx.prune()
+    require(!idx.mergeOnce(ingest, "doc_id", "text", 101L),
+      "ids must stay committed after prune")
+    idx.probe(probe, "doc_id", "text")
+      .orderBy(col("new_id"), col("old_id"))
   }
 
   /** The PRODUCTION streaming-dedup ingest loop — probe each arriving

@@ -162,6 +162,10 @@ class PlanAuditSpec extends SparkSpec {
     // batch probes + merges, order-independence theorem, scratch dump);
     // probe/merge shapes pinned in LedgeredBandIndexSpec/DedupSpec
     "q230_streaming_dedup_loop",
+    // versioned (copy-on-write) prefix-index ingest: orphan/torn version
+    // writes, ledgered merges, prune, then the probe; version/merge
+    // shapes pinned in VersionedSetSimIndexSpec/SetSimJoinSpec
+    "q232_versioned_index_ingest",
     // writes the decile read to scratch for the oracle's true-rank
     // audit; summary/read shapes pinned in QuantileSummarySpec
     "q200_quantile_sketch")
