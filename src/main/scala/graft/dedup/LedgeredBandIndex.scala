@@ -30,12 +30,8 @@ final class LedgeredBandIndex(spark: SparkSession, path: String) {
   private def fs =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def committedIds(): Set[Long] = {
-    val p = new Path(s"$path/ledger")
-    if (!fs.exists(p)) Set.empty
-    else spark.read.parquet(s"$path/ledger")
-      .select(col("batch_id")).collect().map(_.getLong(0)).toSet
-  }
+  def committedIds(): Set[Long] =
+    graft.core.Ledger.rows(spark, s"$path/ledger").map(_._1).toSet
 
   /** The index's committed rows (id, band, bucket) — torn appends are
     * excluded (literal isin on the partition column: static pruning). */
@@ -64,17 +60,15 @@ final class LedgeredBandIndex(spark: SparkSession, path: String) {
     val pv = s"b$batchId"
     val torn = fs.globStatus(new Path(s"$path/buckets/batch=$pv"))
     if (torn != null) torn.foreach(s => fs.delete(s.getPath, true))
-    val rows = Dedup.minhashBandBuckets(batch, idCol, textCol,
-      bands, rowsPerBand)
-    val n = rows.select(col("id")).distinct().count()
-    rows.withColumn("batch", lit(pv))
+    // n_docs from the raw batch ids (NOT from the banded frame: that
+    // would run the MinHash signatures twice — once for the count, once
+    // for the write)
+    val n = batch.select(col(idCol)).distinct().count()
+    Dedup.minhashBandBuckets(batch, idCol, textCol, bands, rowsPerBand)
+      .withColumn("batch", lit(pv))
       .write.mode("append").partitionBy("batch").parquet(s"$path/buckets")
     // COMMIT POINT
-    locally {
-      import spark.implicits._
-      Seq((batchId, n)).toDF("batch_id", "n_docs")
-        .coalesce(1).write.mode("append").parquet(s"$path/ledger")
-    }
+    graft.core.Ledger.append(spark, s"$path/ledger", Seq((batchId, n)))
     true
   }
 

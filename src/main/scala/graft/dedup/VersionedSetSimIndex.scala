@@ -36,13 +36,8 @@ final class VersionedSetSimIndex(spark: SparkSession, path: String,
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** (batch_id → version) committed so far, ledger-ordered. */
-  def committed(): Map[Long, Long] = {
-    val p = new Path(s"$path/ledger")
-    if (!fs.exists(p)) Map.empty
-    else spark.read.parquet(s"$path/ledger")
-      .select(col("batch_id"), col("version")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-  }
+  def committed(): Map[Long, Long] =
+    graft.core.Ledger.rows(spark, s"$path/ledger").toMap
 
   /** The live (highest committed) version number; -1 when empty. */
   def liveVersion(): Long = {
@@ -71,14 +66,13 @@ final class VersionedSetSimIndex(spark: SparkSession, path: String,
     val vNew = (if (c.isEmpty) -1L else c.values.max) + 1L
     val next =
       if (vNew == 0L) SetSimJoin.prefixIndex(batch, idCol, textCol, tPpm)
-      else SetSimJoin.mergeIntoIndex(batch, idCol, textCol, live(), tPpm)
+      else SetSimJoin.mergeIntoIndex(batch, idCol, textCol,
+        // the live version is vNew−1 by construction — read it directly
+        // instead of re-collecting the ledger through live()
+        spark.read.parquet(s"$path/v${vNew - 1}"), tPpm)
     next.write.mode("overwrite").parquet(s"$path/v$vNew")
     // COMMIT POINT
-    locally {
-      import spark.implicits._
-      Seq((batchId, vNew)).toDF("batch_id", "version")
-        .coalesce(1).write.mode("append").parquet(s"$path/ledger")
-    }
+    graft.core.Ledger.append(spark, s"$path/ledger", Seq((batchId, vNew)))
     true
   }
 

@@ -1747,11 +1747,10 @@ object TextQueries {
       16, 10).cast("long") % 2001) - 1000).cast("double") / lit(1000.0)
   }
 
-  /** The eval tail shared by q214/q224: per (ranker, probe), hits in the
-    * top-10 under the one-vs-rest lang weak supervision, precision on
-    * the ppm grid, first relevant rank. `lists`: (ranker, qid, doc_id,
-    * rank) top-k rows. */
-  private def gradeRankers(dd: DataFrame, lists: DataFrame): DataFrame = {
+  /** Ranked lists + relevance flags under the one-vs-rest lang weak
+    * supervision — the engine twin of the `flagged` CTE, shared by the
+    * precision (q214/q224) and RBP (q229) grading tails. */
+  private def flaggedLists(dd: DataFrame, lists: DataFrame): DataFrame = {
     val lab = dd.select(col("doc_id"), col("lang"))
     lists
       .join(broadcast(lab.select(col("doc_id"), col("lang").as("d_lang"))),
@@ -1759,6 +1758,14 @@ object TextQueries {
       .join(broadcast(lab.select(col("doc_id").as("qid"),
         col("lang").as("q_lang"))), "qid")
       .withColumn("rel", (col("d_lang") === col("q_lang")).cast("long"))
+  }
+
+  /** The eval tail shared by q214/q224: per (ranker, probe), hits in the
+    * top-10 under the one-vs-rest lang weak supervision, precision on
+    * the ppm grid, first relevant rank. `lists`: (ranker, qid, doc_id,
+    * rank) top-k rows. */
+  private def gradeRankers(dd: DataFrame, lists: DataFrame): DataFrame = {
+    flaggedLists(dd, lists)
       .groupBy(col("ranker"), col("qid"))
       .agg(count(lit(1)).as("n_ranked"), sum(col("rel")).as("n_rel"),
         expr("(sum(rel) * 1000000) div count(1)").as("prec_ppm"),
@@ -1980,13 +1987,7 @@ object TextQueries {
         |FROM flagged
         |GROUP BY ranker, qid
         |ORDER BY ranker, qid""".stripMargin) { (s, d) =>
-    val lab = docs(s, d).select(col("doc_id"), col("lang"))
-    recomputedRankerLists(s, d)
-      .join(broadcast(lab.select(col("doc_id"), col("lang").as("d_lang"))),
-        "doc_id")
-      .join(broadcast(lab.select(col("doc_id").as("qid"),
-        col("lang").as("q_lang"))), "qid")
-      .withColumn("rel", (col("d_lang") === col("q_lang")).cast("long"))
+    flaggedLists(docs(s, d), recomputedRankerLists(s, d))
       .groupBy(col("ranker"), col("qid"))
       .agg(
         sum(expr("rel * shiftleft(1, 10 - rank)")).as("rbp_scaled"),
@@ -2104,7 +2105,10 @@ object TextQueries {
       graft.core.Scratch.tempDir("q224ivf") + "/idx", "doc_id", "emb",
       nCentroids = 8, iters = 1)
     // simDecimals=9 ranks on the 1e-9 grid — the same total order as
-    // q214's fixed_point(cos, 1e9) key (both land on round(sim·1e9))
+    // q214's fixed_point(cos, 1e9) key (both land on round(sim·1e9)),
+    // and SOUND because IvfIndex preserves the double element type: a
+    // float-truncated store would perturb cosines by ~1e-7 — enough to
+    // rank-flip near-ties against the double-precision oracle
     val vec = vidx.topK(demb.filter(col("doc_id") < 5), "doc_id", "emb",
         k = 10, nprobe = 8, simDecimals = Some(9))
       .select(col("qid"), col("nn").as("doc_id"), col("rank"))

@@ -152,18 +152,38 @@ object IvfIndex {
       nCentroids: Int, iters: Int = 3, seed: Long = 42L): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // element type is PRESERVED (float stays float, anything else widens
+    // to double): truncating computed double embeddings to float would
+    // perturb every stored element by ~6e-8 relative — enough to flip
+    // served ranks against a double-precision recompute on the 1e-9 grid
+    // (q224's oracle). Widening float→double at read time is exact, so
+    // float-sourced corpora (q36/q94/q106) are bit-unchanged.
+    val elemIsFloat = corpus.select(col(vecCol)).schema.head.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val vecType = if (elemIsFloat) "array<float>" else "array<double>"
     val base = corpus.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<float>").as("vec"))
+      col(vecCol).cast(vecType).as("vec"))
     // seed centroids on the driver: one TakeOrdered job for nCentroids rows
     // (bounded small by IVF construction — the same argument as the probe
     // collect in topK) instead of a limit + single-partition rank window
-    var cents = spark.createDataset(
-        base.orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-          .limit(nCentroids)
-          .select(col("id"), col("vec")).as[(Long, Seq[Float])]
-          .collect().sortBy(_._1).zipWithIndex
-          .map { case ((_, v), i) => (i.toLong + 1, v) }.toSeq)
-      .toDF("cid", "cvec")
+    val seedRows = base.orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(nCentroids)
+      .select(col("id"), col("vec"))
+    var cents = (if (elemIsFloat)
+        spark.createDataset(
+          seedRows.as[(Long, Seq[Float])]
+            .collect().sortBy(_._1).zipWithIndex
+            .map { case ((_, v), i) => (i.toLong + 1, v) }.toSeq)
+          .toDF("cid", "cvec")
+      else
+        spark.createDataset(
+          seedRows.as[(Long, Seq[Double])]
+            .collect().sortBy(_._1).zipWithIndex
+            .map { case ((_, v), i) => (i.toLong + 1, v) }.toSeq)
+          .toDF("cid", "cvec"))
     for (it <- 0 until iters) {
       val assigned = Knn.ivfAssign(base, "id", "vec", cents, "cid", "cvec", 1)
       val prev = cents
@@ -175,7 +195,7 @@ object IvfIndex {
       // a separate count job.
       cents = assigned.groupBy(col("cid"))
         .agg(graft.functions.vector_mean(col("vec")).as("cd"))
-        .select(col("cid"), col("cd").cast("array<float>").as("cvec"))
+        .select(col("cid"), col("cd").cast(vecType).as("cvec"))
       if (it < iters - 1) {
         cents = cents.cache()
         cents.count()

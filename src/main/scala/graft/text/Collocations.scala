@@ -39,8 +39,12 @@ object Collocations {
     val toks = docs.select(split(col(textCol), " ").as("w"))
     val uni = toks.select(explode(col("w")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-    // adjacent pairs via the positions zip — one explode, no self-join
-    val pairs = toks
+    // adjacent pairs via the positions zip — one explode, no self-join.
+    // The size(w) > 1 guard is load-bearing: Spark's sequence(1, 0) is
+    // the DESCENDING [1, 0], so a single-token doc would emit bogus
+    // (tok, null)/(null, tok) rows that only null-join semantics keep
+    // out of the output (DuckDB's generate_series(1, 0) is empty)
+    val pairs = toks.filter(size(col("w")) > 1)
       .select(explode(expr(
         "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS x, w[i] AS y))"))
         .as("p"))

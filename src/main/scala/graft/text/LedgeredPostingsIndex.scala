@@ -40,14 +40,13 @@ import org.apache.spark.sql.functions._
   * (bucket-pruned serves, batch-sized appends). The serve-time df sum
   * adds one vocabulary-sized partial aggregation bounded by the probed
   * buckets × committed-batch count; [[compact]] folds all partials into
-  * the reserved `batch=c` partition, restoring one-row-per-token df
+  * a committed generation partition (`batch=k<gen>`), restoring one-row-per-token df
   * (the LSM discipline: appends accumulate, compaction amortizes). The
   * ledger read per serve/merge is batch-count-sized — serving metadata,
   * not data.
   */
 final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     nBuckets: Int) {
-  import LedgeredPostingsIndex.Compacted
 
   private def hconf = spark.sparkContext.hadoopConfiguration
   private def fs = new Path(path).getFileSystem(hconf)
@@ -67,23 +66,32 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     * batches ever ingested (serving metadata; compaction does not shrink
     * it because committed ids must stay committed forever: that is what
     * makes a late redelivery a no-op). */
-  def committedIds(): Set[Long] = {
-    val p = new Path(s"$path/ledger")
-    if (!fs.exists(p)) Set.empty
-    else spark.read.parquet(s"$path/ledger")
-      .select(col("batch_id")).collect().map(_.getLong(0)).toSet
-  }
+  def committedIds(): Set[Long] =
+    graft.core.Ledger.rows(spark, s"$path/ledger").map(_._1).toSet
 
-  /** A table filtered to COMMITTED rows: the committed batches plus the
-    * reserved compacted partition. Torn appends (batch dirs without a
-    * ledger row) are invisible here — the read-side half of the
-    * exactly-once contract. `batch` is a partition column and the
-    * predicate is a literal isin, so the filter prunes statically.
-    * Callers touching several tables read the ledger ONCE and share the
-    * snapshot — each ledger read is a driver round-trip, and a serve
-    * would otherwise pay one per table. */
-  private def visibleVals(): Seq[Any] =
-    committedIds().toSeq.sorted.map(i => s"b$i") :+ Compacted
+  /** Committed compactions as (gen → covered batch ids). A compaction's
+    * rows land in ONE ledger file append (atomic through the committer
+    * rename), so a generation is either wholly committed or absent. */
+  private def compactions(): Map[Long, Set[Long]] =
+    graft.core.Ledger.rows(spark, s"$path/cledger")
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).toSet }
+
+  /** The partition values a reader may see: the latest committed
+    * compaction's folded partition (`k<gen>`) plus every committed batch
+    * it does NOT cover. Torn merge appends (batch dirs without a ledger
+    * row) and torn compactions (k dirs without cledger rows) are both
+    * invisible here — the read-side half of the exactly-once contract.
+    * `batch` is a partition column and the predicate is a literal isin,
+    * so the filter prunes statically. Callers touching several tables
+    * read the ledgers ONCE and share the snapshot — each read is a
+    * driver round-trip, and a serve would otherwise pay one per table. */
+  private def visibleVals(): Seq[Any] = {
+    val comps = compactions()
+    val gen = if (comps.isEmpty) 0L else comps.keys.max
+    val covered = comps.getOrElse(gen, Set.empty)
+    val live = (committedIds() -- covered).toSeq.sorted.map(i => s"b$i")
+    if (gen > 0L) s"k$gen" +: live else live
+  }
 
   private def visible(table: String, vals: Seq[Any]): DataFrame =
     spark.read.parquet(s"$path/$table")
@@ -162,11 +170,8 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
       .write.mode("append").partitionBy("bkt", "batch")
       .parquet(s"$path/dfp")
     // COMMIT POINT — everything above is torn state until this lands
-    locally {
-      import spark.implicits._
-      Seq((batchId, st.getLong(1))).toDF("batch_id", "n_docs")
-        .coalesce(1).write.mode("append").parquet(s"$path/ledger")
-    }
+    graft.core.Ledger.append(spark, s"$path/ledger",
+      Seq((batchId, st.getLong(1))))
     true
   }
 
@@ -208,49 +213,71 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
       queries, qidCol, phraseCol)
   }
 
-  /** Fold every committed partition into the reserved `batch=c`
-    * partition: postings/positions/lengths rows move verbatim, the df
-    * partials COLLAPSE to one row per token and statsp to one row — the
-    * LSM compaction that bounds serve-time partial counts after a long
-    * ingest run. The ledger is deliberately untouched: committed ids
-    * stay committed, so a late redelivery of a pre-compaction batch is
-    * still a no-op (spec-pinned). Each table rewrites through a staging
-    * barrier (it reads the files it replaces — the PostingsIndex.compact
-    * durability argument); torn appends are dropped by the `visible`
-    * read, which is the correct disposition for state whose retry will
-    * re-derive it from the source anyway. */
+  /** CRASH-SAFE compaction — the same commit discipline as the merges,
+    * because an in-place rewrite here would reintroduce exactly the
+    * unhealable window the class exists to remove (a die between a
+    * table's delete and rewrite phases would lose committed rows with no
+    * ledger evidence). Protocol: fold every visible partition into a NEW
+    * generation partition `batch=k<gen>` (postings/positions/lengths
+    * verbatim, df partials collapsed to one row per token, statsp to one
+    * row) — pure APPENDS staged through a neutral dir (the fold reads
+    * the table it appends into) — then commit by appending one
+    * (gen, covered_batch_id) row set to the compaction ledger in a
+    * single atomic file. Readers resolve the latest committed gen and
+    * the batches it does not cover; a torn compaction (k dirs without
+    * cledger rows) is invisible and healed by the next compact(). The
+    * superseded partitions are deleted only AFTER the commit (at that
+    * point they are unreachable; a crash mid-cleanup leaves invisible
+    * garbage the next compaction removes). The batch ledger is never
+    * touched: committed ids stay committed, so a late redelivery of a
+    * pre-compaction batch is still a no-op (spec-pinned). */
   def compact(): Unit = {
+    val ids = committedIds()
+    if (ids.isEmpty) return
+    val comps = compactions()
+    val prevGen = if (comps.isEmpty) 0L else comps.keys.max
+    // nothing ingested since the last compaction → folding would copy
+    // k<prevGen> into k<prevGen+1> for no benefit
+    if (prevGen > 0L && (ids -- comps(prevGen)).isEmpty) return
+    val gen = prevGen + 1L
+    val pv = s"k$gen"
     val vals = visibleVals()
-    def rewrite(table: String, prep: DataFrame => DataFrame,
+    // heal a torn previous attempt of THIS generation
+    deleteBatchDirs(pv)
+    def fold(table: String, prep: DataFrame => DataFrame,
         bucketed: Boolean): Unit = {
       val staging = s"$path/${table}_compact_staging"
       prep(visible(table, vals).drop("batch"))
         .write.mode("overwrite").parquet(staging)
       val folded = spark.read.parquet(staging)
-        .withColumn("batch", lit(Compacted))
+        .withColumn("batch", lit(pv))
       val w =
         if (bucketed) folded.repartition(col("bkt"))
           .write.partitionBy("bkt", "batch")
         else folded.coalesce(1).write.partitionBy("batch")
-      w.mode("overwrite").parquet(s"$path/$table")
+      w.mode("append").parquet(s"$path/$table")
       fs.delete(new Path(staging), true): Unit
     }
-    rewrite("postings", identity, bucketed = true)
-    rewrite("positions", identity, bucketed = true)
-    rewrite("dfp", _.groupBy(col("tok"), col("bkt"))
+    fold("postings", identity, bucketed = true)
+    fold("positions", identity, bucketed = true)
+    fold("dfp", _.groupBy(col("tok"), col("bkt"))
       .agg(sum(col("dfp")).as("dfp")), bucketed = true)
-    rewrite("lengths", identity, bucketed = false)
-    rewrite("statsp", _.agg(
+    fold("lengths", identity, bucketed = false)
+    fold("statsp", _.agg(
       coalesce(sum(col("t")), lit(0L)).as("t"),
       coalesce(sum(col("nd")), lit(0L)).as("nd")), bucketed = false)
+    // COMMIT POINT — one atomic multi-row append
+    graft.core.Ledger.append(spark, s"$path/cledger",
+      ids.toSeq.sorted.map(gen -> _))
+    // post-commit cleanup: everything the new generation superseded is
+    // unreachable now — deletion is safe and idempotent
+    val covered = comps.getOrElse(prevGen, Set.empty)
+    (ids -- covered).toSeq.sorted.foreach(i => deleteBatchDirs(s"b$i"))
+    if (prevGen > 0L) deleteBatchDirs(s"k$prevGen")
   }
 }
 
 object LedgeredPostingsIndex {
-
-  /** Reserved partition value for compacted rows — outside the `b<id>`
-    * namespace, always visible, never healed. */
-  val Compacted = "c"
 
   /** Initialize an EMPTY ledgered index at `path` (meta only; the
     * standing corpus enters through [[LedgeredPostingsIndex.mergeOnce]]

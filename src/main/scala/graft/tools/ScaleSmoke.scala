@@ -362,7 +362,8 @@ object ScaleSmoke {
         }
       }
       if ("ledgered_ingest".contains(opFilter) ||
-          "ledgered_redelivery".contains(opFilter)) {
+          "ledgered_redelivery".contains(opFilter) ||
+          "ledgered_serve".contains(opFilter)) {
         // exactly-once ingest (q223): merge a FIXED 1×-sized batch into
         // a LEDGERED index holding the k× corpus, then REDELIVER it.
         // The merge wall tracks the batch (appends + one vocabulary-

@@ -103,7 +103,20 @@ class LedgeredPostingsIndexSpec extends SparkSpec {
       .toDF("qid", "tok")
     val before = bmRows(idx.bm25TopK(probes, 5))
     val filesBefore = parquetFiles("postings") + parquetFiles("dfp")
+    // a TORN compaction (k1 dirs, no cledger rows) must be invisible to
+    // serves and healed by the real compact()
+    Seq(("ghosttok", 999L, 50L))
+      .toDF("tok", "doc_id", "tf")
+      .withColumn("bkt", pmod(xxhash64(col("tok")), lit(4L)))
+      .withColumn("batch", lit("k1"))
+      .write.mode("append").partitionBy("bkt", "batch")
+      .parquet(s"$dir/postings")
+    assert(bmRows(idx.bm25TopK(probes, 5)) == before,
+      "torn compaction rows must be invisible")
     idx.compact()
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter(col("tok") === "ghosttok").isEmpty,
+      "heal must remove the torn generation's rows")
     assert(parquetFiles("postings") + parquetFiles("dfp") < filesBefore)
     assert(bmRows(idx.bm25TopK(probes, 5)) == before)
     // dfp partials collapsed to one row per token
