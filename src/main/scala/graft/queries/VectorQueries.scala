@@ -25,7 +25,7 @@ object VectorQueries {
     q34LshTopK, q35IvfTopK, q36IvfIndexTopK, q88HofDot, q94IvfExactServe,
     q106IvfUpsertServe, q128PqAdcServe, q132IvfAdcServe, q147RetrievalChunks,
     q154KmeansTrain, q163ContrastivePairs, q181Sq8Serve, q202KCenterSeeds,
-    q212MmrDiversify)
+    q212MmrDiversify, q233IvfIdempotentUpsert)
 
   /** One MMR greedy round for the q212 oracle: remaining candidates score
     * `λ·simq − (1−λ)·max sim to the selected set`, argmax with id
@@ -521,8 +521,11 @@ object VectorQueries {
     * same top-k — so a wrong upsert (stale vector kept, changed id left in
     * its old centroid partition AND its new one, insert dropped) changes
     * the candidate set and flips the hash. */
-  val q106IvfUpsertServe: QueryDef = sql(
-    "q106_ivf_upsert_serve",
+  /** The post-upsert exact-serve oracle shared by q106 (one upsert) and
+    * q233 (the SAME delta upserted twice — at-least-once delivery): the
+    * upsert is a per-id REPLACE, so redelivery is naturally idempotent
+    * and both queries hash against one SQL. */
+  private val ivfUpsertServeSql: String =
     """WITH corpus AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
       |  FROM embeddings WHERE vec_id >= 15
@@ -540,20 +543,45 @@ object VectorQueries {
       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nn) AS rank
       |  FROM scored)
       |SELECT qid, rank, nn, sim FROM ranked WHERE rank <= 10
-      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      |ORDER BY qid, rank""".stripMargin
+
+  /** Build-upsert-serve with the delta applied `times` times — shared by
+    * q106 (once) and q233 (twice). */
+  private def ivfUpsertServe(s: SparkSession, d: String,
+      times: Int): DataFrame = {
     import graft.sources.IvfIndex
-    val path = java.nio.file.Files.createTempDirectory("ivfidx_q106").toString + "/idx"
+    val path = graft.core.Scratch.tempDir("ivfidx_upsert") + "/idx"
     val e = emb(s, d)
     val idx = IvfIndex.build(e.filter(col("vec_id") >= 5), path,
       "vec_id", "embedding", nCentroids = 8, iters = 1)
     val delta = e.filter(col("vec_id") < 15)
       .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
-    idx.upsert(delta, "vec_id", "embedding")
+    (1 to times).foreach(_ => idx.upsert(delta, "vec_id", "embedding"))
     idx.topK(delta.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, nprobe = 8, simDecimals = Some(6))
       .select(col("qid"), col("rank"), col("nn"), col("sim"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  val q106IvfUpsertServe: QueryDef = sql(
+    "q106_ivf_upsert_serve",
+    ivfUpsertServeSql) { (s, d) => ivfUpsertServe(s, d, times = 1) }
+
+  /** EXACTLY-ONCE for the VECTOR index family — the fourth and final
+    * index family's story, and the degenerate-easy one that completes
+    * the taxonomy: `IvfIndex.upsert` is a per-id REPLACE (delta ids'
+    * partitions drain, then re-insert), so a redelivered delta is
+    * NATURALLY idempotent — no ledger, no versioning, no batch keys
+    * needed. q233 upserts the SAME delta twice (at-least-once delivery
+    * made literal) and serves; the oracle is q106's single-upsert SQL
+    * verbatim, so the hash gate IS double-apply ≡ single-apply. The
+    * taxonomy this closes: batch-keyed appends + partials (postings,
+    * q223), single-table batch-keyed appends (band, q227), copy-on-write
+    * MVCC for global-statistics indexes (prefix, q232), natural
+    * idempotence for replace-by-key stores (IVF, here). */
+  val q233IvfIdempotentUpsert: QueryDef = sql(
+    "q233_ivf_idempotent_upsert",
+    ivfUpsertServeSql) { (s, d) => ivfUpsertServe(s, d, times = 2) }
 
   /** Dot product two ways over consecutive-id vector pairs: composed
     * higher-order functions (`zip_with` + `aggregate` — interpreted, the

@@ -74,6 +74,9 @@ class PlanAuditSpec extends SparkSpec {
     "q56_minhash_lsh_pairs", "q57_simhash_neardup",
     "q97_minhash_verify", "q98_simhash_verify", "q103_dedup_canonical",
     "q106_ivf_upsert_serve",
+    // q106's build-upsert-serve with the delta applied twice (the
+    // natural-idempotence exactly-once gate); same persisted-index shape
+    "q233_ivf_idempotent_upsert",
     // scratch-candidate ANN upgrades (round 8): candidate joins pinned in
     // KnnSpec "candidate generation plans" instead
     "q34_lsh_topk", "q35_ivf_topk",
