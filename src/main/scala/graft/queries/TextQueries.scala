@@ -1535,7 +1535,7 @@ object TextQueries {
     *
     * The oracle is the SAME rebuild+serve SQL as q216/q218/q220, so the
     * hash gate IS "at-least-once delivery + idempotent merge + heal ≡
-    * one batch build". Compaction (serve-equality, dfp partial folding,
+    * one batch build". Compaction (serve-equality, partial folding,
     * post-compact redelivery no-op) and the row-level halves are pinned
     * in LedgeredPostingsIndexSpec — the corpus-sized 5-table rewrite
     * stays out of the per-round bench. */

@@ -19,13 +19,17 @@ import org.apache.spark.sql.functions._
   *     *addressable*: a retry of an uncommitted batch first deletes its
   *     own partitions (heal), then re-appends — blind appends become
   *     idempotent upserts at directory granularity.
-  *  2. **Per-batch PARTIALS instead of global rewrites.** PostingsIndex
-  *     rewrites the vocabulary-sized df table and 1-row stats per merge
-  *     — a rewrite a retry cannot undo (re-adding a delta doubles it).
-  *     Here df and stats are stored as per-batch partial contributions
-  *     (`dfp`, `statsp`) and SUMMED at serve time — the mergeable-
-  *     partials shape of the sketch shelf. Nothing is ever rewritten, so
-  *     every table is append-only and heal-by-delete is total.
+  *  2. **Derived/partial global statistics instead of rewrites.**
+  *     PostingsIndex rewrites the vocabulary-sized df table and 1-row
+  *     stats per merge — a rewrite a retry cannot undo (re-adding a
+  *     delta doubles it). Here df is DERIVED at serve time from the
+  *     probed postings themselves (one posting row per (doc, distinct
+  *     token) ⇒ df = rows per token over committed partitions — the
+  *     same pruned scan the scoring join reads, so it costs no extra
+  *     table and no extra write), and stats are per-batch partial rows
+  *     (`statsp`) summed at serve — the mergeable-partials shape of the
+  *     sketch shelf. Nothing is ever rewritten, so every table is
+  *     append-only and heal-by-delete is total.
   *  3. **The ledger is the commit point.** `ledger/` gains one
   *     (batch_id, n_docs) row AFTER all appends land. A batch id in the
   *     ledger → redelivery returns false without touching data. A batch
@@ -40,7 +44,7 @@ import org.apache.spark.sql.functions._
   * (bucket-pruned serves, batch-sized appends). The serve-time df sum
   * adds one vocabulary-sized partial aggregation bounded by the probed
   * buckets × committed-batch count; [[compact]] folds all partials into
-  * a committed generation partition (`batch=k<gen>`), restoring one-row-per-token df
+  * a committed generation partition (`batch=k<gen>`), restoring few-files-per-bucket scans
   * (the LSM discipline: appends accumulate, compaction amortizes). The
   * ledger read per serve/merge is batch-count-sized — serving metadata,
   * not data.
@@ -109,7 +113,6 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
   private def deleteBatchDirs(pv: String): Unit = {
     val globs = Seq(
       s"$path/postings/bkt=*/batch=$pv", s"$path/positions/bkt=*/batch=$pv",
-      s"$path/dfp/bkt=*/batch=$pv",
       s"$path/lengths/batch=$pv", s"$path/statsp/batch=$pv")
     globs.foreach { g =>
       val st = fs.globStatus(new Path(g))
@@ -120,9 +123,8 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
   /** Idempotent merge — the whole point of the class. Returns false
     * (touching nothing) when `batchId` is already committed; otherwise
     * heals any torn partitions a previous attempt of this batch left,
-    * appends the batch's postings/positions/lengths/df-partial/stats-
-    * partial under `batch=b<id>`, and commits by appending the ledger
-    * row LAST. Crash anywhere before the ledger row → the next delivery
+    * appends the batch's postings/positions/lengths/stats-partial under
+    * `batch=b<id>`, and commits by appending the ledger row LAST. Crash anywhere before the ledger row → the next delivery
     * of the same id re-runs heal + append; crash after → redelivery is
     * a no-op. `batchId` must be ≥ 0 and stable across redeliveries of
     * the same data (Structured Streaming's `foreachBatch` batchId is —
@@ -164,11 +166,6 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
       .repartition(col("bkt"))
       .write.mode("append").partitionBy("bkt", "batch")
       .parquet(s"$path/positions")
-    dt.groupBy(col("tok")).agg(count(lit(1)).as("dfp"))
-      .select(col("tok"), col("dfp"), bkt, lit(pv).as("batch"))
-      .repartition(col("bkt"))
-      .write.mode("append").partitionBy("bkt", "batch")
-      .parquet(s"$path/dfp")
     // COMMIT POINT — everything above is torn state until this lands
     graft.core.Ledger.append(spark, s"$path/ledger",
       Seq((batchId, st.getLong(1))))
@@ -185,8 +182,9 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     val vals = visibleVals()
     val post = visible("postings", vals).filter(col("bkt").isin(probed: _*))
       .select(col("tok"), col("doc_id"), col("tf"))
-    val dfb = visible("dfp", vals).filter(col("bkt").isin(probed: _*))
-      .groupBy(col("tok")).agg(sum(col("dfp")).as("df"))
+    // df DERIVED from the same pruned postings scan: one row per
+    // (doc, distinct token) makes rows-per-token the document frequency
+    val dfb = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = visible("statsp", vals)
       .agg(sum(col("t")).as("t"), sum(col("nd")).as("nd"))
     val lengths = visible("lengths", vals).select(col("doc_id"), col("dl"))
@@ -219,7 +217,7 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     * table's delete and rewrite phases would lose committed rows with no
     * ledger evidence). Protocol: fold every visible partition into a NEW
     * generation partition `batch=k<gen>` (postings/positions/lengths
-    * verbatim, df partials collapsed to one row per token, statsp to one
+    * verbatim, statsp collapsed to one
     * row) — pure APPENDS staged through a neutral dir (the fold reads
     * the table it appends into) — then commit by appending one
     * (gen, covered_batch_id) row set to the compaction ledger in a
@@ -260,8 +258,6 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     }
     fold("postings", identity, bucketed = true)
     fold("positions", identity, bucketed = true)
-    fold("dfp", _.groupBy(col("tok"), col("bkt"))
-      .agg(sum(col("dfp")).as("dfp")), bucketed = true)
     fold("lengths", identity, bucketed = false)
     fold("statsp", _.agg(
       coalesce(sum(col("t")), lit(0L)).as("t"),

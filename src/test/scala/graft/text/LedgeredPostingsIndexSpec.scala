@@ -102,7 +102,7 @@ class LedgeredPostingsIndexSpec extends SparkSpec {
     val probes = all.take(3).map { case (i, t) => (i, t.split(" ").head) }
       .toDF("qid", "tok")
     val before = bmRows(idx.bm25TopK(probes, 5))
-    val filesBefore = parquetFiles("postings") + parquetFiles("dfp")
+    val filesBefore = parquetFiles("postings")
     // a TORN compaction (k1 dirs, no cledger rows) must be invisible to
     // serves and healed by the real compact()
     Seq(("ghosttok", 999L, 50L))
@@ -117,13 +117,10 @@ class LedgeredPostingsIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/postings")
       .filter(col("tok") === "ghosttok").isEmpty,
       "heal must remove the torn generation's rows")
-    assert(parquetFiles("postings") + parquetFiles("dfp") < filesBefore)
+    assert(parquetFiles("postings") < filesBefore)
     assert(bmRows(idx.bm25TopK(probes, 5)) == before)
-    // dfp partials collapsed to one row per token
-    val dfRows = spark.read.parquet(s"$dir/dfp")
-      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).collect()(0).getLong(0)
-    assert(dfRows == 1L, s"expected 1 dfp row per token, max was $dfRows")
+    // statsp partials collapsed to one row
+    assert(spark.read.parquet(s"$dir/statsp").count() == 1L)
     assert(!idx.mergeOnce(all.take(4).toDF("doc_id", "text"),
       "doc_id", "text", 0L), "pre-compaction batch id must stay committed")
   }
