@@ -2088,16 +2088,18 @@ object TextQueries {
       .select(col("doc_id").as("qid"),
         explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
       .distinct()
-    val bm25 = idx.bm25TopK(probes, k = 10)
-      .select(col("qid"), col("doc_id"), col("rank"))
+    val bm25full = idx.bm25TopK(probes, k = 10)
+    val bm25 = bm25full.select(col("qid"), col("doc_id"), col("rank"))
     val jac = idx.jaccardTopK(probes, k = 10)
       .select(col("qid"), col("doc_id"), col("rank"))
     val rrf = graft.similarity.Fusion
       .reciprocalRank(Seq("bm25" -> bm25, "jac" -> jac), kConst = 60,
         topK = 10)
       .select(col("qid"), col("doc_id"), col("rank"))
-    val rm3 = idx.bm25TopK(idx.rm3ExpandedTerms(probes, dd, "doc_id",
-        "text", k = 10, fbDocs = 5, fbTerms = 5), k = 10)
+    // the RM3 feedback pass IS the bm25 ranker's list — hand it in so
+    // the probe is planned once (exchange reuse, not a recompute)
+    val rm3 = idx.bm25TopK(idx.rm3ExpandedTermsFrom(bm25full, probes, dd,
+        "doc_id", "text", fbDocs = 5, fbTerms = 5), k = 10)
       .select(col("qid"), col("doc_id"), col("rank"))
     val demb = dd.select(col("doc_id"),
       array((0 until 16).map(docEmbedDim): _*).as("emb"))

@@ -240,10 +240,21 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     * never read. */
   def rm3ExpandedTerms(queries: DataFrame, forward: DataFrame,
       idCol: String, textCol: String, k: Int, fbDocs: Int,
+      fbTerms: Int): DataFrame =
+    rm3ExpandedTermsFrom(bm25TopK(
+        queries.select(col("qid").cast("long").as("qid"), col("tok")), k),
+      queries, forward, idCol, textCol, fbDocs, fbTerms)
+
+  /** [[rm3ExpandedTerms]] with the first-pass BM25 list supplied by the
+    * caller — the composition q224 uses, where the un-expanded list IS
+    * one of the eval's rankers: handing the same frame in lets Catalyst
+    * reuse the serve's exchanges instead of planning the probe twice. */
+  def rm3ExpandedTermsFrom(firstPass: DataFrame, queries: DataFrame,
+      forward: DataFrame, idCol: String, textCol: String, fbDocs: Int,
       fbTerms: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("qid").cast("long").as("qid"), col("tok"))
-    val fb = bm25TopK(q, k)
+    val fb = firstPass
       .filter(col("rank") <= fbDocs)
       .select(col("qid"), col("doc_id"))
     val fbToks = fb.join(forward.select(col(idCol).cast("long").as("doc_id"),
