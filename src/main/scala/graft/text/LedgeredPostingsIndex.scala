@@ -182,9 +182,15 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     val vals = visibleVals()
     val post = visible("postings", vals).filter(col("bkt").isin(probed: _*))
       .select(col("tok"), col("doc_id"), col("tf"))
-    // df DERIVED from the same pruned postings scan: one row per
-    // (doc, distinct token) makes rows-per-token the document frequency
-    val dfb = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // df DERIVED from the pruned postings: one row per (doc, distinct
+    // token) makes rows-per-token the document frequency. The broadcast
+    // probe-token semi-join comes FIRST so the count aggregates only the
+    // matched posting lists — a bucket holds every token that hashes
+    // there, and aggregating the whole bucket would scale with corpus/
+    // nBuckets instead of with the probe (measured 13.5s vs 2.9s at the
+    // 20× smoke)
+    val dfb = post.join(broadcast(q.select(col("tok")).distinct()), "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = visible("statsp", vals)
       .agg(sum(col("t")).as("t"), sum(col("nd")).as("nd"))
     val lengths = visible("lengths", vals).select(col("doc_id"), col("dl"))
