@@ -23,7 +23,7 @@ object DedupQueries {
     q194IncrementalDedup, q208SetsimJoin, q209PhashNeardup,
     q213LshRecallAudit, q215IncrementalSetsim, q217IndexMerge,
     q227StreamDedupExactlyOnce, q230StreamingDedupLoop,
-    q232VersionedIndexIngest)
+    q232VersionedIndexIngest, q234IncrementalCc)
 
   /** Incremental EXACT dedup — `SetSimJoin.prefixIndex` persisted once
     * over the standing corpus, `SetSimJoin.probePrefixIndex` per ingest
@@ -2182,6 +2182,75 @@ object DedupQueries {
       "ids must stay committed after prune")
     idx.probe(probe, "doc_id", "text")
       .orderBy(col("new_id"), col("old_id"))
+  }
+
+  /** INCREMENTAL CANONICALIZATION — the standing-state close of the
+    * q103 chain: verified near-dup pairs arrive in batches and fold into
+    * a persisted (node, root) component mapping
+    * (`graph.VersionedCcIndex`) WITHOUT re-solving the historical edge
+    * set — each merge runs CC on the BATCH-SIZED quotient graph only
+    * (endpoints mapped through current roots), and the min-root theorem
+    * makes incremental ≡ batch CC root for root (spec-pinned). The
+    * mapping is global state, so ingest uses the MVCC exactly-once
+    * discipline (q232's): versions + ledger, every batch delivered
+    * TWICE here. The oracle is q103's from-first-principles replay
+    * (verification + recursive-CTE closure over the dumped candidates),
+    * so the hash gate IS incremental-served canonicalization ≡ batch
+    * canonicalization. */
+  val q234IncrementalCc: QueryDef = {
+    def p = graft.core.Scratch.lastDir("q234_incremental_cc")
+    QueryDef.sql(
+      "q234_incremental_cc",
+      s"""WITH RECURSIVE
+         |c AS (SELECT id_a, id_b FROM read_parquet('$p/*.parquet')),
+         |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+         |      FROM documents),
+         |e AS (
+         |  SELECT c.id_a AS src, c.id_b AS dst
+         |  FROM c
+         |  JOIN t a ON a.doc_id = c.id_a
+         |  JOIN t b ON b.doc_id = c.id_b
+         |  WHERE CAST(len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS DOUBLE)
+         |        / len(list_distinct(a.tok || b.tok)) >= 0.2),
+         |bidir AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+         |nodes AS (SELECT DISTINCT a AS id FROM bidir),
+         |reach AS (
+         |  SELECT id AS src, id AS dst FROM nodes
+         |  UNION
+         |  SELECT r.src, e2.b FROM reach r JOIN bidir e2 ON e2.a = r.dst),
+         |comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+         |SELECT d.doc_id,
+         |       COALESCE(comp.component, d.doc_id) AS keep_id,
+         |       CAST(COALESCE(comp.component, d.doc_id) <> d.doc_id AS INTEGER) AS is_duplicate
+         |FROM documents d
+         |LEFT JOIN comp ON comp.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docsDf = Tables.documents(s, d)
+      val candPath = graft.core.Scratch.dir("q234_incremental_cc", d)
+      Dedup.minhashLshCandidates(docsDf, "doc_id", "text")
+        .write.mode("overwrite").parquet(candPath)
+      val verified = Dedup.jaccardVerify(s.read.parquet(candPath), docsDf,
+          "doc_id", "text", threshold = 0.2)
+        .select(col("id_a"), col("id_b"))
+      val idx = graft.graph.VersionedCcIndex.create(s,
+        graft.core.Scratch.dir("q234_cc_index", d))
+      (0 until 3).foreach { i =>
+        val b = verified
+          .filter(pmod(xxhash64(col("id_a"), col("id_b")), lit(3)) === i)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        require(idx.mergeOnce(b, i.toLong), s"batch $i must commit")
+        require(!idx.mergeOnce(b, i.toLong),
+          s"redelivered batch $i must be a no-op")
+      }
+      docsDf.select(col("doc_id"))
+        .join(idx.live().select(col("node").as("doc_id"), col("root")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("keep_id"),
+          (coalesce(col("root"), col("doc_id")) =!= col("doc_id"))
+            .cast("int").as("is_duplicate"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** The PRODUCTION streaming-dedup ingest loop — probe each arriving

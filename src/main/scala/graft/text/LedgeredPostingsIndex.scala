@@ -206,6 +206,77 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     Bm25.sumAndRank(perTerm, k)
   }
 
+  /** Top-k distinct-token Jaccard from the committed index state —
+    * `PostingsIndex.jaccardTopK`'s shape over the visible partitions
+    * (|q∩d| from the probed postings rows, |d| from the dln per-doc
+    * fact carried in lengths). Serve-equivalence to the plain index is
+    * pinned in LedgeredPostingsIndexSpec. */
+  def jaccardTopK(queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("qid").cast("long").as("qid"), col("tok"))
+    val probed = probedBuckets(q)
+    val vals = visibleVals()
+    val post = visible("postings", vals).filter(col("bkt").isin(probed: _*))
+      .select(col("tok"), col("doc_id"))
+    val qN = q.groupBy(col("qid")).agg(count(lit(1)).as("q_n"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_ppm").desc, col("doc_id"))
+    broadcast(q).join(post, "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("i_n"))
+      .join(visible("lengths", vals)
+        .select(col("doc_id"), col("dln").as("d_n"))
+        .hint("shuffle_hash"), "doc_id")
+      .join(broadcast(qN), "qid")
+      .select(col("qid"), col("doc_id"),
+        expr("(i_n * 1000000) div (q_n + d_n - i_n)").as("sim_ppm"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** RM3 expansion from the committed index state — `PostingsIndex.
+    * rm3ExpandedTerms`'s chain (first-pass [[bm25TopK]], feedback term
+    * vote with df derived from the probed committed postings, anti-join,
+    * second pass by the caller); identical output to the plain index's
+    * serve by construction (spec-pinned). */
+  def rm3ExpandedTerms(queries: DataFrame, forward: DataFrame,
+      idCol: String, textCol: String, k: Int, fbDocs: Int,
+      fbTerms: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("qid").cast("long").as("qid"), col("tok"))
+    val fb = bm25TopK(q, k)
+      .filter(col("rank") <= fbDocs)
+      .select(col("qid"), col("doc_id"))
+    val fbToks = fb.join(forward.select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("w")), "doc_id")
+      .select(col("qid"), col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("qid"), col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val fbTokSet = fbToks.select(col("tok")).distinct()
+    val probed = probedBuckets(fbTokSet)
+    val vals = visibleVals()
+    // df derived from the committed postings, bounded by the feedback
+    // tokens' matched lists (the bm25TopK argument)
+    val dfb = visible("postings", vals).filter(col("bkt").isin(probed: _*))
+      .select(col("tok"))
+      .join(broadcast(fbTokSet), "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = visible("statsp", vals).agg(sum(col("nd")).as("nd"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("wgt").desc, col("tok"))
+    val expansion = fbToks
+      .join(dfb, "tok")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("qid"), col("tok"))
+      .agg(sum(expr(
+        "tf * CAST((nd * 1000) div df AS DECIMAL(38,0))")).as("wgt"))
+      .join(q, Seq("qid", "tok"), "left_anti")
+      .withColumn("trank", row_number().over(w))
+      .filter(col("trank") <= fbTerms)
+      .select(col("qid"), col("tok"))
+    q.unionByName(expansion)
+  }
+
   /** Exact phrase occurrences from the committed positional postings. */
   def phraseMatches(queries: DataFrame, qidCol: String = "qid",
       phraseCol: String = "phrase"): DataFrame = {

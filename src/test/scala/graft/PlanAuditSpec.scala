@@ -169,6 +169,10 @@ class PlanAuditSpec extends SparkSpec {
     // writes, ledgered merges, prune, then the probe; version/merge
     // shapes pinned in VersionedSetSimIndexSpec/SetSimJoinSpec
     "q232_versioned_index_ingest",
+    // incremental-CC canonicalization: candidate scratch dump + three
+    // ledgered quotient merges (each redelivered) before the final
+    // mapping read; quotient/merge shapes pinned in VersionedCcIndexSpec
+    "q234_incremental_cc",
     // writes the decile read to scratch for the oracle's true-rank
     // audit; summary/read shapes pinned in QuantileSummarySpec
     "q200_quantile_sketch")

@@ -54,6 +54,33 @@ class LedgeredPostingsIndexSpec extends SparkSpec {
       phRows(reference.phraseMatches(phrases)))
   }
 
+  test("jaccard and RM3 serves from the ledgered index equal the plain " +
+      "index's (full serve parity after batched ingest)") {
+    val all = fixture(24, 73)
+    val idx = LedgeredPostingsIndex.create(spark, tmp(), nBuckets = 8)
+    all.grouped(8).zipWithIndex.foreach { case (b, i) =>
+      idx.mergeOnce(b.toDF("doc_id", "text"), "doc_id", "text", i.toLong): Unit
+    }
+    val corpus = all.toDF("doc_id", "text")
+    val reference = PostingsIndex.build(corpus, tmp(), "doc_id", "text",
+      nBuckets = 8)
+    val probes = corpus.filter(col("doc_id") <= 3)
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 4)).as("tok"))
+      .distinct()
+    def jrows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "doc_id", "sim_ppm")
+        .as[(Long, Int, Long, Long)].collect().toSet
+    assert(jrows(idx.jaccardTopK(probes, 5)) ==
+      jrows(reference.jaccardTopK(probes, 5)))
+    def terms(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().toSet
+    assert(terms(idx.rm3ExpandedTerms(probes, corpus, "doc_id", "text",
+        k = 8, fbDocs = 4, fbTerms = 3)) ==
+      terms(reference.rm3ExpandedTerms(probes, corpus, "doc_id", "text",
+        k = 8, fbDocs = 4, fbTerms = 3)))
+  }
+
   test("a torn batch (appends, no ledger row) is invisible to serves " +
       "and healed by the retry") {
     val all = fixture(20, 7)
