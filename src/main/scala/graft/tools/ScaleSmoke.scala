@@ -397,6 +397,39 @@ object ScaleSmoke {
         println(f"""{"op":"ledgered_serve","scale":$k,"rows_in":${n0 * k},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
         spark.catalog.clearCache()
       }
+      if ("incremental_cc_merge".contains(opFilter) ||
+          "incremental_cc_resolve".contains(opFilter)) {
+        // incremental CC (q234): fold a FIXED 50-edge batch into a
+        // standing mapping built from k× chain edges (blocks of 50, so
+        // components stay bounded; the batch bridges 50 adjacent block
+        // pairs). The merge solves only the batch-sized QUOTIENT and
+        // copies the node-count-sized mapping (MVCC) — its wall must
+        // track the MAPPING, never the k× EDGE history the comparator
+        // row re-solves from scratch. That gap is what makes per-batch
+        // canonicalization affordable when the edge history is 100 TB.
+        // 150k·k edges: at 1× the comparator re-solve still rides the
+        // driver union-find fast path (cheap — and honest: below 1M
+        // edges a rebuild IS fine); at 20× (3M edges) it must run
+        // distributed star contraction, which is the regime the
+        // incremental path exists for
+        val ccPath = graft.core.Scratch.tempDir(s"smoke_cc_idx_$k")
+        val cc = graft.graph.VersionedCcIndex.create(spark, ccPath)
+        val standingEdges = spark.range(150_000L * k).select(
+          col("id").as("src"), (col("id") + 1L).as("dst"))
+          .filter((col("id") + 1L) % 50 =!= 0)
+        cc.mergeOnce(standingEdges, 0L): Unit // standing state, untimed
+        val batch = spark.range(50).select(
+          (col("id") * 100L + 49L).as("src"), (col("id") * 100L + 50L).as("dst"))
+        var t0 = System.nanoTime()
+        require(cc.mergeOnce(batch, 1L))
+        println(f"""{"op":"incremental_cc_merge","scale":$k,"rows_in":${n0 * k},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        t0 = System.nanoTime()
+        graft.operators.ConnectedComponents
+          .components(standingEdges.unionByName(batch))
+          .write.format("noop").mode("overwrite").save()
+        println(f"""{"op":"incremental_cc_resolve","scale":$k,"rows_in":${n0 * k},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        spark.catalog.clearCache()
+      }
       time("setsim_index_rebuild", k) {
         // comparator for setsim_index_merge: the full rebuild of the k×
         // disjoint-vocabulary index — the cost the merge path avoids
