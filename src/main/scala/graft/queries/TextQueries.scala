@@ -33,7 +33,8 @@ object TextQueries {
     q210PhraseSearch, q214RetrievalEval, q216PostingsServe, q218PostingsMerge,
     q219Rm3Expand, q220StreamPostings, q221PhraseSnippets, q222Rm3Index,
     q223StreamExactlyOnce, q224IndexedEval, q225Collocations,
-    q226DpNoisyCounts, q228WinnowOverlap, q229RbpEval, q231BitextMining)
+    q226DpNoisyCounts, q228WinnowOverlap, q229RbpEval, q231BitextMining,
+    q235CsvQuarantine)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1996,6 +1997,65 @@ object TextQueries {
         (lit(1024L) - sum(expr("shiftleft(1, 10 - rank)")))
           .as("missing_scaled"))
       .orderBy(col("ranker"), col("qid"))
+  }
+
+  /** CSV INGESTION with malformed-row quarantine — the messy-source
+    * half of the scan surface (SURVEY §2.1 has JSON-with-partial-schema
+    * and parquet; real corpus drops arrive as CSV with broken lines):
+    * the query WRITES a deterministic CSV fixture (one well-formed
+    * `doc_id,lang,n_chars` line per document; every doc_id%10=7 line
+    * truncated to two fields — the classic column-count break), reads
+    * it back through Spark's PERMISSIVE csv source with a
+    * corrupt-record column, quarantines the rejects, and reports
+    * per-lang good counts + parsed sums + the quarantine count. The
+    * oracle never parses CSV at all: it replays the CONSTRUCTION from
+    * the documents table (the q187 variant mechanism), so a parser that
+    * dropped a good row, accepted a truncated one, or mis-typed a
+    * column hash-mismatches. */
+  val q235CsvQuarantine: QueryDef = sql(
+    "q235_csv_quarantine",
+    """WITH good AS (
+      |  SELECT lang, doc_id, n_chars FROM documents WHERE doc_id % 10 <> 7),
+      |bad AS (SELECT count(*) AS n_bad FROM documents WHERE doc_id % 10 = 7),
+      |agg AS (
+      |  SELECT lang,
+      |         CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |         CAST(min(doc_id) AS BIGINT) AS min_id,
+      |         CAST(max(doc_id) AS BIGINT) AS max_id
+      |  FROM good GROUP BY lang)
+      |SELECT lang, n_rows, sum_chars, min_id, max_id,
+      |       (SELECT CAST(n_bad AS BIGINT) FROM bad) AS n_quarantined
+      |FROM agg
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val dd = docs(s, d)
+    val tmp = graft.core.Scratch.tempDir("q235csv")
+    val csvDir = s"$tmp/in"
+    dd.select(
+        when(col("doc_id") % 10 === 7,
+          concat_ws(",", col("doc_id"), col("lang")))
+          .otherwise(concat_ws(",", col("doc_id"), col("lang"),
+            col("n_chars"))).as("line"))
+      .write.mode("overwrite").text(csvDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt", StringType)))
+    val parsed = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(csvDir)
+      .cache()
+    val nBad = parsed.filter(col("_corrupt").isNotNull)
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    parsed.filter(col("_corrupt").isNull)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .withColumn("n_quarantined", lit(nBad))
+      .orderBy(col("lang"))
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk ACL 2019) —

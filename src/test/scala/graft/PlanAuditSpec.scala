@@ -173,6 +173,9 @@ class PlanAuditSpec extends SparkSpec {
     // ledgered quotient merges (each redelivered) before the final
     // mapping read; quotient/merge shapes pinned in VersionedCcIndexSpec
     "q234_incremental_cc",
+    // writes its CSV fixture, reads it through the PERMISSIVE csv
+    // source, and collects the quarantine count before the final agg
+    "q235_csv_quarantine",
     // writes the decile read to scratch for the oracle's true-rank
     // audit; summary/read shapes pinned in QuantileSummarySpec
     "q200_quantile_sketch")
