@@ -1742,7 +1742,7 @@ object TextQueries {
   }
 
   /** Engine twin of [[docEmbedDimSql]] (shared by q214/q224). */
-  private def docEmbedDim(j: Int): Column = {
+  private[graft] def docEmbedDim(j: Int): Column = {
     val salt = j / 8; val p = (j % 8) * 4 + 1
     ((conv(substring(md5(concat(col("text"), lit(s"|e$salt"))), p, 4),
       16, 10).cast("long") % 2001) - 1000).cast("double") / lit(1000.0)
@@ -1765,7 +1765,7 @@ object TextQueries {
     * top-10 under the one-vs-rest lang weak supervision, precision on
     * the ppm grid, first relevant rank. `lists`: (ranker, qid, doc_id,
     * rank) top-k rows. */
-  private def gradeRankers(dd: DataFrame, lists: DataFrame): DataFrame = {
+  private[graft] def gradeRankers(dd: DataFrame, lists: DataFrame): DataFrame = {
     flaggedLists(dd, lists)
       .groupBy(col("ranker"), col("qid"))
       .agg(count(lit(1)).as("n_ranked"), sum(col("rel")).as("n_rel"),
@@ -2148,9 +2148,21 @@ object TextQueries {
       .select(col("doc_id").as("qid"),
         explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
       .distinct()
-    val bm25full = idx.bm25TopK(probes, k = 10)
+    // ONE bucket collect shared by the bm25 and jac serves (same probe
+    // frame — each serve would otherwise pay its own driver round-trip)
+    val probedOnce = Some(idx.bucketsOf(probes))
+    // The first-pass list is ≤ k·|Q| rows and consumed FOUR times (bm25
+    // ranker, rrf input, rm3 feedback, and rm3's own probedBuckets
+    // collect): localCheckpoint pins the tiny result so the eager collect
+    // inside the RM3 chain doesn't evaluate a full serve that the final
+    // action then recomputes — measured 21.1 → 15.7s warm at sf0.1
+    // (ProfQ224). A tiny materialized list is exactly the case where
+    // pinning CANNOT hurt exchange reuse (the q203 counter-lesson was a
+    // corpus-sized cache).
+    val bm25full = idx.bm25TopK(probes, k = 10, probedOnce)
+      .localCheckpoint(true)
     val bm25 = bm25full.select(col("qid"), col("doc_id"), col("rank"))
-    val jac = idx.jaccardTopK(probes, k = 10)
+    val jac = idx.jaccardTopK(probes, k = 10, probedOnce)
       .select(col("qid"), col("doc_id"), col("rank"))
     val rrf = graft.similarity.Fusion
       .reciprocalRank(Seq("bm25" -> bm25, "jac" -> jac), kConst = 60,

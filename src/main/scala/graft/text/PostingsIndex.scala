@@ -60,18 +60,25 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
   /** The probed buckets of a term frame as a literal partition filter.
     * The collect is bounded by the DISTINCT probe terms (serving-batch
     * sized by construction — same argument as IvfIndex.topK's probe
-    * collect). */
-  private def probedBuckets(toks: DataFrame): Seq[Long] =
+    * collect). Public so a caller serving SEVERAL rankers from the same
+    * probe frame (q224's eval) can pay the collect ONCE and hand the
+    * result to each serve instead of one driver round-trip per ranker. */
+  def bucketsOf(toks: DataFrame): Seq[Long] =
     toks.select(pmod(xxhash64(col("tok")), lit(checkedBuckets)).as("bkt"))
       .distinct().collect().map(_.getLong(0)).toSeq
+
+  private def probedBuckets(toks: DataFrame): Seq[Long] = bucketsOf(toks)
 
   /** Top-`k` BM25 per probe, served from the PERSISTED index: identical
     * scoring to `Bm25.topK` by construction (both call `Bm25.contrib` /
     * `Bm25.sumAndRank`), but the corpus-side inputs are bucket-pruned
-    * index scans. `queries`: (qid, tok) distinct term rows. */
-  def bm25TopK(queries: DataFrame, k: Int): DataFrame = {
+    * index scans. `queries`: (qid, tok) distinct term rows.
+    * `probedHint`: the caller's pre-collected [[bucketsOf]] for this
+    * probe frame (must cover the probe's tokens — same-frame reuse). */
+  def bm25TopK(queries: DataFrame, k: Int,
+      probedHint: Option[Seq[Long]] = None): DataFrame = {
     val q = queries.select(col("qid").cast("long").as("qid"), col("tok"))
-    val probed = probedBuckets(q)
+    val probed = probedHint.getOrElse(probedBuckets(q))
     val post = postings.filter(col("bkt").isin(probed: _*))
       .select(col("tok"), col("doc_id"), col("tf"))
     val dfb = docFreq.filter(col("bkt").isin(probed: _*))
@@ -99,10 +106,11 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     * `sim_ppm = (|q∩d|·10^6) div (|q|+|d|−|q∩d|)`, rank ties by doc_id
     * — identical arithmetic and tie-breaks to the corpus recompute
     * (pinned in PostingsIndexSpec; q224's shared oracle). */
-  def jaccardTopK(queries: DataFrame, k: Int): DataFrame = {
+  def jaccardTopK(queries: DataFrame, k: Int,
+      probedHint: Option[Seq[Long]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("qid").cast("long").as("qid"), col("tok"))
-    val probed = probedBuckets(q)
+    val probed = probedHint.getOrElse(probedBuckets(q))
     val post = postings.filter(col("bkt").isin(probed: _*))
       .select(col("tok"), col("doc_id"))
     val qN = q.groupBy(col("qid")).agg(count(lit(1)).as("q_n"))
@@ -306,10 +314,18 @@ object PostingsIndex {
     new PostingsIndex(spark, path, n.toInt)
   }
 
-  /** Build + persist the index: two linear passes over the corpus (term
-    * postings with df folded in; positional postings), one tiny lengths
-    * table, one 1-row stats table. Writes shuffle on the token-hash
-    * bucket so each bucket directory is written co-located. */
+  /** Build + persist the index: THREE linear passes over the corpus
+    * (lengths; term postings; positional postings) — the two global
+    * statistics tables are derived from the tables just written instead
+    * of re-scanning the corpus: stats is an aggregation of the persisted
+    * lengths (t = Σdl, nd = rows — identical by construction) and df is
+    * rows-per-token over the persisted postings (one posting row per
+    * (doc, distinct token) — the LedgeredPostingsIndex derivation, paid
+    * once at build instead of per serve). At 100 TB the corpus scans ARE
+    * the build cost, so 5 → 3 passes is the honest shave; the read-backs
+    * touch only the (much smaller) aggregated tables. Writes shuffle on
+    * the token-hash bucket so each bucket directory is written
+    * co-located. */
   def build(docs: DataFrame, path: String, idCol: String, textCol: String,
       nBuckets: Int = 64): PostingsIndex = {
     val spark = docs.sparkSession
@@ -325,18 +341,20 @@ object PostingsIndex {
     // is appendable, so carrying it here costs nothing at merge time,
     // while recovering it from the token-partitioned postings would
     // touch every bucket (the q221 forward-store argument)
-    val dl = base.select(col("doc_id"), size(col("w")).cast("long").as("dl"),
-      size(array_distinct(col("w"))).cast("long").as("dln"))
-    dl.write.mode("overwrite").parquet(s"$path/lengths")
-    dl.agg(sum(col("dl")).as("t"), count(lit(1)).as("nd"))
+    base.select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        size(array_distinct(col("w"))).cast("long").as("dln"))
+      .write.mode("overwrite").parquet(s"$path/lengths")
+    spark.read.parquet(s"$path/lengths")
+      .agg(sum(col("dl")).as("t"), count(lit(1)).as("nd"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     val bkt = pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("bkt")
-    val dt = base.select(col("doc_id"), explode(col("w")).as("tok"))
+    base.select(col("doc_id"), explode(col("w")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    dt.select(col("tok"), col("doc_id"), col("tf"), bkt)
+      .select(col("tok"), col("doc_id"), col("tf"), bkt)
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/postings")
-    dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .select(col("tok"), col("df"), bkt)
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/df")
