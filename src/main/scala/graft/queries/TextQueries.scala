@@ -34,7 +34,7 @@ object TextQueries {
     q219Rm3Expand, q220StreamPostings, q221PhraseSnippets, q222Rm3Index,
     q223StreamExactlyOnce, q224IndexedEval, q225Collocations,
     q226DpNoisyCounts, q228WinnowOverlap, q229RbpEval, q231BitextMining,
-    q235CsvQuarantine)
+    q235CsvQuarantine, q236MaxScoreServe)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -2192,6 +2192,61 @@ object TextQueries {
       .unionByName(vec.withColumn("ranker", lit("vec")))
       .unionByName(rm3.withColumn("ranker", lit("rm3")))
     gradeRankers(dd, lists)
+  }
+
+  /** MaxScore-pruned EXACT top-k BM25 serving (Turtle & Flood 1995) —
+    * `PostingsIndex.bm25TopKMaxScore` over a bounds-carrying persisted
+    * index: per-term upper bounds at the (max_tf, min_dl) corner, a
+    * θ from the seed term's fully-scored postings, ascending-ub prefix
+    * sums splitting essential from prunable terms, candidates from
+    * essential postings only. The ORACLE IS THE UNPRUNED RECOMPUTE
+    * (q184's chain on these probes), so the driver hash gate is the
+    * pruning-exactness theorem itself: one over-pruned document and the
+    * hash flips. Probes widen q184's to docs 0–7 so the two queries
+    * also cross-check each other's shared scoring chain on different
+    * probe sets. Candidate-volume reduction is measured in ScaleSmoke
+    * `maxscore_serve` on a stopword-adversarial corpus (the uniform
+    * synthetic vocabulary here barely prunes — by design the gate only
+    * needs equality). */
+  val q236MaxScoreServe: QueryDef = sql(
+    "q236_maxscore_serve",
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
+      |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nd
+      |        FROM dl),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM (SELECT doc_id, unnest(w) AS tok FROM base)
+      |       GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+      |q AS (SELECT DISTINCT doc_id AS qid, unnest(w[1:8]) AS tok
+      |      FROM base WHERE doc_id < 8),
+      |sc AS (
+      |  SELECT q.qid, dt.doc_id,
+      |         CAST(sum(CAST((nd * 1000) // df AS HUGEINT) *
+      |                  ((88 * tf * CAST(t AS HUGEINT) * 1000000) //
+      |                   (40 * CAST(t AS HUGEINT) * tf + 12 * t + 36 * dl.dl * nd))) AS BIGINT)
+      |           AS score_i
+      |  FROM q JOIN dfq USING (tok) JOIN dt USING (tok)
+      |  JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN tot
+      |  WHERE dt.doc_id <> q.qid
+      |  GROUP BY q.qid, dt.doc_id)
+      |SELECT qid, rank, doc_id, score_i FROM (
+      |  SELECT qid, doc_id, score_i,
+      |         row_number() OVER (PARTITION BY qid
+      |                            ORDER BY score_i DESC, doc_id) AS rank
+      |  FROM sc)
+      |WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val idx = graft.text.PostingsIndex.build(dd,
+      graft.core.Scratch.dir("q236_maxscore_index", d), "doc_id", "text",
+      nBuckets = 16, withBounds = true)
+    val probes = dd.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+      .distinct()
+    idx.bm25TopKMaxScore(probes, k = 10)
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** Collocation mining — `text.Collocations.topLift`: top-50 adjacent

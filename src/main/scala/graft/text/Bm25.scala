@@ -36,18 +36,29 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  /** The per-(query, doc, term) contribution on the DECIMAL(38,0) grid —
-    * expects columns `nd`, `df`, `tf`, `t`, `dl`. Shared by [[topK]]
-    * (corpus recompute) and `PostingsIndex.bm25TopK` (persisted-index
-    * serve) so the two paths are the same expression by construction. */
-  private[text] def contrib: org.apache.spark.sql.Column =
+  /** [[contrib]] with the tf/dl operands taken from caller-chosen
+    * columns — the MaxScore serve's upper bound is this exact expression
+    * evaluated at the term's (max_tf, min_dl) corner: the saturation
+    * ratio is nondecreasing in tf and nonincreasing in dl (a monotone
+    * rational; `div` is its floor, and the floor of a monotone function
+    * is monotone), so contribNamed("max_tf","min_dl") dominates the
+    * term's contribution on EVERY posting. Same string for ("tf","dl")
+    * keeps the two paths one expression by construction. */
+  private[text] def contribNamed(tf: String, dl: String): org.apache.spark.sql.Column =
     // DECIMAL(38,0) like GiniTree's sk: 88·tf·T·10^6 wraps a BIGINT
     // once T·tf > ~10^14 (non-ANSI Spark wraps SILENTLY), so both
     // products are cast wide BEFORE multiplying; DECIMAL(38,0) div
     // ≡ DuckDB HUGEINT // (the q193 parity rule)
     expr("CAST((nd * 1000) div df AS DECIMAL(38,0))") *
-      expr("(88 * tf * CAST(t AS DECIMAL(38,0)) * 1000000) div " +
-        "(40 * CAST(t AS DECIMAL(38,0)) * tf + 12 * t + 36 * CAST(dl AS DECIMAL(38,0)) * nd)")
+      expr(s"(88 * $tf * CAST(t AS DECIMAL(38,0)) * 1000000) div " +
+        s"(40 * CAST(t AS DECIMAL(38,0)) * $tf + 12 * t + 36 * CAST($dl AS DECIMAL(38,0)) * nd)")
+
+  /** The per-(query, doc, term) contribution on the DECIMAL(38,0) grid —
+    * expects columns `nd`, `df`, `tf`, `t`, `dl`. Shared by [[topK]]
+    * (corpus recompute) and `PostingsIndex.bm25TopK` (persisted-index
+    * serve) so the two paths are the same expression by construction. */
+  private[text] def contrib: org.apache.spark.sql.Column =
+    contribNamed("tf", "dl")
 
   /** Sum per-term contributions per (qid, doc_id), land on the long
     * score grid (failing LOUDLY on overflow instead of wrapping), rank,

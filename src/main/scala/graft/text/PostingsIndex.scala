@@ -43,6 +43,17 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
   def lengths: DataFrame = spark.read.parquet(s"$path/lengths")
   def stats: DataFrame = spark.read.parquet(s"$path/stats")
 
+  /** Per-term (max_tf, min_dl) score-bound corners — vocabulary-sized,
+    * written by `build(withBounds = true)` and maintained by [[merge]]
+    * (both facts are mergeable: max/min combine). Present only on
+    * indexes built for the MaxScore serve. */
+  def bounds: DataFrame = spark.read.parquet(s"$path/bounds")
+
+  private def hasBounds: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/bounds")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** nBuckets validated ONCE against the persisted layout: opening an
     * index with a different bucket count would route probe terms to the
     * wrong partition directories — matches silently pruned away, merges
@@ -94,6 +105,115 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc_id"), Bm25.contrib.as("contrib"))
     Bm25.sumAndRank(perTerm, k)
+  }
+
+  /** MaxScore-pruned EXACT top-`k` BM25 (Turtle & Flood, Information
+    * Processing & Management 1995) — identical output to [[bm25TopK]] by
+    * theorem, not by recompute:
+    *
+    *  1. every query term gets an upper bound `ub` = the shared contrib
+    *     expression at its persisted (max_tf, min_dl) corner (monotone in
+    *     both operands, see `Bm25.contribNamed`), so `Σ ub over matched
+    *     terms ≥ true score` for every document;
+    *  2. a threshold θ = the k-th best FULL score among the documents
+    *     matching the single highest-ub term (usually the rarest — the
+    *     shortest posting list). Those k documents stay eligible, so the
+    *     final k-th score is ≥ θ;
+    *  3. sort terms by ub ascending and take prefix sums: a document
+    *     matching ONLY terms whose prefix sum stays strictly below θ has
+    *     score ≤ that prefix sum < θ ≤ k documents' scores — it cannot
+    *     reach the top k under ANY tie-break. Terms above the cut are
+    *     the ESSENTIAL set; candidate generation touches only their
+    *     postings, and final scoring semi-joins the candidates BEFORE
+    *     the (qid, doc) aggregation.
+    *
+    * What this buys at scale: the unpruned serve shuffles one scored row
+    * per (query term, matching doc) into the groupBy/rank — a stopword
+    * in the query makes that corpus-sized. Here the stopword lands in
+    * the non-essential suffix, so corpus-sized posting lists are scanned
+    * (columnar storage cannot skip a scan the way a doc-ordered WAND
+    * cursor does) but never aggregated or ranked — the shuffle/agg
+    * volume is the Spark-native saving. Measured (ScaleSmoke
+    * `maxscore_serve` vs `bm25_unpruned_serve`, stopword-adversarial
+    * corpus): 20× corpus → 3.8× pruned wall vs 25× unpruned; the pruned
+    * residual slope is the three column-pruned scans of the stopword
+    * list (θ pass, candidate filter, final pass). Queries where the seed
+    * term matches < k documents get no θ and degrade to the exact
+    * unpruned serve. Exactness is pinned in PostingsIndexSpec against
+    * `Bm25.topK` on a stopword-adversarial corpus; q236's oracle is the
+    * UNPRUNED recompute, so the driver hash gate IS the theorem. */
+  def bm25TopKMaxScore(queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("qid").cast("long").as("qid"), col("tok"))
+    val probed = probedBuckets(q)
+    val post = postings.filter(col("bkt").isin(probed: _*))
+      .select(col("tok"), col("doc_id"), col("tf"))
+    val essential = maxScoreEssential(q, probed, k)
+    val candidates = broadcast(essential).join(post, "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id")).distinct()
+    Bm25.sumAndRank(fullScores(q, probed, candidates), k)
+  }
+
+  /** The candidate-pruned scoring join shared by [[bm25TopKMaxScore]]'s
+    * θ pass and final pass: identical contrib chain to [[bm25TopK]] with
+    * a (qid, doc_id) semi-join BEFORE the aggregation. */
+  private def fullScores(q: DataFrame, probed: Seq[Long],
+      cand: DataFrame): DataFrame =
+    broadcast(q)
+      .join(docFreq.filter(col("bkt").isin(probed: _*))
+        .select(col("tok"), col("df")), "tok")
+      .join(postings.filter(col("bkt").isin(probed: _*))
+        .select(col("tok"), col("doc_id"), col("tf")), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(cand, Seq("qid", "doc_id"), "left_semi")
+      .join(lengths.hint("shuffle_hash"), "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"), Bm25.contrib.as("contrib"))
+
+  /** The ESSENTIAL term set of the MaxScore split — (qid, tok) rows the
+    * candidate generation may touch. Package-private so the spec can
+    * assert the pruning actually binds (stopword excluded) independently
+    * of the equality gate. */
+  private[text] def maxScoreEssential(q: DataFrame, probed: Seq[Long],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(hasBounds, s"index at $path lacks the bounds table — " +
+      "build with withBounds = true for the MaxScore serve")
+    val post = postings.filter(col("bkt").isin(probed: _*))
+      .select(col("tok"), col("doc_id"), col("tf"))
+    // per-(query, term) upper bound at the persisted corner
+    val bnd = bounds.filter(col("bkt").isin(probed: _*))
+      .select(col("tok"), col("max_tf"), col("min_dl"))
+    val ub = broadcast(q)
+      .join(docFreq.filter(col("bkt").isin(probed: _*))
+        .select(col("tok"), col("df")), "tok")
+      .join(bnd, "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("tok"),
+        Bm25.contribNamed("max_tf", "min_dl").as("ub"))
+    val seed = ub
+      .withColumn("sr", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("ub").desc, col("tok"))))
+      .filter(col("sr") === 1).select(col("qid"), col("tok"))
+    val seedDocs = broadcast(seed).join(post, "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"))
+    val theta = fullScores(q, probed, seedDocs)
+      .groupBy(col("qid"), col("doc_id")).agg(sum(col("contrib")).as("s"))
+      .withColumn("tr", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("tr") === k)
+      .select(col("qid"), col("s").as("theta"))
+    // ascending-ub prefix sums: below-θ prefix = non-essential suffix of
+    // the classic formulation; no θ row (seed matched < k docs) keeps
+    // every term essential — the exact-fallback branch
+    val wCum = Window.partitionBy(col("qid"))
+      .orderBy(col("ub").asc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ub.join(theta, Seq("qid"), "left")
+      .withColumn("csum", sum(col("ub")).over(wCum))
+      .filter(col("theta").isNull || col("csum") >= col("theta"))
+      .select(col("qid"), col("tok"))
   }
 
   /** Top-`k` distinct-token Jaccard per probe, served from the PERSISTED
@@ -200,6 +320,28 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
+    if (hasBounds) {
+      // bounds combine like df: max/min are mergeable, so the rewrite is
+      // old ∪ batch corner-combined per token (vocabulary-sized, through
+      // the same staging barrier)
+      val bDelta = dt.join(dlNew.select(col("doc_id"), col("dl")), "doc_id")
+        .groupBy(col("tok"))
+        .agg(max(col("tf")).as("max_tf_d"), min(col("dl")).as("min_dl_d"))
+      val bStaging = s"$path/bounds_staging"
+      bounds.select(col("tok"), col("max_tf"), col("min_dl"))
+        .join(bDelta, Seq("tok"), "full_outer")
+        .select(col("tok"),
+          greatest(coalesce(col("max_tf"), lit(0L)),
+            coalesce(col("max_tf_d"), lit(0L))).as("max_tf"),
+          least(coalesce(col("min_dl"), lit(Long.MaxValue)),
+            coalesce(col("min_dl_d"), lit(Long.MaxValue))).as("min_dl"))
+        .write.mode("overwrite").parquet(bStaging)
+      spark.read.parquet(bStaging)
+        .select(col("tok"), col("max_tf"), col("min_dl"), bkt)
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/bounds")
+      fs.delete(new org.apache.hadoop.fs.Path(bStaging), true): Unit
+    }
     // commit point: the 1-row stats write lands only after every other
     // table has
     import spark.implicits._
@@ -217,7 +359,8 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
   def compact(): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (table <- Seq("postings", "positions", "df")) {
+    for (table <- Seq("postings", "positions", "df") ++
+        (if (hasBounds) Seq("bounds") else Nil)) {
       val staging = s"$path/${table}_compact_staging"
       spark.read.parquet(s"$path/$table")
         .write.mode("overwrite").parquet(staging)
@@ -327,7 +470,7 @@ object PostingsIndex {
     * the token-hash bucket so each bucket directory is written
     * co-located. */
   def build(docs: DataFrame, path: String, idCol: String, textCol: String,
-      nBuckets: Int = 64): PostingsIndex = {
+      nBuckets: Int = 64, withBounds: Boolean = false): PostingsIndex = {
     val spark = docs.sparkSession
     locally {
       import spark.implicits._
@@ -358,6 +501,19 @@ object PostingsIndex {
       .select(col("tok"), col("df"), bkt)
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/df")
+    if (withBounds)
+      // per-term score-bound corner, from the read-backs (no extra
+      // corpus pass): max_tf over the term's postings, min_dl over the
+      // documents that contain it — the two operands bm25TopKMaxScore's
+      // upper bound needs, both mergeable facts
+      spark.read.parquet(s"$path/postings")
+        .join(spark.read.parquet(s"$path/lengths")
+          .select(col("doc_id"), col("dl")), "doc_id")
+        .groupBy(col("tok"))
+        .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+        .select(col("tok"), col("max_tf"), col("min_dl"), bkt)
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/bounds")
     base.select(col("doc_id"),
         posexplode(col("w")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"), bkt)

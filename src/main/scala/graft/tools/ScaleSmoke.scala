@@ -361,6 +361,35 @@ object ScaleSmoke {
           spark.catalog.clearCache()
         }
       }
+      if ("maxscore_serve".contains(opFilter) ||
+          "bm25_unpruned_serve".contains(opFilter)) {
+        // MaxScore pruning (q236): adversarial corpus where EVERY doc
+        // carries stopword "zz" and one of ~nDocs/20 rare terms. Probes =
+        // [zz + one rare term] per query. The unpruned serve ships one
+        // scored row per (term, matching doc) into the (qid, doc)
+        // aggregation — corpus-sized because of zz — while the pruned
+        // serve's candidates come only from the rare (essential) terms,
+        // so its aggregated volume tracks the ~20-doc rare lists at any
+        // corpus scale. Expect: unpruned grows ~linearly in k, pruned
+        // near-flat. Index build outside the timers (standing state).
+        val nDocs = n0 * k
+        val corpus = spark.range(1, nDocs + 1).select(col("id").as("doc_id"),
+          concat_ws(" ", lit("zz"),
+            concat(lit("r"), pmod(col("id"), lit(nDocs / 20))),
+            lit("zz"), concat(lit("w"), col("id")),
+            lit("zz"), concat(lit("x"), col("id"))).as("text"))
+        val msPath = graft.core.Scratch.tempDir(s"smoke_maxscore_idx_$k")
+        val msIdx = graft.text.PostingsIndex.build(corpus, msPath,
+          "doc_id", "text", withBounds = true)
+        val msProbes = spark.range(1, 6).select(
+            (col("id") + lit(1_000_000_000L)).as("qid"),
+            explode(array(lit("zz"), concat(lit("r"), col("id")))).as("tok"))
+          .cache()
+        msProbes.count()
+        time("maxscore_serve", k)(msIdx.bm25TopKMaxScore(msProbes, k = 10))
+        time("bm25_unpruned_serve", k)(msIdx.bm25TopK(msProbes, k = 10))
+        msProbes.unpersist()
+      }
       if ("ledgered_ingest".contains(opFilter) ||
           "ledgered_redelivery".contains(opFilter) ||
           "ledgered_serve".contains(opFilter)) {

@@ -54,7 +54,8 @@ class PlanAuditSpec extends SparkSpec {
     "q204_kcore", // core members × broadcast 1-row (n_core, m_core) totals (q113's shape)
     "q225_collocations", // pair counts × broadcast 1-row (n_tok, n_big) totals (q113's shape)
     "q229_rbp_eval", // embeds q214's five ranker chains: same broadcast-1-row BM25 totals shape
-    "q231_bitext_mining") // tgt pool × broadcast src pool, conditionless block product (q32's shape)
+    "q231_bitext_mining", // tgt pool × broadcast src pool, conditionless block product (q32's shape)
+    "q236_maxscore_serve") // index-served BM25: scored rows × broadcast 1-row (t, nd) stats, in the θ pass and final pass (q184's totals shape, twice)
 
   /** Queries whose run function EXECUTES side-effectful work (index build,
     * store writes, a scratch-table write, a streaming tick) before
@@ -157,6 +158,9 @@ class PlanAuditSpec extends SparkSpec {
     // before serving all five eval rankers from them; serve shapes
     // pinned in PostingsIndexSpec/KnnSpec
     "q224_indexed_retrieval_eval",
+    // builds + persists the bounds-carrying postings index before the
+    // MaxScore serve; pruned-serve shape pinned in PostingsIndexSpec
+    "q236_maxscore_serve",
     // runs the full exactly-once protocol on the BAND index (torn ghost,
     // file-drip stream, redeliveries, multiset theorem, probe dump);
     // merge/heal/probe shapes pinned in LedgeredBandIndexSpec

@@ -130,6 +130,77 @@ class PostingsIndexSpec extends SparkSpec {
     }
   }
 
+  test("MaxScore serve equals the unpruned recompute on random corpora") {
+    for (trial <- 1 to 2) {
+      val corpus = fixture(20, 70 + trial).toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+      val idx = PostingsIndex.build(corpus, dir, "doc_id", "text",
+        nBuckets = 8, withBounds = true)
+      val probes = corpus.filter(col("doc_id") <= 3)
+        .select(col("doc_id").as("qid"),
+          explode(slice(split(col("text"), " "), 1, 4)).as("tok"))
+        .distinct()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "rank", "doc_id", "score_i")
+          .as[(Long, Int, Long, Long)].collect().toSet
+      for (k <- Seq(3, 5, 12))
+        assert(rows(idx.bm25TopKMaxScore(probes, k)) ==
+          rows(Bm25.topK(corpus, "doc_id", "text", probes, k)),
+          s"trial $trial k=$k")
+    }
+  }
+
+  test("MaxScore prunes the stopword on an adversarial corpus and stays exact") {
+    // every doc carries stopword "zz"; each doc also has rare content
+    // terms. Probing [zz + a rare term] must (a) return the exact
+    // unpruned top-k and (b) mark zz NON-essential: its ub is tiny
+    // (df = corpus) while θ comes from the rare term's fully-scored
+    // matches — the corpus-sized posting list never reaches candidate
+    // generation or the scoring aggregation.
+    val corpus = (1L to 40L).map { i =>
+      val rare = s"r${i % 8}" // 5 docs per rare term → θ exists at k=3
+      i -> s"zz $rare zz w$i zz x$i"
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+    val idx = PostingsIndex.build(corpus, dir, "doc_id", "text",
+      nBuckets = 8, withBounds = true)
+    val probes = Seq((100L, "zz"), (100L, "r1"), (101L, "zz"), (101L, "r2"))
+      .toDF("qid", "tok")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "doc_id", "score_i")
+        .as[(Long, Int, Long, Long)].collect().toSet
+    assert(rows(idx.bm25TopKMaxScore(probes, 3)) ==
+      rows(Bm25.topK(corpus, "doc_id", "text", probes, 3)))
+    val q = probes.select(col("qid").cast("long").as("qid"), col("tok"))
+    val ess = idx.maxScoreEssential(q, idx.bucketsOf(q), 3)
+      .as[(Long, String)].collect().toSet
+    assert(ess == Set((100L, "r1"), (101L, "r2")),
+      s"stopword must be pruned from the essential set, got $ess")
+  }
+
+  test("merge maintains bounds (rebuild-identical) and the MaxScore serve " +
+      "after merge equals the recompute") {
+    val all = fixture(24, 17)
+    val (standing, batch) = all.partition(_._1 % 5 != 0)
+    val mergedDir = java.nio.file.Files.createTempDirectory("pidx").toString
+    val idx = PostingsIndex.build(standing.toDF("doc_id", "text"),
+      mergedDir, "doc_id", "text", nBuckets = 8, withBounds = true)
+    idx.merge(batch.toDF("doc_id", "text"), "doc_id", "text")
+    val rebuiltDir = java.nio.file.Files.createTempDirectory("pidx").toString
+    val rebuilt = PostingsIndex.build(all.toDF("doc_id", "text"),
+      rebuiltDir, "doc_id", "text", nBuckets = 8, withBounds = true)
+    def set(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(set(idx.bounds, "tok", "max_tf", "min_dl", "bkt") ==
+      set(rebuilt.bounds, "tok", "max_tf", "min_dl", "bkt"))
+    val probes = all.take(3).map { case (i, t) =>
+      (i, t.split(" ").head) }.toDF("qid", "tok")
+    assert(set(idx.bm25TopKMaxScore(probes, 5),
+        "qid", "rank", "doc_id", "score_i") ==
+      set(Bm25.topK(all.toDF("doc_id", "text"), "doc_id", "text", probes, 5),
+        "qid", "rank", "doc_id", "score_i"))
+  }
+
   test("a persisted index rejects a mismatched bucket count; open() reads it") {
     val corpus = fixture(10, 3).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("pidx").toString
