@@ -34,7 +34,7 @@ object TextQueries {
     q219Rm3Expand, q220StreamPostings, q221PhraseSnippets, q222Rm3Index,
     q223StreamExactlyOnce, q224IndexedEval, q225Collocations,
     q226DpNoisyCounts, q228WinnowOverlap, q229RbpEval, q231BitextMining,
-    q235CsvQuarantine, q236MaxScoreServe)
+    q235CsvQuarantine, q236MaxScoreServe, q237NdcgEval)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -1996,6 +1996,66 @@ object TextQueries {
           .as("rbp_ppm"),
         (lit(1024L) - sum(expr("shiftleft(1, 10 - rank)")))
           .as("missing_scaled"))
+      .orderBy(col("ranker"), col("qid"))
+  }
+
+  /** nDCG@10 discount grid as LITERALS shared by both engines (the
+    * DpNoise discipline): log2 is irrational, so the discount
+    * 1/log2(i+1) is frozen ONCE in Scala as D_i = floor(2^30/log2(i+1))
+    * and emitted into the oracle SQL and the engine expression as the
+    * same 10-branch CASE — neither engine ever computes a logarithm. */
+  private val ndcgDiscount: IndexedSeq[Long] = (1 to 10).map(i =>
+    math.floor(math.pow(2, 30) / (math.log(i + 1.0) / math.log(2.0))).toLong)
+  private val ndcgIdealPrefix: IndexedSeq[Long] = ndcgDiscount.scanLeft(0L)(_ + _).tail
+
+  private def ndcgDcgSql(rankCol: String): String =
+    s"CASE $rankCol " + (1 to 10).map(i =>
+      s"WHEN $i THEN ${ndcgDiscount(i - 1)}").mkString(" ") + " END"
+
+  private def ndcgIdcgSql(rCol: String): String =
+    s"CASE least($rCol, 10) " + (1 to 10).map(j =>
+      s"WHEN $j THEN ${ndcgIdealPrefix(j - 1)}").mkString(" ") + " END"
+
+  /** nDCG@10 for the five rankers — the GRADED-discount companion to
+    * q214's precision@10 and q229's RBP (the classic triple of top-k
+    * retrieval metrics): DCG = Σ rel_i · D_i over the ranked list, IDEAL
+    * DCG from the CORPUS-TRUTH relevant count per query (all docs of the
+    * query's lang minus self, capped at 10 — the standard nDCG@k
+    * denominator, not the in-list count), ndcg on the ppm grid. All
+    * arithmetic is integer over the frozen dyadic-scaled discount grid
+    * (see [[ndcgDiscount]]); queries whose lang is unique (zero relevant
+    * docs exist) define ndcg = 0. Shares the five-ranker lists CTE with
+    * q214/q224/q229, so the three evals cross-check one list surface. */
+  val q237NdcgEval: QueryDef = sql(
+    "q237_ndcg_eval",
+    retrievalListsSql +
+      s"""
+        |, lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+        |         FROM documents GROUP BY lang)
+        |SELECT f.ranker, f.qid,
+        |       CAST(sum(f.rel * ${ndcgDcgSql("f.r")}) AS BIGINT) AS dcg_scaled,
+        |       CAST(max(lc.n_lang - 1) AS BIGINT) AS n_rel_corpus,
+        |       CAST(CASE WHEN max(lc.n_lang - 1) = 0 THEN 0
+        |            ELSE (sum(f.rel * ${ndcgDcgSql("f.r")}) * 1000000) //
+        |                 (${ndcgIdcgSql("max(lc.n_lang - 1)")})
+        |            END AS BIGINT) AS ndcg_ppm
+        |FROM flagged f
+        |JOIN lab ql ON ql.doc_id = f.qid
+        |JOIN lc ON lc.lang = ql.lang
+        |GROUP BY f.ranker, f.qid
+        |ORDER BY f.ranker, f.qid""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val lc = dd.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    flaggedLists(dd, recomputedRankerLists(s, d))
+      .join(broadcast(lc.select(col("lang").as("q_lang"), col("n_lang"))),
+        "q_lang")
+      .groupBy(col("ranker"), col("qid"))
+      .agg(
+        sum(expr(s"rel * ${ndcgDcgSql("rank")}")).as("dcg_scaled"),
+        max(col("n_lang") - 1).as("n_rel_corpus"),
+        expr(s"CASE WHEN max(n_lang - 1) = 0 THEN 0L ELSE " +
+          s"(sum(rel * ${ndcgDcgSql("rank")}) * 1000000) div " +
+          s"(${ndcgIdcgSql("max(n_lang - 1)")}) END").as("ndcg_ppm"))
       .orderBy(col("ranker"), col("qid"))
   }
 

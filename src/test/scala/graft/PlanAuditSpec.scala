@@ -54,6 +54,7 @@ class PlanAuditSpec extends SparkSpec {
     "q204_kcore", // core members × broadcast 1-row (n_core, m_core) totals (q113's shape)
     "q225_collocations", // pair counts × broadcast 1-row (n_tok, n_big) totals (q113's shape)
     "q229_rbp_eval", // embeds q214's five ranker chains: same broadcast-1-row BM25 totals shape
+    "q237_ndcg_eval", // embeds q214's five ranker chains: same broadcast-1-row BM25 totals shape
     "q231_bitext_mining", // tgt pool × broadcast src pool, conditionless block product (q32's shape)
     "q236_maxscore_serve") // index-served BM25: scored rows × broadcast 1-row (t, nd) stats, in the θ pass and final pass (q184's totals shape, twice)
 
