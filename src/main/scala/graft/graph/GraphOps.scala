@@ -328,4 +328,45 @@ object GraphOps {
     }
     KCoreResult(nodes, live, converged, round)
   }
+
+  /** HyperBall (Boldi–Vigna, ALENEX 2013): per-node HyperLogLog counters
+    * of the radius-r ball, iterated by REGISTER MAX-MERGE along edges —
+    * the neighborhood-function / effective-diameter estimator that works
+    * where per-node BFS cannot (Σ over nodes of |Ball(v, r)| would need
+    * n BFS runs; here each round is ONE equi-join + partial-max
+    * aggregation over (node, register) rows, n·m state total). Built on
+    * the repo's deterministic HLL ([[graft.operators.HllSketch]]: 48-bit
+    * md5 registers, no float log anywhere), so both engines replay every
+    * register bit — the oracle unrolls the rounds.
+    *
+    * `edges`: (src, dst) DIRECTED rows (symmetrize for undirected balls).
+    * Returns (radius, id, reg, max_rho) for radius 0..rounds; radius 0 is
+    * the singleton {v}. Correctness invariant (spec-pinned): the radius-r
+    * registers of v EQUAL `HllSketch.registers` of the exact BFS ball
+    * B(v, r) — max-merge along edges commutes with set union, which is
+    * the whole HyperBall trick.
+    *
+    * 100 TB shape: state is n·m rows (m = 2^p registers), each round
+    * shuffles |E|·m posting rows through a partial-max — mergeable all
+    * the way down, no frontier materialization, no per-node traversal.
+    * Rounds are unrolled lazily (2–3 typical) so AQE plans the whole
+    * chain and reuses the edge exchange across rounds. */
+  def hyperBallRegisters(edges: DataFrame, rounds: Int, p: Int = 4,
+      salt: String = "hb-v1"): DataFrame = {
+    require(rounds >= 1 && rounds <= 6, s"rounds=$rounds out of [1,6]")
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    var b = graft.operators.HllSketch.registers(
+      nodes.withColumn("v", col("id")), "id", "v", p, salt)
+    var out = b.withColumn("radius", lit(0L))
+    for (r <- 1 to rounds) {
+      val fromNbrs = edges
+        .join(b.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("reg"), col("max_rho"))
+      b = b.unionByName(fromNbrs)
+        .groupBy(col("id"), col("reg")).agg(max(col("max_rho")).as("max_rho"))
+      out = out.unionByName(b.withColumn("radius", lit(r.toLong)))
+    }
+    out.select(col("radius"), col("id"), col("reg"), col("max_rho"))
+  }
 }

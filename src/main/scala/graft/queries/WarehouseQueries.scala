@@ -24,7 +24,7 @@ object WarehouseQueries {
     q144CountMinHeavy, q145EventTransitions, q146MergeTombstones,
     q150IncrementalAgg, q179KAnonymity, q182LabelProp, q189MgHeavy,
     q203CoTriangles, q204KCore, q207PprExpand,
-    q200QuantileSketch)
+    q200QuantileSketch, q238HyperballNf)
 
   /** The nation→nation supply graph: an edge when a customer of nation
     * `src` ordered a line item supplied from nation `dst`. Fact-fact join
@@ -678,6 +678,102 @@ object WarehouseQueries {
     "SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a, " +
       "CAST(y.l_partkey AS BIGINT) AS b FROM lineitem x JOIN lineitem y " +
       "ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"
+
+  /** HyperBall neighborhood function (Boldi–Vigna 2013) over the
+    * co-purchase graph — `GraphOps.hyperBallRegisters`: per-part HLL
+    * counters of the radius-0/1/2 ball, iterated by register max-merge
+    * along edges (the sketch-meets-graph operator: ball sizes for every
+    * node at once where per-node BFS is n traversals). Registers are the
+    * repo's deterministic 48-bit-md5 HLL (q136's convention, p = 4), so
+    * the oracle replays BOTH rounds register-by-register; the per-node
+    * estimate stays integer end to end — Z is scaled by 2^45 (every
+    * 2^(45−ρ) is an exact BIGINT, absent registers contribute 2^45) and
+    * est_milli = ⌊172288·2^45 / Z_s⌋ in DECIMAL(38,0) ≡ HUGEINT (α16·m²
+    * = 172.288 frozen on the milli grid; raw FFGM estimate, small-range
+    * correction deliberately not emitted — HllSketch's documented
+    * stance). Output: top-25 nodes per radius by estimated ball size
+    * (z_scaled ascending = estimate descending, an integer total order)
+    * with the per-radius node count and neighborhood-function total. */
+  val q238HyperballNf: QueryDef = sql(
+    "q238_hyperball_nf",
+    """WITH pe AS (
+      |  SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
+      |                  CAST(y.l_partkey AS BIGINT) AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |e AS (SELECT a AS src, b AS dst FROM pe
+      |      UNION ALL SELECT b AS src, a AS dst FROM pe),
+      |n AS (SELECT DISTINCT src AS id FROM e),
+      |h AS (SELECT id,
+      |        ('0x' || substr(md5(CAST(id AS VARCHAR) || '|hb-v1'), 1, 12))::BIGINT AS h
+      |      FROM n),
+      |b0 AS (SELECT id, h // 17592186044416 AS reg,
+      |         CASE WHEN h % 17592186044416 = 0 THEN CAST(45 AS BIGINT)
+      |              ELSE 45 - length(bin(h % 17592186044416)) END AS max_rho
+      |       FROM h),
+      |b1 AS (SELECT id, reg, CAST(max(max_rho) AS BIGINT) AS max_rho FROM (
+      |         SELECT id, reg, max_rho FROM b0
+      |         UNION ALL
+      |         SELECT e.dst AS id, b0.reg, b0.max_rho
+      |         FROM e JOIN b0 ON b0.id = e.src)
+      |       GROUP BY id, reg),
+      |b2 AS (SELECT id, reg, CAST(max(max_rho) AS BIGINT) AS max_rho FROM (
+      |         SELECT id, reg, max_rho FROM b1
+      |         UNION ALL
+      |         SELECT e.dst AS id, b1.reg, b1.max_rho
+      |         FROM e JOIN b1 ON b1.id = e.src)
+      |       GROUP BY id, reg),
+      |allr AS (
+      |  SELECT CAST(0 AS BIGINT) AS radius, id, reg, max_rho FROM b0
+      |  UNION ALL SELECT CAST(1 AS BIGINT), id, reg, max_rho FROM b1
+      |  UNION ALL SELECT CAST(2 AS BIGINT), id, reg, max_rho FROM b2),
+      |pn AS (SELECT radius, id, CAST(count(*) AS BIGINT) AS n_regs,
+      |         CAST(sum(CAST(1 AS BIGINT) << CAST(45 - max_rho AS INT))
+      |              + (16 - count(*)) * 35184372088832 AS BIGINT) AS z_scaled
+      |       FROM allr GROUP BY radius, id),
+      |pest AS (SELECT radius, id, n_regs, z_scaled,
+      |           CAST((CAST(172288 AS HUGEINT) * 35184372088832) // z_scaled
+      |                AS BIGINT) AS est_milli
+      |         FROM pn),
+      |tot AS (SELECT radius, CAST(count(*) AS BIGINT) AS radius_nodes,
+      |          CAST(sum(CAST(est_milli AS HUGEINT)) AS BIGINT) AS nf_est_milli
+      |        FROM pest GROUP BY radius),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY radius
+      |                                    ORDER BY z_scaled, id) AS rnk
+      |       FROM pest)
+      |SELECT rk.radius, CAST(rk.rnk AS BIGINT) AS rnk, rk.id, rk.n_regs,
+      |       rk.z_scaled, rk.est_milli, tot.radius_nodes, tot.nf_est_milli
+      |FROM rk JOIN tot USING (radius)
+      |WHERE rnk <= 25
+      |ORDER BY rk.radius, rk.rnk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pe = coPurchasePairs(s, d)
+    val edges = pe.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pe.select(col("b").as("src"), col("a").as("dst")))
+    val regs = graft.graph.GraphOps.hyperBallRegisters(edges, rounds = 2,
+      p = 4, salt = "hb-v1")
+    val perNode = regs.groupBy(col("radius"), col("id"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(1L, cast(45 - max_rho as int))")).as("zp"))
+      .select(col("radius"), col("id"), col("n_regs"),
+        (col("zp") + (lit(16L) - col("n_regs")) * lit(35184372088832L))
+          .as("z_scaled"))
+      .withColumn("est_milli", expr(
+        "CAST((CAST(172288 AS DECIMAL(38,0)) * 35184372088832) div z_scaled AS LONG)"))
+    val tot = perNode.groupBy(col("radius"))
+      .agg(count(lit(1)).as("radius_nodes"),
+        expr("CAST(sum(CAST(est_milli AS DECIMAL(38,0))) AS LONG)")
+          .as("nf_est_milli"))
+    val w = Window.partitionBy(col("radius"))
+      .orderBy(col("z_scaled").asc, col("id"))
+    perNode.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 25)
+      .join(broadcast(tot), "radius")
+      .select(col("radius"), col("rnk"), col("id"), col("n_regs"),
+        col("z_scaled"), col("est_milli"), col("radius_nodes"),
+        col("nf_est_milli"))
+      .orderBy(col("radius"), col("rnk"))
+  }
 
   val q203CoTriangles: QueryDef = sql(
     "q203_co_triangles",

@@ -390,6 +390,23 @@ object ScaleSmoke {
         time("bm25_unpruned_serve", k)(msIdx.bm25TopK(msProbes, k = 10))
         msProbes.unpersist()
       }
+      if ("hyperball_rounds".contains(opFilter)) {
+        // HyperBall (q238): constant-degree graph (ring + one pseudo-random
+        // chord per node, symmetrized) so |E| grows linearly with k. Two
+        // max-merge rounds shuffle |E|·m register postings through a
+        // partial-max — wall must track |E| (state is n·m rows, never
+        // frontier-sized).
+        val nNodes = n0 * k
+        val ring = spark.range(1, nNodes + 1).select(col("id").as("src"),
+          (pmod(col("id"), lit(nNodes)) + lit(1L)).as("dst"))
+        val chord = spark.range(1, nNodes + 1).select(col("id").as("src"),
+          (pmod(col("id") * lit(48271L), lit(nNodes)) + lit(1L)).as("dst"))
+        val eUp = ring.unionByName(chord).filter(col("src") =!= col("dst"))
+        val hbEdges = eUp.unionByName(
+          eUp.select(col("dst").as("src"), col("src").as("dst")))
+        time("hyperball_rounds", k)(
+          graft.graph.GraphOps.hyperBallRegisters(hbEdges, rounds = 2, p = 4))
+      }
       if ("ledgered_ingest".contains(opFilter) ||
           "ledgered_redelivery".contains(opFilter) ||
           "ledgered_serve".contains(opFilter)) {

@@ -1,0 +1,77 @@
+package graft.graph
+
+import graft.SparkSpec
+import graft.operators.HllSketch
+import org.apache.spark.sql.functions._
+
+/** HyperBall contract: after r max-merge rounds, node v's registers are
+  * EXACTLY `HllSketch.registers` of the true BFS ball B(v, r) — the
+  * max-merge-commutes-with-union theorem the estimator stands on. The
+  * reference ball is computed here by brute r-step closure over the edge
+  * list, entirely independent of the operator's iterate. */
+class HyperBallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomEdges(n: Int, m: Int, seed: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    // symmetric, no self-loops
+    (1 to m).flatMap { _ =>
+      val a = 1L + rnd.nextInt(n); val b = 1L + rnd.nextInt(n)
+      if (a == b) Nil else Seq((a, b), (b, a))
+    }.distinct
+  }
+
+  test("radius-r registers equal the HLL of the exact BFS ball (r = 0, 1, 2)") {
+    for (trial <- 1 to 2) {
+      val edges = randomEdges(n = 25, m = 40, seed = 31 + trial)
+      val edf = edges.toDF("src", "dst")
+      val got = GraphOps.hyperBallRegisters(edf, rounds = 2, p = 4)
+        .select("radius", "id", "reg", "max_rho")
+        .as[(Long, Long, Long, Long)].collect().toSet
+
+      // brute truth: adjacency closure in driver code
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      def ball(v: Long, r: Int): Set[Long] = {
+        var s = Set(v)
+        for (_ <- 1 to r) s = s ++ s.flatMap(u => adj.getOrElse(u, Set.empty))
+        s
+      }
+      val expected = (0 to 2).flatMap { r =>
+        val members = nodes.flatMap(v => ball(v, r).map(v -> _))
+        val mdf = members.toDF("id", "member")
+        HllSketch.registers(mdf, "id", "member", p = 4, salt = "hb-v1")
+          .select(lit(r.toLong).as("radius"), col("id"), col("reg"),
+            col("max_rho"))
+          .as[(Long, Long, Long, Long)].collect()
+      }.toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("registers only grow with radius (max-merge monotonicity)") {
+    val edf = randomEdges(n = 15, m = 20, seed = 9).toDF("src", "dst")
+    val regs = GraphOps.hyperBallRegisters(edf, rounds = 2, p = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    val byRadius = regs.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3) -> t._4).toMap).toMap
+    for (r <- 0 to 1; ((id, reg), rho) <- byRadius(r.toLong))
+      assert(byRadius(r + 1L).getOrElse((id, reg), 0L) >= rho,
+        s"register ($id, $reg) shrank from radius $r to ${r + 1}")
+  }
+
+  test("an isolated clique's radius-1 ball registers equal the whole clique") {
+    // clique on {1..5}: ball(v, 1) = {1..5} for every member, so all five
+    // nodes must end radius 1 with IDENTICAL register tables
+    val clique = for (a <- 1L to 5L; b <- 1L to 5L if a != b) yield (a, b)
+    val regs = GraphOps.hyperBallRegisters(clique.toDF("src", "dst"),
+        rounds = 1, p = 4)
+      .filter(col("radius") === 1)
+      .select("id", "reg", "max_rho")
+      .as[(Long, Long, Long)].collect()
+    val tables = regs.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(tables.size == 5 && tables.values.toSet.size == 1,
+      s"clique members disagree: $tables")
+  }
+}
