@@ -94,6 +94,46 @@ object GraphOps {
     ranks
   }
 
+  /** WEIGHTED PageRank in ppm integer fixed point — [[pagerankPpm]] with
+    * edge weights (the TextRank setting, Mihalcea–Tarau EMNLP 2004:
+    * co-occurrence counts as weights):
+    *
+    *   r_{t+1}(v) = (10^6 − d) + (d · Σ_{u→v} (r_t(u)·w(u,v)) div W(u)) div 10^6
+    *
+    * with W(u) = Σ_x w(u,x). The per-edge product uses the exact split
+    * `r·w div W = (r div W)·w + ((r mod W)·w) div W` — identical value,
+    * never overflows for `(r mod W)·w < W·w_max ≤ 2^63` (documented
+    * bound: fine for count-scale weights; re-grid weights first if a
+    * single edge weight times a single out-weight can pass 9.2·10^18).
+    * Deterministic by the same argument as [[pagerankPpm]]: integer
+    * contributions sum order-independently, so the oracle unrolls the
+    * recurrence exactly. Dangling mass drops identically (symmetric
+    * graphs have none).
+    *
+    * Scale: per round, one equi-join edges ⋈ ranks on src + one
+    * partial-aggregated sum by dst — the pregel-as-joins shape; the
+    * out-weight table is vocabulary/node-sized. Lineage cut per round. */
+  def weightedPagerankPpm(edges: DataFrame, nodes: DataFrame,
+      iters: Int = 3, dampingPpm: Long = 850000L): DataFrame = {
+    val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val e = edges.join(wout, "src")
+    val base = 1000000L - dampingPpm
+    var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          expr("(r div wout) * w + ((r % wout) * w) div wout").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      ranks = nodes.join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"${dampingPpm}L * (coalesce(cs, 0L) div 1000000L) " +
+            s"+ (${dampingPpm}L * (coalesce(cs, 0L) % 1000000L)) div 1000000L"))
+            .as("r"))
+        .localCheckpoint(false)
+    }
+    ranks
+  }
+
   /** PERSONALIZED PageRank in ppm integer fixed point — random walk with
     * restart to a SEED SET (Haveliwala WWW 2002; the P³/RP³ random-walk
     * recommender of Cooper et al. 2014 when run on a bipartite
@@ -368,5 +408,60 @@ object GraphOps {
       out = out.unionByName(b.withColumn("radius", lit(r.toLong)))
     }
     out.select(col("radius"), col("id"), col("reg"), col("max_rho"))
+  }
+
+  /** Per-(radius, node) integer ball-size estimate from
+    * [[hyperBallRegisters]] output — q238's arithmetic as a reusable
+    * step (p = 4 ONLY: the frozen constants are α16·m²·1000 = 172288 and
+    * the 2^45 register ceiling of the 48-bit md5 rho): Z is scaled by
+    * 2^45 so every 2^(45−ρ) is an exact BIGINT and absent registers
+    * contribute 2^45; `est_milli = ⌊172288·2^45 / Z_s⌋` in
+    * DECIMAL(38,0) ≡ HUGEINT (raw FFGM estimate — HllSketch's documented
+    * no-small-range-correction stance). Output:
+    * (radius, id, n_regs, z_scaled, est_milli). */
+  def ballEstMilli(regs: DataFrame): DataFrame =
+    regs.groupBy(col("radius"), col("id"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(1L, cast(45 - max_rho as int))")).as("zp"))
+      .select(col("radius"), col("id"), col("n_regs"),
+        (col("zp") + (lit(16L) - col("n_regs")) * lit(35184372088832L))
+          .as("z_scaled"))
+      .withColumn("est_milli", expr(
+        "CAST((CAST(172288 AS DECIMAL(38,0)) * 35184372088832) div z_scaled AS LONG)"))
+
+  /** HARMONIC CENTRALITY estimated by HyperBall (Boldi–Vigna 2014,
+    * "Axioms for centrality" — the score HyperBall was built to compute
+    * for every node at once): `H(v) = Σ_{u≠v} 1/d(u,v)`, truncated at
+    * radius 2 (contributions beyond the horizon are deliberately
+    * dropped — the standard HyperBall trade, documented rather than
+    * estimated):
+    * {{{
+    *   H₂(v) = (|B(v,1)| − |B(v,0)|) / 1 + (|B(v,2)| − |B(v,1)|) / 2
+    * }}}
+    * with ball sizes the [[ballEstMilli]] integer-HLL estimates, emitted
+    * ×2 so the 1/2 weight stays integer:
+    * `harm_x2_milli = 2·(est₁ − est₀) + (est₂ − est₁)`. Register
+    * max-merge is monotone, so Z is non-increasing and est_r
+    * non-decreasing in r — every shell term is ≥ 0 (spec-pinned along
+    * with the clique identity: all members of an isolated clique share
+    * one centrality).
+    *
+    * Scale shape: exactly [[hyperBallRegisters]]' n·m-row state plus one
+    * radius→column pivot aggregation — all-nodes centrality with no
+    * per-node traversal, the shape closeness/harmonic needs at 100 TB
+    * where n BFS runs are unthinkable. Output: (id, est0_milli,
+    * est1_milli, est2_milli, harm_x2_milli). */
+  def harmonicX2Milli(edges: DataFrame, p: Int = 4,
+      salt: String = "hb-v1"): DataFrame = {
+    require(p == 4, s"ballEstMilli's frozen grid constants are p=4-only, got $p")
+    val est = ballEstMilli(hyperBallRegisters(edges, rounds = 2, p, salt))
+    est.groupBy(col("id")).agg(
+        sum(when(col("radius") === 0, col("est_milli"))).as("est0_milli"),
+        sum(when(col("radius") === 1, col("est_milli"))).as("est1_milli"),
+        sum(when(col("radius") === 2, col("est_milli"))).as("est2_milli"))
+      .select(col("id"), col("est0_milli"), col("est1_milli"),
+        col("est2_milli"),
+        (lit(2L) * (col("est1_milli") - col("est0_milli")) +
+          (col("est2_milli") - col("est1_milli"))).as("harm_x2_milli"))
   }
 }

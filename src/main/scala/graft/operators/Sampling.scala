@@ -52,4 +52,55 @@ object Sampling {
     df.filter(
       substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 4) < threshold)
   }
+
+  /** PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM 2007): a fixed-size
+    * WEIGHTED sample that answers arbitrary subset-sum queries after the
+    * fact — sample once at ingest, estimate Σw over any predicate later
+    * without rescanning (the 100 TB telemetry shape). Each item draws
+    * priority `q_i = w_i / u_i` with u_i uniform (0,1]; the sample is the
+    * top-k by priority, τ the (k+1)-th priority, and the estimator
+    * `ŵ_i = max(w_i, τ)` for sampled i (0 otherwise) is unbiased for
+    * every subset-sum (DLT's theorem — probabilistic, so not oracle
+    * material; what IS pinned is the arithmetic and the boundary
+    * property below).
+    *
+    * Determinism grid: u_i lands on the ppb grid — `u_ppb =
+    * (md5₄₈(id ∥ salt) mod 10^9) + 1 ∈ [1, 10^9]` — and
+    * `pri_grid = (w·10^9) div u_ppb`, exact BIGINT for w ≤ 9.2·10^9
+    * (documented caller bound; cents-scale weights sit far below it).
+    * Ties break by id, so the sample set is a pure function of the data.
+    *
+    * Exhaustive boundary (spec-pinned): n ≤ k ⇒ no (k+1)-th priority ⇒
+    * τ = 0 and ŵ = w — the sample IS the population and every
+    * subset-sum estimate is exact.
+    *
+    * Scale shape: one TakeOrderedAndProject over the weighted scan
+    * (top-(k+1) keeps ≤ k+1 rows per partition, no global sort), a
+    * 1-row τ broadcast, and a k-row output. No shuffle beyond the
+    * take-ordered reduction. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "ps-v1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pri = df.select(col(idCol).as("ps_id"),
+        col(weightCol).cast("long").as("w"),
+        (conv(substring(md5(concat(col(idCol).cast("string"),
+          lit("|" + salt))), 1, 12), 16, 10).cast("long")
+          % lit(1000000000L) + lit(1L)).as("u_ppb"))
+      .withColumn("pri_grid", expr("(w * 1000000000L) div u_ppb"))
+    // top-(k+1) via orderBy+limit = TakeOrderedAndProject; the window
+    // then ranks only the collected k+1 rows
+    val top = pri.orderBy(col("pri_grid").desc, col("ps_id")).limit(k + 1)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("pri_grid").desc, col("ps_id"))).cast("long"))
+    val tau = top.agg(coalesce(max(when(col("rnk") === (k + 1).toLong,
+      col("pri_grid"))), lit(0L)).as("tau_grid"))
+    top.filter(col("rnk") <= k.toLong)
+      // 1-row τ against a ≤ k-row sample — the adjudicated broadcast
+      // scalar-join shape
+      .crossJoin(broadcast(tau))
+      .select(col("rnk"), col("ps_id"), col("w"), col("u_ppb"),
+        col("pri_grid"), col("tau_grid"),
+        greatest(col("w"), col("tau_grid")).as("est_w"))
+  }
 }

@@ -20,7 +20,7 @@ object CurationQueries {
     q121DedupKeepBest, q122FuzzyDecontam, q125DsirWeights,
     q126PerplexityBuckets, q127QualityClassifier, q129CurationPipeline,
     q153LrTrain, q155BpeTrain, q162BpeApply, q167TarShards, q178AucEval,
-    q201ApEval, q205BleuEval,
+    q201ApEval, q205BleuEval, q239ChrfEval,
     q180DupRegions, q185SkipgramPairs, q193GiniTree, q197Augment)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
@@ -1168,6 +1168,93 @@ object CurationQueries {
       col("text").as("ref"))
     graft.text.Eval.ngramPrecision(pairs, "lang", "doc_id", "cand", "ref",
         maxN = 4)
+      .orderBy(col("lang"), col("n"))
+  }
+
+  /** Corpus-level chrF2 (Popović, WMT 2015) — `Eval.chrF`, the CHARACTER
+    * n-gram F-β generation metric beside q205's word-level BLEU core
+    * (chrF survives tokenizer drift and morphology — its original
+    * motivation). Same deterministic lossy paraphrase as q205 (positions
+    * ≡ 1 mod 7 dropped, ≡ 4 mod 7 doubled) so the two metrics grade the
+    * same degradation: per (lang, n ∈ 1..6) clipped char-n-gram matches
+    * over whitespace-stripped strings, P/R/F2 on the ppm grid (β = 2:
+    * recall weighted 4×), and the per-lang mean F2 over orders. The
+    * char-gram side uses the codegen'd `char_shingles` kernel; the
+    * oracle replays paraphrase, space-stripping, all six gram orders,
+    * the clip join, and every ratio. */
+  val q239ChrfEval: QueryDef = sql(
+    "q239_chrf_eval",
+    """WITH base AS (
+      |  SELECT lang, doc_id,
+      |         replace(array_to_string(flatten(
+      |           list_transform(string_split(text, ' '), (t, i) ->
+      |             CASE WHEN i % 7 = 1 THEN []
+      |                  WHEN i % 7 = 4 THEN [t, t]
+      |                  ELSE [t] END)),
+      |           ' '), ' ', '') AS c_str,
+      |         replace(text, ' ', '') AS r_str
+      |  FROM documents),
+      |ns AS (SELECT unnest(generate_series(1, 6)) AS n),
+      |cg AS (
+      |  SELECT lang, doc_id, n, gram, CAST(count(*) AS BIGINT) AS c_cnt
+      |  FROM (SELECT lang, doc_id, n,
+      |          unnest(list_transform(generate_series(1, length(c_str) - n + 1),
+      |            i -> substr(c_str, CAST(i AS INT), CAST(n AS INT)))) AS gram
+      |        FROM base CROSS JOIN ns)
+      |  GROUP BY 1, 2, 3, 4),
+      |rg AS (
+      |  SELECT lang, doc_id, n, gram, CAST(count(*) AS BIGINT) AS r_cnt
+      |  FROM (SELECT lang, doc_id, n,
+      |          unnest(list_transform(generate_series(1, length(r_str) - n + 1),
+      |            i -> substr(r_str, CAST(i AS INT), CAST(n AS INT)))) AS gram
+      |        FROM base CROSS JOIN ns)
+      |  GROUP BY 1, 2, 3, 4),
+      |cl AS (
+      |  SELECT cg.lang, cg.n,
+      |         CAST(sum(least(cg.c_cnt, coalesce(rg.r_cnt, 0))) AS BIGINT) AS match_n,
+      |         CAST(sum(cg.c_cnt) AS BIGINT) AS c_total_n
+      |  FROM cg LEFT JOIN rg ON cg.lang = rg.lang AND cg.doc_id = rg.doc_id
+      |                      AND cg.n = rg.n AND cg.gram = rg.gram
+      |  GROUP BY 1, 2),
+      |rt AS (SELECT lang, n, CAST(sum(r_cnt) AS BIGINT) AS r_total_n
+      |       FROM rg GROUP BY 1, 2),
+      |st AS (
+      |  SELECT coalesce(cl.lang, rt.lang) AS lang,
+      |         CAST(coalesce(cl.n, rt.n) AS INT) AS n,
+      |         coalesce(match_n, 0) AS match_n,
+      |         coalesce(c_total_n, 0) AS c_total_n,
+      |         coalesce(r_total_n, 0) AS r_total_n
+      |  FROM cl FULL OUTER JOIN rt ON cl.lang = rt.lang AND cl.n = rt.n),
+      |pr AS (
+      |  SELECT lang, n, match_n, c_total_n, r_total_n,
+      |         CAST(CASE WHEN c_total_n > 0
+      |                   THEN (match_n * 1000000) // c_total_n END AS BIGINT)
+      |           AS prec_ppm,
+      |         CAST(CASE WHEN r_total_n > 0
+      |                   THEN (match_n * 1000000) // r_total_n END AS BIGINT)
+      |           AS rec_ppm
+      |  FROM st),
+      |f AS (
+      |  SELECT *, CAST(CASE WHEN prec_ppm IS NOT NULL AND rec_ppm IS NOT NULL
+      |                       AND 4 * prec_ppm + rec_ppm > 0
+      |                      THEN (5 * prec_ppm * rec_ppm)
+      |                           // (4 * prec_ppm + rec_ppm)
+      |                 END AS BIGINT) AS f2_ppm
+      |  FROM pr),
+      |av AS (SELECT lang, CAST(sum(coalesce(f2_ppm, 0)) // 6 AS BIGINT)
+      |                      AS chrf2_ppm
+      |       FROM f GROUP BY lang)
+      |SELECT f.lang, f.n, match_n, c_total_n, r_total_n, prec_ppm, rec_ppm,
+      |       f2_ppm, chrf2_ppm
+      |FROM f JOIN av USING (lang)
+      |ORDER BY f.lang, f.n""".stripMargin) { (s, d) =>
+    val pairs = docs(s, d).select(col("lang"), col("doc_id"),
+      expr("array_join(flatten(transform(split(text, ' '), (t, i) -> " +
+        "CASE WHEN i % 7 = 0 THEN array() " +
+        "WHEN i % 7 = 3 THEN array(t, t) ELSE array(t) END)), ' ')")
+        .as("cand"),
+      col("text").as("ref"))
+    graft.text.Eval.chrF(pairs, "lang", "doc_id", "cand", "ref", maxN = 6)
       .orderBy(col("lang"), col("n"))
   }
 

@@ -34,7 +34,8 @@ object TextQueries {
     q219Rm3Expand, q220StreamPostings, q221PhraseSnippets, q222Rm3Index,
     q223StreamExactlyOnce, q224IndexedEval, q225Collocations,
     q226DpNoisyCounts, q228WinnowOverlap, q229RbpEval, q231BitextMining,
-    q235CsvQuarantine, q236MaxScoreServe, q237NdcgEval)
+    q235CsvQuarantine, q236MaxScoreServe, q237NdcgEval,
+    q243TextrankKeywords)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -2378,6 +2379,93 @@ object TextQueries {
         DpNoise.noiseFor(col("u48"), 30).as("z"),
         DpNoise.noisyCount(col("n"), col("u48"), 30).as("n_noisy"))
       .orderBy(col("lang"), col("source"))
+  }
+
+  /** TextRank keyword extraction (Mihalcea–Tarau EMNLP 2004) —
+    * `GraphOps.weightedPagerankPpm` over the corpus-level token
+    * CO-OCCURRENCE graph (adjacent-pair edges, symmetrized, weighted by
+    * occurrence count): the graph-centrality keyword ranker beside
+    * q135's frequency-based TF-IDF — TextRank promotes tokens that
+    * CONNECT many distinct frequent contexts, not merely frequent ones
+    * (the original paper's point). Integer ppm iterate with the exact
+    * split `r·w div W = (r div W)·w + ((r mod W)·w) div W`, so the
+    * oracle unrolls all three weighted rounds from first principles
+    * (pair extraction, symmetrization, out-weights, every contribution
+    * sum). Top-30 by (rank, token) — an integer total order — via
+    * TakeOrderedAndProject.
+    *
+    * Scale shape: the corpus collapses FIRST to the vocabulary²-bounded
+    * (src, dst, w) edge table (one map-side-combined groupBy); each
+    * round is one equi-join + partial-agg sum — the pregel-as-joins
+    * shape over a vocabulary-sized frame, never the corpus. */
+  val q243TextrankKeywords: QueryDef = sql(
+    "q243_textrank_keywords",
+    """WITH tk AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |pr0 AS (SELECT w[CAST(i AS INT)] AS x, w[CAST(i + 1 AS INT)] AS y
+      |        FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+      |              FROM tk)),
+      |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+      |        SELECT x AS src, y AS dst FROM pr0
+      |        UNION ALL SELECT y AS src, x AS dst FROM pr0)
+      |      GROUP BY 1, 2),
+      |wd AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
+      |n AS (SELECT DISTINCT src AS id FROM e),
+      |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+      |c1 AS (SELECT e.dst AS id,
+      |         CAST(sum((r.r // wd.wout) * e.w
+      |                  + ((r.r % wd.wout) * e.w) // wd.wout) AS BIGINT) AS cs
+      |       FROM e JOIN wd USING (src) JOIN r0 r ON r.id = e.src
+      |       GROUP BY e.dst),
+      |r1 AS (SELECT n.id,
+      |         CAST(150000 + 850000 * (coalesce(cs, 0) // 1000000)
+      |              + (850000 * (coalesce(cs, 0) % 1000000)) // 1000000
+      |              AS BIGINT) AS r
+      |       FROM n LEFT JOIN c1 ON c1.id = n.id),
+      |c2 AS (SELECT e.dst AS id,
+      |         CAST(sum((r.r // wd.wout) * e.w
+      |                  + ((r.r % wd.wout) * e.w) // wd.wout) AS BIGINT) AS cs
+      |       FROM e JOIN wd USING (src) JOIN r1 r ON r.id = e.src
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT n.id,
+      |         CAST(150000 + 850000 * (coalesce(cs, 0) // 1000000)
+      |              + (850000 * (coalesce(cs, 0) % 1000000)) // 1000000
+      |              AS BIGINT) AS r
+      |       FROM n LEFT JOIN c2 ON c2.id = n.id),
+      |c3 AS (SELECT e.dst AS id,
+      |         CAST(sum((r.r // wd.wout) * e.w
+      |                  + ((r.r % wd.wout) * e.w) // wd.wout) AS BIGINT) AS cs
+      |       FROM e JOIN wd USING (src) JOIN r2 r ON r.id = e.src
+      |       GROUP BY e.dst),
+      |r3 AS (SELECT n.id,
+      |         CAST(150000 + 850000 * (coalesce(cs, 0) // 1000000)
+      |              + (850000 * (coalesce(cs, 0) % 1000000)) // 1000000
+      |              AS BIGINT) AS r
+      |       FROM n LEFT JOIN c3 ON c3.id = n.id),
+      |rk AS (SELECT id, r, row_number() OVER (ORDER BY r DESC, id) AS rnk
+      |       FROM r3)
+      |SELECT CAST(rnk AS BIGINT) AS rnk, id AS tok, r AS rank_ppm
+      |FROM rk WHERE rnk <= 30
+      |ORDER BY rnk""".stripMargin) { (s, d) =>
+    val toks = docs(s, d).select(split(col("text"), " ").as("w"))
+    // adjacent pairs via the positions zip (q225's guarded idiom: Spark's
+    // sequence(1, 0) is DESCENDING [1, 0], so single-token docs must not
+    // reach the transform)
+    val adj = toks.filter(size(col("w")) > 1)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS x, w[i] AS y))"))
+        .as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val edges = adj.select(col("x").as("src"), col("y").as("dst"))
+      .unionByName(adj.select(col("y").as("src"), col("x").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val pr = graft.graph.GraphOps.weightedPagerankPpm(edges, nodes,
+      iters = 3)
+    val top = pr.orderBy(col("r").desc, col("id")).limit(30)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("r").desc, col("id"))).cast("long"))
+      .select(col("rnk"), col("id").as("tok"), col("r").as("rank_ppm"))
+      .orderBy(col("rnk"))
   }
 
   /** LOCAL-overlap plagiarism pairs (MOSS, Schleimer–Wilkerson–Aiken

@@ -24,7 +24,8 @@ object WarehouseQueries {
     q144CountMinHeavy, q145EventTransitions, q146MergeTombstones,
     q150IncrementalAgg, q179KAnonymity, q182LabelProp, q189MgHeavy,
     q203CoTriangles, q204KCore, q207PprExpand,
-    q200QuantileSketch, q238HyperballNf)
+    q200QuantileSketch, q238HyperballNf, q242HarmonicCentrality,
+    q244PrioritySample, q241BloomSemiJoin, q240ZorderBox)
 
   /** The nation→nation supply graph: an edge when a customer of nation
     * `src` ordered a line item supplied from nation `dst`. Fact-fact join
@@ -694,8 +695,11 @@ object WarehouseQueries {
     * stance). Output: top-25 nodes per radius by estimated ball size
     * (z_scaled ascending = estimate descending, an integer total order)
     * with the per-radius node count and neighborhood-function total. */
-  val q238HyperballNf: QueryDef = sql(
-    "q238_hyperball_nf",
+  /** The q238/q242 shared oracle prefix: co-purchase edges → two
+    * HyperBall max-merge rounds → per-(radius, node) integer ball-size
+    * estimate (`pest`) — the SQL twin of `GraphOps.hyperBallRegisters`
+    * + `GraphOps.ballEstMilli`. */
+  private val hyperBallPestSql: String =
     """WITH pe AS (
       |  SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
       |                  CAST(y.l_partkey AS BIGINT) AS b
@@ -734,8 +738,12 @@ object WarehouseQueries {
       |pest AS (SELECT radius, id, n_regs, z_scaled,
       |           CAST((CAST(172288 AS HUGEINT) * 35184372088832) // z_scaled
       |                AS BIGINT) AS est_milli
-      |         FROM pn),
-      |tot AS (SELECT radius, CAST(count(*) AS BIGINT) AS radius_nodes,
+      |         FROM pn),""".stripMargin
+
+  val q238HyperballNf: QueryDef = sql(
+    "q238_hyperball_nf",
+    hyperBallPestSql + "\n" +
+    """tot AS (SELECT radius, CAST(count(*) AS BIGINT) AS radius_nodes,
       |          CAST(sum(CAST(est_milli AS HUGEINT)) AS BIGINT) AS nf_est_milli
       |        FROM pest GROUP BY radius),
       |rk AS (SELECT *, row_number() OVER (PARTITION BY radius
@@ -752,14 +760,7 @@ object WarehouseQueries {
       .unionByName(pe.select(col("b").as("src"), col("a").as("dst")))
     val regs = graft.graph.GraphOps.hyperBallRegisters(edges, rounds = 2,
       p = 4, salt = "hb-v1")
-    val perNode = regs.groupBy(col("radius"), col("id"))
-      .agg(count(lit(1)).as("n_regs"),
-        sum(expr("shiftleft(1L, cast(45 - max_rho as int))")).as("zp"))
-      .select(col("radius"), col("id"), col("n_regs"),
-        (col("zp") + (lit(16L) - col("n_regs")) * lit(35184372088832L))
-          .as("z_scaled"))
-      .withColumn("est_milli", expr(
-        "CAST((CAST(172288 AS DECIMAL(38,0)) * 35184372088832) div z_scaled AS LONG)"))
+    val perNode = graft.graph.GraphOps.ballEstMilli(regs)
     val tot = perNode.groupBy(col("radius"))
       .agg(count(lit(1)).as("radius_nodes"),
         expr("CAST(sum(CAST(est_milli AS DECIMAL(38,0))) AS LONG)")
@@ -773,6 +774,319 @@ object WarehouseQueries {
         col("z_scaled"), col("est_milli"), col("radius_nodes"),
         col("nf_est_milli"))
       .orderBy(col("radius"), col("rnk"))
+  }
+
+  /** HARMONIC CENTRALITY via HyperBall (Boldi–Vigna 2014) on the
+    * co-purchase graph — `GraphOps.harmonicX2Milli`: every node's
+    * `H₂(v) = Σ_{r=1,2} (|B(v,r)|−|B(v,r−1)|)/r` from the same
+    * deterministic integer-HLL ball estimates as q238, on the ×2 milli
+    * grid so the 1/2 shell weight stays integer. This is the score
+    * HyperBall exists for: all-nodes closeness-family centrality where
+    * per-node BFS is n traversals — at 100 TB the register iterate is
+    * the only affordable shape. The oracle replays both max-merge rounds
+    * register-by-register (q238's shared chain), the radius pivot, and
+    * the shell arithmetic; top-25 by (harm, id) is an integer total
+    * order, taken via TakeOrderedAndProject (orderBy + limit), never a
+    * single-partition global window. */
+  val q242HarmonicCentrality: QueryDef = sql(
+    "q242_harmonic_centrality",
+    hyperBallPestSql + "\n" +
+    """piv AS (SELECT id,
+      |          CAST(sum(CASE WHEN radius = 0 THEN est_milli END) AS BIGINT)
+      |            AS est0_milli,
+      |          CAST(sum(CASE WHEN radius = 1 THEN est_milli END) AS BIGINT)
+      |            AS est1_milli,
+      |          CAST(sum(CASE WHEN radius = 2 THEN est_milli END) AS BIGINT)
+      |            AS est2_milli
+      |        FROM pest GROUP BY id),
+      |hc AS (SELECT id, est0_milli, est1_milli, est2_milli,
+      |         CAST(2 * (est1_milli - est0_milli)
+      |              + (est2_milli - est1_milli) AS BIGINT) AS harm_x2_milli
+      |       FROM piv),
+      |rk AS (SELECT *, row_number() OVER (ORDER BY harm_x2_milli DESC, id)
+      |                   AS rnk
+      |       FROM hc)
+      |SELECT CAST(rnk AS BIGINT) AS rnk, id, est0_milli, est1_milli,
+      |       est2_milli, harm_x2_milli
+      |FROM rk WHERE rnk <= 25
+      |ORDER BY rnk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pe = coPurchasePairs(s, d)
+    val edges = pe.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pe.select(col("b").as("src"), col("a").as("dst")))
+    val top = graft.graph.GraphOps.harmonicX2Milli(edges)
+      .orderBy(col("harm_x2_milli").desc, col("id")).limit(25)
+    // rank assignment runs over the 25 collected rows only — the global
+    // sort was already TakeOrderedAndProject
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("harm_x2_milli").desc, col("id"))).cast("long"))
+      .select(col("rnk"), col("id"), col("est0_milli"), col("est1_milli"),
+        col("est2_milli"), col("harm_x2_milli"))
+      .orderBy(col("rnk"))
+  }
+
+  /** PRIORITY SAMPLING of order revenue (Duffield–Lund–Thorup, JACM
+    * 2007) — `Sampling.prioritySample`: a 200-order weighted sample
+    * whose estimator `ŵ = max(w, τ)` answers ANY subset-sum over
+    * o_totalprice after the fact — the sample-once-at-ingest,
+    * estimate-any-predicate-later shape a 100 TB telemetry store needs
+    * (a rescan per ad-hoc question is unaffordable; DLT's τ-threshold
+    * estimator is unbiased for all of them at once). Priorities live on
+    * the deterministic integer grid (u = md5₄₈ mod 10^9 + 1,
+    * pri = (w·10^9) div u), so the oracle replays the draw, the top-k
+    * cut, τ, the estimator, and BOTH demonstration subset-sums: total
+    * revenue and 1-URGENT revenue, each beside its exact value — the
+    * estimate-vs-truth gap is data, hash-pinned, not a hope. Unbiasedness
+    * itself is probabilistic (not oracle material); the exhaustive n ≤ k
+    * boundary where estimates turn EXACT is pinned in SamplingSpec. */
+  val q244PrioritySample: QueryDef = sql(
+    "q244_priority_sample",
+    """WITH w AS (
+      |  SELECT o_orderkey,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w_cents,
+      |         o_orderpriority
+      |  FROM orders),
+      |pri AS (
+      |  SELECT o_orderkey, w_cents, o_orderpriority,
+      |         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|ps-v1'),
+      |                         1, 12))::BIGINT % 1000000000 + 1 AS u_ppb
+      |  FROM w),
+      |pq AS (SELECT *, (w_cents * 1000000000) // u_ppb AS pri_grid FROM pri),
+      |rk AS (SELECT *, row_number() OVER (ORDER BY pri_grid DESC, o_orderkey)
+      |                   AS rnk
+      |       FROM pq),
+      |tau AS (SELECT coalesce(max(CASE WHEN rnk = 201 THEN pri_grid END),
+      |                        CAST(0 AS BIGINT)) AS tau_grid
+      |        FROM rk),
+      |est AS (
+      |  SELECT CAST(rnk AS BIGINT) AS rnk, o_orderkey, w_cents, u_ppb,
+      |         pri_grid, tau_grid, o_orderpriority,
+      |         greatest(w_cents, tau_grid) AS est_cents
+      |  FROM rk CROSS JOIN tau WHERE rnk <= 200),
+      |tot AS (
+      |  SELECT CAST(sum(w_cents) AS BIGINT) AS exact_total_cents,
+      |         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |                       THEN w_cents ELSE 0 END) AS BIGINT)
+      |           AS exact_urgent_cents
+      |  FROM w),
+      |etot AS (
+      |  SELECT CAST(sum(est_cents) AS BIGINT) AS est_total_cents,
+      |         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |                       THEN est_cents ELSE 0 END) AS BIGINT)
+      |           AS est_urgent_cents
+      |  FROM est)
+      |SELECT rnk, o_orderkey, w_cents, u_ppb, pri_grid, tau_grid, est_cents,
+      |       est_total_cents, exact_total_cents, est_urgent_cents,
+      |       exact_urgent_cents
+      |FROM est CROSS JOIN tot CROSS JOIN etot
+      |ORDER BY rnk""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+        .as("w_cents"),
+      col("o_orderpriority"))
+    val samp = graft.operators.Sampling.prioritySample(
+      o.select(col("o_orderkey"), col("w_cents")), "o_orderkey", "w_cents",
+      k = 200, salt = "ps-v1")
+    // flag lookup: the ≤ 200-row sample broadcasts into the orders scan
+    val est = o.select(col("o_orderkey").as("ps_id"), col("o_orderpriority"))
+      .join(broadcast(samp), "ps_id")
+      .select(col("rnk"), col("ps_id").as("o_orderkey"),
+        col("w").as("w_cents"), col("u_ppb"), col("pri_grid"),
+        col("tau_grid"), col("o_orderpriority"),
+        col("est_w").as("est_cents"))
+    val tot = o.agg(sum(col("w_cents")).as("exact_total_cents"),
+      sum(when(col("o_orderpriority") === "1-URGENT", col("w_cents"))
+        .otherwise(lit(0L))).as("exact_urgent_cents"))
+    val etot = est.agg(sum(col("est_cents")).as("est_total_cents"),
+      sum(when(col("o_orderpriority") === "1-URGENT", col("est_cents"))
+        .otherwise(lit(0L))).as("est_urgent_cents"))
+    // 1-row aggregate scalars against a 200-row sample — the adjudicated
+    // broadcast crossJoin shape
+    est.crossJoin(broadcast(tot)).crossJoin(broadcast(etot))
+      .select(col("rnk"), col("o_orderkey"), col("w_cents"), col("u_ppb"),
+        col("pri_grid"), col("tau_grid"), col("est_cents"),
+        col("est_total_cents"), col("exact_total_cents"),
+        col("est_urgent_cents"), col("exact_urgent_cents"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Bloom-prefiltered EXACT semi join — `operators.BloomPrefilter`, the
+    * PACKED-BITS production shape completing q142's position-set replay
+    * (q142 demonstrates membership by JOINING the probe against a
+    * position table — fine for pinning the arithmetic, but the filter
+    * side still shuffles; here the filter is a real m/64-word bit array
+    * built by a distributed `bit_or` OR-fold and shipped into the orders
+    * scan as ONE array literal, so membership is evaluated inside the
+    * scan's codegen with no join at all): AUTOMOBILE-segment customers'
+    * keys build the filter (m = 2048 bits, k = 2 — deliberately TIGHT so
+    * false positives genuinely occur and the exact join's removal of
+    * them is exercised, not vacuous), and the exact `left_semi`
+    * afterwards makes the composition ≡ the plain semi join BY THEOREM
+    * (no false negatives). This is the runtime-filter shape that matters
+    * at 100 TB: the build side is too big to broadcast as rows, its
+    * Bloom is a few KB, and the probe shuffle only carries rows that
+    * might match. The oracle replays every md5 bit position, the per-key
+    * pass/fail, the false-positive census (n_pass_keys vs n_fp_keys —
+    * the honest cost of the 2048-bit filter), and the exact top-20
+    * revenue aggregation the semi join feeds. */
+  val q241BloomSemiJoin: QueryDef = sql(
+    "q241_bloom_semijoin",
+    """WITH bk AS (SELECT DISTINCT c_custkey AS k FROM customer
+      |           WHERE c_mktsegment = 'AUTOMOBILE'),
+      |js AS (SELECT unnest(generate_series(0, 1)) AS j),
+      |bpos AS (SELECT DISTINCT
+      |           ('0x' || substr(md5(CAST(k AS VARCHAR) || '|bf'
+      |                               || CAST(j AS VARCHAR) || '|bf-v1'),
+      |                           1, 12))::BIGINT % 2048 AS p
+      |         FROM bk CROSS JOIN js),
+      |pk AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      |ppos AS (SELECT k,
+      |           ('0x' || substr(md5(CAST(k AS VARCHAR) || '|bf'
+      |                               || CAST(j AS VARCHAR) || '|bf-v1'),
+      |                           1, 12))::BIGINT % 2048 AS p
+      |         FROM pk CROSS JOIN js),
+      |pass AS (SELECT k FROM ppos GROUP BY k
+      |         HAVING sum(CASE WHEN p IN (SELECT p FROM bpos)
+      |                         THEN 0 ELSE 1 END) = 0),
+      |stats AS (
+      |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM bk) AS n_build_keys,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM pk) AS n_probe_keys,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM pass) AS n_pass_keys,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM pass
+      |          WHERE k NOT IN (SELECT k FROM bk)) AS n_fp_keys),
+      |sem AS (SELECT o.o_custkey,
+      |          CAST(count(*) AS BIGINT) AS order_cnt,
+      |          CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |               AS BIGINT) AS revenue_cents
+      |        FROM orders o JOIN bk ON bk.k = o.o_custkey
+      |        GROUP BY 1),
+      |top AS (SELECT *, row_number() OVER (ORDER BY revenue_cents DESC,
+      |                                              o_custkey) AS rnk
+      |        FROM sem)
+      |SELECT CAST(rnk AS BIGINT) AS rnk, o_custkey, order_cnt,
+      |       revenue_cents, n_build_keys, n_probe_keys, n_pass_keys,
+      |       n_fp_keys
+      |FROM top CROSS JOIN stats
+      |WHERE rnk <= 20
+      |ORDER BY rnk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.BloomPrefilter
+    val mBits = 2048; val kH = 2; val salt = "bf-v1"
+    val bk = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("k")).distinct()
+    val bits = BloomPrefilter.buildBits(bk, "k", mBits, kH, salt)
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+        .as("w_cents"))
+    // the production shape: Bloom INSIDE the probe scan, exact semi after
+    val sem = BloomPrefilter.mightContainFilter(o, "o_custkey", bits,
+        mBits, kH, salt)
+      .join(bk.withColumnRenamed("k", "o_custkey"), Seq("o_custkey"),
+        "left_semi")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_cnt"),
+        sum(col("w_cents")).as("revenue_cents"))
+    // the pinned Bloom census, on the bounded DISTINCT key frames
+    val pk = o.select(col("o_custkey").as("k")).distinct()
+    val pass = BloomPrefilter.mightContainFilter(pk, "k", bits, mBits, kH,
+      salt)
+    val stats = bk.agg(count(lit(1)).as("n_build_keys"))
+      .crossJoin(broadcast(pk.agg(count(lit(1)).as("n_probe_keys"))))
+      .crossJoin(broadcast(pass.agg(count(lit(1)).as("n_pass_keys"))))
+      .crossJoin(broadcast(pass.join(bk, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_fp_keys"))))
+    val top = sem.orderBy(col("revenue_cents").desc, col("o_custkey"))
+      .limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("revenue_cents").desc, col("o_custkey")))
+        .cast("long"))
+    // 1-row census scalars against a 20-row top list — the adjudicated
+    // broadcast crossJoin shape
+    top.crossJoin(broadcast(stats))
+      .select(col("rnk"), col("o_custkey"), col("order_cnt"),
+        col("revenue_cents"), col("n_build_keys"), col("n_probe_keys"),
+        col("n_pass_keys"), col("n_fp_keys"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Z-ORDER layout + pruned two-dimensional box scan —
+    * `ZOrder.writePartitioned`/`boxScan`, the ORACLE-HASHED half of the
+    * z-order shelf (q141 pins the Morton arithmetic; `ZOrder.cluster` is
+    * the production approxQuantile layout whose pruning ZOrderSpec can
+    * only MEASURE because its buckets are engine-pinned — this variant's
+    * monotone max-grid quantizer makes the ENTIRE layout→prune→scan
+    * chain replayable): lineitem is rewritten clustered on the Morton
+    * interleave of quantized (l_partkey, l_suppkey), partitioned by the
+    * 8-bit z-cell; a (partkey × suppkey) box query then scans ONLY the
+    * covering cells (`n_cells_scanned` is pinned against the oracle's
+    * closed form) and applies the exact predicate. Monotone quantization
+    * makes the pruned scan ≡ the full-table filter BY THEOREM (the
+    * oracle recomputes the box from the BASE table — it never sees the
+    * layout — so the driver hash gate is the no-loss theorem end to
+    * end; random-box equality is also spec-pinned). The at-scale point:
+    * a sort on one key prunes one dimension and scatters the other; the
+    * curve bounds I/O for BOTH dimensions of every slice. */
+  val q240ZorderBox: QueryDef = sql(
+    "q240_zorder_box",
+    """WITH mx AS (SELECT CAST(max(l_partkey) AS BIGINT) AS maxp,
+      |                   CAST(max(l_suppkey) AS BIGINT) AS maxs
+      |            FROM lineitem),
+      |b AS (SELECT (maxp * 20) // 100 AS plo, (maxp * 45) // 100 AS phi,
+      |             (maxs * 10) // 100 AS slo, (maxs * 60) // 100 AS shi,
+      |             maxp, maxs
+      |      FROM mx),
+      |q AS (SELECT *,
+      |        (plo * 256) // (maxp + 1) AS qxlo,
+      |        (phi * 256) // (maxp + 1) AS qxhi,
+      |        (slo * 256) // (maxs + 1) AS qylo,
+      |        (shi * 256) // (maxs + 1) AS qyhi
+      |      FROM b),
+      |cells AS (SELECT CAST(((qxhi // 16) - (qxlo // 16) + 1)
+      |                      * ((qyhi // 16) - (qylo // 16) + 1) AS BIGINT)
+      |                   AS n_cells_scanned
+      |          FROM q),
+      |box AS (SELECT l.l_returnflag, l.l_quantity, l.l_extendedprice
+      |        FROM lineitem l CROSS JOIN b
+      |        WHERE l.l_partkey BETWEEN b.plo AND b.phi
+      |          AND l.l_suppkey BETWEEN b.slo AND b.shi),
+      |agg AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS box_rows,
+      |          CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+      |            AS qty_sum,
+      |          CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |               AS BIGINT) AS revenue_cents
+      |        FROM box GROUP BY 1)
+      |SELECT l_returnflag, box_rows, qty_sum, revenue_cents,
+      |       n_cells_scanned, CAST(256 AS BIGINT) AS n_cells_total
+      |FROM agg CROSS JOIN cells
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import graft.sources.ZOrder
+    val li = Tables.lineitem(s, d).select(
+      col("l_partkey").cast("long").as("l_partkey"),
+      col("l_suppkey").cast("long").as("l_suppkey"),
+      col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+    // layout parameters: two global maxes — a 1-row driver read, the
+    // same bounded-model-state shape as the IVF centroid collects
+    val mx = li.agg(max(col("l_partkey")).as("p"),
+      max(col("l_suppkey")).as("s")).collect()(0)
+    val (maxP, maxS) = (mx.getLong(0), mx.getLong(1))
+    val path = graft.core.Scratch.dir("q240_zorder", d)
+    ZOrder.writePartitioned(li, "l_partkey", "l_suppkey", maxP, maxS, path)
+    val (plo, phi) = (maxP * 20 / 100, maxP * 45 / 100)
+    val (slo, shi) = (maxS * 10 / 100, maxS * 60 / 100)
+    def q(v: Long, m: Long) = v * 256 / (m + 1)
+    val nCells = (q(phi, maxP) / 16 - q(plo, maxP) / 16 + 1) *
+      (q(shi, maxS) / 16 - q(slo, maxS) / 16 + 1)
+    ZOrder.boxScan(s, path, "l_partkey", "l_suppkey", maxP, maxS,
+        plo, phi, slo, shi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("box_rows"),
+        sum(floor(col("l_quantity") + lit(0.5)).cast("long")).as("qty_sum"),
+        sum(floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long"))
+          .as("revenue_cents"))
+      .withColumn("n_cells_scanned", lit(nCells))
+      .withColumn("n_cells_total", lit(256L))
+      .orderBy(col("l_returnflag"))
   }
 
   val q203CoTriangles: QueryDef = sql(

@@ -217,4 +217,70 @@ object Eval {
         when(col("r_tokens") > 0, expr("(c_tokens * 1000000) div r_tokens"))
           .otherwise(lit(null).cast("long")))
   }
+
+  /** Corpus-level chrF2 (Popović, WMT 2015) — the CHARACTER n-gram F-β
+    * companion to [[ngramPrecision]]'s word-level BLEU core, the
+    * generation metric that survives tokenizer drift and morphology
+    * (its original motivation). Whitespace is stripped first (the chrF
+    * convention), then per pair and n ∈ 1..maxN candidate char-n-gram
+    * counts are clipped at the reference's count; statistics sum over
+    * the corpus per (group, n):
+    * {{{
+    *   P_n = Σ min(cand, ref) / Σ cand      R_n = Σ min(cand, ref) / Σ ref
+    *   F2_n = 5·P_n·R_n / (4·P_n + R_n)     (β = 2: recall weighted 4×)
+    * }}}
+    * all on the ppm grid — with P, R ≤ 10^6 the product 5·P·R ≤ 5·10^12
+    * never leaves BIGINT. `chrf2_ppm` is the per-group mean of F2 over
+    * the n orders (absent orders — no n-grams on either side — count 0,
+    * the empty-segment convention sacreBLEU applies). Documented
+    * rational deviation (the q205 stance): statistics aggregate over the
+    * corpus before the F ratio, not per-segment-then-averaged — the
+    * integer-grid corpus variant.
+    *
+    * Scale shape: each side collapses FIRST to (pair, n, gram, count)
+    * with the codegen'd `char_shingles` kernel (one boundary walk per n,
+    * no interpreted HOF), then ONE equi-join clips; output is
+    * |groups|·maxN rows. */
+  def chrF(pairs: DataFrame, groupCol: String, idCol: String,
+      candCol: String, refCol: String, maxN: Int = 6): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8], got $maxN")
+    val base = pairs.select(col(groupCol), col(idCol).as("pair_id"),
+      regexp_replace(col(candCol), " ", "").as("c_str"),
+      regexp_replace(col(refCol), " ", "").as("r_str"))
+    def gramCounts(src: String, out: String): DataFrame =
+      base.select(col(groupCol), col("pair_id"),
+          posexplode(array((1 to maxN).map(n =>
+            graft.functions.char_shingles(col(src), n)): _*)))
+        .select(col(groupCol), col("pair_id"), (col("pos") + 1).as("n"),
+          explode(col("col")).as("gram"))
+        .groupBy(col(groupCol), col("pair_id"), col("n"), col("gram"))
+        .agg(count(lit(1)).as(out))
+    val rg = gramCounts("r_str", "r_cnt")
+    val stats = gramCounts("c_str", "c_cnt")
+      .join(rg, Seq(groupCol, "pair_id", "n", "gram"), "left")
+      .select(col(groupCol), col("n"), col("c_cnt"),
+        least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L))).as("m_cnt"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(sum(col("m_cnt")).as("match_n"), sum(col("c_cnt")).as("c_total_n"))
+      .join(rg.groupBy(col(groupCol), col("n"))
+          .agg(sum(col("r_cnt")).as("r_total_n")),
+        Seq(groupCol, "n"), "full_outer")
+      .select(col(groupCol), col("n"),
+        coalesce(col("match_n"), lit(0L)).as("match_n"),
+        coalesce(col("c_total_n"), lit(0L)).as("c_total_n"),
+        coalesce(col("r_total_n"), lit(0L)).as("r_total_n"))
+      .withColumn("prec_ppm", when(col("c_total_n") > 0,
+        expr("(match_n * 1000000) div c_total_n")).otherwise(lit(null).cast("long")))
+      .withColumn("rec_ppm", when(col("r_total_n") > 0,
+        expr("(match_n * 1000000) div r_total_n")).otherwise(lit(null).cast("long")))
+      .withColumn("f2_ppm", when(
+        col("prec_ppm").isNotNull && col("rec_ppm").isNotNull &&
+          (expr("4 * prec_ppm + rec_ppm") > 0),
+        expr("(5 * prec_ppm * rec_ppm) div (4 * prec_ppm + rec_ppm)"))
+        .otherwise(lit(null).cast("long")))
+    stats.join(
+      stats.groupBy(col(groupCol))
+        .agg(expr(s"sum(coalesce(f2_ppm, 0L)) div ${maxN}L").as("chrf2_ppm")),
+      Seq(groupCol))
+  }
 }

@@ -76,6 +76,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(a.values.forall(r => r >= 150000L && r <= 3000000L))
   }
 
+  test("weightedPagerankPpm matches the hand-unrolled weighted recurrence; uniform weights reduce to pagerankPpm") {
+    // 1→2 (w 3), 1→3 (w 1), 2→3 (w 2), 3→1 (w 5): W(1)=4, W(2)=2, W(3)=5
+    //   r1(1) = 150000 + 850000·(1e6·5 div 5) div 1e6 = 1000000
+    //   r1(2) = 150000 + 850000·(1e6·3 div 4) div 1e6 = 787500
+    //   r1(3) = 150000 + 850000·(1e6·1 div 4 + 1e6·2 div 2) div 1e6 = 1212500
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 1L, 5L))
+      .toDF("src", "dst", "w")
+    val n = Seq(1L, 2L, 3L).toDF("id")
+    val r1 = GraphOps.weightedPagerankPpm(e, n, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 1000000L, 2L -> 787500L, 3L -> 1212500L))
+    // weight-1 edges ≡ the unweighted operator, any iteration depth
+    val eu = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val uw = GraphOps.pagerankPpm(eu, n, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val ww = GraphOps.weightedPagerankPpm(eu.withColumn("w", lit(1L)), n,
+      iters = 3).as[(Long, Long)].collect().toMap
+    assert(uw == ww)
+    // deterministic under repartitioning
+    val a = GraphOps.weightedPagerankPpm(e.repartition(4), n, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = GraphOps.weightedPagerankPpm(e, n, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("pagerankPpm: node with no in-edges settles at the base rank") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     val n = Seq(1L, 2L).toDF("id")

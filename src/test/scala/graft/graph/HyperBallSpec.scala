@@ -60,6 +60,41 @@ class HyperBallSpec extends SparkSpec {
         s"register ($id, $reg) shrank from radius $r to ${r + 1}")
   }
 
+  test("harmonic shells are non-negative and pivot matches the per-radius estimates") {
+    val edf = randomEdges(n = 25, m = 40, seed = 77).toDF("src", "dst")
+    val harm = GraphOps.harmonicX2Milli(edf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val est = GraphOps.ballEstMilli(
+        GraphOps.hyperBallRegisters(edf, rounds = 2, p = 4))
+      .select("radius", "id", "est_milli")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(t => t._1 -> t._3).toMap).toMap
+    assert(harm.nonEmpty)
+    for ((id, e0, e1, e2, h) <- harm) {
+      assert(e1 >= e0 && e2 >= e1, s"ball estimates shrank for $id")
+      assert(h == 2 * (e1 - e0) + (e2 - e1), s"shell arithmetic off for $id")
+      assert(h >= 0)
+      assert(e0 == est(id)(0L) && e1 == est(id)(1L) && e2 == est(id)(2L),
+        s"pivot disagrees with per-radius estimates for $id")
+    }
+  }
+
+  test("an isolated clique's outer shell is empty and its ball estimate shared") {
+    val clique = for (a <- 1L to 5L; b <- 1L to 5L if a != b) yield (a, b)
+    val harm = GraphOps.harmonicX2Milli(clique.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(harm.length == 5)
+    // ball(v,1) = ball(v,2) = the clique ⇒ est1 = est2, harm = 2·(est1−est0)
+    for ((_, e0, e1, e2, h) <- harm) {
+      assert(e1 == e2, "radius-2 shell of an isolated clique must be empty")
+      assert(h == 2 * (e1 - e0))
+    }
+    // every member sees the SAME radius-1 ball (the whole clique), so the
+    // shared-ball estimate agrees; est0 (each node's own singleton sketch)
+    // legitimately differs per hash, so harm itself need not
+    assert(harm.map(_._3).toSet.size == 1, "shared ball estimate must agree")
+  }
+
   test("an isolated clique's radius-1 ball registers equal the whole clique") {
     // clique on {1..5}: ball(v, 1) = {1..5} for every member, so all five
     // nodes must end radius 1 with IDENTICAL register tables

@@ -28,6 +28,37 @@ class SamplingSpec extends SparkSpec {
     assert(other != s10)
   }
 
+  test("priority sample: τ dominates every non-sampled priority; deterministic") {
+    val items = (1L to 500L).map(i => (i, 10L + (i * 7) % 400)).toDF("id", "w")
+    val s1 = Sampling.prioritySample(items, "id", "w", k = 50)
+      .select("rnk", "ps_id", "w", "pri_grid", "tau_grid", "est_w")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(s1.length == 50)
+    val tau = s1.head._5
+    assert(s1.forall(_._5 == tau), "τ must be one global threshold")
+    // every sampled priority ≥ τ (τ is the 51st); estimator = max(w, τ)
+    assert(s1.forall(r => r._4 >= tau))
+    assert(s1.forall(r => r._6 == math.max(r._3, tau)))
+    // two runs and a repartition produce the identical sample
+    val s2 = Sampling.prioritySample(items.repartition(7), "id", "w", k = 50)
+      .select("rnk", "ps_id", "w", "pri_grid", "tau_grid", "est_w")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(s1.toSeq == s2.toSeq)
+  }
+
+  test("priority sample exhaustive boundary: n ≤ k ⇒ τ = 0 and every subset-sum exact") {
+    val items = (1L to 30L).map(i => (i, 100L * i)).toDF("id", "w")
+    val s = Sampling.prioritySample(items, "id", "w", k = 50)
+      .select("ps_id", "w", "tau_grid", "est_w")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(s.length == 30)
+    assert(s.forall(_._3 == 0L), "no 51st priority ⇒ τ = 0")
+    assert(s.forall(r => r._4 == r._2), "τ = 0 ⇒ ŵ = w (estimates exact)")
+    // subset-sum over an arbitrary predicate is exact
+    val evens = s.filter(_._1 % 2 == 0).map(_._4).sum
+    assert(evens == (1L to 30L).filter(_ % 2 == 0).map(100L * _).sum)
+  }
+
   test("stratified rates: strata get their own thresholds") {
     val strat = docs.withColumn("stratum",
       when(col("doc_id") % 2 === 0, lit("even")).otherwise(lit("odd")))

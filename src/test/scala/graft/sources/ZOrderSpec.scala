@@ -32,6 +32,36 @@ class ZOrderSpec extends SparkSpec {
     assert(proj(InternalRow(null)).getInt(0) == 0) // nulls → first bucket
   }
 
+  test("partitioned variant: pruned box scan equals the full filter on random boxes") {
+    val rnd = new scala.util.Random(42)
+    val maxX = 9999L; val maxY = 999L
+    val rows = (1 to 5000).map { i =>
+      (i.toLong, rnd.nextLong(maxX + 1), rnd.nextLong(maxY + 1))
+    }
+    val df = rows.toDF("id", "x", "y")
+    val path = graft.core.Scratch.tempDir("zorder-spec") + "/layout"
+    ZOrder.writePartitioned(df, "x", "y", maxX, maxY, path)
+    for (trial <- 1 to 5) {
+      val a = rnd.nextLong(maxX); val b = rnd.nextLong(maxX)
+      val c = rnd.nextLong(maxY); val e = rnd.nextLong(maxY)
+      val (xLo, xHi) = (math.min(a, b), math.max(a, b))
+      val (yLo, yHi) = (math.min(c, e), math.max(c, e))
+      val pruned = ZOrder.boxScan(spark, path, "x", "y", maxX, maxY,
+          xLo, xHi, yLo, yHi)
+        .select("id").as[Long].collect().toSet
+      val full = rows.filter(r => r._2 >= xLo && r._2 <= xHi &&
+        r._3 >= yLo && r._3 <= yHi).map(_._1).toSet
+      assert(pruned == full, s"trial $trial box [$xLo,$xHi]x[$yLo,$yHi]")
+    }
+    // a small box covers few cells: 1/4 × 1/4 of the domain spans at most
+    // a 5×5 cell block (4 16-blocks + boundary on each axis)
+    def q(v: Long, m: Long) = v * 256 / (m + 1)
+    val cells = ZOrder.coveringCells(
+      q(1000, maxX), q(3400, maxX), q(100, maxY), q(340, maxY))
+    assert(cells.size <= 25 && cells.nonEmpty, s"${cells.size} cells")
+    assert(cells.distinct.size == cells.size)
+  }
+
   test("z-order layout prunes point predicates on BOTH dims; single sort on one") {
     // UNCORRELATED dimensions (orderkey ⟂ partkey — unlike suppkey, which
     // TPC-H derives from partkey, so a partkey sort clusters it for free).

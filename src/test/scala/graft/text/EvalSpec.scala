@@ -234,6 +234,48 @@ class EvalSpec extends SparkSpec {
     assert(!out.contains(("g", 2)) && !out.contains(("g", 3)))
   }
 
+  test("chrF goldens: identity, whitespace stripping, and the β=2 formula") {
+    import spark.implicits._
+    val out = Eval.chrF(
+      Seq(("same", 1L, "ab cd", "abcd"), // space-stripped ⇒ identical
+        ("half", 2L, "ab", "abcd"))      // cand ⊂ ref at every order
+        .toDF("g", "id", "cand", "ref"),
+      "g", "id", "cand", "ref", maxN = 2)
+      .select("g", "n", "match_n", "c_total_n", "r_total_n", "prec_ppm",
+        "rec_ppm", "f2_ppm")
+      .as[(String, Int, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // identical after whitespace stripping: P = R = F2 = 1e6 at n = 1, 2
+    for (n <- 1 to 2) {
+      val (_, _, m, c, r, p, rc, f) = out(("same", n))
+      assert(m == c && c == r && p.contains(1000000L) &&
+        rc.contains(1000000L) && f.contains(1000000L), s"same n=$n: $m $c $r")
+    }
+    // "ab" vs "abcd": n=1 → P=1, R=1/2; F2 = 5·P·R/(4P+R) with recall
+    // weighted 4×: (5·1e6·5e5) div (4·1e6+5e5) = 2.5e12 div 4.5e6 = 555555
+    val (_, _, m1, c1, r1, p1, rc1, f1) = out(("half", 1))
+    assert((m1, c1, r1) == ((2L, 2L, 4L)))
+    assert(p1.contains(1000000L) && rc1.contains(500000L) &&
+      f1.contains(555555L))
+    // n=2 → cand gram "ab" matches 1 of ref's 3 bigrams
+    val (_, _, m2, c2, r2, p2, rc2, f2) = out(("half", 2))
+    assert((m2, c2, r2) == ((1L, 1L, 3L)))
+    assert(p2.contains(1000000L) && rc2.contains(333333L))
+  }
+
+  test("chrF: empty candidate keeps the reference row (recall side) with zero precision") {
+    import spark.implicits._
+    val out = Eval.chrF(Seq(("g", 1L, "", "abc")).toDF("g", "id", "c", "r"),
+        "g", "id", "c", "r", maxN = 2)
+      .select("n", "match_n", "c_total_n", "r_total_n", "prec_ppm", "rec_ppm",
+        "f2_ppm", "chrf2_ppm")
+      .as[(Int, Long, Long, Long, Option[Long], Option[Long], Option[Long], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // no candidate grams: the full-outer keeps the ref side, prec NULL
+    assert(out(1) == ((1, 0L, 0L, 3L, None, Some(0L), None, 0L)))
+    assert(out(2) == ((2, 0L, 0L, 2L, None, Some(0L), None, 0L)))
+  }
+
   test("ngram randomized agreement with the enumerated definition") {
     val rnd = new scala.util.Random(11)
     val vocab = Vector("a", "b", "c", "d")
