@@ -934,17 +934,17 @@ object WarehouseQueries {
     """WITH bk AS (SELECT DISTINCT c_custkey AS k FROM customer
       |           WHERE c_mktsegment = 'AUTOMOBILE'),
       |js AS (SELECT unnest(generate_series(0, 1)) AS j),
+      |bh AS (SELECT k, md5(CAST(k AS VARCHAR) || '|bf-v1') AS h FROM bk),
       |bpos AS (SELECT DISTINCT
-      |           ('0x' || substr(md5(CAST(k AS VARCHAR) || '|bf'
-      |                               || CAST(j AS VARCHAR) || '|bf-v1'),
-      |                           1, 12))::BIGINT % 2048 AS p
-      |         FROM bk CROSS JOIN js),
+      |           (('0x' || substr(h, 1, 12))::BIGINT
+      |            + j * ('0x' || substr(h, 13, 12))::BIGINT) % 2048 AS p
+      |         FROM bh CROSS JOIN js),
       |pk AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      |ph AS (SELECT k, md5(CAST(k AS VARCHAR) || '|bf-v1') AS h FROM pk),
       |ppos AS (SELECT k,
-      |           ('0x' || substr(md5(CAST(k AS VARCHAR) || '|bf'
-      |                               || CAST(j AS VARCHAR) || '|bf-v1'),
-      |                           1, 12))::BIGINT % 2048 AS p
-      |         FROM pk CROSS JOIN js),
+      |           (('0x' || substr(h, 1, 12))::BIGINT
+      |            + j * ('0x' || substr(h, 13, 12))::BIGINT) % 2048 AS p
+      |         FROM ph CROSS JOIN js),
       |pass AS (SELECT k FROM ppos GROUP BY k
       |         HAVING sum(CASE WHEN p IN (SELECT p FROM bpos)
       |                         THEN 0 ELSE 1 END) = 0),
@@ -975,13 +975,16 @@ object WarehouseQueries {
     val bk = Tables.customer(s, d)
       .filter(col("c_mktsegment") === "AUTOMOBILE")
       .select(col("c_custkey").as("k")).distinct()
-    val bits = BloomPrefilter.buildBits(bk, "k", mBits, kH, salt)
+    // HashMd5: the oracle-replayable backend — q241's whole point is the
+    // hash-gated census; the xx production path is spec-pinned + smoked
+    val bits = BloomPrefilter.buildBits(bk, "k", mBits, kH, salt,
+      BloomPrefilter.HashMd5)
     val o = Tables.orders(s, d).select(col("o_custkey"),
       floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
         .as("w_cents"))
     // the production shape: Bloom INSIDE the probe scan, exact semi after
     val sem = BloomPrefilter.mightContainFilter(o, "o_custkey", bits,
-        mBits, kH, salt)
+        mBits, kH, salt, BloomPrefilter.HashMd5)
       .join(bk.withColumnRenamed("k", "o_custkey"), Seq("o_custkey"),
         "left_semi")
       .groupBy(col("o_custkey"))
@@ -990,7 +993,7 @@ object WarehouseQueries {
     // the pinned Bloom census, on the bounded DISTINCT key frames
     val pk = o.select(col("o_custkey").as("k")).distinct()
     val pass = BloomPrefilter.mightContainFilter(pk, "k", bits, mBits, kH,
-      salt)
+      salt, BloomPrefilter.HashMd5)
     val stats = bk.agg(count(lit(1)).as("n_build_keys"))
       .crossJoin(broadcast(pk.agg(count(lit(1)).as("n_probe_keys"))))
       .crossJoin(broadcast(pass.agg(count(lit(1)).as("n_pass_keys"))))
