@@ -1355,7 +1355,10 @@ object TextQueries {
     rm3RebuildSql) { (s, d) =>
     val dd = docs(s, d)
     val idxPath = graft.core.Scratch.dir("q222_postings_index", d)
-    val idx = graft.text.PostingsIndex.build(dd, idxPath, "doc_id", "text")
+    // positionless build: rm3/bm25 never read positional postings, and
+    // positions are the largest table + the costliest corpus pass
+    val idx = graft.text.PostingsIndex.build(dd, idxPath, "doc_id", "text",
+      withPositions = false)
     val expanded = idx.rm3ExpandedTerms(rm3Probes(dd), dd, "doc_id", "text",
       k = 10, fbDocs = 5, fbTerms = 5)
     idx.bm25TopK(expanded, k = 10)
@@ -2202,9 +2205,11 @@ object TextQueries {
     // 16 buckets (vs the 64 default): this query pays FIVE bucketed
     // table writes up front, and every serve prunes to ≤ |probe terms|
     // buckets either way — measured build-cost win, same pruning shape
+    // positionless build (bm25/jac/rm3 never read positions — the largest
+    // table and the costliest of the three corpus passes, dropped)
     val idx = graft.text.PostingsIndex.build(dd,
       graft.core.Scratch.dir("q224_postings_index", d), "doc_id", "text",
-      nBuckets = 16)
+      nBuckets = 16, withPositions = false)
     val probes = dd.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"),
         explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
@@ -2301,7 +2306,7 @@ object TextQueries {
     val dd = docs(s, d)
     val idx = graft.text.PostingsIndex.build(dd,
       graft.core.Scratch.dir("q236_maxscore_index", d), "doc_id", "text",
-      nBuckets = 16, withBounds = true)
+      nBuckets = 16, withBounds = true, withPositions = false)
     val probes = dd.filter(col("doc_id") < 8)
       .select(col("doc_id").as("qid"),
         explode(slice(split(col("text"), " "), 1, 8)).as("tok"))

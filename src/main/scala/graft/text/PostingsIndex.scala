@@ -54,6 +54,13 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Whether this index carries the positional table (built with
+    * `withPositions = true`) — merge/compact skip it when absent. */
+  private def hasPositions: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/positions")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** nBuckets validated ONCE against the persisted layout: opening an
     * index with a different bucket count would route probe terms to the
     * wrong partition directories — matches silently pruned away, merges
@@ -299,10 +306,14 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     dt.select(col("tok"), col("doc_id"), col("tf"), bkt)
       .repartition(col("bkt"))
       .write.mode("append").partitionBy("bkt").parquet(s"$path/postings")
-    base.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"), bkt)
-      .repartition(col("bkt"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$path/positions")
+    // skip positions on a positionless index: appending ONLY the batch's
+    // positions would leave a partial table a later phrase serve reads
+    // as if complete — absence must stay absence
+    if (hasPositions)
+      base.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"), bkt)
+        .repartition(col("bkt"))
+        .write.mode("append").partitionBy("bkt").parquet(s"$path/positions")
     dlNew.write.mode("append").parquet(s"$path/lengths")
     // df = old ∪ delta summed per token (full outer: unseen batch tokens
     // enter, untouched corpus tokens pass through)
@@ -359,7 +370,8 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
   def compact(): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (table <- Seq("postings", "positions", "df") ++
+    for (table <- Seq("postings") ++
+        (if (hasPositions) Seq("positions") else Nil) ++ Seq("df") ++
         (if (hasBounds) Seq("bounds") else Nil)) {
       val staging = s"$path/${table}_compact_staging"
       spark.read.parquet(s"$path/$table")
@@ -404,12 +416,27 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
       forward: DataFrame, idCol: String, textCol: String, fbDocs: Int,
       fbTerms: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val q = queries.select(col("qid").cast("long").as("qid"), col("tok"))
-    val fb = firstPass
+    // The feedback list is ≤ fbDocs·|Q| rows — serving-batch bounded by
+    // CONFIG (the probedBuckets argument) — so collect it once and
+    // replant it as a local relation: (1) the doc-id isin literal pushes
+    // into the forward SCAN (row-group pruning; ≤ fbDocs·|Q| ≤ 64-entry
+    // list, PlanAuditSpec's bound) where the previous join shuffled the
+    // corpus against 25 rows, and (2) the expansion's lineage no longer
+    // contains the first-pass serve, so downstream actions stop
+    // re-evaluating it (measured 12.2 → ~10s warm at sf0.1, ProfQ224).
+    val fbPairs = firstPass
       .filter(col("rank") <= fbDocs)
       .select(col("qid"), col("doc_id"))
-    val fbToks = fb.join(forward.select(col(idCol).cast("long").as("doc_id"),
-        split(col(textCol), " ").as("w")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fb = fbPairs.toDF("qid", "doc_id")
+    val fbIds = fbPairs.map(_._2).distinct
+    val fwd = forward
+      .filter(col(idCol).isin(fbIds: _*))
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("w"))
+    val fbToks = broadcast(fb).join(fwd, "doc_id")
       .select(col("qid"), col("doc_id"), explode(col("w")).as("tok"))
       .groupBy(col("qid"), col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
@@ -468,9 +495,18 @@ object PostingsIndex {
     * the build cost, so 5 → 3 passes is the honest shave; the read-backs
     * touch only the (much smaller) aggregated tables. Writes shuffle on
     * the token-hash bucket so each bucket directory is written
-    * co-located. */
+    * co-located.
+    *
+    * `withPositions = false` drops the positional pass and table
+    * entirely — the right build for a BM25/Jaccard/RM3-only serving
+    * stack (q224/q236's shape): positions are the LARGEST table (one row
+    * per token occurrence) and the costliest corpus pass, and only
+    * phrase serving reads them. A positionless index rejects
+    * [[phraseMatches]] loudly via the scan failure rather than
+    * mis-serving. */
   def build(docs: DataFrame, path: String, idCol: String, textCol: String,
-      nBuckets: Int = 64, withBounds: Boolean = false): PostingsIndex = {
+      nBuckets: Int = 64, withBounds: Boolean = false,
+      withPositions: Boolean = true): PostingsIndex = {
     val spark = docs.sparkSession
     locally {
       import spark.implicits._
@@ -514,11 +550,20 @@ object PostingsIndex {
         .select(col("tok"), col("max_tf"), col("min_dl"), bkt)
         .repartition(col("bkt"))
         .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/bounds")
-    base.select(col("doc_id"),
-        posexplode(col("w")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"), bkt)
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/positions")
+    if (withPositions)
+      base.select(col("doc_id"),
+          posexplode(col("w")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"), bkt)
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/positions")
+    else {
+      // a positionless rebuild over a path that previously carried
+      // positions must not leave the STALE table behind — absence is the
+      // contract hasPositions/phraseMatches key off
+      val p = new org.apache.hadoop.fs.Path(s"$path/positions")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+    }
     new PostingsIndex(spark, path, nBuckets)
   }
 }

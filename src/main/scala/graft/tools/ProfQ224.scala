@@ -31,7 +31,7 @@ object ProfQ224 {
       val idx = t("postings build") {
         graft.text.PostingsIndex.build(dd,
           graft.core.Scratch.dir("q224_postings_index", sfDir), "doc_id",
-          "text", nBuckets = 16)
+          "text", nBuckets = 16, withPositions = false)
       }
       val probes = dd.filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"),

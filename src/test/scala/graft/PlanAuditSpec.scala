@@ -257,7 +257,13 @@ class PlanAuditSpec extends SparkSpec {
     // bounded-model discipline (k rows, data-independent bound,
     // KCenter.scala). The per-round distance sweep itself runs
     // distributed; only the argmax row visits the driver.
-    "q202_kcenter_seeds")
+    "q202_kcenter_seeds",
+    // RM3 feedback replant (PostingsIndex.rm3ExpandedTermsFrom): the
+    // collected list is ≤ fbDocs·|Q| rows — bounded by serving CONFIG,
+    // not data — and replanting it (a) pushes the doc-id isin into the
+    // forward scan and (b) cuts the first-pass serve out of the
+    // expansion's lineage so it is not re-evaluated per action
+    "q222_rm3_index", "q224_indexed_retrieval_eval")
 
   test("LocalTableScan only for driver-authored literal inputs") {
     val offenders = auditable.filter { n =>

@@ -52,6 +52,37 @@ class PostingsIndexSpec extends SparkSpec {
     assert(got.contains((2L, 100L, 3L))) // "a a" overlaps: (0,1),(1,2),(4,5)
   }
 
+  test("positionless build: bm25/jaccard/rm3 identical, positions absent (incl. after merge and a re-build over a positional path)") {
+    val corpus = fixture(24, 77).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+    // first a POSITIONAL build at the same path, then the positionless
+    // rebuild — the stale positions table must be deleted, not inherited
+    PostingsIndex.build(corpus, dir, "doc_id", "text", nBuckets = 8)
+    val standing = corpus.filter(col("doc_id") % 5 =!= 0)
+    val batch = corpus.filter(col("doc_id") % 5 === 0)
+    val idx = PostingsIndex.build(standing, dir, "doc_id", "text",
+      nBuckets = 8, withPositions = false)
+    idx.merge(batch, "doc_id", "text")
+    val probes = corpus.filter(col("doc_id") <= 3)
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 4)).as("tok"))
+      .distinct()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "doc_id").as[(Long, Int, Long)].collect().toSet
+    assert(rows(idx.bm25TopK(probes, 5)) ==
+      rows(Bm25.topK(corpus, "doc_id", "text", probes, 5)))
+    assert(!new java.io.File(s"$dir/positions").exists,
+      "positionless build/merge must not create or keep a positions table")
+    // a phrase serve must fail loudly, never silently mis-serve
+    intercept[Exception] {
+      idx.phraseMatches(Seq((1L, "ash oak")).toDF("qid", "phrase"))
+        .collect()
+    }
+    idx.compact() // must not fail on the absent table
+    assert(rows(idx.bm25TopK(probes, 5)) ==
+      rows(Bm25.topK(corpus, "doc_id", "text", probes, 5)))
+  }
+
   test("merge is rebuild-equivalent: every table row-identical, serves equal") {
     val all = fixture(24, 11)
     val (standing, batch) = all.partition(_._1 % 5 != 0)
