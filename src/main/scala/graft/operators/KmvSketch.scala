@@ -62,6 +62,40 @@ object KmvSketch {
       .agg(slice(array_sort(array_distinct(collect_list(col("h")))), 1, k)
         .as("mins"))
 
+  /** SET-OPERATION estimates from two same-salt, same-k sketch frames
+    * joined on `grpCol` — the Theta-sketch composition (Beyer et al.
+    * SIGMOD 2007): the k smallest distinct hashes of the combined
+    * min-sets are exactly the KMV of A ∪ B (the merge law), so
+    * {{{
+    *   Û        = (k−1)·2^48 div h(k)   over the combined min-set L
+    *   Ĵ_ppm    = (matches·10^6) div |L|,  matches = |{h∈L : h ∈ both}|
+    *   |A∩B|^   = (matches·Û) div |L|
+    * }}}
+    * — the join-size / audience-overlap estimator a planner consults
+    * before committing to a 100 TB join, computed from two k-element
+    * artifacts without touching either raw set. When |A∪B| < k the
+    * combined sketch IS the union and every estimate is EXACT
+    * (KmvSketchSpec pins the boundary and the estimator arithmetic).
+    * All work happens on ≤ 2k-element arrays per group. */
+  def setOpsEstimate(a: DataFrame, b: DataFrame, grpCol: String,
+      k: Int): DataFrame =
+    a.select(col(grpCol), col("mins").as("amins"))
+      .join(b.select(col(grpCol), col("mins").as("bmins")), grpCol)
+      .select(col(grpCol), col("amins"), col("bmins"),
+        expr(s"slice(array_sort(array_distinct(concat(amins, bmins))), 1, $k)")
+          .as("u"))
+      .select(col(grpCol),
+        size(col("u")).cast("long").as("n_u"),
+        element_at(col("u"), size(col("u"))).as("kth_min"),
+        expr("CAST(size(filter(u, h -> array_contains(amins, h) AND " +
+          "array_contains(bmins, h))) AS LONG)").as("matches"))
+      .select(col(grpCol), col("n_u"), col("kth_min"), col("matches"),
+        when(col("n_u") < k, col("n_u"))
+          .otherwise(expr(s"${(k - 1).toLong * Space}L DIV kth_min"))
+          .as("union_est"))
+      .withColumn("jac_est_ppm", expr("(matches * 1000000) div n_u"))
+      .withColumn("inter_est", expr("(matches * union_est) div n_u"))
+
   /** Distinct-count estimate from a sketch frame: exact count when the
     * group holds fewer than k hashes, else (k−1)·2^48 DIV h(k). Integer
     * arithmetic only — no float ever enters the estimate. */

@@ -25,7 +25,8 @@ object RelationalQueries {
     q04BroadcastDimJoin, q05SemiJoin, q06AntiJoin, q07OuterJoinAgg,
     q08WindowTopk, q09WindowLagMs, q10Percentile, q11DistinctCounts,
     q12SetOps, q13RunningSum, q14ConditionalAgg, q15Rollup, q62Sketches,
-    q99SketchBounds, q134KmvDistinct, q136HllRegisters, q137OrderStats)
+    q99SketchBounds, q134KmvDistinct, q136HllRegisters, q137OrderStats,
+    q245KmvSetops)
 
   /** TPC-H Q1-style pricing summary (SURVEY §2.4 ops 20,25; §2.2 op 9-11).
     * Scale: map-side partial aggregation → tiny shuffle (6 groups). */
@@ -449,6 +450,114 @@ object RelationalQueries {
         col("est_distinct").as("est_users"), col("n_users"),
         (abs(col("est_distinct") - col("n_users")) * 2 <= col("n_users"))
           .cast("int").as("within_bound"))
+      .orderBy(col("event_type"))
+  }
+
+  /** KMV SET-OPERATION estimates — `KmvSketch.setOpsEstimate`, the
+    * Theta-sketch composition (Beyer et al. SIGMOD 2007) over q134's
+    * deterministic md5 sketches: union cardinality, Jaccard, and
+    * INTERSECTION estimated for (click-audience × each other event
+    * type) from two 64-element artifacts — the audience-overlap /
+    * join-size answer a planner wants BEFORE committing to a 100 TB
+    * join, next to the exact values so the estimate-vs-truth gap is
+    * hash-pinned data. The oracle replays both sketch builds, the
+    * combined k-min cut, the θ-membership matches, and every estimator
+    * division; exact counts come from the semi-join recompute. The
+    * combined-min-set-IS-the-union-sketch law and the small-set
+    * exactness boundary are pinned in KmvSketchSpec. */
+  val q245KmvSetops: QueryDef = sql(
+    "q245_kmv_setops",
+    """WITH ah AS (
+      |  SELECT DISTINCT
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|kmv-v1'),
+      |                         1, 12))::BIGINT AS h
+      |  FROM events WHERE event_type = 'click'),
+      |am AS (SELECT h FROM ah ORDER BY h LIMIT 64),
+      |bh AS (
+      |  SELECT DISTINCT event_type,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|kmv-v1'),
+      |                         1, 12))::BIGINT AS h
+      |  FROM events WHERE event_type <> 'click'),
+      |bm AS (SELECT event_type, h FROM (
+      |         SELECT event_type, h,
+      |                row_number() OVER (PARTITION BY event_type
+      |                                   ORDER BY h) AS rn
+      |         FROM bh) WHERE rn <= 64),
+      |cu AS (SELECT b.event_type, a.h
+      |       FROM (SELECT DISTINCT event_type FROM bm) b CROSS JOIN am a
+      |       UNION
+      |       SELECT event_type, h FROM bm),
+      |u AS (SELECT event_type, h FROM (
+      |        SELECT event_type, h,
+      |               row_number() OVER (PARTITION BY event_type
+      |                                  ORDER BY h) AS rn
+      |        FROM cu) WHERE rn <= 64),
+      |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_u,
+      |              CAST(max(h) AS BIGINT) AS kth_min
+      |       FROM u GROUP BY event_type),
+      |mt AS (SELECT u.event_type, CAST(count(*) AS BIGINT) AS matches
+      |       FROM u JOIN am ON am.h = u.h
+      |              JOIN bm ON bm.event_type = u.event_type AND bm.h = u.h
+      |       GROUP BY u.event_type),
+      |es AS (SELECT st.event_type, st.n_u, st.kth_min,
+      |              coalesce(mt.matches, 0) AS matches,
+      |              CASE WHEN st.n_u < 64 THEN st.n_u
+      |                   ELSE 17732923532771328 // st.kth_min END AS union_est
+      |       FROM st LEFT JOIN mt ON mt.event_type = st.event_type),
+      |fe AS (SELECT event_type, n_u, kth_min, matches,
+      |              CAST(union_est AS BIGINT) AS union_est,
+      |              CAST((matches * 1000000) // n_u AS BIGINT) AS jac_est_ppm,
+      |              CAST((matches * union_est) // n_u AS BIGINT) AS inter_est
+      |       FROM es),
+      |na AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_a
+      |       FROM events WHERE event_type = 'click'),
+      |nb AS (SELECT event_type,
+      |              CAST(count(DISTINCT user_id) AS BIGINT) AS n_b
+      |       FROM events WHERE event_type <> 'click' GROUP BY event_type),
+      |ni AS (SELECT event_type,
+      |              CAST(count(DISTINCT user_id) AS BIGINT) AS n_inter_exact
+      |       FROM events WHERE event_type <> 'click'
+      |         AND user_id IN (SELECT user_id FROM events
+      |                         WHERE event_type = 'click')
+      |       GROUP BY event_type)
+      |SELECT fe.event_type, n_u, kth_min, matches, union_est, jac_est_ppm,
+      |       inter_est,
+      |       CAST(n_a + n_b - n_inter_exact AS BIGINT) AS n_union_exact,
+      |       n_inter_exact,
+      |       CAST((n_inter_exact * 1000000)
+      |            // (n_a + n_b - n_inter_exact) AS BIGINT) AS jac_exact_ppm
+      |FROM fe JOIN nb USING (event_type) JOIN ni USING (event_type)
+      |CROSS JOIN na
+      |ORDER BY fe.event_type""".stripMargin) { (s, d) =>
+    import graft.operators.KmvSketch
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+    val clickUsers = ev.filter(col("event_type") === "click")
+    val aSk = KmvSketch.sketch(clickUsers.withColumn("g", lit(1L)), "g",
+      "user_id", 64)
+    val bSk = KmvSketch.sketch(ev.filter(col("event_type") =!= "click"),
+      "event_type", "user_id", 64)
+    // one 64-element click sketch fanned onto the 4 comparison groups —
+    // a broadcast 1-row × 4-row product (the adjudicated scalar shape)
+    val aF = bSk.select(col("event_type"))
+      .crossJoin(broadcast(aSk.select(col("mins"))))
+    val ops = KmvSketch.setOpsEstimate(aF, bSk, "event_type", 64)
+    val aU = clickUsers.select(col("user_id")).distinct()
+    val nA = aU.agg(count(lit(1)).as("n_a"))
+    val nB = ev.filter(col("event_type") =!= "click")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_b"))
+    val nI = ev.filter(col("event_type") =!= "click")
+      .join(aU, Seq("user_id"), "left_semi")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_inter_exact"))
+    ops.join(nB, "event_type").join(nI, "event_type")
+      .crossJoin(broadcast(nA))
+      .select(col("event_type"), col("n_u"), col("kth_min"), col("matches"),
+        col("union_est"), col("jac_est_ppm"), col("inter_est"),
+        (col("n_a") + col("n_b") - col("n_inter_exact")).as("n_union_exact"),
+        col("n_inter_exact"),
+        expr("(n_inter_exact * 1000000) div (n_a + n_b - n_inter_exact)")
+          .as("jac_exact_ppm"))
       .orderBy(col("event_type"))
   }
 

@@ -65,6 +65,47 @@ class KmvSketchSpec extends SparkSpec {
     }
   }
 
+  test("setOps: small sets ⇒ every estimate exact; combined cut = union sketch") {
+    val k = 64
+    // |A ∪ B| = 40 < k: the combined min-set IS the union, so union_est,
+    // matches and inter_est are the exact set cardinalities
+    val a = (1L to 25L).map(i => (1L, i)).toDF("g", "v")
+    val b = (11L to 35L).map(i => (1L, i)).toDF("g", "v") // A∩B = 11..25
+    val sa = KmvSketch.sketch(a, "g", "v", k)
+    val sb = KmvSketch.sketch(b, "g", "v", k)
+    val r = KmvSketch.setOpsEstimate(sa, sb, "g", k)
+      .select("n_u", "matches", "union_est", "inter_est", "jac_est_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()(0)
+    assert(r == ((35L, 15L, 35L, 15L, 15L * 1000000L / 35L)))
+    // the combined k-min cut equals the sketch of A ∪ B (the merge law)
+    val u = KmvSketch.sketch(a.union(b), "g", "v", k)
+      .select("mins").as[Seq[Long]].collect()(0)
+    val cut = KmvSketch.merge(sa.union(sb), "g", k)
+      .select("mins").as[Seq[Long]].collect()(0)
+    assert(u == cut)
+  }
+
+  test("setOps on large sets: estimates land near truth, arithmetic replayable") {
+    val k = 64
+    val a = (1L to 3000L).map(i => (1L, i)).toDF("g", "v")
+    val b = (2001L to 5000L).map(i => (1L, i)).toDF("g", "v") // inter 1000, union 5000
+    val r = KmvSketch.setOpsEstimate(
+        KmvSketch.sketch(a, "g", "v", k), KmvSketch.sketch(b, "g", "v", k),
+        "g", k)
+      .select("n_u", "kth_min", "matches", "union_est", "jac_est_ppm",
+        "inter_est")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()(0)
+    val (nU, kth, matches, uEst, jacPpm, iEst) = r
+    assert(nU == k)
+    // replay the estimator arithmetic
+    assert(uEst == (k - 1).toLong * KmvSketch.Space / kth)
+    assert(jacPpm == matches * 1000000L / nU)
+    assert(iEst == matches * uEst / nU)
+    // 1/√(k−2) ≈ 13%: stay inside a generous 4σ envelope
+    assert(math.abs(uEst - 5000L) <= 2500, s"union_est $uEst")
+    assert(math.abs(iEst - 1000L) <= 900, s"inter_est $iEst")
+  }
+
   test("per-shard sketches merge to the global sketch (mergeability)") {
     val k = 32
     val a = events.filter(col("event_id") % 2 === 0)
