@@ -25,7 +25,8 @@ object WarehouseQueries {
     q150IncrementalAgg, q179KAnonymity, q182LabelProp, q189MgHeavy,
     q203CoTriangles, q204KCore, q207PprExpand,
     q200QuantileSketch, q238HyperballNf, q242HarmonicCentrality,
-    q244PrioritySample, q241BloomSemiJoin, q240ZorderBox)
+    q244PrioritySample, q241BloomSemiJoin, q240ZorderBox,
+    q246SchemaEvolution, q247DataQualityAudit)
 
   /** The nation→nation supply graph: an edge when a customer of nation
     * `src` ordered a line item supplied from nation `dst`. Fact-fact join
@@ -1011,6 +1012,168 @@ object WarehouseQueries {
         col("revenue_cents"), col("n_build_keys"), col("n_probe_keys"),
         col("n_pass_keys"), col("n_fp_keys"))
       .orderBy(col("rnk"))
+  }
+
+  /** SCHEMA-EVOLUTION scan (`mergeSchema`) — the other messy-source half
+    * beside q235's corrupt-row quarantine: a long-lived table whose
+    * writer ADDED a column mid-stream (v1 files carry (key, amount), v2
+    * files add the priority), read back as ONE relation with parquet
+    * footer merging — v1 rows must surface with NULL in the new column,
+    * never drop and never error (the at-scale reality: a 100 TB table is
+    * never rewritten when the schema grows; readers absorb the
+    * heterogeneity). Oracle by CONSTRUCTION (q235's mechanism): DuckDB
+    * never reads the evolved files — it replays which rows were written
+    * at which version from the base table, so the hash gate pins the
+    * merge semantics end to end (a dropped v1 row or a mis-defaulted
+    * column flips the aggregate). */
+  val q246SchemaEvolution: QueryDef = sql(
+    "q246_schema_evolution",
+    """WITH ev AS (
+      |  SELECT o_orderkey,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w_cents,
+      |         CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority END AS prio
+      |  FROM orders)
+      |SELECT coalesce(prio, '0-LEGACY') AS priority,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(w_cents) AS BIGINT) AS revenue_cents,
+      |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+      |       CAST(max(o_orderkey) AS BIGINT) AS max_key
+      |FROM ev GROUP BY 1
+      |ORDER BY priority""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+        .as("w_cents"),
+      col("o_orderpriority"))
+    val dir = graft.core.Scratch.tempDir("q246evo") + "/t"
+    // v1 era: no priority column yet
+    o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("w_cents"))
+      .write.mode("overwrite").parquet(dir)
+    // v2 era: the writer grew the schema; files append, nothing rewrites
+    o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("w_cents"), col("o_orderpriority"))
+      .write.mode("append").parquet(dir)
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(coalesce(col("o_orderpriority"), lit("0-LEGACY"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("w_cents")).as("revenue_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("priority"))
+  }
+
+  /** Declarative DATA-QUALITY AUDIT — `operators.DataQuality`, the Deequ
+    * shape (Schelter et al. VLDB 2018) beside q86's always-on observe
+    * counters: nine rules over orders/lineitem/customer — completeness,
+    * range/format compliance, key uniqueness, two foreign-key
+    * integrities — each on the ppm grid with a threshold and a pass
+    * flag, INCLUDING one rule tuned to FAIL (urgent-share ≥ 30% against
+    * a ~20% reality) so the fail branch is data, not theory. The scale
+    * design is scan sharing: all four orders rules are conditional sums
+    * inside ONE aggregation pass, both lineitem rules another — 100 TB
+    * is audited in one scan per table plus one distinct (uniqueness)
+    * and two semi-joins (FK); the oracle replays every rule, ratio and
+    * flag. */
+  val q247DataQualityAudit: QueryDef = sql(
+    "q247_data_quality_audit",
+    """WITH m AS (
+      |  SELECT 'o_custkey_complete' AS rule,
+      |         CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_ok,
+      |         CAST(1000000 AS BIGINT) AS min_ppm
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice_positive', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+      |              AS BIGINT),
+      |         CAST(1000000 AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderdate_in_range', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
+      |                            BETWEEN DATE '1992-01-01'
+      |                                AND DATE '1998-12-31'
+      |                       THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(1000000 AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_urgent_share', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |                       THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(300000 AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'l_quantity_in_range', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+      |                       THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(1000000 AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag_complete', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END)
+      |              AS BIGINT),
+      |         CAST(1000000 AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'o_orderkey_unique', CAST(count(*) AS BIGINT),
+      |         CAST(count(DISTINCT o_orderkey) AS BIGINT),
+      |         CAST(1000000 AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'fk_orders_customer', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN o_custkey IN
+      |                         (SELECT c_custkey FROM customer)
+      |                       THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(1000000 AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'fk_lineitem_orders', CAST(count(*) AS BIGINT),
+      |         CAST(sum(CASE WHEN l_orderkey IN
+      |                         (SELECT o_orderkey FROM orders)
+      |                       THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(1000000 AS BIGINT)
+      |  FROM lineitem)
+      |SELECT rule, n_rows, n_ok,
+      |       CAST(CASE WHEN n_rows > 0
+      |                 THEN (n_ok * 1000000) // n_rows END AS BIGINT)
+      |         AS ok_ppm,
+      |       min_ppm,
+      |       CAST(CASE WHEN coalesce((n_ok * 1000000) // n_rows, 0)
+      |                      >= min_ppm
+      |                 THEN 1 ELSE 0 END AS INT) AS pass
+      |FROM m
+      |ORDER BY rule""".stripMargin) { (s, d) =>
+    import graft.operators.DataQuality
+    import graft.operators.DataQuality.RowRule
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val cu = Tables.customer(s, d)
+    val orderRules = DataQuality.rowAudit(o, Seq(
+      RowRule("o_custkey_complete", col("o_custkey").isNotNull, 1000000L),
+      RowRule("o_totalprice_positive", col("o_totalprice") > 0, 1000000L),
+      RowRule("o_orderdate_in_range",
+        col("o_orderdate").cast("date").between(
+          lit("1992-01-01").cast("date"), lit("1998-12-31").cast("date")),
+        1000000L),
+      // tuned to FAIL (~20% reality vs 30% bar): the fail branch is data
+      RowRule("o_urgent_share", col("o_orderpriority") === "1-URGENT",
+        300000L)))
+    val liRules = DataQuality.rowAudit(li, Seq(
+      RowRule("l_quantity_in_range",
+        col("l_quantity").between(1, 50), 1000000L),
+      RowRule("l_returnflag_complete", col("l_returnflag").isNotNull,
+        1000000L)))
+    val metrics = orderRules
+      .unionByName(liRules)
+      .unionByName(DataQuality.uniqueness(o, "o_orderkey_unique",
+        Seq("o_orderkey"), 1000000L))
+      .unionByName(DataQuality.referential(o, "o_custkey", cu, "c_custkey",
+        "fk_orders_customer", 1000000L))
+      .unionByName(DataQuality.referential(li, "l_orderkey", o, "o_orderkey",
+        "fk_lineitem_orders", 1000000L))
+    DataQuality.report(metrics)
   }
 
   /** Z-ORDER layout + pruned two-dimensional box scan —
