@@ -81,6 +81,31 @@ final class VersionedSetSimIndex(spark: SparkSession, path: String,
   def probe(batch: DataFrame, idCol: String, textCol: String): DataFrame =
     SetSimJoin.probePrefixIndex(batch, idCol, textCol, live(), tPpm)
 
+  /** TIME TRAVEL: the committed index frame AS OF `version` — MVCC's
+    * free byproduct (every committed version is a complete immutable
+    * directory, so reading history costs nothing the live read doesn't).
+    * By merge ≡ rebuild (q217's theorem, applied per version), version v
+    * EQUALS a from-scratch `prefixIndex` over the batch prefix committed
+    * through v — the reproducibility answer ("what did dedup see when
+    * batch b landed?") an audited 100 TB ingest loop must give, pinned
+    * by q248's oracle. Bounded by retention: [[prune]] drops superseded
+    * versions, so travel reaches only versions the retention policy
+    * kept. Requires `version` be committed (orphan/torn dirs are not
+    * readable history). */
+  def at(version: Long): DataFrame = {
+    require(committed().values.exists(_ == version),
+      s"version $version not committed at $path")
+    spark.read.parquet(s"$path/v$version")
+  }
+
+  /** As-of-batch resolution: the version `batchId`'s merge committed. */
+  def versionOf(batchId: Long): Option[Long] = committed().get(batchId)
+
+  /** Probe against a historical version ([[at]]). */
+  def probeAt(batch: DataFrame, idCol: String, textCol: String,
+      version: Long): DataFrame =
+    SetSimJoin.probePrefixIndex(batch, idCol, textCol, at(version), tPpm)
+
   /** Drop every version directory EXCEPT the live one: superseded
     * versions below it and orphans above it (torn writes whose commit
     * never landed). Single-writer contract — the caller is the one

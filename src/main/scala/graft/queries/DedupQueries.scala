@@ -23,7 +23,7 @@ object DedupQueries {
     q194IncrementalDedup, q208SetsimJoin, q209PhashNeardup,
     q213LshRecallAudit, q215IncrementalSetsim, q217IndexMerge,
     q227StreamDedupExactlyOnce, q230StreamingDedupLoop,
-    q232VersionedIndexIngest, q234IncrementalCc)
+    q232VersionedIndexIngest, q234IncrementalCc, q248TimeTravelProbe)
 
   /** Incremental EXACT dedup — `SetSimJoin.prefixIndex` persisted once
     * over the standing corpus, `SetSimJoin.probePrefixIndex` per ingest
@@ -43,13 +43,17 @@ object DedupQueries {
     * a rebuild (SetSimJoinSpec), both engines' probes of the id%10=0
     * batch must hash-match this one SQL — the probe-after-merge ≡
     * probe-after-rebuild gate IS the shared oracle. */
-  private val setsimRebuildProbeSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** The rebuild-from-first-principles + probe chain with the CORPUS
+    * predicate as a parameter — shared verbatim by q215/q217/q232 (live
+    * corpus `id % 10 <> 0`) and instantiated per batch PREFIX by q248's
+    * time-travel oracle. No ORDER BY: callers append their own. */
+  private def setsimRebuildProbeCore(corpPred: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |jt AS (SELECT doc_id AS id, unnest(list_distinct(list_transform(
       |         generate_series(1, len(w) - 2),
       |         i -> array_to_string(w[i:i+2], ' ')))) AS g
       |       FROM t),
-      |corp AS (SELECT * FROM jt WHERE id % 10 <> 0),
+      |corp AS (SELECT * FROM jt WHERE $corpPred),
       |bat AS (SELECT id AS new_id, g FROM jt WHERE id % 10 = 0),
       |freq AS (SELECT g, CAST(count(*) AS BIGINT) AS f FROM corp GROUP BY g),
       |cpref AS (
@@ -84,8 +88,10 @@ object DedupQueries {
       |       CAST((i.i_n * 1000000) // (bsz.n_b + csz.n - i.i_n) AS BIGINT)
       |         AS jac_ppm
       |FROM itr i JOIN bsz USING (new_id) JOIN csz ON csz.id = i.old_id
-      |WHERE i.i_n * 1000000 >= 500000 * (bsz.n_b + csz.n - i.i_n)
-      |ORDER BY new_id, old_id""".stripMargin
+      |WHERE i.i_n * 1000000 >= 500000 * (bsz.n_b + csz.n - i.i_n)""".stripMargin
+
+  private val setsimRebuildProbeSql: String =
+    setsimRebuildProbeCore("id % 10 <> 0") + "\nORDER BY new_id, old_id"
 
   val q215IncrementalSetsim: QueryDef = QueryDef.sql(
     "q215_incremental_setsim",
@@ -2182,6 +2188,54 @@ object DedupQueries {
       "ids must stay committed after prune")
     idx.probe(probe, "doc_id", "text")
       .orderBy(col("new_id"), col("old_id"))
+  }
+
+  /** TIME-TRAVEL reads over the MVCC index — `VersionedSetSimIndex.at`/
+    * `probeAt`, the free byproduct q232's copy-on-write versioning left
+    * on the table: every committed version is a complete immutable
+    * directory, so "what did dedup see when batch b landed?" — the
+    * reproducibility question an audited ingest loop must answer — is a
+    * directory read, no reconstruction. Three batches commit v0/v1/v2;
+    * the SAME probe runs against ALL THREE versions (as-of-batch
+    * resolution pinned via `versionOf`), and the oracle instantiates
+    * the rebuild+probe chain once per batch PREFIX — so the hash gate
+    * is "version v ≡ a from-scratch index over the batches committed
+    * through v", i.e. merge ≡ rebuild applied at every point in
+    * history, not just at the head. Retention bound documented at the
+    * operator: prune() keeps only live, so travel reaches what the
+    * policy kept (prune is deliberately NOT called here). */
+  val q248TimeTravelProbe: QueryDef = QueryDef.sql(
+    "q248_time_travel_probe",
+    Seq(
+      "id % 10 IN (1, 2, 3, 4)",
+      "id % 10 IN (1, 2, 3, 4, 5, 6)",
+      "id % 10 <> 0").zipWithIndex.map { case (pred, v) =>
+        s"SELECT CAST($v AS BIGINT) AS version, * FROM (\n" +
+          setsimRebuildProbeCore(pred) + "\n)"
+      }.mkString("", "\nUNION ALL\n",
+        "\nORDER BY version, new_id, old_id")) { (s, d) =>
+    import graft.dedup.VersionedSetSimIndex
+    val docsDf = Tables.documents(s, d)
+    val m = col("doc_id") % 10
+    val idxPath = graft.core.Scratch.dir("q248_tt_index", d)
+    val idx = VersionedSetSimIndex.create(s, idxPath, tPpm = 500000L)
+    require(idx.mergeOnce(docsDf.filter(m.isin(1, 2, 3, 4)),
+      "doc_id", "text", 10L), "v0 must commit")
+    require(idx.mergeOnce(docsDf.filter(m.isin(5, 6)),
+      "doc_id", "text", 11L), "v1 must commit")
+    require(idx.mergeOnce(docsDf.filter(m.isin(7, 8, 9)),
+      "doc_id", "text", 12L), "v2 must commit")
+    val probe = docsDf.filter(m === 0)
+    val byBatch = Seq(10L, 11L, 12L).map(b => idx.versionOf(b).get)
+    (0 to 2).map { v =>
+      // as-of-batch resolution: batch 10+v committed version v
+      require(byBatch(v) == v.toLong, s"batch ${10 + v} → version $v")
+      idx.probeAt(probe, "doc_id", "text", v.toLong)
+        .withColumn("version", lit(v.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("version"), col("new_id"), col("old_id"), col("i_n"),
+        col("u_n"), col("jac_ppm"))
+      .orderBy(col("version"), col("new_id"), col("old_id"))
   }
 
   /** INCREMENTAL CANONICALIZATION — the standing-state close of the

@@ -52,6 +52,34 @@ class VersionedSetSimIndexSpec extends SparkSpec {
         "doc_id", "text", rebuilt, T)))
   }
 
+  test("time travel: every version ≡ a from-scratch build over its batch prefix; as-of-batch resolution; uncommitted versions rejected") {
+    val all = fixture(30, 83)
+    val (b0, rest) = all.partition(_._1 % 3 == 1)
+    val (b1, b2) = rest.partition(_._1 % 3 == 2)
+    val idx = VersionedSetSimIndex.create(spark, tmp(), T)
+    assert(idx.mergeOnce(b0.toDF("doc_id", "text"), "doc_id", "text", 7L))
+    assert(idx.mergeOnce(b1.toDF("doc_id", "text"), "doc_id", "text", 8L))
+    assert(idx.mergeOnce(b2.toDF("doc_id", "text"), "doc_id", "text", 9L))
+    assert(idx.versionOf(8L).contains(1L) && idx.versionOf(99L).isEmpty)
+    val prefixes = Seq(b0, b0 ++ b1, b0 ++ b1 ++ b2)
+    val probe = fixture(6, 12).map { case (i, t) => (i + 1000L, t) }
+    for ((prefix, v) <- prefixes.zipWithIndex) {
+      val rebuilt = SetSimJoin.prefixIndex(prefix.toDF("doc_id", "text"),
+        "doc_id", "text", T)
+      assert(rowSet(idx.at(v.toLong)) == rowSet(rebuilt),
+        s"version $v must equal the prefix rebuild")
+      assert(rowSet(idx.probeAt(probe.toDF("doc_id", "text"), "doc_id",
+          "text", v.toLong)) ==
+        rowSet(SetSimJoin.probePrefixIndex(probe.toDF("doc_id", "text"),
+          "doc_id", "text", rebuilt, T)), s"probe at $v")
+    }
+    intercept[IllegalArgumentException](idx.at(3L))
+    // retention: after prune only live remains readable
+    idx.prune()
+    intercept[Exception](idx.at(0L).collect())
+    assert(rowSet(idx.at(2L)) == rowSet(idx.live()))
+  }
+
   test("an orphan version ABOVE live is invisible; a torn retry " +
       "self-heals by overwrite") {
     val all = fixture(16, 7)
