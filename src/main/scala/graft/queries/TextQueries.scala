@@ -35,7 +35,7 @@ object TextQueries {
     q223StreamExactlyOnce, q224IndexedEval, q225Collocations,
     q226DpNoisyCounts, q228WinnowOverlap, q229RbpEval, q231BitextMining,
     q235CsvQuarantine, q236MaxScoreServe, q237NdcgEval,
-    q243TextrankKeywords)
+    q243TextrankKeywords, q249ImpactServe)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -2312,6 +2312,61 @@ object TextQueries {
         explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
       .distinct()
     idx.bm25TopKMaxScore(probes, k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** IMPACT-ORDERED exact BM25 serving (Anh–Moffat SIGIR 2002 family) —
+    * `PostingsIndex.buildImpacts` + `bm25TopKImpact`: every posting row
+    * carries its fully PRECOMPUTED score contribution, derived at build
+    * time from the persisted tables (no corpus pass), so a serve is ONE
+    * bucket-pruned join + sum + rank — no df join, no lengths join, no
+    * stats crossJoin (q184/q216 pay all three per query batch). THE
+    * TRADE is pinned in code and spec: impacts bake the global (df, t,
+    * nd) into every row, so `merge` DELETES the table (absence =
+    * rebuild-after-ingest-cycle) — the serving-speed-for-rebuild-cycle
+    * economics impact-ordered indexes accept, the design point OPPOSITE
+    * the merge-friendly raw-tf default. Output ≡ the unindexed
+    * recompute by construction; the oracle IS that recompute, so the
+    * driver hash gate is the equivalence. */
+  val q249ImpactServe: QueryDef = sql(
+    "q249_impact_serve",
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
+      |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nd
+      |        FROM dl),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM (SELECT doc_id, unnest(w) AS tok FROM base)
+      |       GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+      |q AS (SELECT DISTINCT doc_id AS qid, unnest(w[1:8]) AS tok
+      |      FROM base WHERE doc_id < 6),
+      |sc AS (
+      |  SELECT q.qid, dt.doc_id,
+      |         CAST(sum(CAST((nd * 1000) // df AS HUGEINT) *
+      |                  ((88 * tf * CAST(t AS HUGEINT) * 1000000) //
+      |                   (40 * CAST(t AS HUGEINT) * tf + 12 * t + 36 * dl.dl * nd))) AS BIGINT)
+      |           AS score_i
+      |  FROM q JOIN dfq USING (tok) JOIN dt USING (tok)
+      |  JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN tot
+      |  WHERE dt.doc_id <> q.qid
+      |  GROUP BY q.qid, dt.doc_id)
+      |SELECT qid, rank, doc_id, score_i FROM (
+      |  SELECT qid, doc_id, score_i,
+      |         row_number() OVER (PARTITION BY qid
+      |                            ORDER BY score_i DESC, doc_id) AS rank
+      |  FROM sc)
+      |WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val idx = graft.text.PostingsIndex.build(dd,
+      graft.core.Scratch.dir("q249_impact_index", d), "doc_id", "text",
+      nBuckets = 16, withPositions = false)
+    idx.buildImpacts()
+    val probes = dd.filter(col("doc_id") < 6)
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+      .distinct()
+    idx.bm25TopKImpact(probes, k = 10)
       .orderBy(col("qid"), col("rank"))
   }
 

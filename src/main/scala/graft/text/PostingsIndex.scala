@@ -257,6 +257,63 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
       .filter(col("rank") <= k)
   }
 
+  /** Whether the IMPACT table exists ([[buildImpacts]] ran after the
+    * last build/merge). */
+  private def hasImpacts: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/impacts")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def impacts: DataFrame = spark.read.parquet(s"$path/impacts")
+
+  /** Build the IMPACT-ORDERED serving table (the Anh–Moffat SIGIR 2002
+    * family: an "impact" is the document's fully precomputed score
+    * contribution for the term): (tok, doc_id, impact_i) bucketed like
+    * postings, derived from the PERSISTED tables — no corpus pass. A
+    * serve is then ONE bucket-pruned join + sum + rank: no df join, no
+    * lengths join, no stats crossJoin — the lowest-latency exact BM25
+    * shape, and at 100 TB three fewer joins per serve on the fan-out
+    * path (ScaleSmoke `impact_serve` vs `bm25_index_serve`).
+    *
+    * THE TRADE — and why the DEFAULT index stores raw tf instead:
+    * impacts bake the global (df, t, nd) statistics into every row, so
+    * ANY merge invalidates the whole table. [[merge]] therefore DELETES
+    * it (absence = "rebuild impacts after the ingest cycle" — the
+    * safe-by-absence contract positions use), which is exactly the
+    * rebuild-cycle economics impact-ordered indexes accept for serving
+    * speed. Exactness: each row carries `Bm25.contrib` verbatim, so the
+    * impact serve ≡ [[bm25TopK]] row for row (spec-pinned; q249's
+    * oracle is the corpus recompute). */
+  def buildImpacts(): Unit = {
+    val bkt = pmod(xxhash64(col("tok")), lit(checkedBuckets)).as("bkt")
+    postings.select(col("tok"), col("doc_id"), col("tf"))
+      .join(docFreq.select(col("tok"), col("df")), "tok")
+      .join(lengths.select(col("doc_id"), col("dl")).hint("shuffle_hash"),
+        "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), col("doc_id"), Bm25.contrib.as("impact_i"), bkt)
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/impacts")
+  }
+
+  /** Exact top-`k` BM25 served from PRECOMPUTED impacts — identical
+    * output to [[bm25TopK]] by construction, with no statistics joins
+    * at serve time. */
+  def bm25TopKImpact(queries: DataFrame, k: Int,
+      probedHint: Option[Seq[Long]] = None): DataFrame = {
+    require(hasImpacts, s"index at $path lacks the impacts table — " +
+      "run buildImpacts() after the build (and after every merge cycle)")
+    val q = queries.select(col("qid").cast("long").as("qid"), col("tok"))
+    val probed = probedHint.getOrElse(probedBuckets(q))
+    Bm25.sumAndRank(
+      broadcast(q)
+        .join(impacts.filter(col("bkt").isin(probed: _*))
+          .select(col("tok"), col("doc_id"), col("impact_i")), "tok")
+        .filter(col("doc_id") =!= col("qid"))
+        .select(col("qid"), col("doc_id"), col("impact_i").as("contrib")),
+      k)
+  }
+
   /** Fold an ingest batch INTO the standing index — rebuild-equivalent
     * by construction (pinned in PostingsIndexSpec; q218's oracle replays
     * the rebuild): postings, positions and lengths are per-document
@@ -283,6 +340,14 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     * ledger (the IncrementalDriver discipline), deliberately outside
     * this operator. */
   def merge(batch: DataFrame, idCol: String, textCol: String): Unit = {
+    // impacts bake (df, t, nd) into every row — ANY merge invalidates the
+    // whole table, so delete it FIRST (absence = rebuild-after-cycle;
+    // serving stale impacts would silently mis-score every query)
+    if (hasImpacts) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/impacts")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+    }
     val base = batch.select(col(idCol).cast("long").as("doc_id"),
       split(col(textCol), " ").as("w"))
     val bkt = pmod(xxhash64(col("tok")), lit(checkedBuckets)).as("bkt")

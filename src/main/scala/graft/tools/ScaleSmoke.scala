@@ -388,6 +388,11 @@ object ScaleSmoke {
         msProbes.count()
         time("maxscore_serve", k)(msIdx.bm25TopKMaxScore(msProbes, k = 10))
         time("bm25_unpruned_serve", k)(msIdx.bm25TopK(msProbes, k = 10))
+        // impact-ordered serve (q249): precomputed contribs, one join —
+        // vs the raw-tf serve's df + lengths + stats joins on the same
+        // probes and the same index layout
+        msIdx.buildImpacts()
+        time("impact_serve", k)(msIdx.bm25TopKImpact(msProbes, k = 10))
         msProbes.unpersist()
       }
       if ("hyperball_rounds".contains(opFilter)) {

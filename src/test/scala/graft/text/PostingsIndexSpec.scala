@@ -83,6 +83,40 @@ class PostingsIndexSpec extends SparkSpec {
       rows(Bm25.topK(corpus, "doc_id", "text", probes, 5)))
   }
 
+  test("impact serve equals the corpus recompute; merge invalidates impacts") {
+    for (trial <- 1 to 2) {
+      val corpus = fixture(22, 130 + trial).toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+      val idx = PostingsIndex.build(corpus, dir, "doc_id", "text",
+        nBuckets = 8, withPositions = false)
+      idx.buildImpacts()
+      val probes = corpus.filter(col("doc_id") <= 3)
+        .select(col("doc_id").as("qid"),
+          explode(slice(split(col("text"), " "), 1, 4)).as("tok"))
+        .distinct()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "rank", "doc_id", "score_i")
+          .as[(Long, Int, Long, Long)].collect().toSet
+      assert(rows(idx.bm25TopKImpact(probes, 5)) ==
+        rows(Bm25.topK(corpus, "doc_id", "text", probes, 5)),
+        s"trial $trial")
+      // merge bakes new global stats ⇒ the impacts table must DIE, and
+      // the serve must refuse rather than mis-score from stale impacts
+      idx.merge(Seq((900L, "ash oak fir")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      assert(!new java.io.File(s"$dir/impacts").exists,
+        "merge must delete the impacts table (stale global stats)")
+      intercept[IllegalArgumentException](idx.bm25TopKImpact(probes, 5))
+      // rebuild-after-cycle restores the exact serve over the merged corpus
+      idx.buildImpacts()
+      val merged = corpus.unionByName(
+        Seq((900L, "ash oak fir")).toDF("doc_id", "text"))
+      assert(rows(idx.bm25TopKImpact(probes, 5)) ==
+        rows(Bm25.topK(merged, "doc_id", "text", probes, 5)),
+        s"trial $trial post-merge")
+    }
+  }
+
   test("merge is rebuild-equivalent: every table row-identical, serves equal") {
     val all = fixture(24, 11)
     val (standing, batch) = all.partition(_._1 % 5 != 0)
