@@ -400,9 +400,15 @@ object GraphOps {
       nodes.withColumn("v", col("id")), "id", "v", p, salt)
     var out = b.withColumn("radius", lit(0L))
     for (r <- 1 to rounds) {
+      // forward ball: v absorbs its SUCCESSORS' registers (v → w pulls
+      // w's counters into v), so after r rounds v holds exactly the
+      // nodes reachable FROM v within r hops — the documented B(v, r).
+      // (The src→dst emission this replaced computed the IN-ball on
+      // directed input; identical on symmetrized graphs, which is why
+      // every in-repo caller — and the old spec — never noticed.)
       val fromNbrs = edges
-        .join(b.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("reg"), col("max_rho"))
+        .join(b.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("reg"), col("max_rho"))
       b = b.unionByName(fromNbrs)
         .groupBy(col("id"), col("reg")).agg(max(col("max_rho")).as("max_rho"))
       out = out.unionByName(b.withColumn("radius", lit(r.toLong)))
@@ -418,8 +424,12 @@ object GraphOps {
     * contribute 2^45; `est_milli = ⌊172288·2^45 / Z_s⌋` in
     * DECIMAL(38,0) ≡ HUGEINT (raw FFGM estimate — HllSketch's documented
     * no-small-range-correction stance). Output:
-    * (radius, id, n_regs, z_scaled, est_milli). */
-  def ballEstMilli(regs: DataFrame): DataFrame =
+    * (radius, id, n_regs, z_scaled, est_milli). `p` exists only to be
+    * REQUIRED 4: registers built at another precision would silently
+    * yield garbage (negative Z once a node holds > 16 registers). */
+  def ballEstMilli(regs: DataFrame, p: Int = 4): DataFrame = {
+    require(p == 4,
+      s"ballEstMilli's frozen constants (m=16, α16·m²·1000=172288) are p=4-only, got $p")
     regs.groupBy(col("radius"), col("id"))
       .agg(count(lit(1)).as("n_regs"),
         sum(expr("shiftleft(1L, cast(45 - max_rho as int))")).as("zp"))
@@ -428,6 +438,7 @@ object GraphOps {
           .as("z_scaled"))
       .withColumn("est_milli", expr(
         "CAST((CAST(172288 AS DECIMAL(38,0)) * 35184372088832) div z_scaled AS LONG)"))
+  }
 
   /** HARMONIC CENTRALITY estimated by HyperBall (Boldi–Vigna 2014,
     * "Axioms for centrality" — the score HyperBall was built to compute

@@ -83,7 +83,10 @@ object BloomPrefilter {
     require(mBits >= 64 && mBits % 64 == 0 && mBits <= (1 << 22),
       s"mBits must be a multiple of 64 in [64, 4194304], got $mBits")
     require(kHashes >= 1 && kHashes <= 8, s"kHashes out of [1,8]: $kHashes")
-    val words = keys
+    // NULL keys never equal anything in a semi join, so dropping them is
+    // the correct semantics — and keeping them would NPE the word loop
+    // under HashMd5 (md5(concat(NULL, …)) is NULL all the way down)
+    val words = keys.filter(col(keyCol).isNotNull)
       .select(explode(array((0 until kHashes).map(j =>
         position(col(keyCol), j, mBits, salt, hash)): _*)).as("p"))
       .select(expr("shiftright(p, 6)").as("w"),
@@ -106,6 +109,9 @@ object BloomPrefilter {
       hash: Hash = HashXx): DataFrame = {
     require(bits.length == mBits / 64,
       s"bits length ${bits.length} != mBits/64 = ${mBits / 64}")
+    require(!df.columns.exists(_.startsWith("__bf_")),
+      "input already carries __bf_-prefixed columns — the filter's temp " +
+        "names would silently overwrite and drop them")
     val (h1, h2) = halves(col(keyCol), salt, hash)
     val m = lit(mBits.toLong)
     var cur = df.withColumn("__bf_bits", typedLit(bits.toSeq))

@@ -30,6 +30,10 @@ object DataQuality {
     * single aggregate, melted to (rule, n_rows, n_ok) rows. */
   def rowAudit(df: DataFrame, rules: Seq[RowRule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
+    // names are spliced into a quoted stack() literal — restrict them so
+    // a quote can neither break parsing nor inject expressions
+    rules.foreach(r => require(r.name.matches("[A-Za-z0-9_.:/ -]+"),
+      s"rule name '${r.name}' must match [A-Za-z0-9_.:/ -]+"))
     val aggs = count(lit(1)).as("__n") +:
       rules.zipWithIndex.map { case (r, i) =>
         sum(when(r.pred, 1L).otherwise(0L)).as(s"__ok_$i")

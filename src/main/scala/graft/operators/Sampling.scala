@@ -84,8 +84,9 @@ object Sampling {
     require(k >= 1, s"k must be >= 1, got $k")
     val pri = df.select(col(idCol).as("ps_id"),
         col(weightCol).cast("long").as("w"),
-        (conv(substring(md5(concat(col(idCol).cast("string"),
-          lit("|" + salt))), 1, 12), 16, 10).cast("long")
+        // the shared 48-bit md5 convention — one pinned helper, so a
+        // grid change cannot silently diverge this draw from the oracles
+        (KmvSketch.hash48(col(idCol), salt)
           % lit(1000000000L) + lit(1L)).as("u_ppb"))
       .withColumn("pri_grid", expr("(w * 1000000000L) div u_ppb"))
     // top-(k+1) via orderBy+limit = TakeOrderedAndProject; the window

@@ -362,7 +362,8 @@ object ScaleSmoke {
         }
       }
       if ("maxscore_serve".contains(opFilter) ||
-          "bm25_unpruned_serve".contains(opFilter)) {
+          "bm25_unpruned_serve".contains(opFilter) ||
+          "impact_serve".contains(opFilter)) {
         // MaxScore pruning (q236): adversarial corpus where EVERY doc
         // carries stopword "zz" and one of ~nDocs/20 rare terms. Probes =
         // [zz + one rare term] per query. The unpruned serve ships one
@@ -413,7 +414,8 @@ object ScaleSmoke {
           graft.graph.GraphOps.hyperBallRegisters(hbEdges, rounds = 2, p = 4))
       }
       if ("zorder_pruned_box".contains(opFilter) ||
-          "zorder_full_filter".contains(opFilter)) {
+          "zorder_zonemap_filter".contains(opFilter) ||
+          "zorder_unsorted_filter".contains(opFilter)) {
         // z-order pruned box scan (q240): the pruned wall must track the
         // COVERED CELLS' bytes, the full-filter wall the whole table —
         // their ratio at every k is the layout's I/O win (the box covers
@@ -478,6 +480,7 @@ object ScaleSmoke {
               col("y") >= yLo && col("y") <= yHi))
       }
       if ("bloom_prefiltered_semi".contains(opFilter) ||
+          "bloom_md5_prefiltered".contains(opFilter) ||
           "bloom_plain_semi".contains(opFilter)) {
         // Bloom prefilter (q241): both paths take the SAME shuffle-hash
         // semi join (the no-broadcast regime a 100 TB build side forces);
@@ -519,6 +522,9 @@ object ScaleSmoke {
         }
         spark.sparkContext.addSparkListener(lst)
         def timedBytes(name: String)(df: => DataFrame): Unit = {
+          if (!name.contains(opFilter)) return // mirror time()'s gate —
+          // otherwise a filtered-out op would still print a fabricated
+          // 0.0-MB byte row
           shufW.set(0L)
           time(name, k)(df)
           Thread.sleep(300) // listener bus drain (private API in Spark 4)

@@ -49,6 +49,23 @@ class HyperBallSpec extends SparkSpec {
     }
   }
 
+  test("DIRECTED edges: registers accumulate the FORWARD ball (v absorbs successors)") {
+    // a→b only: B(a,1) = {a,b}, B(b,1) = {b} — the documented contract,
+    // which the earlier src→dst emission silently inverted (it computed
+    // the in-ball; symmetric callers never noticed)
+    val edf = Seq((1L, 2L)).toDF("src", "dst")
+    val got = GraphOps.hyperBallRegisters(edf, rounds = 1, p = 4)
+      .filter(col("radius") === 1)
+      .select("id", "reg", "max_rho").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    def hll(members: Seq[Long]) = HllSketch.registers(
+        members.map(m => (0L, m)).toDF("id", "member"), "id", "member",
+        p = 4, salt = "hb-v1")
+      .select("reg", "max_rho").as[(Long, Long)].collect().toSet
+    assert(got(1L) == hll(Seq(1L, 2L)), "a must absorb its successor b")
+    assert(got(2L) == hll(Seq(2L)), "b has no out-edge — singleton ball")
+  }
+
   test("registers only grow with radius (max-merge monotonicity)") {
     val edf = randomEdges(n = 15, m = 20, seed = 9).toDF("src", "dst")
     val regs = GraphOps.hyperBallRegisters(edf, rounds = 2, p = 4)
