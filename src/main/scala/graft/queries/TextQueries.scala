@@ -1179,8 +1179,10 @@ object TextQueries {
     val queries = docs(s, d).filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"),
         array_join(slice(split(col("text"), " "), 1, 3), " ").as("phrase"))
-    graft.text.PhraseSearch
-      .phraseMatches(docs(s, d), "doc_id", "text", queries)
+    // served from the SHARED standing index's positional postings
+    // (bucket-pruned scan) — identical anchor algebra to the corpus
+    // path `PhraseSearch.phraseMatches`, which stays spec-pinned
+    postingsShared(s, d).phraseMatches(queries)
       .orderBy(col("qid"), col("doc_id"))
   }
 
@@ -1233,11 +1235,54 @@ object TextQueries {
     val queries = dd.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"),
         array_join(slice(split(col("text"), " "), 1, 3), " ").as("phrase"))
-    val post = dd.select(col("doc_id").cast("long").as("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    // positional postings come from the SHARED standing index, pruned to
+    // the probe tokens' buckets (never a corpus posexplode at serve time)
+    val post = postingsShared(s, d).positionsFor(
+      queries.select(explode(split(col("phrase"), " ")).as("tok")))
     val anchors = graft.text.PhraseSearch.phraseAnchors(post, queries)
     graft.text.PhraseSearch.snippets(anchors, dd, "doc_id", "text", window = 2)
       .orderBy(col("qid"), col("doc_id"))
+  }
+
+  /** ONE standing postings index per (process, sf), shared by every
+    * READ-ONLY serve query — the `coPurchaseShared` pattern applied to
+    * the retrieval shelf (VERDICT r13 item 1): q210/q216/q221/q222/
+    * q224/q236/q249 each used to pay their own `PostingsIndex.build`
+    * (≈8 corpus-indexing passes per suite run) although none of them
+    * mutates the index; production serves from ONE standing index per
+    * corpus (the reference's standing Postgres tables,
+    * assets/recent_history.py:368-371). Built with positions + bounds +
+    * impacts so every serve flavor (BM25, MaxScore, impact-ordered,
+    * RM3, Jaccard, phrase) runs off the same artifact; the
+    * build/merge/stream/MVCC queries (q218/q220/q223) keep
+    * self-contained indexes — their SUBJECT is the mutation.
+    *
+    * Publication is crash-consistent: the build lands in a `_build`
+    * staging dir and is RENAMED into place, so a torn build is never
+    * visible at the served path (the VersionedSetSimIndex discipline).
+    * Concurrency contract: single writer per scratch root — memoized
+    * per-JVM; concurrent PROCESSES sharing one GRAFT_SCRATCH_DIR are
+    * outside the contract (documented, as for coPurchaseShared). */
+  private val postingsSharedBuilt = scala.collection.mutable.Set[String]()
+  private def postingsShared(s: SparkSession, d: String): graft.text.PostingsIndex = {
+    val path = graft.core.Scratch.dir("postings_shared", d)
+    postingsSharedBuilt.synchronized {
+      if (!postingsSharedBuilt.contains(path)) {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val staging = new org.apache.hadoop.fs.Path(path + "_build")
+        if (fs.exists(staging)) fs.delete(staging, true): Unit
+        val idx = graft.text.PostingsIndex.build(docs(s, d),
+          staging.toString, "doc_id", "text",
+          nBuckets = 16, withBounds = true, withPositions = true)
+        idx.buildImpacts()
+        val dest = new org.apache.hadoop.fs.Path(path)
+        if (fs.exists(dest)) fs.delete(dest, true): Unit
+        fs.rename(staging, dest): Unit
+        postingsSharedBuilt.add(path): Unit
+      }
+    }
+    graft.text.PostingsIndex.open(s, path)
   }
 
   /** STANDING postings index serve — `text.PostingsIndex` closes the
@@ -1354,11 +1399,7 @@ object TextQueries {
     "q222_rm3_index",
     rm3RebuildSql) { (s, d) =>
     val dd = docs(s, d)
-    val idxPath = graft.core.Scratch.dir("q222_postings_index", d)
-    // positionless build: rm3/bm25 never read positional postings, and
-    // positions are the largest table + the costliest corpus pass
-    val idx = graft.text.PostingsIndex.build(dd, idxPath, "doc_id", "text",
-      withPositions = false)
+    val idx = postingsShared(s, d)
     val expanded = idx.rm3ExpandedTerms(rm3Probes(dd), dd, "doc_id", "text",
       k = 10, fbDocs = 5, fbTerms = 5)
     idx.bm25TopK(expanded, k = 10)
@@ -1453,10 +1494,7 @@ object TextQueries {
   val q216PostingsServe: QueryDef = sql(
     "q216_postings_serve",
     postingsRebuildServeSql) { (s, d) =>
-    val dd = docs(s, d)
-    val idxPath = graft.core.Scratch.dir("q216_postings_index", d)
-    serveFromPostingsIndex(dd,
-      graft.text.PostingsIndex.build(dd, idxPath, "doc_id", "text"))
+    serveFromPostingsIndex(docs(s, d), postingsShared(s, d))
   }
 
   /** RETRIEVAL-INDEX MAINTENANCE — closes the postings index's
@@ -2202,14 +2240,7 @@ object TextQueries {
     "q224_indexed_retrieval_eval",
     retrievalEvalSql) { (s, d) =>
     val dd = docs(s, d)
-    // 16 buckets (vs the 64 default): this query pays FIVE bucketed
-    // table writes up front, and every serve prunes to ≤ |probe terms|
-    // buckets either way — measured build-cost win, same pruning shape
-    // positionless build (bm25/jac/rm3 never read positions — the largest
-    // table and the costliest of the three corpus passes, dropped)
-    val idx = graft.text.PostingsIndex.build(dd,
-      graft.core.Scratch.dir("q224_postings_index", d), "doc_id", "text",
-      nBuckets = 16, withPositions = false)
+    val idx = postingsShared(s, d)
     val probes = dd.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"),
         explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
@@ -2304,9 +2335,7 @@ object TextQueries {
       |WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
     val dd = docs(s, d)
-    val idx = graft.text.PostingsIndex.build(dd,
-      graft.core.Scratch.dir("q236_maxscore_index", d), "doc_id", "text",
-      nBuckets = 16, withBounds = true, withPositions = false)
+    val idx = postingsShared(s, d)
     val probes = dd.filter(col("doc_id") < 8)
       .select(col("doc_id").as("qid"),
         explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
@@ -2358,10 +2387,7 @@ object TextQueries {
       |WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
     val dd = docs(s, d)
-    val idx = graft.text.PostingsIndex.build(dd,
-      graft.core.Scratch.dir("q249_impact_index", d), "doc_id", "text",
-      nBuckets = 16, withPositions = false)
-    idx.buildImpacts()
+    val idx = postingsShared(s, d)
     val probes = dd.filter(col("doc_id") < 6)
       .select(col("doc_id").as("qid"),
         explode(slice(split(col("text"), " "), 1, 8)).as("tok"))

@@ -523,19 +523,27 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     q.unionByName(expansion)
   }
 
+  /** The positional postings PRUNED to the buckets of `toks` — the
+    * `(doc_id, pos, tok)` frame any anchor-algebra caller
+    * (`PhraseSearch.phraseAnchors`, q221's snippet pipeline) consumes
+    * directly, so serving positions costs ≤ the probed buckets' files
+    * instead of a corpus posexplode. `toks`: distinct probe tokens in a
+    * `tok` column. */
+  def positionsFor(toks: DataFrame): DataFrame = {
+    val probed = probedBuckets(toks)
+    positions.filter(col("bkt").isin(probed: _*))
+      .select(col("doc_id"), col("pos"), col("tok"))
+  }
+
   /** Exact phrase occurrences served from the persisted POSITIONAL
     * postings — `PhraseSearch.phraseMatchesFromPostings` over the
     * bucket-pruned scan. `queries`: (qid, phrase). */
   def phraseMatches(queries: DataFrame, qidCol: String = "qid",
-      phraseCol: String = "phrase"): DataFrame = {
-    val toks = queries.select(
-      explode(split(col(phraseCol), " ")).as("tok"))
-    val probed = probedBuckets(toks)
+      phraseCol: String = "phrase"): DataFrame =
     PhraseSearch.phraseMatchesFromPostings(
-      positions.filter(col("bkt").isin(probed: _*))
-        .select(col("doc_id"), col("pos"), col("tok")),
+      positionsFor(queries.select(
+        explode(split(col(phraseCol), " ")).as("tok"))),
       queries, qidCol, phraseCol)
-  }
 }
 
 object PostingsIndex {
