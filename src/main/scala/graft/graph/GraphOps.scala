@@ -115,8 +115,18 @@ object GraphOps {
     * out-weight table is vocabulary/node-sized. Lineage cut per round. */
   def weightedPagerankPpm(edges: DataFrame, nodes: DataFrame,
       iters: Int = 3, dampingPpm: Long = 850000L): DataFrame = {
-    val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val e = edges.join(wout, "src")
+    // loud input contract: w ≤ 0 would make wout = 0 possible, and under
+    // non-ANSI semantics `r div wout` is then NULL — that source's
+    // contributions would drop SILENTLY from the sum, a quiet deviation
+    // from the documented recurrence. Row-wise raise_error instead
+    // (the prioritySample discipline; weights are data, not parameters).
+    val ew = edges.select(col("src"), col("dst"), expr(
+      """CASE WHEN w <= 0 THEN
+        |  CAST(raise_error(concat('weightedPagerankPpm: non-positive edge weight ',
+        |    CAST(w AS STRING))) AS LONG)
+        |ELSE CAST(w AS LONG) END""".stripMargin).as("w"))
+    val wout = ew.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val e = ew.join(wout, "src")
     val base = 1000000L - dampingPpm
     var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {

@@ -84,6 +84,11 @@ object KmvSketch {
       .select(col(grpCol), col("amins"), col("bmins"),
         expr(s"slice(array_sort(array_distinct(concat(amins, bmins))), 1, $k)")
           .as("u"))
+      // a group whose values were all NULL on both sides sketches to an
+      // EMPTY min-set (hash48 of NULL is NULL): element_at(u, 0) would
+      // throw and the ppm ratios would divide by n_u = 0 — an empty
+      // sketch estimates nothing, so the group is dropped, not errored
+      .filter(size(col("u")) >= 1)
       .select(col(grpCol),
         size(col("u")).cast("long").as("n_u"),
         element_at(col("u"), size(col("u"))).as("kth_min"),

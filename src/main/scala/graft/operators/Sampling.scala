@@ -82,8 +82,22 @@ object Sampling {
       k: Int, salt: String = "ps-v1"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1, got $k")
+    // loud input contract (the BloomPrefilter require discipline, done
+    // row-wise since weights are data): a NEGATIVE weight would draw a
+    // negative priority and corrupt τ and every subset-sum estimate
+    // silently; a FRACTIONAL weight would silently truncate — both fail
+    // the run instead. (The upper bound w ≤ 9.2·10^9 stays a documented
+    // caller bound: it is where pri_grid exactness ends, not validity.)
+    val wChecked = expr(
+      s"""CASE WHEN $weightCol < 0 THEN
+         |  CAST(raise_error(concat('prioritySample: negative weight ',
+         |    CAST($weightCol AS STRING))) AS LONG)
+         |WHEN CAST($weightCol AS DOUBLE) <> CAST(CAST($weightCol AS LONG) AS DOUBLE) THEN
+         |  CAST(raise_error(concat('prioritySample: non-integral weight ',
+         |    CAST($weightCol AS STRING), ' would truncate')) AS LONG)
+         |ELSE CAST($weightCol AS LONG) END""".stripMargin)
     val pri = df.select(col(idCol).as("ps_id"),
-        col(weightCol).cast("long").as("w"),
+        wChecked.as("w"),
         // the shared 48-bit md5 convention — one pinned helper, so a
         // grid change cannot silently diverge this draw from the oracles
         (KmvSketch.hash48(col(idCol), salt)

@@ -527,7 +527,20 @@ object ScaleSmoke {
           // 0.0-MB byte row
           shufW.set(0L)
           time(name, k)(df)
-          Thread.sleep(300) // listener bus drain (private API in Spark 4)
+          // drain the listener bus BEFORE reading the counter: a fixed
+          // sleep can under-count late task-end events. waitUntilEmpty is
+          // private[spark], so go through reflection with the old sleep
+          // as the fallback (bench telemetry only, not correctness).
+          try {
+            val bus = spark.sparkContext.getClass
+              .getMethod("listenerBus").invoke(spark.sparkContext)
+            val wu = bus.getClass.getMethods
+              .filter(_.getName == "waitUntilEmpty")
+              .minBy(_.getParameterCount)
+            if (wu.getParameterCount == 0) wu.invoke(bus)
+            else wu.invoke(bus, java.lang.Long.valueOf(10000L))
+            ()
+          } catch { case _: ReflectiveOperationException => Thread.sleep(300) }
           println(f"""{"op":"${name}_shuffle_mb","scale":$k,"rows_in":${n0 * k},"sec":${shufW.get / 1048576.0}%.1f}""")
         }
         timedBytes("bloom_prefiltered_semi")(

@@ -102,6 +102,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("weightedPagerankPpm: non-positive edge weight fails loudly") {
+    // w = 0 would make wout = 0 possible and `r div wout` NULL — the
+    // source's contributions would silently drop from the documented
+    // recurrence; the operator must raise instead
+    val e = Seq((1L, 2L, 0L), (2L, 1L, 3L)).toDF("src", "dst", "w")
+    val n = Seq(1L, 2L).toDF("id")
+    val ex = intercept[Exception] {
+      GraphOps.weightedPagerankPpm(e, n, iters = 1).collect()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
+    assert(msg(ex).contains("non-positive edge weight"), msg(ex))
+  }
+
   test("pagerankPpm: node with no in-edges settles at the base rank") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     val n = Seq(1L, 2L).toDF("id")

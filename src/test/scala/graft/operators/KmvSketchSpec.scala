@@ -106,6 +106,20 @@ class KmvSketchSpec extends SparkSpec {
     assert(math.abs(iEst - 1000L) <= 900, s"inter_est $iEst")
   }
 
+  test("setOps: all-NULL group (empty min-sets) is dropped, not a runtime error") {
+    val k = 8
+    // hash48(NULL) is NULL, so a group whose values were all NULL carries
+    // mins = [] in a persisted sketch frame; the estimator must drop the
+    // group instead of erroring on element_at(u, 0) / dividing by n_u = 0
+    val sa = KmvSketch.sketch((1L to 5L).map((1L, _)).toDF("g", "v"), "g", "v", k)
+      .union(Seq((2L, Seq.empty[Long])).toDF("g", "mins"))
+    val sb = KmvSketch.sketch((3L to 9L).map((1L, _)).toDF("g", "v"), "g", "v", k)
+      .union(Seq((2L, Seq.empty[Long])).toDF("g", "mins"))
+    val r = KmvSketch.setOpsEstimate(sa, sb, "g", k)
+    val groups = r.select("g").as[Long].collect().toSet
+    assert(groups == Set(1L), s"expected only group 1 to survive, got $groups")
+  }
+
   test("per-shard sketches merge to the global sketch (mergeability)") {
     val k = 32
     val a = events.filter(col("event_id") % 2 === 0)

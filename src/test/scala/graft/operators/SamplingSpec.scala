@@ -59,6 +59,21 @@ class SamplingSpec extends SparkSpec {
     assert(evens == (1L to 30L).filter(_ % 2 == 0).map(100L * _).sum)
   }
 
+  test("priority sample: negative and fractional weights fail loudly") {
+    val neg = Seq((1L, 5L), (2L, -3L)).toDF("id", "w")
+    val e1 = intercept[Exception] {
+      Sampling.prioritySample(neg, "id", "w", k = 2).collect()
+    }
+    assert(e1.getMessage.contains("negative weight") ||
+      Option(e1.getCause).exists(_.getMessage.contains("negative weight")))
+    val frac = Seq((1L, 5.0), (2L, 2.5)).toDF("id", "w")
+    val e2 = intercept[Exception] {
+      Sampling.prioritySample(frac, "id", "w", k = 2).collect()
+    }
+    assert(e2.getMessage.contains("non-integral weight") ||
+      Option(e2.getCause).exists(_.getMessage.contains("non-integral weight")))
+  }
+
   test("stratified rates: strata get their own thresholds") {
     val strat = docs.withColumn("stratum",
       when(col("doc_id") % 2 === 0, lit("even")).otherwise(lit("odd")))
