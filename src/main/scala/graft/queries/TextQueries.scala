@@ -35,7 +35,7 @@ object TextQueries {
     q223StreamExactlyOnce, q224IndexedEval, q225Collocations,
     q226DpNoisyCounts, q228WinnowOverlap, q229RbpEval, q231BitextMining,
     q235CsvQuarantine, q236MaxScoreServe, q237NdcgEval,
-    q243TextrankKeywords, q249ImpactServe)
+    q243TextrankKeywords, q249ImpactServe, q250LedgeredImpactServe)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -2389,6 +2389,86 @@ object TextQueries {
     val dd = docs(s, d)
     val idx = postingsShared(s, d)
     val probes = dd.filter(col("doc_id") < 6)
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+      .distinct()
+    idx.bm25TopKImpact(probes, k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Impact-ordered BM25 from the LEDGERED index after a DOUBLED-DELIVERY
+    * stream — the streaming-stack completion of q249 (VERDICT r13
+    * missing #1): the index is created POSITIONLESS (the q224 trade
+    * brought to the ledgered class — a bm25-only micro-batch stack never
+    * reads the largest table, so it never ingests it), the corpus
+    * arrives through a real file-source micro-batch stream whose
+    * `foreachBatch` delivers EVERY batch twice (`mergeOnce` commits the
+    * first, proves the second a no-op — q223's exactly-once mechanic),
+    * and after the cycle DRAINS, `buildImpacts` derives the impact table
+    * from the committed state and stamps it with the ledger fingerprint.
+    * The rebuild contract this query demonstrates: impacts rebuild once
+    * per drained ingest cycle, never per merge; a stale/mid-cycle
+    * impact serve refuses loudly (spec-pinned along with
+    * compaction-preserves-impacts). The oracle is the corpus recompute,
+    * so the hash gate IS stream-ingest + impact-derive ≡ batch scoring. */
+  val q250LedgeredImpactServe: QueryDef = sql(
+    "q250_ledgered_impact_serve",
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
+      |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nd
+      |        FROM dl),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM (SELECT doc_id, unnest(w) AS tok FROM base)
+      |       GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+      |q AS (SELECT DISTINCT doc_id AS qid, unnest(w[1:8]) AS tok
+      |      FROM base WHERE doc_id < 7),
+      |sc AS (
+      |  SELECT q.qid, dt.doc_id,
+      |         CAST(sum(CAST((nd * 1000) // df AS HUGEINT) *
+      |                  ((88 * tf * CAST(t AS HUGEINT) * 1000000) //
+      |                   (40 * CAST(t AS HUGEINT) * tf + 12 * t + 36 * dl.dl * nd))) AS BIGINT)
+      |           AS score_i
+      |  FROM q JOIN dfq USING (tok) JOIN dt USING (tok)
+      |  JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN tot
+      |  WHERE dt.doc_id <> q.qid
+      |  GROUP BY q.qid, dt.doc_id)
+      |SELECT qid, rank, doc_id, score_i FROM (
+      |  SELECT qid, doc_id, score_i,
+      |         row_number() OVER (PARTITION BY qid
+      |                            ORDER BY score_i DESC, doc_id) AS rank
+      |  FROM sc)
+      |WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val tmp = graft.core.Scratch.tempDir("q250stream")
+    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"
+    dd.filter(col("doc_id") % 3 =!= 0).repartition(4).write.parquet(inDir)
+    val idxPath = graft.core.Scratch.dir("q250_ledger_impact_index", d)
+    val idx = graft.text.LedgeredPostingsIndex.create(s, idxPath,
+      nBuckets = 16, withPositions = false)
+    val standingId = 1000000L // outside the stream's epoch-id namespace
+    val standing = dd.filter(col("doc_id") % 3 === 0)
+    require(idx.mergeOnce(standing, "doc_id", "text", standingId),
+      "bootstrap merge must commit")
+    require(!idx.mergeOnce(standing, "doc_id", "text", standingId),
+      "redelivered bootstrap batch must be a no-op")
+    val schema = s.read.parquet(inDir).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        require(idx.mergeOnce(batch, "doc_id", "text", batchId))
+        require(!idx.mergeOnce(batch, "doc_id", "text", batchId),
+          s"redelivered micro-batch $batchId must be a no-op")
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the ingest cycle has DRAINED — the contract's rebuild point
+    idx.buildImpacts()
+    val probes = dd.filter(col("doc_id") < 7)
       .select(col("doc_id").as("qid"),
         explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
       .distinct()

@@ -186,4 +186,73 @@ class LedgeredPostingsIndexSpec extends SparkSpec {
     assert(LedgeredPostingsIndex.open(spark, dir)
       .bm25TopK(Seq((1L, "ash")).toDF("qid", "tok"), 5).count() >= 0)
   }
+
+  test("positionless index: positions never ingested, phrase serving " +
+      "refuses loudly, bm25 parity and compaction unaffected") {
+    val all = fixture(18, 59)
+    val dir = tmp()
+    val idx = LedgeredPostingsIndex.create(spark, dir, nBuckets = 8,
+      withPositions = false)
+    all.grouped(6).zipWithIndex.foreach { case (b, i) =>
+      assert(idx.mergeOnce(b.toDF("doc_id", "text"), "doc_id", "text",
+        i.toLong))
+    }
+    assert(!new java.io.File(s"$dir/positions").exists(),
+      "positionless index must not ingest the positions table")
+    val ex = intercept[IllegalArgumentException] {
+      idx.phraseMatches(Seq((1L, "ash oak")).toDF("qid", "phrase"))
+    }
+    assert(ex.getMessage.contains("withPositions = false"))
+    val reference = PostingsIndex.build(all.toDF("doc_id", "text"),
+      tmp(), "doc_id", "text", nBuckets = 8)
+    val probes = all.take(3).map { case (i, t) => (i, t.split(" ").head) }
+      .toDF("qid", "tok")
+    assert(bmRows(idx.bm25TopK(probes, 5)) ==
+      bmRows(reference.bm25TopK(probes, 5)))
+    idx.compact()
+    assert(!new java.io.File(s"$dir/positions").exists())
+    assert(bmRows(idx.bm25TopK(probes, 5)) ==
+      bmRows(reference.bm25TopK(probes, 5)),
+      "compaction of a positionless index must preserve serves")
+  }
+
+  test("impacts: serve equals bm25TopK; a committed merge STALES it " +
+      "(loud refusal), rebuild restores; compaction preserves validity") {
+    val all = fixture(24, 67)
+    val (head, tail) = all.splitAt(18)
+    val idx = LedgeredPostingsIndex.create(spark, tmp(), nBuckets = 8,
+      withPositions = false)
+    assert(idx.mergeOnce(head.toDF("doc_id", "text"), "doc_id", "text", 0L))
+    val probes = all.take(3).map { case (i, t) => (i, t.split(" ").head) }
+      .toDF("qid", "tok")
+    // absent impacts → refuse (never a silent empty serve)
+    val exAbsent = intercept[IllegalArgumentException] {
+      idx.bm25TopKImpact(probes, 5)
+    }
+    assert(exAbsent.getMessage.contains("buildImpacts"))
+    idx.buildImpacts()
+    assert(bmRows(idx.bm25TopKImpact(probes, 5)) ==
+      bmRows(idx.bm25TopK(probes, 5)),
+      "impact serve must equal the raw-tf serve row for row")
+    // a newly committed merge changes the ledger state → impacts stale
+    assert(idx.mergeOnce(tail.toDF("doc_id", "text"), "doc_id", "text", 1L))
+    val exStale = intercept[IllegalArgumentException] {
+      idx.bm25TopKImpact(probes, 5)
+    }
+    assert(exStale.getMessage.contains("STALE"))
+    // the raw-tf serve keeps working mid-cycle (the contract's point)
+    assert(bmRows(idx.bm25TopK(probes, 5)).nonEmpty)
+    // rebuild after the cycle restores exactness against the full corpus
+    idx.buildImpacts()
+    val full = PostingsIndex.build(all.toDF("doc_id", "text"),
+      tmp(), "doc_id", "text", nBuckets = 8)
+    assert(bmRows(idx.bm25TopKImpact(probes, 5)) ==
+      bmRows(full.bm25TopK(probes, 5)))
+    // compaction does NOT invalidate impacts: committed ids are the
+    // content identity and folding preserves them
+    idx.compact()
+    assert(bmRows(idx.bm25TopKImpact(probes, 5)) ==
+      bmRows(full.bm25TopK(probes, 5)),
+      "impacts must stay valid across compact()")
+  }
 }
