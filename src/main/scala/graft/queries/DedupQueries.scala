@@ -21,7 +21,7 @@ object DedupQueries {
     q173StreamPixelDedup, q174AudioFir, q175JpegDecode, q176MjpegFrames,
     q183AudioWht, q186AudioDedup, q190EntityResolution, q192LeakageSplit,
     q194IncrementalDedup, q208SetsimJoin, q209PhashNeardup,
-    q213LshRecallAudit, q215IncrementalSetsim, q217IndexMerge,
+    q213LshRecallAudit, q215IncrementalSetsim, q217IndexMerge, q251LshBandPlan,
     q227StreamDedupExactlyOnce, q230StreamingDedupLoop,
     q232VersionedIndexIngest, q234IncrementalCc, q248TimeTravelProbe)
 
@@ -241,6 +241,58 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_true"), sum(col("found")).as("n_found"))
       .withColumn("recall_ppm", expr("(n_found * 1000000) div n_true"))
       .orderBy(col("jac_decile"))
+  }
+
+  /** LSH BAND PLANNING — `dedup.LshPlanner.sCurve` grades every way to
+    * split the repo's k = 8 minhashes into (bands, rows) by the collision
+    * S-curve P(s) = 1 − (1 − s^r)^b and its FP/FN Riemann sums around
+    * the t = 0.5 dedup threshold (Leskovec–Rajaraman–Ullman MMDS ch. 3;
+    * the datasketch planner's objective). This is the design step BEFORE
+    * q43's banding and the analytic complement of q213's empirical
+    * recall audit: q213 measures what (4, 2) does on this corpus, q251
+    * derives why it wins the k = 8 family a priori (the output's
+    * `chosen` flag lands on (4, 2): error area ≈ 0.173 vs 0.230 for
+    * (2, 4), 0.380/0.390 for the degenerate all-rows/all-bands splits —
+    * grid-sum scores 17.50M / 23.19M / 38.43M / 39.42M ppm·points,
+    * replayed by hand). Every grid point of every curve
+    * plus both integrals is hash-gated: engine and oracle replay the
+    * SAME unrolled truncating product chains (one shared generator emits
+    * both SQL forms), so a single mis-truncated multiply anywhere in the
+    * 404-point surface mismatches. Corpus-free — the planner prices
+    * layouts before any corpus is touched. */
+  val q251LshBandPlan: QueryDef = {
+    val splits = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+    val curveSql = splits.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r, s_ppm,
+         |       1000000 - ${graft.dedup.LshPlanner.missSql(b, r, "//")} AS p_ppm
+         |FROM grid""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    QueryDef.sql(
+      "q251_lsh_band_plan",
+      s"""WITH grid AS (SELECT i * 10000 AS s_ppm FROM range(0, 101) t(i)),
+         |curves AS (
+         |$curveSql
+         |),
+         |sums AS (
+         |  SELECT b, r,
+         |         CAST(sum(CASE WHEN s_ppm <= 500000 THEN p_ppm ELSE 0 END)
+         |              AS BIGINT) AS fp_sum_ppm,
+         |         CAST(sum(CASE WHEN s_ppm > 500000 THEN 1000000 - p_ppm
+         |                       ELSE 0 END) AS BIGINT) AS fn_sum_ppm
+         |  FROM curves GROUP BY b, r),
+         |sc AS (SELECT *, fp_sum_ppm + fn_sum_ppm AS score_ppm FROM sums),
+         |best AS (SELECT score_ppm AS best_score, b AS best_b
+         |         FROM sc ORDER BY score_ppm, b LIMIT 1)
+         |SELECT c.b, c.r, c.s_ppm, c.p_ppm, s.fp_sum_ppm, s.fn_sum_ppm,
+         |       s.score_ppm,
+         |       CAST(CASE WHEN s.score_ppm = best.best_score
+         |                  AND c.b = best.best_b
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS chosen
+         |FROM curves c JOIN sc s USING (b, r) CROSS JOIN best
+         |ORDER BY b, r, s_ppm""".stripMargin) { (s, _) =>
+      graft.dedup.LshPlanner.sCurve(s, splits, tPpm = 500000L)
+        .orderBy(col("b"), col("r"), col("s_ppm"))
+    }
   }
 
   /** Perceptual image NEAR-dup — `multimodal.PerceptualHash` (average

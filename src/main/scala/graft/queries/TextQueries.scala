@@ -35,7 +35,8 @@ object TextQueries {
     q223StreamExactlyOnce, q224IndexedEval, q225Collocations,
     q226DpNoisyCounts, q228WinnowOverlap, q229RbpEval, q231BitextMining,
     q235CsvQuarantine, q236MaxScoreServe, q237NdcgEval,
-    q243TextrankKeywords, q249ImpactServe, q250LedgeredImpactServe)
+    q243TextrankKeywords, q249ImpactServe, q250LedgeredImpactServe,
+    q252MaxsimRerank)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -2474,6 +2475,112 @@ object TextQueries {
       .distinct()
     idx.bm25TopKImpact(probes, k = 10)
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** LATE-INTERACTION re-ranking (ColBERT-style MaxSim — Khattab &
+    * Zaharia SIGIR 2020) — the multi-vector retrieval operator between
+    * single-vector ANN (q32/q36) and lexical BM25 (q184/q216): every
+    * query TOKEN keeps its own embedding, and a document's score is
+    * Σ_{q tok} max_{d tok} ⟨e_q, e_d⟩ — the sum-of-max algebra that
+    * preserves token-level matching where a pooled document vector
+    * blurs it. Deployed exactly as ColBERT deploys: a cheap stage-1
+    * retriever (BM25 top-30 from the SHARED standing postings index)
+    * bounds the candidate set, and MaxSim re-ranks only those — at
+    * 100 TB the all-pairs token interaction is never materialized
+    * corpus-wide, only over k·|Q| candidates (the two-stage cascade
+    * a production serving stack runs). Token embeddings are the
+    * deterministic md5-window convention (8 dims from one md5 per
+    * DISTINCT token — vocabulary-sized, not corpus-sized), the dot
+    * product is exact integer in [−8·10^6, 8·10^6], and the rank
+    * boundary is (score DESC, doc_id) — fully hash-gated: the oracle
+    * replays the BM25 stage, every token embedding window, the max per
+    * query token, and the sum. */
+  val q252MaxsimRerank: QueryDef = {
+    // dim j of the 8-dim token embedding: one md5 per distinct token,
+    // four hex chars per dim, mapped to [-1000, 1000]
+    def embSqlDuck(src: String, j: Int): String =
+      s"(('0x' || substr(md5($src || '|te0'), ${j * 4 + 1}, 4))::BIGINT % 2001) - 1000"
+    def embSpark(c: Column, j: Int): Column =
+      (conv(substring(md5(concat(c, lit("|te0"))), j * 4 + 1, 4),
+        16, 10).cast("long") % 2001L) - 1000L
+    val dotDuck = (0 until 8)
+      .map(j => s"q.e$j * t.e$j").mkString(" + ")
+    QueryDef.sql(
+      "q252_maxsim_rerank",
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base),
+         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nd
+         |        FROM dl),
+         |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(w) AS tok FROM base)
+         |       GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+         |q AS (SELECT DISTINCT doc_id AS qid, unnest(w[1:8]) AS tok
+         |      FROM base WHERE doc_id < 5),
+         |sc AS (
+         |  SELECT q.qid, dt.doc_id,
+         |         CAST(sum(CAST((nd * 1000) // df AS HUGEINT) *
+         |                  ((88 * tf * CAST(t AS HUGEINT) * 1000000) //
+         |                   (40 * CAST(t AS HUGEINT) * tf + 12 * t + 36 * dl.dl * nd))) AS BIGINT)
+         |           AS score_i
+         |  FROM q JOIN dfq USING (tok) JOIN dt USING (tok)
+         |  JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN tot
+         |  WHERE dt.doc_id <> q.qid
+         |  GROUP BY q.qid, dt.doc_id),
+         |cand AS (
+         |  SELECT qid, doc_id FROM (
+         |    SELECT qid, doc_id,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY score_i DESC, doc_id) AS rank
+         |    FROM sc)
+         |  WHERE rank <= 30),
+         |qe AS (SELECT qid, tok AS qt,
+         |              ${(0 until 8).map(j => s"${embSqlDuck("tok", j)} AS e$j").mkString(", ")}
+         |       FROM q),
+         |te AS (SELECT doc_id, tok AS dt,
+         |              ${(0 until 8).map(j => s"${embSqlDuck("tok", j)} AS e$j").mkString(", ")}
+         |       FROM (SELECT doc_id, unnest(list_distinct(w)) AS tok
+         |             FROM base
+         |             WHERE doc_id IN (SELECT DISTINCT doc_id FROM cand))),
+         |mx AS (
+         |  SELECT c.qid, c.doc_id, q.qt,
+         |         CAST(max($dotDuck) AS BIGINT) AS md
+         |  FROM cand c
+         |  JOIN qe q ON q.qid = c.qid
+         |  JOIN te t ON t.doc_id = c.doc_id
+         |  GROUP BY c.qid, c.doc_id, q.qt),
+         |ms AS (SELECT qid, doc_id, CAST(sum(md) AS BIGINT) AS score_i
+         |       FROM mx GROUP BY qid, doc_id)
+         |SELECT qid, rank, doc_id, score_i FROM (
+         |  SELECT qid, doc_id, score_i,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY score_i DESC, doc_id) AS rank
+         |  FROM ms)
+         |WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val dd = docs(s, d)
+      val probes = dd.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+        .distinct()
+      // stage 1: the shared standing index retrieves, MaxSim only re-ranks
+      val cands = postingsShared(s, d).bm25TopK(probes, k = 30)
+        .select(col("qid"), col("doc_id"))
+      def withEmb(df: DataFrame, tokCol: String): DataFrame =
+        (0 until 8).foldLeft(df)((acc, j) =>
+          acc.withColumn(s"e$j", embSpark(col(tokCol), j)))
+      val qe = withEmb(probes.withColumnRenamed("tok", "qt"), "qt")
+      val candDocs = cands.select(col("doc_id")).distinct()
+      val te = withEmb(
+        dd.join(candDocs, "doc_id")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("dt")),
+        "dt")
+      // candidate-bounded token interaction: |cand|·|q toks|·|doc toks|
+      // rows, never corpus-wide (the operator enforces the shape)
+      graft.similarity.MaxSim.rerank(cands, qe, te, dims = 8, k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }
   }
 
   /** Collocation mining — `text.Collocations.topLift`: top-50 adjacent
