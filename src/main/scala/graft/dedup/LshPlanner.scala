@@ -80,15 +80,18 @@ object LshPlanner {
         sum(when(col("s_ppm") > tPpm, lit(1000000L) - col("p_ppm"))
           .otherwise(0L)).as("fn_sum_ppm"))
       .withColumn("score_ppm", col("fp_sum_ppm") + col("fn_sum_ppm"))
-    // |splits| rows — the broadcast scalar-join shape for the argmin
-    val best = sums.agg(min(struct(col("score_ppm"), col("b")))
+    // |splits| rows — the broadcast scalar-join shape for the argmin.
+    // The struct includes r so the tie-break is TOTAL: equal-score
+    // equal-b splits (b, r1) vs (b, r2) must not both flag chosen
+    val best = sums.agg(min(struct(col("score_ppm"), col("b"), col("r")))
       .as("best")).select(col("best.score_ppm").as("best_score"),
-      col("best.b").as("best_b"))
+      col("best.b").as("best_b"), col("best.r").as("best_r"))
     curves.join(broadcast(sums), Seq("b", "r"))
       .crossJoin(broadcast(best))
       .withColumn("chosen",
-        (col("score_ppm") === col("best_score") && col("b") === col("best_b"))
+        (col("score_ppm") === col("best_score") &&
+          col("b") === col("best_b") && col("r") === col("best_r"))
           .cast("long"))
-      .drop("best_score", "best_b")
+      .drop("best_score", "best_b", "best_r")
   }
 }

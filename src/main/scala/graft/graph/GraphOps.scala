@@ -121,9 +121,12 @@ object GraphOps {
     // from the documented recurrence. Row-wise raise_error instead
     // (the prioritySample discipline; weights are data, not parameters).
     val ew = edges.select(col("src"), col("dst"), expr(
-      """CASE WHEN w <= 0 THEN
+      """CASE WHEN w IS NULL OR w <= 0 THEN
         |  CAST(raise_error(concat('weightedPagerankPpm: non-positive edge weight ',
-        |    CAST(w AS STRING))) AS LONG)
+        |    coalesce(CAST(w AS STRING), 'NULL'))) AS LONG)
+        |WHEN CAST(w AS DOUBLE) <> CAST(CAST(w AS LONG) AS DOUBLE) THEN
+        |  CAST(raise_error(concat('weightedPagerankPpm: non-integral edge weight ',
+        |    CAST(w AS STRING), ' would truncate')) AS LONG)
         |ELSE CAST(w AS LONG) END""".stripMargin).as("w"))
     val wout = ew.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val e = ew.join(wout, "src")

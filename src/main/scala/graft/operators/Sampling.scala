@@ -88,14 +88,16 @@ object Sampling {
     // silently; a FRACTIONAL weight would silently truncate — both fail
     // the run instead. (The upper bound w ≤ 9.2·10^9 stays a documented
     // caller bound: it is where pri_grid exactness ends, not validity.)
+    val wq = s"`$weightCol`" // backtick-quote: unusual column names must
+    // stay one identifier, not parse as an expression
     val wChecked = expr(
-      s"""CASE WHEN $weightCol < 0 THEN
-         |  CAST(raise_error(concat('prioritySample: negative weight ',
-         |    CAST($weightCol AS STRING))) AS LONG)
-         |WHEN CAST($weightCol AS DOUBLE) <> CAST(CAST($weightCol AS LONG) AS DOUBLE) THEN
+      s"""CASE WHEN $wq IS NULL OR $wq < 0 THEN
+         |  CAST(raise_error(concat('prioritySample: negative or NULL weight ',
+         |    coalesce(CAST($wq AS STRING), 'NULL'))) AS LONG)
+         |WHEN CAST($wq AS DOUBLE) <> CAST(CAST($wq AS LONG) AS DOUBLE) THEN
          |  CAST(raise_error(concat('prioritySample: non-integral weight ',
-         |    CAST($weightCol AS STRING), ' would truncate')) AS LONG)
-         |ELSE CAST($weightCol AS LONG) END""".stripMargin)
+         |    CAST($wq AS STRING), ' would truncate')) AS LONG)
+         |ELSE CAST($wq AS LONG) END""".stripMargin)
     val pri = df.select(col(idCol).as("ps_id"),
         wChecked.as("w"),
         // the shared 48-bit md5 convention — one pinned helper, so a

@@ -281,12 +281,12 @@ object DedupQueries {
          |                       ELSE 0 END) AS BIGINT) AS fn_sum_ppm
          |  FROM curves GROUP BY b, r),
          |sc AS (SELECT *, fp_sum_ppm + fn_sum_ppm AS score_ppm FROM sums),
-         |best AS (SELECT score_ppm AS best_score, b AS best_b
-         |         FROM sc ORDER BY score_ppm, b LIMIT 1)
+         |best AS (SELECT score_ppm AS best_score, b AS best_b, r AS best_r
+         |         FROM sc ORDER BY score_ppm, b, r LIMIT 1)
          |SELECT c.b, c.r, c.s_ppm, c.p_ppm, s.fp_sum_ppm, s.fn_sum_ppm,
          |       s.score_ppm,
          |       CAST(CASE WHEN s.score_ppm = best.best_score
-         |                  AND c.b = best.best_b
+         |                  AND c.b = best.best_b AND c.r = best.best_r
          |                 THEN 1 ELSE 0 END AS BIGINT) AS chosen
          |FROM curves c JOIN sc s USING (b, r) CROSS JOIN best
          |ORDER BY b, r, s_ppm""".stripMargin) { (s, _) =>

@@ -1258,32 +1258,26 @@ object TextQueries {
     * build/merge/stream/MVCC queries (q218/q220/q223) keep
     * self-contained indexes — their SUBJECT is the mutation.
     *
-    * Publication is crash-consistent: the build lands in a `_build`
-    * staging dir and is RENAMED into place, so a torn build is never
-    * visible at the served path (the VersionedSetSimIndex discipline).
-    * Concurrency contract: single writer per scratch root — memoized
-    * per-JVM; concurrent PROCESSES sharing one GRAFT_SCRATCH_DIR are
-    * outside the contract (documented, as for coPurchaseShared). */
-  private val postingsSharedBuilt = scala.collection.mutable.Set[String]()
+    * Publication is crash-consistent via `core.AtomicPublish` (staging
+    * dir + checked rename — shared with coPurchaseShared so the two
+    * publish paths cannot drift). Concurrency contract: single writer
+    * per scratch root — memoized per-JVM (the opened instance is cached
+    * too, so serves pay no repeated meta read); concurrent PROCESSES
+    * sharing one GRAFT_SCRATCH_DIR are outside the contract. */
+  private val postingsSharedCache =
+    scala.collection.mutable.Map[String, graft.text.PostingsIndex]()
   private def postingsShared(s: SparkSession, d: String): graft.text.PostingsIndex = {
     val path = graft.core.Scratch.dir("postings_shared", d)
-    postingsSharedBuilt.synchronized {
-      if (!postingsSharedBuilt.contains(path)) {
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val staging = new org.apache.hadoop.fs.Path(path + "_build")
-        if (fs.exists(staging)) fs.delete(staging, true): Unit
-        val idx = graft.text.PostingsIndex.build(docs(s, d),
-          staging.toString, "doc_id", "text",
-          nBuckets = 16, withBounds = true, withPositions = true)
-        idx.buildImpacts()
-        val dest = new org.apache.hadoop.fs.Path(path)
-        if (fs.exists(dest)) fs.delete(dest, true): Unit
-        fs.rename(staging, dest): Unit
-        postingsSharedBuilt.add(path): Unit
-      }
+    postingsSharedCache.synchronized {
+      postingsSharedCache.getOrElseUpdate(path, {
+        graft.core.AtomicPublish.publish(s, path) { staging =>
+          graft.text.PostingsIndex.build(docs(s, d), staging, "doc_id",
+              "text", nBuckets = 16, withBounds = true, withPositions = true)
+            .buildImpacts()
+        }
+        graft.text.PostingsIndex.open(s, path)
+      })
     }
-    graft.text.PostingsIndex.open(s, path)
   }
 
   /** STANDING postings index serve — `text.PostingsIndex` closes the

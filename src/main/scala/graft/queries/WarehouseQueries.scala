@@ -694,19 +694,13 @@ object WarehouseQueries {
     val path = graft.core.Scratch.dir("copurchase_pairs", d)
     coPurchaseBuilt.synchronized {
       if (!coPurchaseBuilt.contains(path)) {
-        // crash-consistent publish: write to a staging dir and RENAME
-        // into place, so a reader never sees a torn/partial directory
-        // (the postingsShared discipline). Concurrency contract stays
-        // single-writer-per-scratch-root (memoized per-JVM; concurrent
-        // processes sharing one GRAFT_SCRATCH_DIR are outside it).
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val staging = new org.apache.hadoop.fs.Path(path + "_build")
-        if (fs.exists(staging)) fs.delete(staging, true): Unit
-        coPurchasePairs(s, d).write.parquet(staging.toString)
-        val dest = new org.apache.hadoop.fs.Path(path)
-        if (fs.exists(dest)) fs.delete(dest, true): Unit
-        fs.rename(staging, dest): Unit
+        // crash-consistent publish (core.AtomicPublish: staging dir +
+        // checked rename). Concurrency contract stays single-writer-
+        // per-scratch-root (memoized per-JVM; concurrent processes
+        // sharing one GRAFT_SCRATCH_DIR are outside it).
+        graft.core.AtomicPublish.publish(s, path) { staging =>
+          coPurchasePairs(s, d).write.parquet(staging)
+        }
         coPurchaseBuilt.add(path): Unit
       }
     }

@@ -55,12 +55,26 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
   private def hconf = spark.sparkContext.hadoopConfiguration
   private def fs = new Path(path).getFileSystem(hconf)
 
+  /** ONE meta read for both persisted-layout facts (a second
+    * spark.read + collect on the same one-row parquet would double the
+    * first serve's metadata round-trips). */
+  private lazy val metaFacts: (Long, Boolean) = {
+    val meta = spark.read.parquet(s"$path/meta")
+    val row = meta.collect()(0)
+    val stored = row.getLong(meta.columns.indexOf("n_buckets"))
+    // meta written before the flag existed defaults to true (every such
+    // index ingested positions)
+    val withPos = if (meta.columns.contains("with_positions"))
+      row.getBoolean(meta.columns.indexOf("with_positions"))
+    else true
+    (stored, withPos)
+  }
+
   /** nBuckets validated once against the persisted layout (the
     * [[PostingsIndex.checkedBuckets]] argument: a mismatched count
     * routes probes/appends to wrong partition directories). */
   private lazy val checkedBuckets: Long = {
-    val stored = spark.read.parquet(s"$path/meta")
-      .select(col("n_buckets")).collect()(0).getLong(0)
+    val stored = metaFacts._1
     require(stored == nBuckets.toLong,
       s"index at $path was built with n_buckets=$stored, opened with $nBuckets")
     stored
@@ -73,14 +87,8 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     * streaming stack: positions are the LARGEST table and the costliest
     * per-batch pass, and only phrase serving reads them — the q224
     * positionless trade, brought to the ledgered index (VERDICT r13
-    * missing #1). Meta written before this flag existed defaults to
-    * `true` (every such index ingested positions). */
-  private lazy val hasPositions: Boolean = {
-    val meta = spark.read.parquet(s"$path/meta")
-    if (meta.columns.contains("with_positions"))
-      meta.select(col("with_positions")).collect()(0).getBoolean(0)
-    else true
-  }
+    * missing #1). */
+  private def hasPositions: Boolean = metaFacts._2
 
   /** Committed batch ids — the ledger read is bounded by the number of
     * batches ever ingested (serving metadata; compaction does not shrink
@@ -376,7 +384,15 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     * statistics-free serve the impact trade buys). Identical output to
     * [[bm25TopK]] by construction (each row carries `Bm25.contrib`
     * verbatim; spec-pinned). Refuses when impacts are absent, torn, or
-    * stale against the current ledger (see [[buildImpacts]]). */
+    * stale against the current ledger (see [[buildImpacts]]).
+    *
+    * The staleness check runs at PLAN time while the impacts scan is
+    * lazy — the standard Spark gap between validation and action. The
+    * serving contract is therefore single-writer: do not interleave a
+    * mergeOnce/buildImpacts between planning a serve and running its
+    * action (the same contract every PostingsIndex serve carries; a
+    * writer that needs concurrent readers during rebuilds wants the
+    * MVCC class, VersionedSetSimIndex's discipline). */
   def bm25TopKImpact(queries: DataFrame, k: Int): DataFrame = {
     val stamp = new Path(s"$path/impactsstate")
     require(fs.exists(stamp), s"index at $path has no committed impacts " +

@@ -536,11 +536,17 @@ object ScaleSmoke {
               .getMethod("listenerBus").invoke(spark.sparkContext)
             val wu = bus.getClass.getMethods
               .filter(_.getName == "waitUntilEmpty")
-              .minBy(_.getParameterCount)
+              .minBy(_.getParameterCount) // throws on empty — caught below
             if (wu.getParameterCount == 0) wu.invoke(bus)
             else wu.invoke(bus, java.lang.Long.valueOf(10000L))
             ()
-          } catch { case _: ReflectiveOperationException => Thread.sleep(300) }
+          } catch {
+            // NonFatal, not just ReflectiveOperationException: an empty
+            // method list (API drift) surfaces as UnsupportedOperation-
+            // Exception from minBy — any failure here must fall back to
+            // the sleep, never crash the smoke
+            case scala.util.control.NonFatal(_) => Thread.sleep(300)
+          }
           println(f"""{"op":"${name}_shuffle_mb","scale":$k,"rows_in":${n0 * k},"sec":${shufW.get / 1048576.0}%.1f}""")
         }
         timedBytes("bloom_prefiltered_semi")(

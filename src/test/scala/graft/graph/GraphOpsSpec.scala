@@ -115,6 +115,17 @@ class GraphOpsSpec extends SparkSpec {
       Option(t.getMessage).getOrElse("") +
         Option(t.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
     assert(msg(ex).contains("non-positive edge weight"), msg(ex))
+    // NULL and fractional weights are the same silent-drop class
+    val en = Seq((1L, 2L, Some(3L)), (2L, 1L, None)).toDF("src", "dst", "w")
+    val exN = intercept[Exception] {
+      GraphOps.weightedPagerankPpm(en, n, iters = 1).collect()
+    }
+    assert(msg(exN).contains("non-positive edge weight"), msg(exN))
+    val ef = Seq((1L, 2L, 1.5), (2L, 1L, 3.0)).toDF("src", "dst", "w")
+    val exF = intercept[Exception] {
+      GraphOps.weightedPagerankPpm(ef, n, iters = 1).collect()
+    }
+    assert(msg(exF).contains("non-integral edge weight"), msg(exF))
   }
 
   test("pagerankPpm: node with no in-edges settles at the base rank") {

@@ -64,14 +64,22 @@ class SamplingSpec extends SparkSpec {
     val e1 = intercept[Exception] {
       Sampling.prioritySample(neg, "id", "w", k = 2).collect()
     }
-    assert(e1.getMessage.contains("negative weight") ||
-      Option(e1.getCause).exists(_.getMessage.contains("negative weight")))
+    assert(e1.getMessage.contains("negative or NULL weight") ||
+      Option(e1.getCause).exists(_.getMessage.contains("negative or NULL weight")))
     val frac = Seq((1L, 5.0), (2L, 2.5)).toDF("id", "w")
     val e2 = intercept[Exception] {
       Sampling.prioritySample(frac, "id", "w", k = 2).collect()
     }
     assert(e2.getMessage.contains("non-integral weight") ||
       Option(e2.getCause).exists(_.getMessage.contains("non-integral weight")))
+    // a NULL weight must raise too — silently excluding the row (NULL
+    // priority sorts last) would bias every subset-sum estimate
+    val nul = Seq((1L, Some(5L)), (2L, None)).toDF("id", "w")
+    val e3 = intercept[Exception] {
+      Sampling.prioritySample(nul, "id", "w", k = 2).collect()
+    }
+    assert(e3.getMessage.contains("NULL weight") ||
+      Option(e3.getCause).exists(_.getMessage.contains("NULL weight")))
   }
 
   test("stratified rates: strata get their own thresholds") {
