@@ -396,6 +396,38 @@ object ScaleSmoke {
         time("impact_serve", k)(msIdx.bm25TopKImpact(msProbes, k = 10))
         msProbes.unpersist()
       }
+      if ("maxsim_rerank".contains(opFilter)) {
+        // MaxSim late interaction (q252): the scale CLAIM is that the
+        // token-interaction volume is |cands|·|q toks|·|d toks| — bounded
+        // by the stage-1 k, never corpus-wide — so with FIXED probes the
+        // rerank wall must stay near-flat as the corpus grows k×. Stage 1
+        // (index BM25) is bucket-pruned and measured flat elsewhere
+        // (postings_probe_index); both stages run here end-to-end, index
+        // build outside the timer (standing state).
+        val corpus = scaled(k)
+        val msimPath = graft.core.Scratch.tempDir(s"smoke_maxsim_idx_$k")
+        val msimIdx = graft.text.PostingsIndex.build(corpus, msimPath,
+          "doc_id", "text", nBuckets = 16, withPositions = false)
+        val probes = base.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"),
+            explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+          .distinct()
+        def emb(c: org.apache.spark.sql.Column, j: Int) =
+          (conv(substring(md5(concat(c, lit("|te0"))), j * 4 + 1, 4),
+            16, 10).cast("long") % 2001L) - 1000L
+        def withEmb(df: DataFrame, tc: String) =
+          (0 until 8).foldLeft(df)((a, j) => a.withColumn(s"e$j", emb(col(tc), j)))
+        time("maxsim_rerank", k) {
+          val cands = msimIdx.bm25TopK(probes, k = 30)
+            .select(col("qid"), col("doc_id"))
+          val qe = withEmb(probes.withColumnRenamed("tok", "qt"), "qt")
+          val te = withEmb(corpus
+            .join(cands.select(col("doc_id")).distinct(), "doc_id")
+            .select(col("doc_id"),
+              explode(array_distinct(split(col("text"), " "))).as("dt")), "dt")
+          graft.similarity.MaxSim.rerank(cands, qe, te, dims = 8, k = 10)
+        }
+      }
       if ("hyperball_rounds".contains(opFilter)) {
         // HyperBall (q238): constant-degree graph (ring + one pseudo-random
         // chord per node, symmetrized) so |E| grows linearly with k. Two
