@@ -101,6 +101,93 @@ object KmvSketch {
       .withColumn("jac_est_ppm", expr("(matches * 1000000) div n_u"))
       .withColumn("inter_est", expr("(matches * union_est) div n_u"))
 
+  /** CONTAINMENT estimate C(A, B) = |A∩B| / |A| from two same-salt,
+    * same-k sketch frames joined on `grpCol` — the ASYMMETRIC sibling of
+    * [[setOpsEstimate]]'s Jaccard. Theta-ratio estimator over the
+    * combined k-min cut L (a uniform sample of A ∪ B; every in-cut hash
+    * is decidable against both min-sets because the cut threshold is ≤
+    * both sketches' k-th minima). LIMITATION (inherent to fixed-k
+    * sketches, and the reason [[fracSketch]] exists): the A-side sample
+    * share is ~k·|A| / |A∪B|, so with |A| ≪ |B| — the contamination-
+    * screening shape — the estimator degenerates (few or zero sampled
+    * A-hashes; groups with none are dropped). Use it for comparable-
+    * size operands; use the scaled sketch for small-in-large screening.
+    * {{{
+    *   n_in_a  = |{h ∈ L : h ∈ A}|          (A's share of the sample)
+    *   matches = |{h ∈ L : h ∈ A ∧ h ∈ B}|
+    *   Ĉ_ppm   = (matches · 10^6) div n_in_a
+    * }}}
+    * Exactness corners (spec-pinned): |A ∪ B| < k ⇒ L is the whole
+    * union and Ĉ is exact; A ⊆ B ⇒ every sampled A-hash is a match ⇒
+    * Ĉ = 10^6 EXACTLY at any k (the subset theorem — a full-containment
+    * screen never false-negatives); A ∩ B = ∅ ⇒ Ĉ = 0 exactly. Groups
+    * with an empty cut or no sampled A-hash are dropped (nothing to
+    * estimate — the [[setOpsEstimate]] convention). All work on
+    * ≤ 2k-element arrays per group; sketch the test set ONCE, screen
+    * every shard without re-reading either side's raw data. */
+  def containmentEstimate(a: DataFrame, b: DataFrame, grpCol: String,
+      k: Int): DataFrame =
+    a.select(col(grpCol), col("mins").as("amins"))
+      .join(b.select(col(grpCol), col("mins").as("bmins")), grpCol)
+      .select(col(grpCol), col("amins"), col("bmins"),
+        expr(s"slice(array_sort(array_distinct(concat(amins, bmins))), 1, $k)")
+          .as("u"))
+      .filter(size(col("u")) >= 1)
+      .select(col(grpCol),
+        size(col("u")).cast("long").as("n_u"),
+        expr("CAST(size(filter(u, h -> array_contains(amins, h))) AS LONG)")
+          .as("n_in_a"),
+        expr("CAST(size(filter(u, h -> array_contains(amins, h) AND " +
+          "array_contains(bmins, h))) AS LONG)").as("matches"))
+      .filter(col("n_in_a") >= 1L)
+      .withColumn("cont_est_ppm", expr("(matches * 1000000) div n_in_a"))
+
+  /** FRACTIONAL (scaled) min-hash sketch — FracMinHash (Irber et al.
+    * 2022, the sourmash "scaled" design; Broder 1997's mod-m sketch):
+    * keep EVERY distinct hash below the fixed threshold
+    * τ = 2^48 · sPpm / 10^6, i.e. a deterministic `sPpm`-fraction sample
+    * of the value universe. Unlike the fixed-k [[sketch]], the size
+    * grows with the set (≈ |set| · s) — the price of the property
+    * fixed-k cannot offer: two frac sketches under the SAME τ decide
+    * membership exactly for every kept hash, so the asymmetric
+    * containment C(A, B) = |A∩B|/|A| is estimable with an A-proportional
+    * sample even when |A| ≪ |B| — the benchmark-in-corpus contamination
+    * shape where the k-min cut's A-share collapses (see
+    * [[containmentEstimate]]'s limitation note). Output: (grpCol,
+    * fmins) sorted distinct kept hashes. */
+  def fracSketch(df: DataFrame, grpCol: String, valCol: String,
+      sPpm: Long, salt: String = "kmv-v1"): DataFrame = {
+    require(sPpm > 0 && sPpm <= 1000000L, s"sPpm out of (0, 1e6]: $sPpm")
+    val tau = Space / 1000000L * sPpm + Space % 1000000L * sPpm / 1000000L
+    df.select(col(grpCol), hash48(col(valCol), salt).as("h"))
+      .filter(col("h") < tau)
+      .groupBy(col(grpCol))
+      .agg(sort_array(collect_set(col("h"))).as("fmins"))
+  }
+
+  /** Containment C(A, B) = |A∩B| / |A| from two same-τ frac sketches
+    * joined on `grpCol`:
+    * {{{
+    *   n_a     = |FA|                       (A's kept hashes)
+    *   matches = |FA ∩ FB|                  (exact below the shared τ)
+    *   Ĉ_ppm   = (matches · 10^6) div n_a
+    * }}}
+    * Exactness corners (spec-pinned): A ⊆ B ⇒ FA ⊆ FB ⇒ Ĉ = 10^6
+    * EXACTLY at any scale (a full-containment screen never
+    * false-negatives); A ∩ B = ∅ ⇒ 0 exactly; sPpm = 10^6 keeps
+    * everything ⇒ exact containment. Groups whose A kept no hash are
+    * dropped (raise sPpm). All work on per-group arrays. */
+  def fracContainment(a: DataFrame, b: DataFrame,
+      grpCol: String): DataFrame =
+    a.select(col(grpCol), col("fmins").as("fa"))
+      .join(b.select(col(grpCol), col("fmins").as("fb")), grpCol)
+      .select(col(grpCol),
+        size(col("fa")).cast("long").as("n_a_frac"),
+        size(array_intersect(col("fa"), col("fb"))).cast("long")
+          .as("matches"))
+      .filter(col("n_a_frac") >= 1L)
+      .withColumn("cont_est_ppm", expr("(matches * 1000000) div n_a_frac"))
+
   /** Distinct-count estimate from a sketch frame: exact count when the
     * group holds fewer than k hashes, else (k−1)·2^48 DIV h(k). Integer
     * arithmetic only — no float ever enters the estimate. */

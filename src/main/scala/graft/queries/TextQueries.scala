@@ -36,7 +36,7 @@ object TextQueries {
     q226DpNoisyCounts, q228WinnowOverlap, q229RbpEval, q231BitextMining,
     q235CsvQuarantine, q236MaxScoreServe, q237NdcgEval,
     q243TextrankKeywords, q249ImpactServe, q250LedgeredImpactServe,
-    q252MaxsimRerank)
+    q252MaxsimRerank, q253ContainmentScreen)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -2599,6 +2599,107 @@ object TextQueries {
       graft.similarity.MaxSim.rerank(cands, qe, te, dims = 8, k = 10)
         .orderBy(col("qid"), col("rank"))
     }
+  }
+
+  /** SKETCH-ONLY CONTAMINATION SCREENING — `KmvSketch.fracSketch` +
+    * `fracContainment` (FracMinHash, Irber et al. 2022 / sourmash
+    * "scaled"; Broder 1997's mod-m design): per (benchmark doc, corpus
+    * shard), estimate C(A, B) = |A∩B| / |A| over distinct 3-word-shingle
+    * sets from sketches that keep every hash below a FIXED τ (here a
+    * 1/4-fraction of the hash space) — the estimand q91/q122's exact
+    * screens compute by reading text, answered from artifacts: at 100 TB
+    * you sketch each benchmark ONCE and screen every shard without
+    * re-reading either side. Two design decisions are the point:
+    * Jaccard is the wrong ESTIMAND (a small benchmark fully inside a
+    * huge shard has Jaccard ≈ 0 but containment 1), and the fixed-k KMV
+    * cut is the wrong SKETCH (its A-side sample share collapses as
+    * k·|A|/|A∪B| — measured: 21 of 30 pairs here lose every A-hash at
+    * k = 64; the limitation is documented on `containmentEstimate`).
+    * The scaled sketch's shared τ decides membership exactly for every
+    * kept hash, so the sample stays A-proportional at any |B|. Planted
+    * structure: benchmark doc i LIVES in shard i % 3, so own-shard
+    * containment is exactly 10^6 (the subset theorem FA ⊆ FB — a
+    * full-containment screen never false-negatives, spec-pinned) while
+    * cross-shard containment measures real overlap. Exact values ride
+    * along; the oracle replays the τ filter, both kept-hash sets, every
+    * count and both ppm divisions. */
+  val q253ContainmentScreen: QueryDef = sql(
+    "q253_containment_screen",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         generate_series(1, len(tok) - 2),
+      |         i -> array_to_string(tok[i:i+2], ' ')))) AS sh
+      |       FROM t WHERE len(tok) >= 3),
+      |ash AS (SELECT doc_id AS bench, sh FROM sh WHERE doc_id < 10),
+      |bsh AS (SELECT DISTINCT doc_id % 3 AS shard, sh FROM sh),
+      |am AS (SELECT DISTINCT bench,
+      |         ('0x' || substr(md5(sh || '|kmv-v1'), 1, 12))::BIGINT AS h
+      |       FROM ash
+      |       WHERE ('0x' || substr(md5(sh || '|kmv-v1'), 1, 12))::BIGINT
+      |             < 70368744177664),
+      |bm AS (SELECT DISTINCT shard,
+      |         ('0x' || substr(md5(sh || '|kmv-v1'), 1, 12))::BIGINT AS h
+      |       FROM bsh
+      |       WHERE ('0x' || substr(md5(sh || '|kmv-v1'), 1, 12))::BIGINT
+      |             < 70368744177664),
+      |pairs AS (SELECT bench, shard
+      |          FROM (SELECT DISTINCT bench FROM am)
+      |          CROSS JOIN (SELECT DISTINCT shard FROM bm)),
+      |naf AS (SELECT bench, CAST(count(*) AS BIGINT) AS n_a_frac
+      |        FROM am GROUP BY bench),
+      |mt AS (SELECT am.bench, bm.shard, CAST(count(*) AS BIGINT) AS matches
+      |       FROM am JOIN bm ON bm.h = am.h GROUP BY am.bench, bm.shard),
+      |na AS (SELECT bench, CAST(count(*) AS BIGINT) AS n_a_exact
+      |       FROM ash GROUP BY bench),
+      |ni AS (SELECT a.bench, b.shard, CAST(count(*) AS BIGINT) AS n_inter
+      |       FROM ash a JOIN bsh b ON b.sh = a.sh GROUP BY a.bench, b.shard)
+      |SELECT p.bench, p.shard, naf.n_a_frac,
+      |       CAST(coalesce(mt.matches, 0) AS BIGINT) AS matches,
+      |       CAST((coalesce(mt.matches, 0) * 1000000) // naf.n_a_frac
+      |            AS BIGINT) AS cont_est_ppm,
+      |       na.n_a_exact,
+      |       CAST(coalesce(ni.n_inter, 0) AS BIGINT) AS n_inter_exact,
+      |       CAST((coalesce(ni.n_inter, 0) * 1000000) // na.n_a_exact
+      |            AS BIGINT) AS cont_exact_ppm
+      |FROM pairs p
+      |JOIN naf USING (bench) JOIN na USING (bench)
+      |LEFT JOIN mt ON mt.bench = p.bench AND mt.shard = p.shard
+      |LEFT JOIN ni ON ni.bench = p.bench AND ni.shard = p.shard
+      |ORDER BY p.bench, p.shard""".stripMargin) { (s, d) =>
+    import graft.operators.KmvSketch
+    val dd = docs(s, d)
+    val sh = dd.select(col("doc_id").cast("long").as("doc_id"),
+      explode(array_distinct(graft.functions.word_shingles(
+        split(col("text"), " "), 3))).as("sh"))
+    val aSh = sh.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("bench"), col("sh"))
+    val bSh = sh.select((col("doc_id") % 3).as("shard"), col("sh"))
+    val aSk = KmvSketch.fracSketch(aSh, "bench", "sh", sPpm = 250000L)
+    val bSk = KmvSketch.fracSketch(bSh, "shard", "sh", sPpm = 250000L)
+    // 10 benchmarks × 3 shards, keyed by one pair string (the grpCol the
+    // estimator joins on); benchmark sketches broadcast (A-side frames
+    // are sample-sized), shard sketches carry the corpus-proportional
+    // arrays
+    val pairKey = concat_ws(":", col("bench"), col("shard"))
+    val aF = aSk.crossJoin(broadcast(bSk.select(col("shard"))))
+      .select(pairKey.as("pair"), col("fmins"))
+    val bF = bSk.crossJoin(broadcast(aSk.select(col("bench"))))
+      .select(pairKey.as("pair"), col("fmins"))
+    val est = KmvSketch.fracContainment(aF, bF, "pair")
+      .withColumn("bench", split(col("pair"), ":").getItem(0).cast("long"))
+      .withColumn("shard", split(col("pair"), ":").getItem(1).cast("long"))
+    val nA = aSh.groupBy(col("bench")).agg(count(lit(1)).as("n_a_exact"))
+    val nI = aSh.join(bSh.distinct(), "sh")
+      .groupBy(col("bench"), col("shard")).agg(count(lit(1)).as("n_inter"))
+    est
+      .join(nA, "bench")
+      .join(nI, Seq("bench", "shard"), "left")
+      .select(col("bench"), col("shard"), col("n_a_frac"),
+        col("matches"), col("cont_est_ppm"), col("n_a_exact"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter_exact"),
+        expr("(coalesce(n_inter, 0L) * 1000000) div n_a_exact")
+          .as("cont_exact_ppm"))
+      .orderBy(col("bench"), col("shard"))
   }
 
   /** Collocation mining — `text.Collocations.topLift`: top-50 adjacent

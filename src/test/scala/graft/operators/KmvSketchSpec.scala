@@ -120,6 +120,69 @@ class KmvSketchSpec extends SparkSpec {
     assert(groups == Set(1L), s"expected only group 1 to survive, got $groups")
   }
 
+  test("containment: subset ⇒ exactly 1e6 at ANY k; disjoint ⇒ 0; small sets exact") {
+    // A = 1..500 ⊂ B = 1..5000 with k = 16 ≪ |A|: every sampled A-hash
+    // must match, so the estimate is exactly 1e6 regardless of sampling
+    val k = 16
+    val a = (1L to 500L).map((1L, _)).toDF("g", "v")
+    val b = (1L to 5000L).map((1L, _)).toDF("g", "v")
+    val sub = KmvSketch.containmentEstimate(
+      KmvSketch.sketch(a, "g", "v", k), KmvSketch.sketch(b, "g", "v", k),
+      "g", k).select("cont_est_ppm").as[Long].collect()(0)
+    assert(sub == 1000000L, s"subset containment must be exactly 1e6, got $sub")
+    // disjoint sets → 0 exactly
+    val c = (10001L to 10500L).map((1L, _)).toDF("g", "v")
+    val dis = KmvSketch.containmentEstimate(
+      KmvSketch.sketch(a, "g", "v", k), KmvSketch.sketch(c, "g", "v", k),
+      "g", k).select("cont_est_ppm").as[Long].collect()(0)
+    assert(dis == 0L)
+    // |A ∪ B| < k ⇒ the cut is the whole union and C is exact:
+    // A = {1..10}, B = {6..20} → |A∩B| = 5, C = 500000 ppm
+    val k2 = 64
+    val sa = KmvSketch.sketch((1L to 10L).map((1L, _)).toDF("g", "v"), "g", "v", k2)
+    val sb = KmvSketch.sketch((6L to 20L).map((1L, _)).toDF("g", "v"), "g", "v", k2)
+    val r = KmvSketch.containmentEstimate(sa, sb, "g", k2)
+      .select("n_u", "n_in_a", "matches", "cont_est_ppm")
+      .as[(Long, Long, Long, Long)].collect()(0)
+    assert(r == ((20L, 10L, 5L, 500000L)))
+  }
+
+  test("fracContainment: subset ⇒ exactly 1e6 at any scale; disjoint ⇒ 0; " +
+      "sPpm = 1e6 ⇒ exact; estimate near truth at s = 1/4") {
+    // A = 1..400 ⊂ B = 1..8000: FA ⊆ FB under the shared τ, so the
+    // screen reads exactly 1e6 — no sampling noise on full containment
+    val a = (1L to 400L).map((1L, _)).toDF("g", "v")
+    val b = (1L to 8000L).map((1L, _)).toDF("g", "v")
+    val sub = KmvSketch.fracContainment(
+      KmvSketch.fracSketch(a, "g", "v", 250000L),
+      KmvSketch.fracSketch(b, "g", "v", 250000L), "g")
+      .select("cont_est_ppm").as[Long].collect()(0)
+    assert(sub == 1000000L, s"subset containment must be exactly 1e6, got $sub")
+    // disjoint → 0
+    val c = (20001L to 20400L).map((1L, _)).toDF("g", "v")
+    val dis = KmvSketch.fracContainment(
+      KmvSketch.fracSketch(a, "g", "v", 250000L),
+      KmvSketch.fracSketch(c, "g", "v", 250000L), "g")
+      .select("cont_est_ppm").as[Long].collect()(0)
+    assert(dis == 0L)
+    // half-contained at sPpm = 1e6 (keep everything) → exact 500000
+    val h = (201L to 600L).map((1L, _)).toDF("g", "v")
+    val ex = KmvSketch.fracContainment(
+      KmvSketch.fracSketch(a, "g", "v", 1000000L),
+      KmvSketch.fracSketch(h, "g", "v", 1000000L), "g")
+      .select("n_a_frac", "matches", "cont_est_ppm")
+      .as[(Long, Long, Long)].collect()(0)
+    assert(ex == ((400L, 200L, 500000L)))
+    // half-contained at s = 1/4: estimate within 4σ of 500000
+    val est = KmvSketch.fracContainment(
+      KmvSketch.fracSketch(a, "g", "v", 250000L),
+      KmvSketch.fracSketch(h, "g", "v", 250000L), "g")
+      .select("n_a_frac", "cont_est_ppm").as[(Long, Long)].collect()(0)
+    assert(math.abs(est._2 - 500000L) <= 4 * 500000L /
+      math.sqrt(est._1.toDouble).toLong,
+      s"containment estimate ${est._2} too far from 500000 (n=${est._1})")
+  }
+
   test("per-shard sketches merge to the global sketch (mergeability)") {
     val k = 32
     val a = events.filter(col("event_id") % 2 === 0)
