@@ -154,7 +154,16 @@ object KmvSketch {
     * sample even when |A| ≪ |B| — the benchmark-in-corpus contamination
     * shape where the k-min cut's A-share collapses (see
     * [[containmentEstimate]]'s limitation note). Output: (grpCol,
-    * fmins) sorted distinct kept hashes. */
+    * fmins) sorted distinct kept hashes.
+    *
+    * 100 TB shape: the per-group ARRAY is the portable artifact for
+    * bounded sides (benchmark docs, capped shards) — pick `sPpm` so
+    * |set|·s fits an artifact (sourmash ships s ≈ 10^-3). For groups
+    * where even the sampled set is huge, skip the array: the τ filter's
+    * OUTPUT ROWS (grp, h) are the same sample in relational form, and
+    * [[fracContainment]]'s counts are then plain join+groupBy
+    * aggregations (exactly the shape q253's oracle replays) — no
+    * unbounded per-group aggregation state anywhere. */
   def fracSketch(df: DataFrame, grpCol: String, valCol: String,
       sPpm: Long, salt: String = "kmv-v1"): DataFrame = {
     require(sPpm > 0 && sPpm <= 1000000L, s"sPpm out of (0, 1e6]: $sPpm")

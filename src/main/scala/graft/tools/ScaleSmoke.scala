@@ -428,6 +428,36 @@ object ScaleSmoke {
           graft.similarity.MaxSim.rerank(cands, qe, te, dims = 8, k = 10)
         }
       }
+      if ("frac_screen".contains(opFilter)) {
+        // FracMinHash contamination screen (q253): FIXED 10 benchmark
+        // sketches vs a k× corpus. Cost = one linear corpus pass (the τ
+        // filter + per-shard distinct) — the claim is that screening N
+        // benchmarks rides ONE corpus sketch, never N text scans, and
+        // the screen itself is sketch-sized.
+        val corpus = scaled(k)
+        val sh = corpus.select(col("doc_id"),
+          explode(array_distinct(graft.functions.word_shingles(
+            split(col("text"), " "), 3))).as("sh"))
+        val aSh = base.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("bench"),
+            explode(array_distinct(graft.functions.word_shingles(
+              split(col("text"), " "), 3))).as("sh"))
+        val aSk = graft.operators.KmvSketch
+          .fracSketch(aSh, "bench", "sh", 250000L)
+          .localCheckpoint(true) // the standing benchmark artifact
+        time("frac_screen", k) {
+          val bSk = graft.operators.KmvSketch.fracSketch(
+            sh.select((col("doc_id") % 3).as("shard"), col("sh")),
+            "shard", "sh", 250000L)
+          val pairKey = concat_ws(":", col("bench"), col("shard"))
+          graft.operators.KmvSketch.fracContainment(
+            aSk.crossJoin(broadcast(bSk.select(col("shard"))))
+              .select(pairKey.as("pair"), col("fmins")),
+            bSk.crossJoin(broadcast(aSk.select(col("bench"))))
+              .select(pairKey.as("pair"), col("fmins")),
+            "pair")
+        }
+      }
       if ("hyperball_rounds".contains(opFilter)) {
         // HyperBall (q238): constant-degree graph (ring + one pseudo-random
         // chord per node, symmetrized) so |E| grows linearly with k. Two
