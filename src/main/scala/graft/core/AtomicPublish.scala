@@ -23,15 +23,29 @@ object AtomicPublish {
 
   /** Run `build` against the staging dir, then atomically publish it at
     * `path`. `build` receives the staging path and must leave the
-    * complete artifact there. */
+    * complete artifact there.
+    *
+    * Re-publish over an existing artifact parks the old directory at
+    * `<path>_old` BEFORE renaming staging in and deletes it only after
+    * the new artifact is in place, so a crash at any point leaves a
+    * complete artifact on disk: either the old one (at `path` or, worst
+    * case, recoverable at `path_old`) or the new one at `path`. The
+    * earlier delete-then-rename order had a window where NEITHER
+    * survived. */
   def publish(spark: SparkSession, path: String)(build: String => Unit): Unit = {
     val dest = new Path(path)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path + "_build")
+    val parked = new Path(path + "_old")
     if (fs.exists(staging)) fs.delete(staging, true): Unit
     build(staging.toString)
-    if (fs.exists(dest)) fs.delete(dest, true): Unit
+    if (fs.exists(parked)) fs.delete(parked, true): Unit
+    if (fs.exists(dest)) {
+      require(fs.rename(dest, parked),
+        s"atomic publish failed: park $dest -> $parked returned false")
+    }
     require(fs.rename(staging, dest),
       s"atomic publish failed: rename $staging -> $dest returned false")
+    if (fs.exists(parked)) fs.delete(parked, true): Unit
   }
 }

@@ -88,8 +88,11 @@ object Sampling {
     // silently; a FRACTIONAL weight would silently truncate — both fail
     // the run instead. (The upper bound w ≤ 9.2·10^9 stays a documented
     // caller bound: it is where pri_grid exactness ends, not validity.)
-    val wq = s"`$weightCol`" // backtick-quote: unusual column names must
-    // stay one identifier, not parse as an expression
+    // backtick-quote so unusual column names stay one identifier, not an
+    // expression; embedded backticks are doubled (Spark's quoting rule) so
+    // a name containing ` cannot break out of the quote and splice
+    // arbitrary SQL into the expr strings below
+    val wq = s"`${weightCol.replace("`", "``")}`"
     val wChecked = expr(
       s"""CASE WHEN $wq IS NULL OR $wq < 0 THEN
          |  CAST(raise_error(concat('prioritySample: negative or NULL weight ',
