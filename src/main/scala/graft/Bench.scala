@@ -56,6 +56,17 @@ object Bench {
     try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir)
       .write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => }
+    // untimed standing-index warm (ADVICE r14): the shared serve indexes
+    // memoize per-process, so without this the FIRST serve query paid the
+    // full build inside its timer and per-query numbers were run-order
+    // dependent. Production serves from a standing artifact; the build is
+    // ETL — priced in the ledgered-index ScaleSmoke rows, not here.
+    try {
+      graft.queries.TextQueries.warmSharedIndexes(spark, sfDir)
+      graft.queries.WarehouseQueries.warmSharedIndexes(spark, sfDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] shared-index warm failed: ${e.getMessage}")
+    }
     spark.catalog.clearCache()
 
     // Contention canary (VERDICT r9 item 7): a fixed, data-independent,
