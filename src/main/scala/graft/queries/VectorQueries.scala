@@ -683,6 +683,43 @@ object VectorQueries {
     }
   }
 
+  /** Shared STANDING serve artifacts over the embeddings table — the
+    * postingsShared/docIvfShared pattern applied to the quantized-vector
+    * serve shelf (VERDICT r14 next-round #1): the IVFADC coarse
+    * quantizer plus the PQ codebook/codes are read-only serve state —
+    * production trains/encodes once (ETL) and serves every query from
+    * the standing artifact. Built once per (process, sf) and published
+    * MVCC-style (`core.VersionedPublish`: immutable v<N> dirs, atomic
+    * rename commit, highest-committed resolution — safe under
+    * multi-process scratch sharing). The MUTATING vector-index queries
+    * (q36/q94/q106/q233) and the train-is-the-subject queries (q128,
+    * q154) keep self-contained builds. */
+  private val embServeCache =
+    scala.collection.mutable.Map[String, (graft.sources.IvfIndex, String)]()
+  private def embServeShared(s: SparkSession, d: String)
+      : (graft.sources.IvfIndex, String) = {
+    import graft.similarity.Pq
+    val root = graft.core.Scratch.dir("embserve_shared", d)
+    embServeCache.synchronized {
+      embServeCache.getOrElseUpdate(root, {
+        val served = graft.core.VersionedPublish.getOrPublish(s, root) {
+          staging =>
+            val e = emb(s, d)
+            graft.sources.IvfIndex.build(e, s"$staging/ivf", "vec_id",
+              "embedding", nCentroids = 8, iters = 1): Unit
+            val cb = Pq.train(e, "vec_id", "embedding", dim = 64,
+              m = 4, nCodes = 16, iters = 2)
+            cb.coalesce(1).write.parquet(s"$staging/codebook")
+            cb.unpersist(): Unit
+            Pq.encode(e, "vec_id", "embedding", 64,
+                s.read.parquet(s"$staging/codebook"))
+              .write.parquet(s"$staging/codes")
+        }
+        (new graft.sources.IvfIndex(s, s"$served/ivf"), served)
+      })
+    }
+  }
+
   /** IVFADC — the FAISS coarse+fine serve architecture composed from the
     * verified halves: the COARSE quantizer is the persisted IVF index
     * (queries probe their 2 nearest centroids; candidates come from a
@@ -690,18 +727,29 @@ object VectorQueries {
     * shape), and the FINE stage is PQ asymmetric-distance scoring
     * restricted to those candidates (Pq.adcWithin: the LUT join ships one
     * row per candidate per subspace, never one per corpus row), top-40 by
-    * round-6 ADC, exact-cosine re-rank to the final top-10. The probed
-    * candidate set, the PQ codebook, and the codes are dumped to scratch;
-    * DuckDB replays everything downstream of the coarse probe — the ADC
-    * sum over candidates, the cut, and the re-rank (the probe half is
-    * value-checked by the q35/q36 family; ADC-from-artifacts by q128). */
+    * round-6 ADC, exact-cosine re-rank to the final top-10. The coarse
+    * IVF and the PQ codebook/codes are the SHARED standing serve
+    * artifact ([[embServeShared]] — this query's subject is the serve
+    * composition, not the train); the probed candidate set is dumped to
+    * per-query scratch, and DuckDB replays everything downstream of the
+    * coarse probe — the ADC sum over candidates, the cut, and the
+    * re-rank — reading the codebook/codes from the standing artifact
+    * (the probe half is value-checked by the q35/q36 family;
+    * ADC-from-artifacts by q128). */
   val q132IvfAdcServe: QueryDef = {
     def p = graft.core.Scratch.lastDir("q132_ivfadc_serve")
+    def shared = {
+      val root = graft.core.Scratch.lastDir("embserve_shared")
+      // resolve the live MVCC version locally (no SparkSession at oracle
+      // build time); a never-published root surfaces as a missing-path
+      // failure in Verify's fail-fast scratch check
+      graft.core.VersionedPublish.currentDirLocal(root).getOrElse(root)
+    }
     sql(
       "q132_ivfadc_serve",
       s"""WITH cb AS (SELECT sub, code, CAST(cvec AS DOUBLE[]) AS cvec
-         |            FROM read_parquet('$p/codebook/*.parquet')),
-         |co AS (SELECT id, codes FROM read_parquet('$p/codes/*.parquet')),
+         |            FROM read_parquet('$shared/codebook/*.parquet')),
+         |co AS (SELECT id, codes FROM read_parquet('$shared/codes/*.parquet')),
          |cand AS (SELECT qid, nn FROM read_parquet('$p/candidates/*.parquet')),
          |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
          |      FROM embeddings WHERE vec_id < 5),
@@ -739,25 +787,15 @@ object VectorQueries {
          |WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin) { (s, d) =>
       import graft.similarity.Pq
-      import graft.sources.IvfIndex
       val e = emb(s, d)
       val path = graft.core.Scratch.dir("q132_ivfadc_serve", d)
-      val ivfPath =
-        java.nio.file.Files.createTempDirectory("ivfadc_q132").toString + "/idx"
-      val idx = IvfIndex.build(e, ivfPath, "vec_id", "embedding",
-        nCentroids = 8, iters = 1)
+      val (idx, served) = embServeShared(s, d)
       val q = e.filter(col("vec_id") < 5)
       idx.candidates(q, "vec_id", "embedding", nprobe = 2)
         .write.mode("overwrite").parquet(s"$path/candidates")
-      val cb = Pq.train(e, "vec_id", "embedding", dim = 64,
-        m = 4, nCodes = 16, iters = 2)
-      cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-      cb.unpersist()
-      val cbR = s.read.parquet(s"$path/codebook")
-      Pq.encode(e, "vec_id", "embedding", 64, cbR)
-        .write.mode("overwrite").parquet(s"$path/codes")
+      val cbR = s.read.parquet(s"$served/codebook")
       val cand = s.read.parquet(s"$path/candidates")
-      val codes = s.read.parquet(s"$path/codes")
+      val codes = s.read.parquet(s"$served/codes")
       val topCand = Pq.adcWithin(cand, codes, cbR, q, "vec_id", "embedding",
           dim = 64, n = 40)
         .select(col("qid"), col("nn"))

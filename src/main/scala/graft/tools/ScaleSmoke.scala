@@ -634,7 +634,8 @@ object ScaleSmoke {
           "id", "w", k = 200))
       if ("ledgered_ingest".contains(opFilter) ||
           "ledgered_redelivery".contains(opFilter) ||
-          "ledgered_serve".contains(opFilter)) {
+          "ledgered_serve".contains(opFilter) ||
+          "ledgered_impacts_rebuild".contains(opFilter)) {
         // exactly-once ingest (q223): merge a FIXED 1×-sized batch into
         // a LEDGERED index holding the k× corpus, then REDELIVER it.
         // The merge wall tracks the batch (appends + one vocabulary-
@@ -666,6 +667,16 @@ object ScaleSmoke {
         lidx.bm25TopK(lprobes, k = 10)
           .write.format("noop").mode("overwrite").save()
         println(f"""{"op":"ledgered_serve","scale":$k,"rows_in":${n0 * k},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        // impacts rebuild (q250's contract: rebuilt once per DRAINED
+        // ingest cycle, never per merge): the rebuild is a corpus-sized
+        // postings pass, so its wall tracks k — which is exactly WHY the
+        // contract amortizes it per cycle. Read this row against
+        // ledgered_ingest: a per-merge rebuild would bolt this k-sized
+        // cost onto every batch-sized merge, turning O(batch) ingest
+        // into O(corpus) per micro-batch at 100 TB.
+        t0 = System.nanoTime()
+        lidx.buildImpacts()
+        println(f"""{"op":"ledgered_impacts_rebuild","scale":$k,"rows_in":${n0 * k},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
         spark.catalog.clearCache()
       }
       if ("incremental_cc_merge".contains(opFilter) ||
