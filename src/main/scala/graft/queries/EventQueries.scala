@@ -926,15 +926,23 @@ object EventQueries {
         Window.partitionBy(col("user_id")).orderBy(
           md5(concat(col("user_id").cast("string"), lit("|cb-v1|"),
             col("event_id").cast("string"))), col("event_id"))))
-    val kept = e.filter(col("rk") <= 8).cache()
-    val mx = kept.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    // ONE conditional aggregation replaces the old uncapped-agg ⋈
+    // capped-agg join (two shuffles + a join), and mx's per-user
+    // grouping rides the window's hash(user_id) exchange (no new
+    // shuffle; ReusedExchange shares the windowed frame with the
+    // per-type agg). The old kept.cache() was the 2× move the r14
+    // profile found: the InMemoryRelation materialization is its own
+    // job chain AND blocks exchange reuse — the q203 lesson repeated.
+    // 12 jobs / ~3.2s warm → 7 jobs / ~1.1s at sf0.1.
+    val keptFlag = col("rk") <= 8
+    val mx = e.filter(keptFlag).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("max_contrib"))
-    val unc = e.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_uncapped"))
-    val cap = kept.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_capped"),
-        countDistinct(col("user_id")).as("n_users"))
-    unc.join(cap, "event_type").crossJoin(broadcast(mx))
+    val perType = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_uncapped"),
+      count(when(keptFlag, 1)).as("n_capped"),
+      countDistinct(when(keptFlag, col("user_id"))).as("n_users"))
+    perType.crossJoin(broadcast(mx))
       .select(col("event_type"), col("n_uncapped"), col("n_capped"),
         col("n_users"), col("max_contrib"),
         (col("max_contrib") <= 8).cast("int").as("cap_ok"))
