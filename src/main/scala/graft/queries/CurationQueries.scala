@@ -21,9 +21,145 @@ object CurationQueries {
     q126PerplexityBuckets, q127QualityClassifier, q129CurationPipeline,
     q153LrTrain, q155BpeTrain, q162BpeApply, q167TarShards, q178AucEval,
     q201ApEval, q205BleuEval, q239ChrfEval,
-    q180DupRegions, q185SkipgramPairs, q193GiniTree, q197Augment)
+    q180DupRegions, q185SkipgramPairs, q193GiniTree, q197Augment,
+    q255MixtureWaterfill, q256MixtureSampled)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** Shared engine path of q255/q256: distributed per-language token
+    * stock aggregation, then `MixturePlan.waterfill` on the bounded
+    * |languages|-row frame (driver-local by contract — the planner/
+    * centroid discipline). Budget = half the corpus's tokens, derived
+    * from the data so the oracle replays it. */
+  private def mixPlan(s: SparkSession, d: String)
+      : Seq[graft.operators.MixturePlan.Alloc] = {
+    val rows = docs(s, d).groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n"))
+      .collect()
+    val stocks = rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(_._1)
+    val budget = stocks.map(_._2).sum / 2
+    graft.operators.MixturePlan.waterfill(stocks, budget)
+  }
+
+  /** The waterfill's synchronous rounds as unrolled SQL CTE stages —
+    * ONE generator feeds both q255's and q256's oracles, so the two
+    * cannot drift. Stage count must equal MixturePlan's maxRounds. */
+  private def waterfillCtes(rounds: Int = 8): String = {
+    val stages = (1 to rounds).map { i =>
+      s"""s$i AS (SELECT CAST(sum(CASE WHEN capped_round > 0 THEN n ELSE 0 END) AS BIGINT) AS cn,
+         |           CAST(sum(CASE WHEN capped_round = 0 THEN w ELSE 0 END) AS BIGINT) AS uw
+         |    FROM c${i - 1}),
+         |c$i AS (SELECT c.lang, c.n, c.w,
+         |           CAST(CASE WHEN c.capped_round > 0 THEN c.capped_round
+         |                WHEN s.uw > 0 AND ((b.budget - s.cn) * c.w) // s.uw >= c.n THEN $i
+         |                ELSE 0 END AS BIGINT) AS capped_round
+         |    FROM c${i - 1} c, s$i s, b)""".stripMargin
+    }.mkString(",\n")
+    s"""d AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+       |      FROM documents GROUP BY lang),
+       |b AS (SELECT CAST(sum(n) // 2 AS BIGINT) AS budget FROM d),
+       |w0 AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0
+       |       FROM d),
+       |c0 AS (SELECT lang, n,
+       |          s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= n THEN 1 ELSE 0 END)
+       |             - (CASE WHEN s0 * s0 > n THEN 1 ELSE 0 END) AS w,
+       |          CAST(0 AS BIGINT) AS capped_round
+       |       FROM w0),
+       |$stages,
+       |sf AS (SELECT CAST(sum(CASE WHEN capped_round > 0 THEN n ELSE 0 END) AS BIGINT) AS cn,
+       |          CAST(sum(CASE WHEN capped_round = 0 THEN w ELSE 0 END) AS BIGINT) AS uw
+       |   FROM c$rounds),
+       |alloc AS (
+       |  SELECT c.lang, c.n, c.w, c.capped_round, b.budget,
+       |         CAST(CASE WHEN c.capped_round > 0 THEN c.n
+       |                   WHEN s.uw = 0 THEN 0
+       |                   ELSE ((b.budget - s.cn) * c.w) // s.uw
+       |              END AS BIGINT) AS alloc_tokens
+       |  FROM c$rounds c, sf s, b)""".stripMargin
+  }
+
+  /** TOKEN-BUDGET WATERFILL across domains — `operators.MixturePlan`
+    * (temperature rule of GPT-3 App. A / XLM-R §3.1, ∝ n^α with
+    * α = 0.5 via exact isqrt, plus the availability cap q115's uncapped
+    * oversampler cannot express): allocate B = half the corpus's tokens
+    * so low-resource languages are upsampled but no language is asked
+    * for more tokens than it HAS — capped domains return their unused
+    * share to the pool in synchronous waterfilling rounds. All integer
+    * arithmetic; the oracle replays every round as an unrolled CTE
+    * stage, and the round each domain capped in is an output column, so
+    * a drifted iteration order (not just a drifted final number)
+    * hash-mismatches. */
+  val q255MixtureWaterfill: QueryDef = sql(
+    "q255_mixture_waterfill",
+    s"""WITH ${waterfillCtes()}
+       |SELECT lang, n AS n_tokens, w AS weight, alloc_tokens,
+       |       capped_round, budget
+       |FROM alloc
+       |ORDER BY lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val allocs = mixPlan(s, d)
+    // budget reconstruction for the audit column: Σ stocks / 2
+    val budget = allocs.map(_.nTokens).sum / 2
+    allocs
+      .map(a => (a.domain, a.nTokens, a.weight, a.allocTokens,
+        a.cappedRound, budget))
+      .toDF("lang", "n_tokens", "weight", "alloc_tokens", "capped_round",
+        "budget")
+      .orderBy(col("lang"))
+  }
+
+  /** The waterfill plan EXECUTED as a corpus-sized sampling job — the
+    * q254 wiring discipline on the mixture shelf (a plan nobody
+    * consumes is not an operator): per-language keep probability
+    * alloc/stock on the ppm grid, one deterministic md5 draw per
+    * document (broadcast plan join + pushed-down filter — no shuffle
+    * before the per-language audit agg), reporting planned vs realized
+    * docs/tokens per language. The oracle replays the waterfill CTEs
+    * AND the per-document draw, so plan drift and sampling drift both
+    * hash-mismatch. */
+  val q256MixtureSampled: QueryDef = sql(
+    "q256_mixture_sampled",
+    s"""WITH ${waterfillCtes()},
+       |kp AS (SELECT lang, n, alloc_tokens,
+       |              CAST(CASE WHEN n > 0 THEN (alloc_tokens * 1000000) // n
+       |                        ELSE 0 END AS BIGINT) AS keep_ppm
+       |       FROM alloc),
+       |dd AS (SELECT lang, doc_id,
+       |              CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n
+       |       FROM documents),
+       |kept AS (
+       |  SELECT dd.lang, CAST(count(*) AS BIGINT) AS kept_docs,
+       |         CAST(sum(dd.tok_n) AS BIGINT) AS kept_tokens
+       |  FROM dd JOIN kp USING (lang)
+       |  WHERE ('0x' || substr(md5(CAST(dd.doc_id AS STRING) || '|mixfill-v1'), 1, 12))::BIGINT
+       |        % 1000000 < kp.keep_ppm
+       |  GROUP BY dd.lang)
+       |SELECT kp.lang, kp.n AS n_tokens, kp.alloc_tokens, kp.keep_ppm,
+       |       CAST(COALESCE(kept.kept_docs, 0) AS BIGINT) AS kept_docs,
+       |       CAST(COALESCE(kept.kept_tokens, 0) AS BIGINT) AS kept_tokens
+       |FROM kp LEFT JOIN kept USING (lang)
+       |ORDER BY kp.lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val plan = mixPlan(s, d)
+      .map(a => (a.domain, a.nTokens, a.allocTokens,
+        if (a.nTokens > 0) a.allocTokens * 1000000L / a.nTokens else 0L))
+      .toDF("lang", "n_tokens", "alloc_tokens", "keep_ppm")
+    val dd = docs(s, d).select(col("lang"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("tok_n"))
+    val kept = dd
+      .join(broadcast(plan.select(col("lang"), col("keep_ppm"))), "lang")
+      .filter(graft.operators.KmvSketch.hash48(col("doc_id"), "mixfill-v1")
+        % 1000000L < col("keep_ppm"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("tok_n")).as("kept_tokens"))
+    plan.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_tokens"), col("alloc_tokens"),
+        col("keep_ppm"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy(col("lang"))
+  }
 
   /** Span-level exact dedup (C4's repeated-span rule on fixed 8-token
     * windows): per doc, how many spans it holds, how many are duplicates

@@ -268,7 +268,13 @@ class PlanAuditSpec extends SparkSpec {
     // not data — and replanting it (a) pushes the doc-id isin into the
     // forward scan and (b) cuts the first-pass serve out of the
     // expansion's lineage so it is not re-evaluated per action
-    "q222_rm3_index", "q224_indexed_retrieval_eval")
+    "q222_rm3_index", "q224_indexed_retrieval_eval",
+    // MixturePlan.waterfill: the plan is computed on the |languages|-row
+    // stock aggregate — waterfill REQUIRES ≤ 64 domains (data-independent
+    // bound enforced loudly, MixturePlan.scala); the corpus-sized work
+    // (stock aggregation in, sampling job out) stays distributed, and
+    // q256's sampling consumes the plan via a broadcast join
+    "q255_mixture_waterfill", "q256_mixture_sampled")
 
   test("LocalTableScan only for driver-authored literal inputs") {
     val offenders = auditable.filter { n =>
