@@ -64,6 +64,7 @@ object Bench {
     try {
       graft.queries.TextQueries.warmSharedIndexes(spark, sfDir)
       graft.queries.WarehouseQueries.warmSharedIndexes(spark, sfDir)
+      graft.queries.VectorQueries.warmSharedIndexes(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] shared-index warm failed: ${e.getMessage}")
     }

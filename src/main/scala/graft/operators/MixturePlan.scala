@@ -45,6 +45,10 @@ object MixturePlan {
     * one-step correction (enough because IEEE sqrt errs by < 1 ulp). */
   def isqrt(n: Long): Long = {
     require(n >= 0L, s"isqrt of negative $n")
+    // domain bound keeps (s0+1)² inside Long (and matches the oracle's
+    // double-sqrt path); 4·10^18 tokens is ~16 000× a 100 TB corpus
+    require(n <= 4_000_000_000_000_000_000L,
+      s"isqrt domain bound exceeded: $n")
     val s0 = math.sqrt(n.toDouble).toLong
     s0 + (if ((s0 + 1) * (s0 + 1) <= n) 1L else 0L) -
       (if (s0 * s0 > n) 1L else 0L)

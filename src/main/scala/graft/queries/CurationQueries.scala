@@ -142,8 +142,15 @@ object CurationQueries {
        |ORDER BY kp.lang""".stripMargin) { (s, d) =>
     import s.implicits._
     val plan = mixPlan(s, d)
-      .map(a => (a.domain, a.nTokens, a.allocTokens,
-        if (a.nTokens > 0) a.allocTokens * 1000000L / a.nTokens else 0L))
+      .map { a =>
+        // loud overflow guard: alloc·10^6 must stay inside Long (DuckDB's
+        // BIGINT multiply errors loudly at the same point — the two
+        // engines must fail together, never silently diverge)
+        require(a.allocTokens <= Long.MaxValue / 1000000L,
+          s"keep_ppm overflow for ${a.domain}: alloc ${a.allocTokens}")
+        (a.domain, a.nTokens, a.allocTokens,
+          if (a.nTokens > 0) a.allocTokens * 1000000L / a.nTokens else 0L)
+      }
       .toDF("lang", "n_tokens", "alloc_tokens", "keep_ppm")
     val dd = docs(s, d).select(col("lang"), col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("tok_n"))

@@ -310,11 +310,16 @@ object DedupQueries {
     * be known before the corpus job is planned, exactly as in
     * production) → `Dedup.minhashLshCandidates(bands, rowsPerBand)`
     * parameterized by it → scratch table → in-bucket exact Jaccard ≥ t.
-    * The oracle replays the ENTIRE composition: the planner argmin from
-    * first principles (same unrolled truncating ppm chains as q251 —
-    * one shared SQL generator) joined onto the candidate verification,
-    * so a drifted argmin mismatches `planned_b`/`planned_r` and a
-    * mis-parameterized banding mismatches the pair set. */
+    * The oracle replays the planner argmin from first principles (same
+    * unrolled truncating ppm chains as q251 — one shared SQL generator)
+    * joined onto the candidate verification, so a drifted argmin
+    * mismatches `planned_b`/`planned_r`. Gate honesty: the CANDIDATE
+    * half reads the engine's own scratch (the bucket keys are
+    * engine-pinned minhashes, the q56 mechanism), so it verifies
+    * in-bucket Jaccard — the bands/rowsPerBand PLUMBING itself is
+    * enforced by construction (the one collected value feeds the
+    * banding call) and cross-pinned by q56 (4×2) vs q97 (8×1)
+    * hash-checking different candidate sets from different params. */
   val q254PlannedBanding: QueryDef = {
     val splits = Seq((1, 8), (2, 4), (4, 2), (8, 1))
     val tPpm = 200000L

@@ -914,11 +914,13 @@ object EventQueries {
       |cap AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_capped,
       |               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |        FROM kept GROUP BY event_type)
-      |SELECT unc.event_type, unc.n_uncapped, cap.n_capped, cap.n_users,
+      |SELECT unc.event_type, unc.n_uncapped,
+      |       CAST(COALESCE(cap.n_capped, 0) AS BIGINT) AS n_capped,
+      |       CAST(COALESCE(cap.n_users, 0) AS BIGINT) AS n_users,
       |       mx.max_contrib,
       |       CAST(CASE WHEN mx.max_contrib <= 8 THEN 1 ELSE 0 END AS INT)
       |         AS cap_ok
-      |FROM unc JOIN cap USING (event_type), mx
+      |FROM unc LEFT JOIN cap USING (event_type), mx
       |ORDER BY unc.event_type""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d).select(col("event_type"), col("user_id"),
         col("event_id"))

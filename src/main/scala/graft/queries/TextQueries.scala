@@ -1259,14 +1259,15 @@ object TextQueries {
     * self-contained indexes — their SUBJECT is the mutation.
     *
     * Publication is MVCC-versioned via `core.VersionedPublish`
-    * (immutable `v<N>` dirs, commit = one atomic rename, readers resolve
-    * highest-committed — shared with coPurchaseShared/docIvfShared so
-    * the three publish paths cannot drift). Concurrency contract:
-    * concurrent PROCESSES sharing one GRAFT_SCRATCH_DIR are SAFE — an
-    * open during a republish sees a complete old or complete new
-    * version, racing publishers converge on one committed artifact
-    * (VersionedPublishSpec pins both); the per-JVM memoization only
-    * saves repeated resolution/meta reads. */
+    * (immutable artifact dirs, atomic marker-file commit, readers
+    * resolve the highest marker — shared with coPurchaseShared/
+    * docIvfShared/embServeShared so the publish paths cannot drift).
+    * Concurrency contract: concurrent PROCESSES sharing one
+    * GRAFT_SCRATCH_DIR are SAFE — an open during a republish sees a
+    * complete old or complete new version, racing publishers converge
+    * (VersionedPublishSpec pins both); publish() builds fresh per
+    * process (never serves a stale corpus from a persistent root), and
+    * the per-JVM memoization keeps it to one build per process. */
   private val postingsSharedCache =
     scala.collection.mutable.Map[String, graft.text.PostingsIndex]()
 
@@ -1283,11 +1284,11 @@ object TextQueries {
     val path = graft.core.Scratch.dir("docemb_ivf_shared", d)
     docIvfCache.synchronized {
       docIvfCache.getOrElseUpdate(path, {
-        // MVCC publication (VERDICT r14 missing #1): versioned dirs +
-        // highest-committed-wins resolution, so concurrent PROCESSES on
-        // one scratch root read a complete old or new artifact, never a
-        // torn one (contract spec-pinned in VersionedPublishSpec)
-        val served = graft.core.VersionedPublish.getOrPublish(s, path) {
+        // MVCC publication (VERDICT r14 missing #1): immutable artifact
+        // dirs + marker-file commit + highest-marker resolution, so
+        // concurrent PROCESSES on one scratch root read a complete old
+        // or new artifact, never a torn one (VersionedPublishSpec)
+        val served = graft.core.VersionedPublish.publish(s, path) {
           staging =>
             graft.sources.IvfIndex.build(demb, staging, "doc_id", "emb",
               nCentroids = 8, iters = 1): Unit
@@ -1303,7 +1304,7 @@ object TextQueries {
         // MVCC publication — see docIvfShared; the per-JVM memoization
         // stays (serves pay no repeated resolution/meta read), but the
         // on-disk artifact is now safe under multi-process sharing
-        val served = graft.core.VersionedPublish.getOrPublish(s, path) {
+        val served = graft.core.VersionedPublish.publish(s, path) {
           staging =>
             graft.text.PostingsIndex.build(docs(s, d), staging, "doc_id",
                 "text", nBuckets = 16, withBounds = true, withPositions = true)

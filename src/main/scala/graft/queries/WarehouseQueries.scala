@@ -693,13 +693,14 @@ object WarehouseQueries {
   private def coPurchaseShared(s: SparkSession, d: String): DataFrame = {
     val path = graft.core.Scratch.dir("copurchase_pairs", d)
     // MVCC publication (core.VersionedPublish — shared with
-    // postingsShared/docIvfShared): versioned immutable dirs, commit =
-    // one atomic rename, readers resolve highest-committed. Concurrent
-    // PROCESSES on one GRAFT_SCRATCH_DIR are safe: an open during a
-    // republish sees a complete old or new version (VersionedPublishSpec
-    // pins the contract); the per-JVM memo only skips re-resolution.
+    // postingsShared/docIvfShared/embServeShared): immutable artifact
+    // dirs, atomic marker-file commit, readers resolve the highest
+    // marker. Concurrent PROCESSES on one GRAFT_SCRATCH_DIR are safe:
+    // an open during a republish sees a complete old or new version
+    // (VersionedPublishSpec pins the contract); publish() builds fresh
+    // per process, memoized here to one build per JVM.
     val served = coPurchaseServed.computeIfAbsent(path, p =>
-      graft.core.VersionedPublish.getOrPublish(s, p) { staging =>
+      graft.core.VersionedPublish.publish(s, p) { staging =>
         coPurchasePairs(s, d).write.parquet(staging)
       })
     s.read.parquet(served)

@@ -2,64 +2,73 @@ package graft.core
 
 import java.nio.file.Files
 import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
-import org.apache.hadoop.fs.Path
 import graft.SparkSpec
 
 /** Multi-process contract of [[VersionedPublish]] (VERDICT r14 missing
-  * #1): the shared serve indexes are published MVCC-style so concurrent
-  * readers/writers on one scratch root can never tear a read. The
-  * "process" here is modeled by threads — the mechanism under test is
-  * filesystem-level (immutable version dirs + atomic rename commit +
-  * highest-committed resolution), which is process-agnostic. */
+  * #1): the shared serve indexes are published MVCC-style with a
+  * marker-file commit so concurrent readers/writers on one scratch root
+  * can never tear — or pollute — a read. "Processes" are modeled by
+  * threads: the mechanism under test is filesystem-level (immutable
+  * artifact dirs + atomic marker rename + highest-marker resolution),
+  * which is process-agnostic. The two-writer test also pins the reason
+  * the commit is a FILE rename: a directory-rename commit nests the
+  * loser's build inside the winner's artifact on Hadoop filesystems
+  * (rename-into semantics) — the resolved artifact must stay clean. */
 class VersionedPublishSpec extends SparkSpec {
-
-  private def fs = new Path("/").getFileSystem(
-    spark.sparkContext.hadoopConfiguration)
 
   private def writeArtifact(dir: String, body: String): Unit = {
     Files.createDirectories(java.nio.file.Paths.get(dir))
-    // two files: a torn read (one file from v0, one from v1, or a
-    // missing file) is detectable because both must agree
+    // two files: a torn read (mixed versions, or a missing file) is
+    // detectable because both must agree
     Files.write(java.nio.file.Paths.get(dir, "a.txt"), body.getBytes("UTF-8"))
     Files.write(java.nio.file.Paths.get(dir, "b.txt"), body.getBytes("UTF-8")): Unit
   }
   private def readArtifact(dir: String): (String, String) = (
     new String(Files.readAllBytes(java.nio.file.Paths.get(dir, "a.txt")), "UTF-8"),
     new String(Files.readAllBytes(java.nio.file.Paths.get(dir, "b.txt")), "UTF-8"))
+  private def entries(dir: String): Set[String] =
+    Option(new java.io.File(dir).list()).map(_.toSet).getOrElse(Set.empty)
 
-  test("first publish commits v0; getOrPublish then resolves build-free") {
+  test("publish commits v0 and resolution finds it (Spark and local paths)") {
     val root = Files.createTempDirectory("vpub").toString + "/idx"
-    var builds = 0
-    val d0 = VersionedPublish.getOrPublish(spark, root) { st =>
-      builds += 1; writeArtifact(st, "v0") }
-    assert(d0.endsWith("/v0") && readArtifact(d0) == (("v0", "v0")))
-    val d1 = VersionedPublish.getOrPublish(spark, root) { st =>
-      builds += 1; writeArtifact(st, "never") }
-    assert(d1 == d0 && builds == 1, "second getOrPublish must not rebuild")
+    val d0 = VersionedPublish.publish(spark, root)(writeArtifact(_, "v0"))
+    assert(readArtifact(d0) == (("v0", "v0")))
+    assert(VersionedPublish.currentDir(spark, root).contains(d0))
+    assert(VersionedPublish.currentDirLocal(root).contains(d0))
+    assert(VersionedPublish.versions(spark, root) == Seq(0L))
   }
 
   test("republish commits v1; old version stays readable (retain=2)") {
     val root = Files.createTempDirectory("vpub").toString + "/idx"
     val d0 = VersionedPublish.publish(spark, root)(writeArtifact(_, "v0"))
     val d1 = VersionedPublish.publish(spark, root)(writeArtifact(_, "v1"))
-    assert(d1.endsWith("/v1"))
     assert(VersionedPublish.currentDir(spark, root).contains(d1))
     // a reader holding v0 across the republish still reads it complete
     assert(readArtifact(d0) == (("v0", "v0")))
-    // a third publish prunes v0 (retain = 2 keeps v1, v2)
+    // a third publish prunes v0's marker AND dir (retain = 2)
     VersionedPublish.publish(spark, root)(writeArtifact(_, "v2")): Unit
-    assert(!fs.exists(new Path(d0)))
+    assert(!new java.io.File(d0).exists())
+    assert(VersionedPublish.versions(spark, root) == Seq(1L, 2L))
     assert(readArtifact(d1) == (("v1", "v1")))
   }
 
-  test("a crashed build's staging dir is invisible to resolution") {
+  test("every publish builds fresh — a persistent root cannot serve a stale corpus") {
+    val root = Files.createTempDirectory("vpub").toString + "/idx"
+    VersionedPublish.publish(spark, root)(writeArtifact(_, "old-corpus")): Unit
+    // a "new process" (fresh memo) publishes after the corpus changed:
+    // it must NOT serve the existing version
+    val d1 = VersionedPublish.publish(spark, root)(writeArtifact(_, "new-corpus"))
+    assert(readArtifact(d1) == (("new-corpus", "new-corpus")))
+    assert(VersionedPublish.currentDir(spark, root).contains(d1))
+  }
+
+  test("a crashed build's unmarked artifact dir is invisible to resolution") {
     val root = Files.createTempDirectory("vpub").toString + "/idx"
     VersionedPublish.publish(spark, root)(writeArtifact(_, "v0")): Unit
-    writeArtifact(s"$root/v1_build_deadprocess", "torn")
-    assert(VersionedPublish.currentDir(spark, root).exists(_.endsWith("/v0")),
-      "orphan staging must never resolve as live")
-    val d1 = VersionedPublish.publish(spark, root)(writeArtifact(_, "v1"))
-    assert(d1.endsWith("/v1") && readArtifact(d1) == (("v1", "v1")))
+    writeArtifact(s"$root/b_deadprocess42", "torn")
+    val live = VersionedPublish.currentDir(spark, root).get
+    assert(readArtifact(live) == (("v0", "v0")),
+      "orphan build dirs must never resolve as live")
   }
 
   test("open during publish sees a complete old or complete new artifact") {
@@ -80,8 +89,7 @@ class VersionedPublishSpec extends SparkSpec {
     while (!writer.isDone && System.nanoTime() < deadline) {
       val dir = VersionedPublish.currentDir(spark, root).get
       val (a, b) = readArtifact(dir)
-      assert(a == b && (a == "v0" || a == "v1"),
-        s"torn read: ($a, $b) at $dir")
+      assert(a == b && (a == "v0" || a == "v1"), s"torn read: ($a, $b) at $dir")
       seen += a
     }
     writer.get(30, TimeUnit.SECONDS): Unit
@@ -91,7 +99,7 @@ class VersionedPublishSpec extends SparkSpec {
     assert((a, b) == (("v1", "v1")))
   }
 
-  test("two writers racing on an empty root both end with a complete artifact") {
+  test("two writers racing on an empty root: resolution converges on ONE unpolluted artifact") {
     val root = Files.createTempDirectory("vpub").toString + "/idx"
     val gate = new CountDownLatch(1)
     val pool = Executors.newFixedThreadPool(2)
@@ -99,20 +107,31 @@ class VersionedPublishSpec extends SparkSpec {
       pool.submit(new java.util.concurrent.Callable[String] {
         def call(): String = {
           gate.await()
-          VersionedPublish.getOrPublish(spark, root)(writeArtifact(_, s"w$i"))
+          VersionedPublish.publish(spark, root)(writeArtifact(_, s"w$i"))
         }
       })
     }
     gate.countDown()
     val dirs = fills.map(_.get(30, TimeUnit.SECONDS))
     pool.shutdown()
+    // each writer got back a COMPLETE artifact (its own, or the winner's)
     dirs.foreach { d =>
       val (a, b) = readArtifact(d)
       assert(a == b && a.startsWith("w"), s"torn artifact at $d: ($a, $b)")
     }
-    // resolution converges: the live dir is one complete artifact
-    val live = VersionedPublish.currentDir(spark, root).get
+    // resolution converges on one complete artifact, and that artifact is
+    // UNPOLLUTED: exactly the two payload files, no nested build dir from
+    // the losing writer (the failure mode of a directory-rename commit)
+    val live = VersionedPublish.currentDirLocal(root).get
     val (a, b) = readArtifact(live)
     assert(a == b)
+    assert(entries(live) == Set("a.txt", "b.txt"),
+      s"winner's artifact polluted: ${entries(live)}")
+  }
+
+  test("retain guard") {
+    val root = Files.createTempDirectory("vpub").toString + "/idx"
+    intercept[IllegalArgumentException](
+      VersionedPublish.publish(spark, root, retain = 0)(writeArtifact(_, "x")))
   }
 }
