@@ -57,11 +57,22 @@ object SetSimJoin {
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
       .filter(col("pos") <=
         col("sz") - expr(s"(${tPpm}L * sz + 999999) div 1000000") + 1)
-      .select(col("id"), col("tok"))
+      .select(col("id"), col("tok"), col("sz"))
       .hint("shuffle_hash")
-    val cand = prefix.select(col("id").as("id_a"), col("tok"))
-      .join(prefix.select(col("id").as("id_b"), col("tok")), "tok")
-      .filter(col("id_a") < col("id_b"))
+    // PPJoin LENGTH filter (exact pruning, theorem-preserving):
+    // J(a,b) ≥ t ⇒ i ≥ t·u ≥ t·max(|a|,|b|) and i ≤ min(|a|,|b|), so
+    // 10^6·min < t_ppm·max cannot reach the threshold — dropped BEFORE
+    // the distinct and the two intersection joins. On same-length
+    // corpora it prunes little; on the heterogeneous-length corpora a
+    // 100 TB dedup actually sees, it removes the long-vs-short candidate
+    // mass the prefix filter alone admits.
+    val cand = prefix.select(col("id").as("id_a"), col("tok"),
+        col("sz").as("sz_a"))
+      .join(prefix.select(col("id").as("id_b"), col("tok"),
+        col("sz").as("sz_b")), "tok")
+      .filter(col("id_a") < col("id_b") &&
+        lit(tPpm) * greatest(col("sz_a"), col("sz_b")) <=
+          lit(1000000L) * least(col("sz_a"), col("sz_b")))
       .select(col("id_a"), col("id_b")).distinct()
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
     cand
@@ -222,14 +233,19 @@ object SetSimJoin {
         Window.partitionBy(col("new_id"))))
       .filter(col("pos") <=
         col("bn") - expr(s"(${tPpm}L * bn + 999999) div 1000000") + 1)
-      .select(col("new_id"), col("tok"))
+      .select(col("new_id"), col("tok"), col("bn"))
     // new_id =!= old_id: re-ingesting an id already present in the index
     // must not emit the trivial self-pair (jac_ppm = 1e6) — the caller's
     // contract is pairs BETWEEN the batch and the standing corpus.
+    // Length filter as in jaccardJoin: J ≥ t bounds the size ratio, so
+    // mismatched-size candidates drop before the intersection joins.
     val cand = bPrefix
       .join(index.filter(col("is_prefix"))
-        .select(col("id").as("old_id"), col("tok")), "tok")
-      .filter(col("new_id") =!= col("old_id"))
+        .select(col("id").as("old_id"), col("tok"), col("n").as("n_o")),
+        "tok")
+      .filter(col("new_id") =!= col("old_id") &&
+        lit(tPpm) * greatest(col("bn"), col("n_o")) <=
+          lit(1000000L) * least(col("bn"), col("n_o")))
       .select(col("new_id"), col("old_id")).distinct()
     val bSizes = bt.groupBy(col("new_id")).agg(count(lit(1)).as("n_b"))
     cand

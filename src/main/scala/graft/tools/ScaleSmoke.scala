@@ -104,6 +104,29 @@ object ScaleSmoke {
       time("dsir_weights", k)(
         graft.text.Curation.dsirWeights(docs, "doc_id", "text",
           col("lang") === "en"))
+      time("mixture_sample", k) {
+        // q256's execution half: per-domain keep_ppm broadcast + one md5
+        // draw per row + audit agg — must track rows linearly (one scan,
+        // no shuffle before the |domains|-row agg). The plan itself is
+        // the bounded driver-local waterfill, priced inside the timer.
+        val stocks = docs.groupBy(col("lang"))
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          .sortBy(_._1)
+        val plan = graft.operators.MixturePlan
+          .waterfill(stocks, stocks.map(_._2).sum / 2)
+        import spark.implicits._
+        val planDf = plan.map(a => (a.domain,
+            if (a.nTokens > 0) a.allocTokens * 1000000L / a.nTokens else 0L))
+          .toDF("lang", "keep_ppm")
+        docs.select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("tok_n"))
+          .join(broadcast(planDf), "lang")
+          .filter(graft.operators.KmvSketch.hash48(col("doc_id"), "mixfill-v1")
+            % 1000000L < col("keep_ppm"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("kept_docs"), sum(col("tok_n")).as("kept_tokens"))
+      }
       time("umap_cluster_groups", k) {
         // per-group UMAP→ε-cut: group COUNT scales with the corpus while
         // group SIZE stays bounded (the per-user contract) — wall should

@@ -82,6 +82,29 @@ class SetSimJoinSpec extends SparkSpec {
     assert(run(docs, 100000L).isEmpty)
   }
 
+  test("heterogeneous lengths: the length filter prunes without false negatives") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def sentence(n: Int) =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // short docs EMBEDDED in much longer ones: the prefix filter admits
+    // these pairs as candidates (they share rare shingles) but the size
+    // ratio puts the Jaccard out of reach — the length filter's exact
+    // pruning domain. Plus a same-length near-dup pair that must survive.
+    val shorts = (1L to 4L).map(i => i -> sentence(6))
+    val longs = shorts.map { case (i, t) =>
+      (i + 50L) -> (t + " " + sentence(60))
+    }
+    val nearDup = Seq(200L -> sentence(20)).flatMap { case (i, t) =>
+      Seq(i -> t, (i + 1L) -> (t + " " + vocab(0)))
+    }
+    val docs = shorts ++ longs ++ nearDup
+    for (t <- Seq(300000L, 500000L, 800000L)) {
+      assert(run(docs, t) == brute(docs, t, 3), s"t=$t")
+    }
+  }
+
   private def bruteCross(corpus: Seq[(Long, String)],
       batch: Seq[(Long, String)], tPpm: Long,
       k: Int): Set[(Long, Long, Long, Long)] =
