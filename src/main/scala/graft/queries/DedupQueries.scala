@@ -210,13 +210,20 @@ object DedupQueries {
       |  SELECT truth.jac_ppm // 100000 AS jac_decile,
       |         CASE WHEN cand.id_a IS NULL THEN 0 ELSE 1 END AS found
       |  FROM truth LEFT JOIN cand
-      |    ON cand.id_a = truth.id_a AND cand.id_b = truth.id_b)
-      |SELECT CAST(jac_decile AS BIGINT) AS jac_decile,
-      |       CAST(count(*) AS BIGINT) AS n_true,
-      |       CAST(sum(found) AS BIGINT) AS n_found,
-      |       CAST((sum(found) * 1000000) // count(*) AS BIGINT) AS recall_ppm
-      |FROM flagged
-      |GROUP BY jac_decile
+      |    ON cand.id_a = truth.id_a AND cand.id_b = truth.id_b),
+      |grouped AS (
+      |  SELECT CAST(jac_decile AS BIGINT) AS jac_decile,
+      |         CAST(count(*) AS BIGINT) AS n_true,
+      |         CAST(sum(found) AS BIGINT) AS n_found,
+      |         CAST((sum(found) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+      |  FROM flagged
+      |  GROUP BY jac_decile)
+      |SELECT jac_decile, n_true, n_found, recall_ppm,
+      |       CAST(1000000 - """.stripMargin +
+      graft.dedup.LshPlanner.missSql(4, 2, "//") +
+      """ AS BIGINT) AS pred_recall_ppm
+      |FROM (SELECT *, least(jac_decile * 100000 + 50000, 1000000) AS s_ppm
+      |      FROM grouped)
       |ORDER BY jac_decile""".stripMargin) { (s, d) =>
     val docsDf = Tables.documents(s, d)
     val truth = graft.dedup.SetSimJoin.jaccardJoin(
@@ -241,6 +248,17 @@ object DedupQueries {
       .groupBy(col("jac_decile"))
       .agg(count(lit(1)).as("n_true"), sum(col("found")).as("n_found"))
       .withColumn("recall_ppm", expr("(n_found * 1000000) div n_true"))
+      // measured vs PREDICTED, side by side: the q251 planner's S-curve
+      // P_collide = 1 − (1 − s²)⁴ at the decile midpoint (clamped to the
+      // ppm grid top), from the SAME shared truncating-chain generator —
+      // the audit now validates the analytic model against this corpus
+      // in one artifact (prediction drift or banding drift both flip it)
+      .withColumn("s_ppm",
+        least(col("jac_decile") * 100000L + 50000L, lit(1000000L)))
+      .withColumn("pred_recall_ppm",
+        (lit(1000000L) - expr(graft.dedup.LshPlanner.missSql(4, 2)))
+          .cast("long"))
+      .drop("s_ppm")
       .orderBy(col("jac_decile"))
   }
 
