@@ -41,6 +41,17 @@ object MixturePlan {
   final case class Alloc(domain: String, nTokens: Long, weight: Long,
       allocTokens: Long, cappedRound: Long)
 
+  /** Per-document keep probability executing an allocation, on the ppm
+    * grid: alloc/stock with a LOUD overflow guard (DuckDB's BIGINT
+    * multiply errors at the same point — the two engines must fail
+    * together, never silently diverge). One definition shared by q256
+    * and the ScaleSmoke row so the two cannot drift. */
+  def keepPpm(a: Alloc): Long = {
+    require(a.allocTokens <= Long.MaxValue / 1000000L,
+      s"keep_ppm overflow for ${a.domain}: alloc ${a.allocTokens}")
+    if (a.nTokens > 0) a.allocTokens * 1000000L / a.nTokens else 0L
+  }
+
   /** floor(√n) exactly: floor of the correctly-rounded IEEE sqrt plus a
     * one-step correction (enough because IEEE sqrt errs by < 1 ulp). */
   def isqrt(n: Long): Long = {

@@ -31,7 +31,7 @@ object CurationQueries {
     * |languages|-row frame (driver-local by contract — the planner/
     * centroid discipline). Budget = half the corpus's tokens, derived
     * from the data so the oracle replays it. */
-  private def mixPlan(s: SparkSession, d: String)
+  private[graft] def mixPlan(s: SparkSession, d: String)
       : Seq[graft.operators.MixturePlan.Alloc] = {
     val rows = docs(s, d).groupBy(col("lang"))
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("n"))
@@ -142,15 +142,8 @@ object CurationQueries {
        |ORDER BY kp.lang""".stripMargin) { (s, d) =>
     import s.implicits._
     val plan = mixPlan(s, d)
-      .map { a =>
-        // loud overflow guard: alloc·10^6 must stay inside Long (DuckDB's
-        // BIGINT multiply errors loudly at the same point — the two
-        // engines must fail together, never silently diverge)
-        require(a.allocTokens <= Long.MaxValue / 1000000L,
-          s"keep_ppm overflow for ${a.domain}: alloc ${a.allocTokens}")
-        (a.domain, a.nTokens, a.allocTokens,
-          if (a.nTokens > 0) a.allocTokens * 1000000L / a.nTokens else 0L)
-      }
+      .map(a => (a.domain, a.nTokens, a.allocTokens,
+        graft.operators.MixturePlan.keepPpm(a)))
       .toDF("lang", "n_tokens", "alloc_tokens", "keep_ppm")
     val dd = docs(s, d).select(col("lang"), col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("tok_n"))

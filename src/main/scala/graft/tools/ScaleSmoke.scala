@@ -116,8 +116,10 @@ object ScaleSmoke {
         val plan = graft.operators.MixturePlan
           .waterfill(stocks, stocks.map(_._2).sum / 2)
         import spark.implicits._
-        val planDf = plan.map(a => (a.domain,
-            if (a.nTokens > 0) a.allocTokens * 1000000L / a.nTokens else 0L))
+        // keepPpm is the SHARED guarded helper (q256's path) — the smoke
+        // must fail loudly on overflow exactly where the query would
+        val planDf = plan
+          .map(a => (a.domain, graft.operators.MixturePlan.keepPpm(a)))
           .toDF("lang", "keep_ppm")
         docs.select(col("lang"), col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("tok_n"))

@@ -144,6 +144,34 @@ class SetSimJoinSpec extends SparkSpec {
     }
   }
 
+  test("probe length filter: short batch docs vs long index supersets, no false negatives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("ash", "oak", "fir", "elm", "yew", "bay")
+    def sentence(n: Int) =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // the probe-side mirror of the jaccardJoin heterogeneous-length test:
+    // every batch doc is a 6-token PREFIX of a 60-token indexed doc, so
+    // prefix shingles collide (rare-shingle candidates) while the size
+    // ratio puts Jaccard far below threshold — the length filter's
+    // pruning branch — plus one same-length near-copy that must survive
+    val longDocs = (1L to 4L).map(i => i -> sentence(66))
+    val corpus = longDocs :+ (10L -> sentence(12))
+    val batch = longDocs.map { case (i, t) =>
+      (i + 100L) -> t.split(" ").take(6).mkString(" ")
+    } :+ (110L -> (corpus.last._2 + " ash"))
+    for (t <- Seq(300000L, 500000L, 800000L)) {
+      val idx = SetSimJoin.prefixIndex(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", t, 3)
+      val got = SetSimJoin.probePrefixIndex(batch.toDF("doc_id", "text"),
+          "doc_id", "text", idx, t, 3)
+        .select(col("new_id"), col("old_id"), col("i_n"), col("u_n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == bruteCross(corpus, batch, t, 3), s"t=$t")
+    }
+  }
+
   test("mergeIntoIndex is row-identical to a full rebuild — randomized, " +
       "with unseen batch shingles and untouched-verbatim documents") {
     import spark.implicits._
