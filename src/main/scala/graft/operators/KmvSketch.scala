@@ -174,6 +174,19 @@ object KmvSketch {
       .agg(sort_array(collect_set(col("h"))).as("fmins"))
   }
 
+  /** Merge per-shard frac sketches: the distinct UNION of kept hashes.
+    * Because the τ cut is a fixed threshold (not a rank like KMV's
+    * k-th min), it COMMUTES with set union — merged shards equal the
+    * sketch of the union EXACTLY, hash for hash (spec-pinned), not
+    * approximately. The 100 TB shape this buys: sketch every shard
+    * where it lives, union the tiny artifacts, never re-read a shard —
+    * and any downstream containment screen over merged sketches is
+    * IDENTICAL to one over a from-scratch whole-corpus sketch. */
+  def fracMerge(sketches: DataFrame, grpCol: String): DataFrame =
+    sketches.groupBy(col(grpCol))
+      .agg(sort_array(array_distinct(flatten(collect_list(col("fmins")))))
+        .as("fmins"))
+
   /** Containment C(A, B) = |A∩B| / |A| from two same-τ frac sketches
     * joined on `grpCol`:
     * {{{

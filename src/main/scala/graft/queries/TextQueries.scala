@@ -36,7 +36,7 @@ object TextQueries {
     q226DpNoisyCounts, q228WinnowOverlap, q229RbpEval, q231BitextMining,
     q235CsvQuarantine, q236MaxScoreServe, q237NdcgEval,
     q243TextrankKeywords, q249ImpactServe, q250LedgeredImpactServe,
-    q252MaxsimRerank, q253ContainmentScreen)
+    q252MaxsimRerank, q253ContainmentScreen, q257ShardedScreen)
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -2747,6 +2747,81 @@ object TextQueries {
         expr("(coalesce(n_inter, 0L) * 1000000) div n_a_exact")
           .as("cont_exact_ppm"))
       .orderBy(col("bench"), col("shard"))
+  }
+
+  /** SHARDED contamination screening — the fracMerge mergeability
+    * theorem as a cross-engine hash gate: the ENGINE sketches the corpus
+    * in four independent shards and merges the artifacts
+    * (`KmvSketch.fracMerge` — distinct union; the τ cut is a fixed
+    * threshold, so it COMMUTES with set union), while the ORACLE
+    * computes the whole-corpus sketch DIRECTLY in one pass — hash
+    * equality therefore PROVES merged-shard ≡ from-scratch, hash for
+    * hash (`n_corpus_frac` counts the merged sketch itself, so one
+    * lost or duplicated hash anywhere flips the gate). This is the
+    * property that makes sketch screening deployable at 100 TB: sketch
+    * every shard where it lives, union the tiny artifacts, never
+    * re-read a shard — and serve the SAME screen a monolithic sketch
+    * would. Benchmarks are corpus documents, so the subset theorem
+    * makes every containment EXACTLY 10^6 — deterministic output, no
+    * estimator noise in the gate. */
+  val q257ShardedScreen: QueryDef = sql(
+    "q257_sharded_screen",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         generate_series(1, len(tok) - 2),
+      |         i -> array_to_string(tok[i:i+2], ' ')))) AS sh
+      |       FROM t WHERE len(tok) >= 3),
+      |am AS (SELECT DISTINCT doc_id AS bench,
+      |         ('0x' || substr(md5(sh || '|kmv-v1'), 1, 12))::BIGINT AS h
+      |       FROM sh
+      |       WHERE doc_id < 10
+      |         AND ('0x' || substr(md5(sh || '|kmv-v1'), 1, 12))::BIGINT
+      |             < 70368744177664),
+      |cm AS (SELECT DISTINCT
+      |         ('0x' || substr(md5(sh || '|kmv-v1'), 1, 12))::BIGINT AS h
+      |       FROM sh
+      |       WHERE ('0x' || substr(md5(sh || '|kmv-v1'), 1, 12))::BIGINT
+      |             < 70368744177664),
+      |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus_frac FROM cm),
+      |naf AS (SELECT bench, CAST(count(*) AS BIGINT) AS n_a_frac
+      |        FROM am GROUP BY bench),
+      |mt AS (SELECT am.bench, CAST(count(*) AS BIGINT) AS matches
+      |       FROM am JOIN cm ON cm.h = am.h GROUP BY am.bench)
+      |SELECT naf.bench, nc.n_corpus_frac, naf.n_a_frac,
+      |       CAST(coalesce(mt.matches, 0) AS BIGINT) AS matches,
+      |       CAST((coalesce(mt.matches, 0) * 1000000) // naf.n_a_frac
+      |            AS BIGINT) AS cont_est_ppm
+      |FROM naf
+      |LEFT JOIN mt ON mt.bench = naf.bench
+      |CROSS JOIN nc
+      |ORDER BY naf.bench""".stripMargin) { (s, d) =>
+    import graft.operators.KmvSketch
+    val dd = docs(s, d)
+    val sh = dd.select(col("doc_id").cast("long").as("doc_id"),
+      explode(array_distinct(graft.functions.word_shingles(
+        split(col("text"), " "), 3))).as("sh"))
+    val aSk = KmvSketch.fracSketch(
+      sh.filter(col("doc_id") < 10).select(col("doc_id").as("bench"),
+        col("sh")),
+      "bench", "sh", sPpm = 250000L)
+    // four INDEPENDENT shard sketches — in production each is built
+    // where its shard lives — merged into one standing corpus artifact
+    val shardSk = KmvSketch.fracSketch(
+      sh.select((col("doc_id") % 4).as("shard"), col("sh")),
+      "shard", "sh", sPpm = 250000L)
+    val corpusSk = KmvSketch.fracMerge(
+      shardSk.select(lit(1L).as("g"), col("fmins")), "g")
+    // replicate the 1-row corpus artifact per benchmark (10 rows — the
+    // bounded broadcast-product shape q253 already allowlists)
+    val bF = corpusSk.crossJoin(broadcast(aSk.select(col("bench"))))
+      .select(col("bench"), col("fmins"))
+    val nc = corpusSk.select(size(col("fmins")).cast("long")
+      .as("n_corpus_frac"))
+    KmvSketch.fracContainment(aSk, bF, "bench")
+      .crossJoin(broadcast(nc))
+      .select(col("bench"), col("n_corpus_frac"), col("n_a_frac"),
+        col("matches"), col("cont_est_ppm"))
+      .orderBy(col("bench"))
   }
 
   /** Collocation mining — `text.Collocations.topLift`: top-50 adjacent

@@ -63,7 +63,8 @@ class PlanAuditSpec extends SparkSpec {
     "q241_bloom_semijoin", // 20-row top list × broadcast 1-row Bloom census scalars (q99's shape, four 1-row aggregates)
     "q251_lsh_band_plan", // 404-row curve × broadcast 1-row argmin scalar (q99's shape); corpus-free by design
     "q252_maxsim_rerank", // stage-1 embeds the index BM25 serve: scored rows × broadcast 1-row (t, nd) stats (q184's totals shape)
-    "q253_containment_screen") // benchmark×shard sketch pairing: 10-row and 3-row frames broadcast into conditionless products (q99's bounded-fan-out shape)
+    "q253_containment_screen", // benchmark×shard sketch pairing: 10-row and 3-row frames broadcast into conditionless products (q99's bounded-fan-out shape)
+    "q257_sharded_screen") // 1-row merged corpus sketch × broadcast 10-row bench list, + 10 screened rows × broadcast 1-row corpus count (q99's bounded-fan-out shape, twice)
 
   /** Queries whose run function EXECUTES side-effectful work (index build,
     * store writes, a scratch-table write, a streaming tick) before

@@ -183,6 +183,33 @@ class KmvSketchSpec extends SparkSpec {
       s"containment estimate ${est._2} too far from 500000 (n=${est._1})")
   }
 
+  test("fracMerge: shard sketches union to EXACTLY the global frac sketch, " +
+      "and screens over merged shards equal whole-corpus screens") {
+    // overlapping shards (the realistic case: a doc id in two shards)
+    val g1 = (1L to 3000L).map((1L, _)).toDF("g", "v")
+    val s1 = KmvSketch.fracSketch(g1.filter(col("v") <= 2000L), "g", "v", 250000L)
+    val s2 = KmvSketch.fracSketch(g1.filter(col("v") >= 1500L), "g", "v", 250000L)
+    val merged = KmvSketch.fracMerge(s1.union(s2), "g")
+      .select("fmins").as[Seq[Long]].collect()(0)
+    val global = KmvSketch.fracSketch(g1, "g", "v", 250000L)
+      .select("fmins").as[Seq[Long]].collect()(0)
+    // the τ cut commutes with union: EXACT hash-for-hash equality, not
+    // an estimate — the property that lets shards sketch independently
+    assert(merged === global)
+    // and a containment screen over the merged artifact is identical to
+    // one over a from-scratch whole-corpus sketch
+    val probe = KmvSketch.fracSketch(
+      (500L to 900L).map((1L, _)).toDF("g", "v"), "g", "v", 250000L)
+    val viaMerged = KmvSketch.fracContainment(probe,
+        KmvSketch.fracMerge(s1.union(s2), "g"), "g")
+      .select("cont_est_ppm").as[Long].collect()(0)
+    val viaGlobal = KmvSketch.fracContainment(probe,
+        KmvSketch.fracSketch(g1, "g", "v", 250000L), "g")
+      .select("cont_est_ppm").as[Long].collect()(0)
+    assert(viaMerged == viaGlobal && viaMerged == 1000000L,
+      s"probe ⊆ corpus must read 1e6 via either path: $viaMerged / $viaGlobal")
+  }
+
   test("per-shard sketches merge to the global sketch (mergeability)") {
     val k = 32
     val a = events.filter(col("event_id") % 2 === 0)
