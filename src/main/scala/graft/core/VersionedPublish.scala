@@ -1,5 +1,6 @@
 package graft.core
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
@@ -25,7 +26,11 @@ import org.apache.spark.sql.SparkSession
   *     FILE rename, atomic on every Hadoop filesystem;
   *   - readers resolve the live artifact by listing `commit_v*` markers
   *     and following the highest N, so a reader concurrent with any
-  *     number of publishes sees a COMPLETE artifact, never a torn one;
+  *     number of publishes sees a COMPLETE artifact, never a torn one.
+  *     A marker can be PRUNED by a concurrent publisher between the
+  *     reader's listing and its read of the marker body — resolution
+  *     treats a vanished marker as pruned and resolves the remaining
+  *     highest, never crashes on it;
   *   - race on the same version number: on filesystems where the marker
   *     rename refuses an existing destination (HDFS), the loser detects
   *     the existing marker, deletes its staging, and serves the
@@ -35,8 +40,11 @@ import org.apache.spark.sql.SparkSession
   *     deterministic), one of the two dirs ends up unreferenced, and
   *     every reader still resolves exactly one complete artifact;
   *   - a crashed build leaves an orphan `b_*` dir no marker references
-  *     — invisible to every reader, reclaimable by any sweep that
-  *     deletes unreferenced `b_*` dirs older than the live marker.
+  *     — invisible to every reader, reclaimable by [[sweepOrphans]]
+  *     (deletes unreferenced `b_*` dirs older than both the live marker
+  *     and a grace window sized above the fleet's longest
+  *     build-to-commit latency; see its scaladoc for why the marker-age
+  *     cut alone would race an in-flight staging).
   *
   * Staleness contract: every call to [[publish]] builds a NEW version —
   * memoize per process (the call sites do) to get exactly the
@@ -50,39 +58,69 @@ import org.apache.spark.sql.SparkSession
   * 2) and prunes older ones (marker first, then dir). A resolved
   * version therefore stays readable for at least `retain − 1`
   * subsequent publishes; fleets that republish continuously size
-  * `retain` to their longest read. */
+  * `retain` to their longest read — and a reader that CACHES its
+  * resolved dir (the per-JVM memoizing call sites do, for the process
+  * lifetime) is a read of unbounded length: on a shared persistent
+  * root, `retain` must cover the longest-lived reader process, or the
+  * reader must re-resolve when its cached path disappears (the call
+  * sites document this; in this repo every process publishes its own
+  * version on first touch and reads only that, so the interaction is
+  * latent, not live).
+  *
+  * Everything here is plain Hadoop-FileSystem protocol — the
+  * [[Configuration]]-based overloads run without a SparkSession, which
+  * is what lets `tools.PublishStress` drive the contract from bare
+  * subprocess JVMs (the real multi-process proof). */
 object VersionedPublish {
 
   private val MarkerRe = "^commit_v(\\d+)$".r
 
-  private def fs(spark: SparkSession, root: String) =
-    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fs(conf: Configuration, root: String) =
+    new Path(root).getFileSystem(conf)
 
-  /** Committed (version, artifact dir name) pairs, version-ascending. */
-  def committed(spark: SparkSession, root: String): Seq[(Long, String)] = {
-    val f = fs(spark, root)
+  private def hconf(spark: SparkSession): Configuration =
+    spark.sparkContext.hadoopConfiguration
+
+  /** Committed (version, artifact dir name) pairs, version-ascending.
+    * A marker pruned by a concurrent publisher between the listing and
+    * the body read is skipped, not an error. */
+  def committed(conf: Configuration, root: String): Seq[(Long, String)] = {
+    val f = fs(conf, root)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) Seq.empty
     else f.listStatus(rootPath).toSeq.flatMap { st =>
       st.getPath.getName match {
         case MarkerRe(n) if st.isFile =>
-          val in = f.open(st.getPath)
-          val body =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            finally in.close()
-          if (body.nonEmpty) Some((n.toLong, body)) else None
+          try {
+            val in = f.open(st.getPath)
+            val body =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+            if (body.nonEmpty) Some((n.toLong, body)) else None
+          } catch {
+            case _: java.io.FileNotFoundException => None // pruned mid-list
+          }
         case _ => None
       }
     }.sortBy(_._1)
   }
 
+  def committed(spark: SparkSession, root: String): Seq[(Long, String)] =
+    committed(hconf(spark), root)
+
   /** Committed version numbers at `root`, ascending. */
+  def versions(conf: Configuration, root: String): Seq[Long] =
+    committed(conf, root).map(_._1)
+
   def versions(spark: SparkSession, root: String): Seq[Long] =
-    committed(spark, root).map(_._1)
+    versions(hconf(spark), root)
 
   /** The live (highest committed) artifact dir, or None when empty. */
+  def currentDir(conf: Configuration, root: String): Option[String] =
+    committed(conf, root).lastOption.map { case (_, d) => s"$root/$d" }
+
   def currentDir(spark: SparkSession, root: String): Option[String] =
-    committed(spark, root).lastOption.map { case (_, d) => s"$root/$d" }
+    currentDir(hconf(spark), root)
 
   /** Local-filesystem resolution of the live artifact dir — for oracle
     * SQL builders, which run without a SparkSession (the driver's DuckDB
@@ -95,9 +133,13 @@ object VersionedPublish {
     else kids.toSeq.flatMap { k =>
       k.getName match {
         case MarkerRe(n) if k.isFile =>
-          val body = new String(
-            java.nio.file.Files.readAllBytes(k.toPath), "UTF-8").trim
-          if (body.nonEmpty) Some((n.toLong, body)) else None
+          try {
+            val body = new String(
+              java.nio.file.Files.readAllBytes(k.toPath), "UTF-8").trim
+            if (body.nonEmpty) Some((n.toLong, body)) else None
+          } catch {
+            case _: java.io.IOException => None // pruned mid-list
+          }
         case _ => None
       }
     }.sortBy(_._1).lastOption.map { case (_, d) => s"$root/$d" }
@@ -107,10 +149,10 @@ object VersionedPublish {
     * path and must leave the complete artifact there) and return the
     * committed artifact dir. Safe against concurrent publishers and
     * concurrent readers (see the protocol above). */
-  def publish(spark: SparkSession, root: String, retain: Int = 2)
+  def publish(conf: Configuration, root: String, retain: Int)
       (build: String => Unit): String = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
-    val f = fs(spark, root)
+    val f = fs(conf, root)
     f.mkdirs(new Path(root)): Unit
     // unique nonce: identity only (two processes must not share a
     // staging dir or temp marker); query-result determinism is
@@ -120,13 +162,13 @@ object VersionedPublish {
     val stagingName = s"b_$nonce"
     val staging = s"$root/$stagingName"
     build(staging)
-    val vNew = versions(spark, root).lastOption.getOrElse(-1L) + 1L
+    val vNew = versions(conf, root).lastOption.getOrElse(-1L) + 1L
     val tmp = new Path(s"$root/m_$nonce.tmp")
     val out = f.create(tmp, true)
     try out.write(stagingName.getBytes("UTF-8")) finally out.close()
     val marker = new Path(s"$root/commit_v$vNew")
     if (f.rename(tmp, marker)) {
-      prune(spark, root, retain)
+      prune(conf, root, retain)
       staging
     } else {
       f.delete(tmp, true): Unit
@@ -134,7 +176,7 @@ object VersionedPublish {
         // lost the commit race on a no-overwrite filesystem: another
         // writer owns vNew — discard our build, serve the winner's
         f.delete(new Path(staging), true): Unit
-        currentDir(spark, root).getOrElse(throw new IllegalStateException(
+        currentDir(conf, root).getOrElse(throw new IllegalStateException(
           s"versioned publish race at $root: marker $marker exists but resolves to nothing"))
       } else {
         // a genuine filesystem refusal must not silently discard the
@@ -145,17 +187,81 @@ object VersionedPublish {
     }
   }
 
+  def publish(spark: SparkSession, root: String, retain: Int = 2)
+      (build: String => Unit): String =
+    publish(hconf(spark), root, retain)(build)
+
   /** Drop committed versions older than the newest `retain`: marker
     * first (new readers stop resolving it), then the artifact dir
     * (in-flight readers of it are outside the retention window by
     * contract). Orphan `b_*` dirs from crashed or out-raced builds are
     * left alone — no marker references them, so no reader ever sees
-    * them. */
-  private def prune(spark: SparkSession, root: String, retain: Int): Unit = {
-    val f = fs(spark, root)
-    committed(spark, root).dropRight(retain).foreach { case (v, dir) =>
+    * them; [[sweepOrphans]] reclaims them. */
+  private def prune(conf: Configuration, root: String, retain: Int): Unit = {
+    val f = fs(conf, root)
+    committed(conf, root).dropRight(retain).foreach { case (v, dir) =>
       f.delete(new Path(s"$root/commit_v$v"), false): Unit
       f.delete(new Path(s"$root/$dir"), true): Unit
     }
   }
+
+  /** Reclaim orphan build state: `b_*` dirs (and `m_*.tmp` marker temps)
+    * that no commit marker references AND that are strictly older than
+    * BOTH the newest marker and `now − graceMs`. Returns the deleted
+    * paths.
+    *
+    * Safety against a concurrent publisher: an in-flight staging dir is
+    * unreferenced too. The older-than-the-newest-marker cut alone does
+    * NOT protect it — publisher A can finish staging (fixing the dir's
+    * mtime), publisher B can commit a marker a moment later, and a
+    * sweep between B's commit and A's commit would see A's staging as
+    * older-than-newest-marker garbage. The grace window closes that
+    * interleaving: a fleet sizes `graceMs` above its longest
+    * build-to-commit latency (default 1 h), so anything younger than
+    * the grace is presumed in flight regardless of marker history. An
+    * out-raced or crashed build stays unreferenced forever and ages
+    * past any grace, which is what makes it sweepable. On an empty root
+    * (no marker yet) nothing is swept — there is no commit to age
+    * against.
+    *
+    * The sweep is safe to run concurrently with readers: it only
+    * deletes dirs no marker references, which no reader can resolve. */
+  def sweepOrphans(conf: Configuration, root: String,
+      graceMs: Long = 3600L * 1000L): Seq[String] = {
+    require(graceMs >= 0L, s"graceMs must be >= 0, got $graceMs")
+    val f = fs(conf, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Seq.empty
+    else {
+      val statuses = f.listStatus(rootPath).toSeq
+      val newestMarkerTime = statuses.collect {
+        case st if st.isFile && MarkerRe.findFirstIn(st.getPath.getName).isDefined =>
+          st.getModificationTime
+      }.maxOption
+      newestMarkerTime match {
+        case None => Seq.empty // no commit to age against — sweep nothing
+        case Some(markerCut) =>
+          val cut = math.min(markerCut, System.currentTimeMillis() - graceMs)
+          val referenced = committed(conf, root).map(_._2).toSet
+          statuses.flatMap { st =>
+            val name = st.getPath.getName
+            val orphanBuild = st.isDirectory && name.startsWith("b_") &&
+              !referenced.contains(name)
+            val tmpMarker =
+              st.isFile && name.startsWith("m_") && name.endsWith(".tmp")
+            if ((orphanBuild || tmpMarker) && st.getModificationTime < cut) {
+              f.delete(st.getPath, true): Unit
+              Some(st.getPath.toString)
+            } else None
+          }
+      }
+    }
+  }
+
+  def sweepOrphans(spark: SparkSession, root: String): Seq[String] =
+    sweepOrphans(hconf(spark), root)
+
+  def sweepOrphans(spark: SparkSession, root: String,
+      graceMs: Long): Seq[String] =
+    sweepOrphans(hconf(spark), root, graceMs)
 }

@@ -68,12 +68,21 @@ object MixturePlan {
   /** Waterfill `budget` tokens across `domains` = (name, stock) pairs.
     * `maxRounds` must match the oracle's unroll depth; non-convergence
     * within it fails LOUDLY (it means more domains capped sequentially
-    * than the unroll covers — raise both sides together). */
+    * than the unroll covers — raise both sides together). NOTE the
+    * default depth of 8 is sized to the call sites, not the 64-domain
+    * contract bound: a legal deeply-cascading input (each round capping
+    * exactly one of up to 64 domains) needs `maxRounds` — and the
+    * oracle unroll — raised to |domains|; the convergence check below
+    * turns a too-shallow depth into a loud error, never a wrong plan.
+    * Domain names must be unique — round state is keyed by name, so
+    * duplicates would silently conflate two stocks into one cap. */
   def waterfill(domains: Seq[(String, Long)], budget: Long,
       maxRounds: Int = 8): Seq[Alloc] = {
     require(domains.nonEmpty, "waterfill needs at least one domain")
     require(domains.size <= 64,
       s"waterfill is a bounded driver-local computation (${domains.size} > 64 domains)")
+    require(domains.map(_._1).distinct.size == domains.size,
+      s"duplicate domain names: ${domains.map(_._1).diff(domains.map(_._1).distinct).distinct.mkString(", ")}")
     require(budget >= 0L, s"budget must be >= 0, got $budget")
     val w = domains.map { case (dom, n) =>
       require(n >= 0L, s"negative token stock for domain $dom: $n")

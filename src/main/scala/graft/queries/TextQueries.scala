@@ -1267,7 +1267,17 @@ object TextQueries {
     * complete old or complete new version, racing publishers converge
     * (VersionedPublishSpec pins both); publish() builds fresh per
     * process (never serves a stale corpus from a persistent root), and
-    * the per-JVM memoization keeps it to one build per process. */
+    * the per-JVM memoization keeps it to one build per process.
+    * RETENTION caveat (applies to every memoizing call site —
+    * docIvfCache, embServeCache, coPurchaseServed): the cached handle
+    * pins one artifact dir for the process lifetime, i.e. a read of
+    * unbounded length, while publish(retain = 2) lets two publishes
+    * from OTHER processes prune that dir. Here every process publishes
+    * its own version on first touch and reads only that (≤ 1 publish
+    * per process per root), so the cached dir is never older than
+    * retain − 1 publishes; a fleet that republishes continuously under
+    * long-lived readers must size `retain` to the longest reader or
+    * re-resolve the live version when the cached path disappears. */
   private val postingsSharedCache =
     scala.collection.mutable.Map[String, graft.text.PostingsIndex]()
 
@@ -1276,7 +1286,7 @@ object TextQueries {
     * pattern applied to the vector side: one build per (process, sf),
     * atomic publish, cached instance. Mutating IVF queries (q36/q94/
     * q106/q233) keep self-contained indexes — their subject is the
-    * build/upsert. */
+    * build/upsert. Retention caveat: see [[postingsSharedCache]]. */
   private val docIvfCache =
     scala.collection.mutable.Map[String, graft.sources.IvfIndex]()
   private def docIvfShared(s: SparkSession, d: String,

@@ -693,7 +693,8 @@ object VectorQueries {
     * atomic marker-file commit, highest-committed resolution — safe
     * under multi-process scratch sharing). The MUTATING vector-index
     * queries (q36/q94/q106/q233) and the train-is-the-subject queries
-    * (q128, q154) keep self-contained builds. */
+    * (q128, q154) keep self-contained builds. Retention caveat: see
+    * [[graft.queries.TextQueries]]'s postingsSharedCache note. */
   private val embServeCache =
     scala.collection.mutable.Map[String, (graft.sources.IvfIndex, String)]()
   private def embServeShared(s: SparkSession, d: String)

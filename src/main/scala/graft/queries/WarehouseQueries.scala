@@ -698,7 +698,8 @@ object WarehouseQueries {
     // marker. Concurrent PROCESSES on one GRAFT_SCRATCH_DIR are safe:
     // an open during a republish sees a complete old or new version
     // (VersionedPublishSpec pins the contract); publish() builds fresh
-    // per process, memoized here to one build per JVM.
+    // per process, memoized here to one build per JVM. Retention
+    // caveat: see TextQueries.postingsSharedCache.
     val served = coPurchaseServed.computeIfAbsent(path, p =>
       graft.core.VersionedPublish.publish(s, p) { staging =>
         coPurchasePairs(s, d).write.parquet(staging)

@@ -129,6 +129,94 @@ class VersionedPublishSpec extends SparkSpec {
       s"winner's artifact polluted: ${entries(live)}")
   }
 
+  test("orphan sweep reclaims aged unreferenced builds, spares referenced and in-grace ones") {
+    val root = Files.createTempDirectory("vpub").toString + "/idx"
+    val d0 = VersionedPublish.publish(spark, root)(writeArtifact(_, "v0"))
+    val d1 = VersionedPublish.publish(spark, root)(writeArtifact(_, "v1"))
+    // a crashed build from 10s ago (aged past the 5s grace and older
+    // than the newest marker) and a fresh one (inside the grace — a
+    // publisher could be about to commit it)
+    writeArtifact(s"$root/b_crashed_old", "junk")
+    assert(new java.io.File(s"$root/b_crashed_old")
+      .setLastModified(System.currentTimeMillis() - 10_000L))
+    writeArtifact(s"$root/b_crashed_new", "junk")
+    val tmpOld = new java.io.File(s"$root/m_dead.tmp")
+    Files.write(tmpOld.toPath, "x".getBytes("UTF-8")): Unit
+    assert(tmpOld.setLastModified(System.currentTimeMillis() - 10_000L))
+    val swept = VersionedPublish.sweepOrphans(spark, root, graceMs = 5000L)
+    assert(swept.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
+      Set("b_crashed_old", "m_dead.tmp"))
+    assert(!new java.io.File(s"$root/b_crashed_old").exists())
+    assert(new java.io.File(s"$root/b_crashed_new").exists(),
+      "an in-grace unreferenced dir may be an in-flight staging — must survive")
+    // both referenced artifacts untouched, resolution unchanged
+    assert(readArtifact(d0) == (("v0", "v0")))
+    assert(readArtifact(d1) == (("v1", "v1")))
+    assert(VersionedPublish.currentDir(spark, root).contains(d1))
+  }
+
+  test("orphan sweep during an in-flight publish leaves the staging and the winner intact") {
+    val root = Files.createTempDirectory("vpub").toString + "/idx"
+    VersionedPublish.publish(spark, root)(writeArtifact(_, "v0")): Unit
+    val started = new CountDownLatch(1)
+    val proceed = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(1)
+    val writer = pool.submit(new java.util.concurrent.Callable[String] {
+      def call(): String = VersionedPublish.publish(spark, root) { st =>
+        writeArtifact(st, "v1")
+        started.countDown()
+        proceed.await(10, TimeUnit.SECONDS): Unit
+      }
+    })
+    started.await(10, TimeUnit.SECONDS): Unit
+    // sweep races the open publish: the staging is unreferenced but in
+    // grace — it must survive
+    assert(VersionedPublish.sweepOrphans(spark, root) == Seq.empty)
+    proceed.countDown()
+    val d1 = writer.get(30, TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(readArtifact(d1) == (("v1", "v1")))
+    assert(VersionedPublish.currentDir(spark, root).contains(d1))
+  }
+
+  test("orphan sweep on a never-published root sweeps nothing") {
+    val root = Files.createTempDirectory("vpub").toString + "/idx"
+    writeArtifact(s"$root/b_stray", "junk")
+    assert(new java.io.File(s"$root/b_stray")
+      .setLastModified(System.currentTimeMillis() - 100_000L))
+    assert(VersionedPublish.sweepOrphans(spark, root, graceMs = 0L) == Seq.empty,
+      "no marker = no commit to age against — sweep nothing")
+    assert(new java.io.File(s"$root/b_stray").exists())
+  }
+
+  test("resolution never crashes on a marker pruned between listing and read") {
+    // every publish (retain = 2) prunes a marker, so a reader listing
+    // markers in a tight loop repeatedly races the delete — the
+    // ADVICE r15 gap was resolution crashing with FileNotFoundException
+    // in exactly that window (the race fires probabilistically; the
+    // assertion is that however often it fires, resolution still answers)
+    val root = Files.createTempDirectory("vpub").toString + "/idx"
+    VersionedPublish.publish(spark, root)(writeArtifact(_, "seed")): Unit
+    val pool = Executors.newFixedThreadPool(1)
+    val writer = pool.submit(new Runnable {
+      def run(): Unit = (0 until 60).foreach { i =>
+        VersionedPublish.publish(spark, root)(writeArtifact(_, s"v$i")): Unit
+      }
+    })
+    var resolutions = 0L
+    while (!writer.isDone) {
+      // must never throw; with retain = 2 a vanished-mid-read marker
+      // always leaves the newer one resolvable (a None would need two
+      // complete publishes inside the reader's listing-to-open window)
+      assert(VersionedPublish.currentDir(spark, root).nonEmpty)
+      assert(VersionedPublish.currentDirLocal(root).nonEmpty)
+      resolutions += 1
+    }
+    writer.get(60, TimeUnit.SECONDS): Unit
+    pool.shutdown()
+    assert(resolutions > 0L)
+  }
+
   test("retain guard") {
     val root = Files.createTempDirectory("vpub").toString + "/idx"
     intercept[IllegalArgumentException](
