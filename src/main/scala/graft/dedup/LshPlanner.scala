@@ -94,4 +94,65 @@ object LshPlanner {
           .cast("long"))
       .drop("best_score", "best_b", "best_r")
   }
+
+  /** All (b, r) splits of signature length `k` — every divisor pair. */
+  private[graft] def splitsOf(k: Int): Seq[(Int, Int)] =
+    (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+
+  /** The FULL 100 TB banding plan: choose the signature length k too,
+    * not just the (b, r) split of a fixed k (VERDICT r15 next-round #6).
+    * More minhashes always shrink both error integrals, so an
+    * FP+FN-only argmin degenerates to the largest k offered; the real
+    * planning question weighs error against what each extra hash COSTS
+    * — one more signature column computed per document, stored per
+    * document, shuffled per banding job, over the whole corpus. That
+    * price is `hashCostPpm` per hash (same ppm unit as the error
+    * integrals; one grid point of error mass = 10^6), and the score
+    * over the grid {(k, b, r) : k ∈ ks, b·r = k} is
+    *
+    *   score(k, b, r) = FP(b, r) + FN(b, r) + k · hashCostPpm
+    *
+    * — all exact Long arithmetic on the same unrolled truncating ppm
+    * chains as [[sCurve]], so both engines replay the identical grid
+    * and argmin. Ties break by (score, k, b, r): prefer fewer hashes,
+    * then fewer bucket tables. Output adds `k` and `hash_cost_ppm` to
+    * the [[sCurve]] shape; `chosen` marks the single argmin row set.
+    * Corpus-free: |grid| × 101 rows. */
+  def kPlan(spark: SparkSession, ks: Seq[Int], tPpm: Long,
+      hashCostPpm: Long): DataFrame = {
+    require(ks.nonEmpty, "need at least one candidate signature length")
+    require(ks.distinct.size == ks.size, s"duplicate k values: $ks")
+    ks.foreach(k => require(k >= 1 && k <= 32,
+      s"signature length out of [1, 32]: $k"))
+    require(tPpm > 0 && tPpm < 1000000L, s"tPpm out of (0, 1e6): $tPpm")
+    require(hashCostPpm >= 0L, s"hashCostPpm must be >= 0, got $hashCostPpm")
+    val grid = spark.range(0L, 101L)
+      .select((col("id") * 10000L).as("s_ppm"))
+    val curves = ks.flatMap { k =>
+      splitsOf(k).map { case (b, r) =>
+        grid.select(lit(k.toLong).as("k"), lit(b.toLong).as("b"),
+          lit(r.toLong).as("r"), col("s_ppm"),
+          (lit(1000000L) - expr(missSql(b, r))).as("p_ppm"))
+      }
+    }.reduce(_.unionByName(_))
+    val sums = curves.groupBy(col("k"), col("b"), col("r"))
+      .agg(sum(when(col("s_ppm") <= tPpm, col("p_ppm")).otherwise(0L))
+          .as("fp_sum_ppm"),
+        sum(when(col("s_ppm") > tPpm, lit(1000000L) - col("p_ppm"))
+          .otherwise(0L)).as("fn_sum_ppm"))
+      .withColumn("hash_cost_ppm", col("k") * hashCostPpm)
+      .withColumn("score_ppm",
+        col("fp_sum_ppm") + col("fn_sum_ppm") + col("hash_cost_ppm"))
+    val best = sums.agg(min(struct(col("score_ppm"), col("k"), col("b"),
+      col("r"))).as("best")).select(col("best.score_ppm").as("best_score"),
+      col("best.k").as("best_k"), col("best.b").as("best_b"),
+      col("best.r").as("best_r"))
+    curves.join(broadcast(sums), Seq("k", "b", "r"))
+      .crossJoin(broadcast(best))
+      .withColumn("chosen",
+        (col("score_ppm") === col("best_score") && col("k") === col("best_k")
+          && col("b") === col("best_b") && col("r") === col("best_r"))
+          .cast("long"))
+      .drop("best_score", "best_k", "best_b", "best_r")
+  }
 }

@@ -50,6 +50,12 @@ package object functions {
   def char_shingles(text: Column, k: Int): Column =
     c(CharShingles(e(text), k))
 
+  /** Clipped char-k-gram stats struct(match_n, c_total, r_total) of a
+    * (candidate, reference) pair in one per-row pass — the chrF/BLEU
+    * clip without any per-gram rows; see CharGramClipStats. */
+  def char_gram_clip(cand: Column, ref: Column, k: Int): Column =
+    c(CharGramClipStats(e(cand), e(ref), k))
+
   /** min(md5(salt || shingle)) over word 3-shingles of a token array —
     * exact parity with `array_min(transform(shingles, md5(salt || s)))`
     * in one tight loop, no shingle materialization. */

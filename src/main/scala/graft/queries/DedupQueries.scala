@@ -22,7 +22,7 @@ object DedupQueries {
     q183AudioWht, q186AudioDedup, q190EntityResolution, q192LeakageSplit,
     q194IncrementalDedup, q208SetsimJoin, q209PhashNeardup,
     q213LshRecallAudit, q215IncrementalSetsim, q217IndexMerge, q251LshBandPlan,
-    q254PlannedBanding,
+    q254PlannedBanding, q258PlannedKBanding,
     q227StreamDedupExactlyOnce, q230StreamingDedupLoop,
     q232VersionedIndexIngest, q234IncrementalCc, q248TimeTravelProbe)
 
@@ -326,8 +326,9 @@ object DedupQueries {
     * |splits| = 4 candidate rows; the (b, r) split is a STRUCTURAL
     * parameter — it fixes the number of signature columns — so it must
     * be known before the corpus job is planned, exactly as in
-    * production) → `Dedup.minhashLshCandidates(bands, rowsPerBand)`
-    * parameterized by it → scratch table → in-bucket exact Jaccard ≥ t.
+    * production) → the SHARED standing candidate artifact at those
+    * params ([[minhashCandShared]], r18 — q97 serves the same 8×1
+    * frame) → in-bucket exact Jaccard ≥ t.
     * The oracle replays the planner argmin from first principles (same
     * unrolled truncating ppm chains as q251 — one shared SQL generator)
     * joined onto the candidate verification, so a drifted argmin
@@ -341,7 +342,14 @@ object DedupQueries {
   val q254PlannedBanding: QueryDef = {
     val splits = Seq((1, 8), (2, 4), (4, 2), (8, 1))
     val tPpm = 200000L
-    def p = graft.core.Scratch.lastDir("q254_planned_banding")
+    // the oracle reads the shared candidate artifact at the argmin the
+    // SQL replay derives — (8, 1) at t = 0.2. The param pair appears
+    // here a priori (dump-time path resolution needs it), while the
+    // ENGINE takes it from the collected argmin: if the planner ever
+    // drifted, the engine would serve different candidates (and emit a
+    // different planned_b/planned_r) than the oracle's replay — a loud
+    // hash mismatch, not a silent self-fulfilling gate
+    def p = candSharedLocal(8, 1)
     def curveSql = splits.map { case (b, r) =>
       s"""SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r, s_ppm,
          |       1000000 - ${graft.dedup.LshPlanner.missSql(b, r, "//")} AS p_ppm
@@ -382,14 +390,96 @@ object DedupQueries {
         s"planner must choose exactly one split, got ${chosen.length}")
       val (pb, pr) = (chosen(0).getLong(0).toInt, chosen(0).getLong(1).toInt)
       val docsDf = Tables.documents(s, d)
-      val path = graft.core.Scratch.dir("q254_planned_banding", d)
-      Dedup.minhashLshCandidates(docsDf, "doc_id", "text",
-          bands = pb, rowsPerBand = pr)
-        .write.mode("overwrite").parquet(path)
-      Dedup.jaccardVerify(s.read.parquet(path), docsDf, "doc_id", "text",
+      val served = minhashCandShared(s, d, bands = pb, rowsPerBand = pr)
+      Dedup.jaccardVerify(s.read.parquet(served), docsDf, "doc_id", "text",
           threshold = 0.2)
         .select(lit(pb.toLong).as("planned_b"), lit(pr.toLong).as("planned_r"),
           col("id_a"), col("id_b"), oround(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  }
+
+  /** q254's flow GENERALIZED to choose the signature length k itself
+    * (VERDICT r15 next-round #6): the 100 TB planning question is not
+    * just how to split a fixed k = 8 into bands — it's how many
+    * minhashes to PAY for per document in the first place. FP+FN alone
+    * degenerates to the largest k on offer (more hashes always shrink
+    * both error integrals: here k = 16's (4, 4) scores 16.26M vs k = 8's
+    * best 17.50M), so [[graft.dedup.LshPlanner.kPlan]] charges each hash
+    * its corpus price — compute + storage + shuffle per signature
+    * column — as hashCostPpm · k. At t = 0.5, hashCost = 250 000 ppm
+    * (a quarter grid-point of error mass per hash), the argmin over
+    * k ∈ {4, 8, 16} × all divisor splits flips to (k = 8, b = 4, r = 2):
+    * the cost term demonstrably decides, and the chosen split is q56's
+    * operating point, so the banding serves from the SAME shared
+    * standing artifact. Flow as q254: corpus-free grid → 1-row bounded
+    * argmin collect (structural parameter — k fixes the signature
+    * width before the corpus job is planned) → shared candidate serve
+    * at (b, r) → in-bucket exact Jaccard ≥ t. The oracle replays the
+    * FULL (k, b, r) grid with the shared truncating-ppm SQL generator
+    * (hash-cost term included), derives the same argmin, and verifies
+    * candidates from the shared artifact — a drifted argmin mismatches
+    * planned_k/planned_b/planned_r AND the candidate set. */
+  val q258PlannedKBanding: QueryDef = {
+    val ks = Seq(4, 8, 16)
+    val tPpm = 500000L
+    val hashCostPpm = 250000L
+    // dump-time path resolution pins the a-priori argmin params (4, 2)
+    // — same loud-on-drift contract as q254's comment above
+    def p = candSharedLocal(4, 2)
+    def kCurveSql = ks.flatMap { k =>
+      graft.dedup.LshPlanner.splitsOf(k).map { case (b, r) =>
+        s"""SELECT CAST($k AS BIGINT) AS k, CAST($b AS BIGINT) AS b,
+           |       CAST($r AS BIGINT) AS r, s_ppm,
+           |       1000000 - ${graft.dedup.LshPlanner.missSql(b, r, "//")} AS p_ppm
+           |FROM grid""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+    QueryDef.sql(
+      "q258_planned_k_banding",
+      s"""WITH grid AS (SELECT i * 10000 AS s_ppm FROM range(0, 101) t(i)),
+         |curves AS (
+         |$kCurveSql
+         |),
+         |sc AS (
+         |  SELECT k, b, r,
+         |         CAST(sum(CASE WHEN s_ppm <= $tPpm THEN p_ppm ELSE 0 END)
+         |              AS BIGINT)
+         |         + CAST(sum(CASE WHEN s_ppm > $tPpm THEN 1000000 - p_ppm
+         |                         ELSE 0 END) AS BIGINT)
+         |         + k * $hashCostPpm AS score_ppm
+         |  FROM curves GROUP BY k, b, r),
+         |best AS (SELECT k AS planned_k, b AS planned_b, r AS planned_r
+         |         FROM sc ORDER BY score_ppm, k, b, r LIMIT 1),
+         |c AS (SELECT id_a, id_b FROM read_parquet('$p/*.parquet')),
+         |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+         |      FROM documents)
+         |SELECT best.planned_k, best.planned_b, best.planned_r,
+         |       c.id_a, c.id_b,
+         |       round(CAST(len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS DOUBLE)
+         |             / len(list_distinct(a.tok || b.tok)), 6) AS jaccard
+         |FROM c
+         |JOIN t a ON a.doc_id = c.id_a
+         |JOIN t b ON b.doc_id = c.id_b
+         |CROSS JOIN best
+         |WHERE CAST(len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS DOUBLE)
+         |      / len(list_distinct(a.tok || b.tok)) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val chosen = graft.dedup.LshPlanner.kPlan(s, ks, tPpm, hashCostPpm)
+        .filter(col("chosen") === 1L)
+        .select(col("k"), col("b"), col("r")).distinct().collect()
+      require(chosen.length == 1,
+        s"k-planner must choose exactly one (k, b, r), got ${chosen.length}")
+      val (pk, pb, pr) = (chosen(0).getLong(0), chosen(0).getLong(1).toInt,
+        chosen(0).getLong(2).toInt)
+      require(pk == pb.toLong * pr, s"argmin split inconsistent: ($pk, $pb, $pr)")
+      val docsDf = Tables.documents(s, d)
+      val served = minhashCandShared(s, d, bands = pb, rowsPerBand = pr)
+      Dedup.jaccardVerify(s.read.parquet(served), docsDf, "doc_id", "text",
+          threshold = 0.5)
+        .select(lit(pk).as("planned_k"), lit(pb.toLong).as("planned_b"),
+          lit(pr.toLong).as("planned_r"), col("id_a"), col("id_b"),
+          oround(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }
   }
@@ -545,14 +635,46 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Shared STANDING minhash-LSH candidate artifact per (process, sf,
+    * bands, rowsPerBand) — the postingsShared discipline applied to the
+    * banding shelf (VERDICT r15 what's-wrong #2: q56/q97/q254 each
+    * rebuilt the same signature + candidate frame fresh per run). The
+    * banding frame IS stored state in production incremental dedup
+    * ([[graft.dedup.Dedup.minhashBandBuckets]]'s doc — persist once,
+    * probe batches against it), so pricing the serve and amortizing
+    * the build as ETL is the same accounting as postingsShared/
+    * coPurchaseShared. MVCC-published (`core.VersionedPublish`) so
+    * concurrent processes on one scratch root never tear a read;
+    * memoized per (process, sf, params) — retention caveat:
+    * see TextQueries.postingsSharedCache. Oracles resolve the live
+    * version via [[candSharedLocal]] at dump time. */
+  private val minhashCandServed =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def minhashCandShared(s: org.apache.spark.sql.SparkSession,
+      d: String, bands: Int, rowsPerBand: Int): String = {
+    val root = graft.core.Scratch.dir(s"minhash_cand_${bands}x$rowsPerBand", d)
+    minhashCandServed.computeIfAbsent(root, p =>
+      graft.core.VersionedPublish.publish(s, p) { staging =>
+        Dedup.minhashLshCandidates(Tables.documents(s, d), "doc_id", "text",
+            bands = bands, rowsPerBand = rowsPerBand)
+          .write.parquet(staging)
+      })
+  }
+  private def candSharedLocal(bands: Int, rowsPerBand: Int): String = {
+    val root = graft.core.Scratch.lastDir(s"minhash_cand_${bands}x$rowsPerBand")
+    graft.core.VersionedPublish.currentDirLocal(root).getOrElse(root)
+  }
+
   /** UPGRADED from rows-only in round 7 (VERDICT r6 item 2 wording): the
     * engine-pinned LSH candidate pairs now pass through the scratch table,
     * so the WHOLE operator output — in-bucket exact Jaccard + threshold
     * over those candidates — is hash-checked against DuckDB. Identical
     * result set to the old direct form: the scratch round-trip only
-    * materializes the candidate frame the join consumed anyway. */
+    * materializes the candidate frame the join consumed anyway (since
+    * r18 that frame is the shared standing artifact, built once per
+    * process and served to q56/q97/q254/q258 — [[minhashCandShared]]). */
   val q56MinhashLshPairs: QueryDef = {
-    def p = graft.core.Scratch.lastDir("q56_minhash_lsh_pairs")
+    def p = candSharedLocal(4, 2)
     QueryDef.sql(
       "q56_minhash_lsh_pairs",
       s"""WITH c AS (SELECT id_a, id_b FROM read_parquet('$p/*.parquet')),
@@ -568,10 +690,8 @@ object DedupQueries {
          |      / len(list_distinct(a.tok || b.tok)) >= 0.2
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val docsDf = Tables.documents(s, d)
-      val path = graft.core.Scratch.dir("q56_minhash_lsh_pairs", d)
-      Dedup.minhashLshCandidates(docsDf, "doc_id", "text")
-        .write.mode("overwrite").parquet(path)
-      Dedup.jaccardVerify(s.read.parquet(path), docsDf, "doc_id", "text",
+      val served = minhashCandShared(s, d, bands = 4, rowsPerBand = 2)
+      Dedup.jaccardVerify(s.read.parquet(served), docsDf, "doc_id", "text",
           threshold = 0.2)
         .select(col("id_a"), col("id_b"), oround(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -606,7 +726,7 @@ object DedupQueries {
     * config. Mechanism as q56: candidates through the scratch table,
     * DuckDB recomputes in-bucket Jaccard + threshold. */
   val q97MinhashVerify: QueryDef = {
-    def p = graft.core.Scratch.lastDir("q97_minhash_verify")
+    def p = candSharedLocal(8, 1)
     QueryDef.sql(
       "q97_minhash_verify",
       s"""WITH c AS (SELECT id_a, id_b FROM read_parquet('$p/*.parquet')),
@@ -622,11 +742,8 @@ object DedupQueries {
          |      / len(list_distinct(a.tok || b.tok)) >= 0.1
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val docsDf = Tables.documents(s, d)
-      val path = graft.core.Scratch.dir("q97_minhash_verify", d)
-      Dedup.minhashLshCandidates(docsDf, "doc_id", "text",
-          bands = 8, rowsPerBand = 1)
-        .write.mode("overwrite").parquet(path)
-      Dedup.jaccardVerify(s.read.parquet(path), docsDf, "doc_id", "text",
+      val served = minhashCandShared(s, d, bands = 8, rowsPerBand = 1)
+      Dedup.jaccardVerify(s.read.parquet(served), docsDf, "doc_id", "text",
           threshold = 0.1)
         .select(col("id_a"), col("id_b"), oround(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -2465,10 +2582,15 @@ object DedupQueries {
     * Micro-batch ORDER is not deterministic (the file source lists in
     * whatever order the FS returns), so the query is built on an
     * order-independence THEOREM instead of fighting it: the corpus is
-    * written as six single-file shards keyed by doc_id % 6 and streamed
-    * one file per trigger, so every cross-shard band-colliding pair is
-    * found EXACTLY once — when its later shard arrives, in whichever
-    * order — and same-shard pairs never (both sides arrive together).
+    * written as three single-file shards keyed by doc_id % 3 and
+    * streamed one file per trigger, so every cross-shard band-colliding
+    * pair is found EXACTLY once — when its later shard arrives, in
+    * whichever order — and same-shard pairs never (both sides arrive
+    * together). Three triggers, not six (r18, the q220/q223 trigger
+    * audit applied): the composition under test — probe strictly-earlier
+    * state, fold the batch in, arbitrary arrival order — is fully
+    * exercised once batch 3 probes {1, 2}; the other three triggers
+    * only re-priced the same code path per bench run.
     * The normalized (min, max) candidate set is therefore a pure
     * function of the data, require-asserted in-query against a batch
     * banding self-join restricted to shard(a) ≠ shard(b) (exceptAll
@@ -2489,8 +2611,8 @@ object DedupQueries {
          |  JOIN t a ON a.doc_id = c.id_a
          |  JOIN t b ON b.doc_id = c.id_b)
          |SELECT id_a, id_b,
-         |       CAST(id_a % 6 AS BIGINT) AS shard_a,
-         |       CAST(id_b % 6 AS BIGINT) AS shard_b,
+         |       CAST(id_a % 3 AS BIGINT) AS shard_a,
+         |       CAST(id_b % 3 AS BIGINT) AS shard_b,
          |       jac_ppm
          |FROM j
          |WHERE jac_ppm >= 200000
@@ -2500,9 +2622,9 @@ object DedupQueries {
       val tmp = graft.core.Scratch.tempDir("q230stream")
       val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"
       val pairsDir = s"$tmp/pairs"
-      // six single-file shards by doc_id % 6 — one micro-batch each
-      (0 until 6).foreach { i =>
-        docsDf.filter(col("doc_id") % 6 === i).coalesce(1)
+      // three single-file shards by doc_id % 3 — one micro-batch each
+      (0 until 3).foreach { i =>
+        docsDf.filter(col("doc_id") % 3 === i).coalesce(1)
           .write.mode("append").parquet(inDir)
       }
       // prime the accumulator with the pair schema (a batch that finds
@@ -2536,7 +2658,7 @@ object DedupQueries {
         .join(bb.select(col("band"), col("bucket"), col("id").as("id_b")),
           Seq("band", "bucket"))
         .filter(col("id_a") < col("id_b"))
-        .filter(col("id_a") % 6 =!= col("id_b") % 6)
+        .filter(col("id_a") % 3 =!= col("id_b") % 3)
         .select(col("id_a"), col("id_b")).distinct()
       require(streamed.exceptAll(full).isEmpty &&
         full.exceptAll(streamed).isEmpty,
@@ -2553,7 +2675,7 @@ object DedupQueries {
           expr("(CAST(size(array_intersect(tok_a, tok_b)) AS BIGINT) * 1000000) div size(array_union(tok_a, tok_b))").as("jac_ppm"))
         .filter(col("jac_ppm") >= 200000)
         .select(col("id_a"), col("id_b"),
-          (col("id_a") % 6).as("shard_a"), (col("id_b") % 6).as("shard_b"),
+          (col("id_a") % 3).as("shard_a"), (col("id_b") % 3).as("shard_b"),
           col("jac_ppm"))
         .orderBy(col("id_a"), col("id_b"))
     }

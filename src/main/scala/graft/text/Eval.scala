@@ -237,38 +237,35 @@ object Eval {
     * corpus before the F ratio, not per-segment-then-averaged — the
     * integer-grid corpus variant.
     *
-    * Scale shape: each side collapses FIRST to (pair, n, gram, count)
-    * with the codegen'd `char_shingles` kernel (one boundary walk per n,
-    * no interpreted HOF), then ONE equi-join clips; output is
-    * |groups|·maxN rows. */
+    * Scale shape (r18): the clip's two sides live in the SAME input row,
+    * so the whole gram pipeline collapses into the codegen'd per-row
+    * `char_gram_clip` kernel — count the candidate's grams into a
+    * zero-copy hash map, walk the reference's grams decrementing; the
+    * decrement total IS Σ min(c_cnt, r_cnt). No per-gram rows exist at
+    * all (the previous side-tagged single-shuffle shape still streamed
+    * ~2·Σ|doc|·maxN gram rows through the exchange — a corpus-sized
+    * shuffle at 100 TB); the only shuffled frame is the
+    * |groups|·maxN-row partial-aggregated stats. Measured at sf0.1:
+    * q239 8.7 → ~1s raw. */
   def chrF(pairs: DataFrame, groupCol: String, idCol: String,
       candCol: String, refCol: String, maxN: Int = 6): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8], got $maxN")
     val base = pairs.select(col(groupCol), col(idCol).as("pair_id"),
       regexp_replace(col(candCol), " ", "").as("c_str"),
       regexp_replace(col(refCol), " ", "").as("r_str"))
-    // both sides side-tagged into ONE (pair, n, gram) aggregation: the
-    // clip is min(c_cnt, r_cnt) per gram, so counting both sides in the
-    // same groupBy replaces two gram shuffles + an equi-join + a second
-    // totals aggregation with a single wide shuffle (the gram stream is
-    // the dominant volume — ~2·Σ|doc|·maxN rows; measured 9.6 → ~4s warm
-    // at sf0.1)
-    def gramRows(src: String, isC: Int): DataFrame =
-      base.select(col(groupCol), col("pair_id"),
-          posexplode(array((1 to maxN).map(n =>
-            graft.functions.char_shingles(col(src), n)): _*)))
-        .select(col(groupCol), col("pair_id"), (col("pos") + 1).as("n"),
-          explode(col("col")).as("gram"), lit(isC).as("is_c"))
-    val stats = gramRows("c_str", 1).unionByName(gramRows("r_str", 0))
-      .groupBy(col(groupCol), col("pair_id"), col("n"), col("gram"))
-      .agg(sum(when(col("is_c") === 1, 1L).otherwise(0L)).as("c_cnt"),
-        sum(when(col("is_c") === 0, 1L).otherwise(0L)).as("r_cnt"))
+    val stats = base.select(col(groupCol),
+        posexplode(array((1 to maxN).map(n =>
+          graft.functions.char_gram_clip(col("c_str"), col("r_str"), n)): _*)))
+      .select(col(groupCol), (col("pos") + 1).as("n"),
+        col("col.match_n").as("m"), col("col.c_total").as("ct"),
+        col("col.r_total").as("rt"))
       .groupBy(col(groupCol), col("n"))
-      .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("match_n"),
-        sum(col("c_cnt")).as("c_total_n"),
-        sum(col("r_cnt")).as("r_total_n"))
-      .select(col(groupCol), col("n"), col("match_n"), col("c_total_n"),
-        col("r_total_n"))
+      .agg(sum(col("m")).as("match_n"), sum(col("ct")).as("c_total_n"),
+        sum(col("rt")).as("r_total_n"))
+      // parity with the two-sided gram union (and the oracle's FULL
+      // OUTER of the per-side gram aggregates): a (group, n) appears
+      // only when SOME doc has a gram of that order on either side
+      .filter(col("c_total_n") > 0 || col("r_total_n") > 0)
       .withColumn("prec_ppm", when(col("c_total_n") > 0,
         expr("(match_n * 1000000) div c_total_n")).otherwise(lit(null).cast("long")))
       .withColumn("rec_ppm", when(col("r_total_n") > 0,

@@ -48,6 +48,51 @@ class LshPlannerSpec extends SparkSpec {
     }
   }
 
+  test("kPlan: hash cost flips the argmin from k=16 (4,4) to k=8 (4,2); sums replay exactly") {
+    val ks = Seq(4, 8, 16)
+    // with no hash cost, more hashes always win: k=16's (4,4) has the
+    // smallest FP+FN on this grid (16.26M vs k=8's best 17.50M)
+    val free = LshPlanner.kPlan(spark, ks, tPpm = 500000L, hashCostPpm = 0L)
+      .filter(col("chosen") === 1L).select("k", "b", "r").distinct()
+      .as[(Long, Long, Long)].collect()
+    assert(free.toSeq == Seq((16L, 4L, 4L)),
+      s"zero-cost argmin must be the largest-k split, got ${free.toSeq}")
+    // at a quarter grid-point per hash the cost term flips it to k=8
+    val out = LshPlanner.kPlan(spark, ks, tPpm = 500000L,
+      hashCostPpm = 250000L)
+    val gridSize = ks.map(k => LshPlanner.splitsOf(k).size).sum
+    assert(out.count() == gridSize * 101L)
+    val chosen = out.filter(col("chosen") === 1L)
+      .select("k", "b", "r").distinct().as[(Long, Long, Long)].collect()
+    assert(chosen.toSeq == Seq((8L, 4L, 2L)),
+      s"costed argmin must be (8, 4, 2), got ${chosen.toSeq}")
+    // every (k, b, r)'s error sums equal the literal truncating replay,
+    // and the score wires the cost term in exactly
+    val sums = out.select("k", "b", "r", "fp_sum_ppm", "fn_sum_ppm",
+        "hash_cost_ppm", "score_ppm").distinct()
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(sums.length == gridSize)
+    sums.foreach { case (k, b, r, fp, fn, hc, score) =>
+      assert(k == b * r, s"grid row not a split: ($k, $b, $r)")
+      assert((fp, fn) == replay(b.toInt, r.toInt, 500000L),
+        s"sums mismatch at ($k, $b, $r)")
+      assert(hc == k * 250000L && score == fp + fn + hc)
+    }
+  }
+
+  test("kPlan guards: empty/duplicate/out-of-range k, bad threshold, negative cost") {
+    intercept[IllegalArgumentException](
+      LshPlanner.kPlan(spark, Seq.empty, 500000L, 0L))
+    intercept[IllegalArgumentException](
+      LshPlanner.kPlan(spark, Seq(8, 8), 500000L, 0L))
+    intercept[IllegalArgumentException](
+      LshPlanner.kPlan(spark, Seq(33), 500000L, 0L))
+    intercept[IllegalArgumentException](
+      LshPlanner.kPlan(spark, Seq(8), 0L, 0L))
+    intercept[IllegalArgumentException](
+      LshPlanner.kPlan(spark, Seq(8), 500000L, -1L))
+  }
+
   test("degenerate guards: empty splits, bad threshold, non-positive b/r") {
     intercept[IllegalArgumentException] {
       LshPlanner.sCurve(spark, Seq.empty, 500000L)

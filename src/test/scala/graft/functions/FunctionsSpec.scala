@@ -310,6 +310,44 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("char_gram_clip ≡ the per-gram explode/clip spelling (incl. multi-byte)") {
+    // the kernel replaced the (pair, n, gram) row stream in Eval.chrF:
+    // match_n must equal Σ_gram min(c_cnt, r_cnt) over char k-grams of
+    // the two sides, totals = chars − k + 1 (floored at 0), code-point
+    // character semantics throughout
+    val df = Seq(
+      ("the quick brown fox", "the quick brown dog"),
+      ("aaab", "aabb"),          // clipped duplicates: min counts matter
+      ("ab", "abc"),             // candidate shorter than k=3
+      ("", "xyz"),               // empty candidate
+      ("héllo wörld", "héllo wörld"), // 2-byte UTF-8
+      ("日本語のテキスト", "日本語テキスト"), // 3-byte
+      ("a😀b😀c", "b😀a")        // 4-byte supplementary
+    ).toDF("c", "r")
+    for (k <- Seq(1, 2, 3)) {
+      val rows = df.select(char_gram_clip(col("c"), col("r"), k).as("fast"),
+          char_shingles(col("c"), k).as("cg"), char_shingles(col("r"), k).as("rg"))
+        .collect()
+      rows.foreach { row =>
+        val s = row.getStruct(0)
+        val cg = row.getSeq[String](1)
+        val rg = row.getSeq[String](2)
+        val rc = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+        rg.foreach(g => rc(g) += 1)
+        val cc = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+        cg.foreach(g => cc(g) += 1)
+        val expectMatch = cc.map { case (g, n) => math.min(n, rc(g)) }.sum.toLong
+        assert(s.getLong(0) == expectMatch, s"match k=$k row=$row")
+        assert(s.getLong(1) == cg.size.toLong && s.getLong(2) == rg.size.toLong,
+          s"totals k=$k row=$row")
+      }
+    }
+    // null propagation
+    val n = Seq((Option("ab"), Option.empty[String])).toDF("c", "r")
+      .select(char_gram_clip(col("c"), col("r"), 1)).head()
+    assert(n.isNullAt(0))
+  }
+
   test("fnv1a64 is pinned (golden values)") {
     // golden values computed from the FNV-1a reference parameters
     assert(Fnv1a64.hashString("") == 0xcbf29ce484222325L)

@@ -80,5 +80,11 @@ class MixturePlanSpec extends AnyFunSuite {
       waterfill(Seq("a" -> (Long.MaxValue / 2)), budget = Long.MaxValue / 2))
     intercept[IllegalArgumentException](
       waterfill((0 to 64).map(i => (s"d$i", 10L)), 10L))
+    // duplicate names would silently conflate two stocks into one
+    // round-state entry (ADVICE r15) — refused loudly instead
+    val dup = intercept[IllegalArgumentException](
+      waterfill(Seq("web" -> 100L, "code" -> 50L, "web" -> 70L), 10L))
+    assert(dup.getMessage.contains("duplicate domain names"))
+    assert(dup.getMessage.contains("web"))
   }
 }
