@@ -56,6 +56,11 @@ package object functions {
   def char_gram_clip(cand: Column, ref: Column, k: Int): Column =
     c(CharGramClipStats(e(cand), e(ref), k))
 
+  /** Word-gram twin of [[char_gram_clip]] over two token arrays; see
+    * WordGramClipStats. */
+  def word_gram_clip(cand: Column, ref: Column, k: Int): Column =
+    c(WordGramClipStats(e(cand), e(ref), k))
+
   /** min(md5(salt || shingle)) over word 3-shingles of a token array —
     * exact parity with `array_min(transform(shingles, md5(salt || s)))`
     * in one tight loop, no shingle materialization. */

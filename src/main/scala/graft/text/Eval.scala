@@ -178,37 +178,35 @@ object Eval {
     * and `len_ratio_ppm = (10^6·c) div r` — monotone in the BP argument,
     * which is what a generation-quality gate thresholds on.
     *
-    * Scale shape: each side collapses FIRST to (pair, n, gram, count) —
-    * the q113 (doc, token, k) pre-agg discipline, built with the
-    * codegen'd `word_shingles` kernel (one pass over the token array per
-    * n, no interpreted HOF lambdas) — then ONE equi-join on
-    * (pair, n, gram) does the clipping; output is |groups|·maxN rows.
-    * No candidate row ever meets more than its own reference. */
+    * Scale shape (r18): the clip's two sides live in the SAME input row,
+    * so the whole gram pipeline is the codegen'd per-row
+    * `word_gram_clip` kernel (count the candidate's k-token windows
+    * into a hash map, walk the reference's windows decrementing — the
+    * decrement total IS Σ min); no per-gram rows exist at all, where
+    * the previous shape shuffled a (pair, n, gram, count) stream per
+    * side and equi-joined them — corpus-sized at 100 TB. The only
+    * shuffled frames are the |groups|·maxN-row stats and the
+    * |groups|-row token totals. */
   def ngramPrecision(pairs: DataFrame, groupCol: String, idCol: String,
       candCol: String, refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8], got $maxN")
     val base = pairs.select(col(groupCol), col(idCol).as("pair_id"),
       split(col(candCol), " ").as("c_arr"),
       split(col(refCol), " ").as("r_arr"))
-    // all n in one scan per side: posexplode over the per-n shingle arrays
-    def gramCounts(arr: String, out: String): DataFrame =
-      base.select(col(groupCol), col("pair_id"),
-          posexplode(array((1 to maxN).map(n =>
-            graft.functions.word_shingles(col(arr), n)): _*)))
-        .select(col(groupCol), col("pair_id"), (col("pos") + 1).as("n"),
-          explode(col("col")).as("gram"))
-        .groupBy(col(groupCol), col("pair_id"), col("n"), col("gram"))
-        .agg(count(lit(1)).as(out))
-    val clipped = gramCounts("c_arr", "c_cnt")
-      .join(gramCounts("r_arr", "r_cnt"),
-        Seq(groupCol, "pair_id", "n", "gram"), "left")
-      .select(col(groupCol), col("n"), col("c_cnt"),
-        least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L))).as("m_cnt"))
     val lens = base.groupBy(col(groupCol)).agg(
       sum(size(col("c_arr")).cast("long")).as("c_tokens"),
       sum(size(col("r_arr")).cast("long")).as("r_tokens"))
-    clipped.groupBy(col(groupCol), col("n"))
-      .agg(sum(col("m_cnt")).as("match_n"), sum(col("c_cnt")).as("total_n"))
+    base.select(col(groupCol),
+        posexplode(array((1 to maxN).map(n =>
+          graft.functions.word_gram_clip(col("c_arr"), col("r_arr"), n)): _*)))
+      .select(col(groupCol), (col("pos") + 1).as("n"),
+        col("col.match_n").as("m"), col("col.c_total").as("ct"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(sum(col("m")).as("match_n"), sum(col("ct")).as("total_n"))
+      // parity with the candidate-side-driven clip join (and the
+      // oracle's cg-rooted LEFT JOIN): a (group, n) appears only when
+      // some doc has a candidate gram of that order
+      .filter(col("total_n") > 0)
       .withColumn("prec_ppm",
         when(col("total_n") > 0, expr("(match_n * 1000000) div total_n"))
           .otherwise(lit(null).cast("long")))

@@ -104,6 +104,19 @@ object ScaleSmoke {
       time("dsir_weights", k)(
         graft.text.Curation.dsirWeights(docs, "doc_id", "text",
           col("lang") === "en"))
+      time("gram_clip_eval", k)(
+        // q239's shape after the r18 per-row clip kernel: candidate-vs-
+        // reference char-gram clipping with NO per-gram rows — must track
+        // the corpus linearly (one scan + per-row kernel; the only
+        // shuffle is the |groups|·maxN-row stats frame)
+        graft.text.Eval.chrF(
+          docs.select(col("lang"), col("doc_id"),
+            expr("array_join(flatten(transform(split(text, ' '), (t, i) -> " +
+              "CASE WHEN i % 7 = 0 THEN array() " +
+              "WHEN i % 7 = 3 THEN array(t, t) ELSE array(t) END)), ' ')")
+              .as("cand"),
+            col("text").as("ref")),
+          "lang", "doc_id", "cand", "ref", maxN = 6))
       time("mixture_sample", k) {
         // q256's execution half: per-domain keep_ppm broadcast + one md5
         // draw per row + audit agg — must track rows linearly (one scan,

@@ -348,6 +348,35 @@ class TextHashSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("word_gram_clip ≡ the word_shingles explode/clip spelling") {
+    val df = Seq(
+      ("the cat sat on the mat", "the cat lay on the mat"),
+      ("a a a b", "a a b b"),       // duplicate windows clip by min
+      ("a b", "a b c"),             // candidate shorter than k=3
+      ("", "x y z"),                // empty candidate (split -> [""])
+      ("x y", "x y")                // exact match
+    ).toDF("c", "r").select(split(col("c"), " ").as("c"),
+      split(col("r"), " ").as("r"))
+    for (k <- Seq(1, 2, 3)) {
+      val rows = df.select(word_gram_clip(col("c"), col("r"), k).as("fast"),
+          word_shingles(col("c"), k).as("cg"), word_shingles(col("r"), k).as("rg"))
+        .collect()
+      rows.foreach { row =>
+        val s = row.getStruct(0)
+        val cg = row.getSeq[String](1)
+        val rg = row.getSeq[String](2)
+        val rc = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+        rg.foreach(g => rc(g) += 1)
+        val cc = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+        cg.foreach(g => cc(g) += 1)
+        val expectMatch = cc.map { case (g, n) => math.min(n, rc(g)) }.sum.toLong
+        assert(s.getLong(0) == expectMatch, s"match k=$k row=$row")
+        assert(s.getLong(1) == cg.size.toLong && s.getLong(2) == rg.size.toLong,
+          s"totals k=$k row=$row")
+      }
+    }
+  }
+
   test("fnv1a64 is pinned (golden values)") {
     // golden values computed from the FNV-1a reference parameters
     assert(Fnv1a64.hashString("") == 0xcbf29ce484222325L)
