@@ -26,7 +26,9 @@ import graft.core.VersionedPublish
   *     check (pruned, not torn); prints `reads_ok=<n> repruned=<n>`.
   *   - `sweeper <root> <iters>` — calls sweepOrphans in a loop while
   *     publishers run (the sweep-during-publish race); prints
-  *     `swept=<n>`.
+  *     `swept=<n>`. With `iters = 1` this role doubles as the FLEET
+  *     MAINTENANCE entry for a persistent artifact root: reclaim
+  *     crashed/out-raced builds older than the live marker + grace.
   *
   * Exit code 0 = every invariant held for the whole loop. */
 object PublishStress {
