@@ -48,24 +48,38 @@ object InterestsExtract {
       }
       .toDF("user_id", "date", "chunk_id", "response")
 
-    val parsed = responses
+    parse(responses)
+      .observe("interests",
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_interests").isNull, 1).otherwise(0)).as("invalid_responses"))
+  }
+
+  /** The `[...]` capture + trim/empty-filter over a response frame —
+    * pure parsing, no enrichment. */
+  private def parse(responses: DataFrame): DataFrame =
+    responses
       .withColumn("captured", regexp_extract(col("response"), "\\[(.*?)\\]", 1))
       .withColumn("chunk_interests",
         when(col("captured") === "", lit(null))
           .otherwise(expr(
             "filter(transform(split(captured, ','), x -> trim(x)), x -> x != '')")))
-      .observe("interests",
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("chunk_interests").isNull, 1).otherwise(0)).as("invalid_responses"))
 
-    parsed
-  }
+  /** [[interests]]' parse/aggregate half over an ALREADY-MATERIALIZED
+    * response frame (user_id, date, chunk_id, response) — lets a caller
+    * that dumps the raw response stream (q53's oracle mechanism) derive
+    * the per-day interests from its own dump, so the two-turn LLM chain
+    * runs ONCE per query instead of once per half. */
+  def interestsFromResponses(responses: DataFrame): DataFrame =
+    aggregateParsed(parse(responses))
 
   /** @return per-day frame `(user_id, date, chunked_interests
     *         array<array<string>>, interests array<string>,
     *         count_invalid_responses)` */
   def interests(activity: DataFrame, llm: LLMClient, chunkSize: Int = 15): DataFrame =
-    parsedResponses(activity, llm, chunkSize)
+    aggregateParsed(parsedResponses(activity, llm, chunkSize))
+
+  private def aggregateParsed(parsed: DataFrame): DataFrame =
+    parsed
       .groupBy(col("user_id"), col("date"))
       .agg(
         sort_array(collect_list(struct(col("chunk_id"), col("chunk_interests")))).as("ci"),

@@ -378,7 +378,10 @@ object PipelineQueries {
       InterestsExtract.parsedResponses(act, new StubInterestsLLM)
         .select(col("user_id"), col("date"), col("chunk_id"), col("response"))
         .write.mode("overwrite").parquet(s"$path/responses")
-      InterestsExtract.interests(act, new StubInterestsLLM)
+      // derive from the dump just written: ONE two-turn enrichment pass
+      // per run (the dump the oracle replays is also the engine's input)
+      InterestsExtract.interestsFromResponses(
+          s.read.parquet(s"$path/responses"))
         .withColumn("chunked_interests",
           expr("concat_ws('|', transform(chunked_interests, x -> concat_ws(',', x)))"))
         .withColumn("interests", concat_ws(",", col("interests")))
