@@ -138,7 +138,10 @@ object VersionedPublish {
               java.nio.file.Files.readAllBytes(k.toPath), "UTF-8").trim
             if (body.nonEmpty) Some((n.toLong, body)) else None
           } catch {
-            case _: java.io.IOException => None // pruned mid-list
+            // ONLY a vanished file is "pruned mid-list"; any other I/O
+            // failure (permissions, disk) must surface, not silently
+            // resolve an older version
+            case _: java.nio.file.NoSuchFileException => None
           }
         case _ => None
       }
@@ -149,6 +152,25 @@ object VersionedPublish {
     * path and must leave the complete artifact there) and return the
     * committed artifact dir. Safe against concurrent publishers and
     * concurrent readers (see the protocol above). */
+  /** Marker version numbers present in the listing BY NAME — no body
+    * reads, so a marker whose body a concurrent prune swept away still
+    * counts. [[publish]] derives the next version from THIS, never from
+    * [[committed]]: dropping vanished-body markers there is correct for
+    * resolution, but a publisher that derived vNew from it could — under
+    * concurrent publisher churn — commit at an already-pruned version
+    * number and then prune its own fresh artifact. */
+  private def listedVersions(conf: Configuration, root: String): Seq[Long] = {
+    val f = fs(conf, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Seq.empty
+    else f.listStatus(rootPath).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case MarkerRe(n) if st.isFile => Some(n.toLong)
+        case _ => None
+      }
+    }.sorted
+  }
+
   def publish(conf: Configuration, root: String, retain: Int)
       (build: String => Unit): String = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
@@ -162,7 +184,7 @@ object VersionedPublish {
     val stagingName = s"b_$nonce"
     val staging = s"$root/$stagingName"
     build(staging)
-    val vNew = versions(conf, root).lastOption.getOrElse(-1L) + 1L
+    val vNew = listedVersions(conf, root).lastOption.getOrElse(-1L) + 1L
     val tmp = new Path(s"$root/m_$nonce.tmp")
     val out = f.create(tmp, true)
     try out.write(stagingName.getBytes("UTF-8")) finally out.close()

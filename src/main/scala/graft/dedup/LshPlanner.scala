@@ -68,31 +68,9 @@ object LshPlanner {
     require(tPpm > 0 && tPpm < 1000000L, s"tPpm out of (0, 1e6): $tPpm")
     splits.foreach { case (b, r) =>
       require(b >= 1 && r >= 1, s"bands/rows must be >= 1, got ($b, $r)") }
-    val grid = spark.range(0L, 101L)
-      .select((col("id") * 10000L).as("s_ppm"))
-    val curves = splits.map { case (b, r) =>
-      grid.select(lit(b.toLong).as("b"), lit(r.toLong).as("r"),
-        col("s_ppm"), (lit(1000000L) - expr(missSql(b, r))).as("p_ppm"))
-    }.reduce(_.unionByName(_))
-    val sums = curves.groupBy(col("b"), col("r"))
-      .agg(sum(when(col("s_ppm") <= tPpm, col("p_ppm")).otherwise(0L))
-          .as("fp_sum_ppm"),
-        sum(when(col("s_ppm") > tPpm, lit(1000000L) - col("p_ppm"))
-          .otherwise(0L)).as("fn_sum_ppm"))
-      .withColumn("score_ppm", col("fp_sum_ppm") + col("fn_sum_ppm"))
-    // |splits| rows — the broadcast scalar-join shape for the argmin.
-    // The struct includes r so the tie-break is TOTAL: equal-score
-    // equal-b splits (b, r1) vs (b, r2) must not both flag chosen
-    val best = sums.agg(min(struct(col("score_ppm"), col("b"), col("r")))
-      .as("best")).select(col("best.score_ppm").as("best_score"),
-      col("best.b").as("best_b"), col("best.r").as("best_r"))
-    curves.join(broadcast(sums), Seq("b", "r"))
-      .crossJoin(broadcast(best))
-      .withColumn("chosen",
-        (col("score_ppm") === col("best_score") &&
-          col("b") === col("best_b") && col("r") === col("best_r"))
-          .cast("long"))
-      .drop("best_score", "best_b", "best_r")
+    scoredGrid(spark, splits.map { case (b, r) =>
+      (Seq("b" -> b.toLong, "r" -> r.toLong), b, r)
+    }, Seq("b", "r"), tPpm, cost = None)
   }
 
   /** All (b, r) splits of signature length `k` — every divisor pair. */
@@ -113,11 +91,12 @@ object LshPlanner {
     *   score(k, b, r) = FP(b, r) + FN(b, r) + k · hashCostPpm
     *
     * — all exact Long arithmetic on the same unrolled truncating ppm
-    * chains as [[sCurve]], so both engines replay the identical grid
-    * and argmin. Ties break by (score, k, b, r): prefer fewer hashes,
-    * then fewer bucket tables. Output adds `k` and `hash_cost_ppm` to
-    * the [[sCurve]] shape; `chosen` marks the single argmin row set.
-    * Corpus-free: |grid| × 101 rows. */
+    * chains as [[sCurve]] (one shared [[scoredGrid]] core, so the grid,
+    * the integrals, and the total tie-break cannot drift between the
+    * two planners). Ties break by (score, k, b, r): prefer fewer
+    * hashes, then fewer bucket tables. Output adds `k` and
+    * `hash_cost_ppm` to the [[sCurve]] shape; `chosen` marks the single
+    * argmin row set. Corpus-free: |grid| × 101 rows. */
   def kPlan(spark: SparkSession, ks: Seq[Int], tPpm: Long,
       hashCostPpm: Long): DataFrame = {
     require(ks.nonEmpty, "need at least one candidate signature length")
@@ -126,33 +105,54 @@ object LshPlanner {
       s"signature length out of [1, 32]: $k"))
     require(tPpm > 0 && tPpm < 1000000L, s"tPpm out of (0, 1e6): $tPpm")
     require(hashCostPpm >= 0L, s"hashCostPpm must be >= 0, got $hashCostPpm")
+    scoredGrid(spark,
+      ks.flatMap { k =>
+        splitsOf(k).map { case (b, r) =>
+          (Seq("k" -> k.toLong, "b" -> b.toLong, "r" -> r.toLong), b, r)
+        }
+      },
+      Seq("k", "b", "r"), tPpm, cost = Some(col("k") * hashCostPpm))
+  }
+
+  /** Shared planner core: the 101-point ppm curve per keyed (b, r)
+    * entry, the FP/FN Riemann sums around `tPpm`, an additive cost
+    * column, the TOTAL-ordered argmin over struct(score, keys...) and
+    * the `chosen` flag — one implementation, so the two public planners
+    * ([[sCurve]], [[kPlan]]) cannot drift in grid construction,
+    * truncation order, or tie-break (the r15 lesson: the struct must
+    * include every key or equal-score splits both flag chosen). */
+  private def scoredGrid(spark: SparkSession,
+      entries: Seq[(Seq[(String, Long)], Int, Int)], keyNames: Seq[String],
+      tPpm: Long, cost: Option[org.apache.spark.sql.Column]): DataFrame = {
     val grid = spark.range(0L, 101L)
       .select((col("id") * 10000L).as("s_ppm"))
-    val curves = ks.flatMap { k =>
-      splitsOf(k).map { case (b, r) =>
-        grid.select(lit(k.toLong).as("k"), lit(b.toLong).as("b"),
-          lit(r.toLong).as("r"), col("s_ppm"),
-          (lit(1000000L) - expr(missSql(b, r))).as("p_ppm"))
-      }
+    val curves = entries.map { case (keys, b, r) =>
+      grid.select(keys.map { case (n, v) => lit(v).as(n) } ++ Seq(
+        col("s_ppm"), (lit(1000000L) - expr(missSql(b, r))).as("p_ppm")): _*)
     }.reduce(_.unionByName(_))
-    val sums = curves.groupBy(col("k"), col("b"), col("r"))
+    val summed = curves.groupBy(keyNames.map(col): _*)
       .agg(sum(when(col("s_ppm") <= tPpm, col("p_ppm")).otherwise(0L))
           .as("fp_sum_ppm"),
         sum(when(col("s_ppm") > tPpm, lit(1000000L) - col("p_ppm"))
           .otherwise(0L)).as("fn_sum_ppm"))
-      .withColumn("hash_cost_ppm", col("k") * hashCostPpm)
-      .withColumn("score_ppm",
-        col("fp_sum_ppm") + col("fn_sum_ppm") + col("hash_cost_ppm"))
-    val best = sums.agg(min(struct(col("score_ppm"), col("k"), col("b"),
-      col("r"))).as("best")).select(col("best.score_ppm").as("best_score"),
-      col("best.k").as("best_k"), col("best.b").as("best_b"),
-      col("best.r").as("best_r"))
-    curves.join(broadcast(sums), Seq("k", "b", "r"))
+    val sums = cost match {
+      case Some(c) => summed.withColumn("hash_cost_ppm", c)
+        .withColumn("score_ppm",
+          col("fp_sum_ppm") + col("fn_sum_ppm") + col("hash_cost_ppm"))
+      case None => summed.withColumn("score_ppm",
+        col("fp_sum_ppm") + col("fn_sum_ppm"))
+    }
+    // |entries| rows — the broadcast scalar-join shape for the argmin
+    val best = sums
+      .agg(min(struct((col("score_ppm") +: keyNames.map(col)): _*)).as("best"))
+      .select(col("best.score_ppm").as("best_score") +:
+        keyNames.map(n => col(s"best.$n").as(s"best_$n")): _*)
+    curves.join(broadcast(sums), keyNames)
       .crossJoin(broadcast(best))
       .withColumn("chosen",
-        (col("score_ppm") === col("best_score") && col("k") === col("best_k")
-          && col("b") === col("best_b") && col("r") === col("best_r"))
+        keyNames.map(n => col(n) === col(s"best_$n"))
+          .foldLeft(col("score_ppm") === col("best_score"))(_ && _)
           .cast("long"))
-      .drop("best_score", "best_k", "best_b", "best_r")
+      .drop("best_score" +: keyNames.map("best_" + _): _*)
   }
 }

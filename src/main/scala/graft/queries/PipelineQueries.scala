@@ -6,7 +6,6 @@ import graft.QueryDef
 import graft.QueryDef.rowsOnly
 import graft.core.Tables
 import graft.enrich.{StubEmbedder, StubInterestsLLM, StubSessionsLLM}
-import graft.pipeline.{OldPath, RecentPath}
 
 /** The reference pipeline run end-to-end on driver testdata (rows-only
   * checks — LLM/embedding enrichment isn't SQL; determinism comes from the

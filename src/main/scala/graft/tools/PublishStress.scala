@@ -24,7 +24,7 @@ import graft.core.VersionedPublish
   *     vanished mid-read is only tolerated when the resolved version is
   *     genuinely outside the retention window by the time of the retry
   *     check (pruned, not torn); prints `reads_ok=<n> repruned=<n>`.
-  *   - `sweeper <root> <iters>` — calls sweepOrphans in a loop while
+  *   - `sweeper <root> <iters> [graceMs]` — calls sweepOrphans in a loop while
   *     publishers run (the sweep-during-publish race); prints
   *     `swept=<n>`. With `iters = 1` this role doubles as the FLEET
   *     MAINTENANCE entry for a persistent artifact root: reclaim
@@ -91,9 +91,15 @@ object PublishStress {
         require(ok > 0, "reader never completed a read — root stayed empty")
         println(s"reads_ok=$ok repruned=$repruned")
       case "sweeper" =>
+        // graceMs as the 4th arg: the spec passes a small grace so the
+        // sweep actually DELETES while publishers run (out-raced builds
+        // age past it within the run); the default 1h is the production
+        // posture for a fleet maintenance entry
+        val graceMs = if (args.length > 3) args(3).toLong else 3600L * 1000L
         var swept = 0L
         (0 until iters).foreach { _ =>
-          swept += VersionedPublish.sweepOrphans(conf, root).size
+          swept += VersionedPublish.sweepOrphans(conf, root, graceMs).size
+          Thread.sleep(50) // span the publishers' whole run, not its first second
         }
         println(s"swept=$swept")
       case other =>

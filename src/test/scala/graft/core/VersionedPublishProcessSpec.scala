@@ -60,7 +60,14 @@ class VersionedPublishProcessSpec extends AnyFunSuite {
     val pub2 = launch("publisher", root, 30)
     val rd1 = launch("reader", root, 3000)
     val rd2 = launch("reader", root, 3000)
-    val sw = launch("sweeper", root, 300)
+    // grace 10s: far above any build-to-commit window even when a
+    // 256 MB subprocess JVM stalls under the 5-JVM launch burst (a
+    // too-small grace can sweep a staged-but-not-yet-committed build —
+    // exactly the interleaving the grace exists for), and below the
+    // sweeper's ~15s paced run — so out-raced builds from the first
+    // seconds still age into the sweepable set and real deletions race
+    // the publishers and readers
+    val sw = launch("sweeper", root, 300, extra = Seq("10000"))
     val pubOut = Seq(pub1, pub2).map(drain)
     val rdOut = Seq(rd1, rd2).map(drain)
     val swOut = drain(sw)
