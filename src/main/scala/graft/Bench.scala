@@ -65,6 +65,8 @@ object Bench {
       graft.queries.TextQueries.warmSharedIndexes(spark, sfDir)
       graft.queries.WarehouseQueries.warmSharedIndexes(spark, sfDir)
       graft.queries.VectorQueries.warmSharedIndexes(spark, sfDir)
+      graft.queries.DedupQueries.warmSharedIndexes(spark, sfDir)
+      graft.queries.PipelineQueries.warmSharedIndexes(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] shared-index warm failed: ${e.getMessage}")
     }

@@ -130,6 +130,13 @@ object PipelineQueries {
     s.read.parquet(served)
   }
 
+  /** Untimed warm hook for the bench harness — see
+    * [[graft.queries.TextQueries.warmSharedIndexes]]: materializes the
+    * enrichment boundary once so q51/q52's timers price their stage,
+    * not the LLM/embedding ETL. */
+  def warmSharedIndexes(s: SparkSession, d: String): Unit =
+    embSessionsShared(s, d): Unit
+
   /** Array columns are flattened to CSV strings in the q50/q51/q53 outputs:
     * the driver's rows-only check sorts the frame in pandas, where
     * array-typed cells are unsortable (numpy.ndarray is unhashable). */

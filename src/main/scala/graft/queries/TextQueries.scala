@@ -1337,6 +1337,7 @@ object TextQueries {
     val demb = docs(s, d).select(col("doc_id"),
       array((0 until 16).map(docEmbedDim): _*).as("emb"))
     docIvfShared(s, d, demb): Unit
+    rankerListsShared(s, d): Unit
   }
 
   /** STANDING postings index serve — `text.PostingsIndex` closes the
