@@ -478,7 +478,16 @@ object GraphOps {
   def harmonicX2Milli(edges: DataFrame, p: Int = 4,
       salt: String = "hb-v1"): DataFrame = {
     require(p == 4, s"ballEstMilli's frozen grid constants are p=4-only, got $p")
-    val est = ballEstMilli(hyperBallRegisters(edges, rounds = 2, p, salt))
+    harmonicX2MilliFromEst(
+      ballEstMilli(hyperBallRegisters(edges, rounds = 2, p, salt)))
+  }
+
+  /** The radius-pivot + shell-arithmetic half of [[harmonicX2Milli]]
+    * over an ALREADY-COMPUTED per-(radius, id) ball-estimate frame
+    * ([[ballEstMilli]]'s output, radii 0..2) — lets two consumers of the
+    * same register iterate (the q238 NF view and the q242 centrality
+    * view) share one materialized estimate artifact. */
+  def harmonicX2MilliFromEst(est: DataFrame): DataFrame = {
     est.groupBy(col("id")).agg(
         sum(when(col("radius") === 0, col("est_milli"))).as("est0_milli"),
         sum(when(col("radius") === 1, col("est_milli"))).as("est1_milli"),
