@@ -37,4 +37,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Dev-only escape hatch for measurement experiments: extra JVM flags
+  // (e.g. -Dspark.* conf probes) without editing this file per run.
+  sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

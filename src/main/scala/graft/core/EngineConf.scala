@@ -61,4 +61,20 @@ object EngineConf {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // Streaming checkpoint I/O (optimization guide §7.3, measured r16):
+      // the default FileContext-based checkpoint manager applies a POSIX
+      // permission to EVERY checkpoint file it creates, and without
+      // libhadoop native IO Hadoop's local filesystem implements that by
+      // FORKING a chmod per file — thread dumps of the streaming queries
+      // showed ChecksumCheckpointFileManager pool threads dominated by
+      // ProcessImpl.forkAndExec. The FileSystem-based manager (the
+      // documented fallback, same rename-commit atomicity contract) skips
+      // the per-file permission round-trip; measured warm sf0.1: q156
+      // 8.0→5.5s, q157 8.0→3.1, q133 4.5→2.9, q227 5.7→4.5, q230 7.3→5.7,
+      // q223 15.2→12.7. On HDFS/object stores permissions are metadata
+      // RPCs, so the choice is at worst neutral there; fleets that want
+      // the FileContext manager back override GRAFT_CHECKPOINT_FM.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        sys.env.getOrElse("GRAFT_CHECKPOINT_FM",
+          "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager"))
 }
