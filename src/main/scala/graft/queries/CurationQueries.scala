@@ -1025,10 +1025,20 @@ object CurationQueries {
       |ORDER BY split""".stripMargin) { (s, d) =>
     import graft.dedup.Dedup
     val stop = Seq("the", "a", "of", "and", "to")
+    // The funnel is the most expensive per-row expression in the query
+    // and `kept` has FOUR consumers (bands, the verify's token sides,
+    // canonicalize, the final split agg) — without a materialization
+    // boundary each consumer re-runs it from the scan (and on a
+    // single-row-group input, serialized on one task). The explicit
+    // doc_id repartition puts ONE exchange above the funnel that every
+    // consumer subtree shares via ReusedExchange (the q207 discipline:
+    // an exchange, unlike a cache, keeps AQE planning and costs no
+    // executor memory), and parallelizes the downstream tokenizations.
     val kept = docs(s, d)
       .withColumn("stage",
         Curation.funnelStage(col("text"), 20, 90, 0.02, 0.02, stop))
       .filter(col("stage") === "5_kept").drop("stage")
+      .repartition(col("doc_id"))
     // SQL-replayable LSH (the q43/q122 salted-md5 scheme, one hash/band)
     def sig(salt: String) = graft.functions.salted_md5_min(col("tok"), salt)
     val bands = kept.select(col("doc_id"), split(col("text"), " ").as("tok"))

@@ -165,35 +165,44 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     // dl + dln: the same two per-doc facts as PostingsIndex lengths
     val dl = base.select(col("doc_id"), size(col("w")).cast("long").as("dl"),
       size(array_distinct(col("w"))).cast("long").as("dln"))
-    dl.withColumn("batch", lit(pv))
-      .write.mode("append").partitionBy("batch").parquet(s"$path/lengths")
     // stats partial from one driver-side row (the agg collect doubles as
     // the n_docs count for the ledger row)
-    val st = dl.agg(coalesce(sum(col("dl")), lit(0L)).as("t"),
-      count(lit(1)).as("nd")).collect()(0)
-    locally {
-      import spark.implicits._
-      Seq((st.getLong(0), st.getLong(1), pv)).toDF("t", "nd", "batch")
-        .coalesce(1)
-        .write.mode("append").partitionBy("batch").parquet(s"$path/statsp")
-    }
-    val dt = base.select(col("doc_id"), explode(col("w")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    dt.select(col("tok"), col("doc_id"), col("tf"), bkt,
-        lit(pv).as("batch"))
-      .repartition(col("bkt"))
-      .write.mode("append").partitionBy("bkt", "batch")
-      .parquet(s"$path/postings")
-    if (hasPositions)
-      base.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"),
-          bkt, lit(pv).as("batch"))
+    @volatile var nDocs = 0L
+    // the four per-batch appends touch DISTINCT tables and read only the
+    // batch, so they run as concurrent jobs (core.Par; optimization guide
+    // §2.6) — any subset landing before a crash is the same torn-but-
+    // uncommitted state as the old sequential order, because the ledger
+    // row (the commit point) still lands strictly LAST
+    graft.core.Par.run(
+      () => dl.withColumn("batch", lit(pv))
+        .write.mode("append").partitionBy("batch").parquet(s"$path/lengths"),
+      () => {
+        val st = dl.agg(coalesce(sum(col("dl")), lit(0L)).as("t"),
+          count(lit(1)).as("nd")).collect()(0)
+        nDocs = st.getLong(1)
+        import spark.implicits._
+        Seq((st.getLong(0), st.getLong(1), pv)).toDF("t", "nd", "batch")
+          .coalesce(1)
+          .write.mode("append").partitionBy("batch").parquet(s"$path/statsp")
+      },
+      () => base.select(col("doc_id"), explode(col("w")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .select(col("tok"), col("doc_id"), col("tf"), bkt,
+          lit(pv).as("batch"))
         .repartition(col("bkt"))
         .write.mode("append").partitionBy("bkt", "batch")
-        .parquet(s"$path/positions")
+        .parquet(s"$path/postings"),
+      if (!hasPositions) null
+      else () =>
+        base.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"),
+            bkt, lit(pv).as("batch"))
+          .repartition(col("bkt"))
+          .write.mode("append").partitionBy("bkt", "batch")
+          .parquet(s"$path/positions"))
     // COMMIT POINT — everything above is torn state until this lands
     graft.core.Ledger.append(spark, s"$path/ledger",
-      Seq((batchId, st.getLong(1))))
+      Seq((batchId, nDocs)))
     true
   }
 

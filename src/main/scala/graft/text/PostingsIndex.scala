@@ -364,60 +364,88 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
       count(lit(1)).as("ns")).collect()(0)
     val dt = base.select(col("doc_id"), explode(col("w")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    // repartition by bucket before the appends: without it every shuffle
-    // partition writes one file into every bucket directory it holds
-    // (O(partitions × buckets) files per merge); with it a merge adds at
-    // most one file per touched bucket
-    dt.select(col("tok"), col("doc_id"), col("tf"), bkt)
-      .repartition(col("bkt"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$path/postings")
-    // skip positions on a positionless index: appending ONLY the batch's
-    // positions would leave a partial table a later phrase serve reads
-    // as if complete — absence must stay absence
-    if (hasPositions)
-      base.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"), bkt)
-        .repartition(col("bkt"))
-        .write.mode("append").partitionBy("bkt").parquet(s"$path/positions")
-    dlNew.write.mode("append").parquet(s"$path/lengths")
-    // df = old ∪ delta summed per token (full outer: unseen batch tokens
-    // enter, untouched corpus tokens pass through)
-    val delta = dt.groupBy(col("tok")).agg(count(lit(1)).as("dfd"))
-    val staging = s"$path/df_staging"
-    docFreq.select(col("tok"), col("df"))
-      .join(delta, Seq("tok"), "full_outer")
-      .select(col("tok"),
-        (coalesce(col("df"), lit(0L)) + coalesce(col("dfd"), lit(0L))).as("df"))
-      .write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging)
-      .select(col("tok"), col("df"), bkt)
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/df")
+      // three independent consumers below (postings append, df delta,
+      // bounds delta) — persist so the batch is tokenized+aggregated once,
+      // not once per consumer; batch-sized, unpersisted before return
+      .persist()
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
-    if (hasBounds) {
-      // bounds combine like df: max/min are mergeable, so the rewrite is
-      // old ∪ batch corner-combined per token (vocabulary-sized, through
-      // the same staging barrier)
-      val bDelta = dt.join(dlNew.select(col("doc_id"), col("dl")), "doc_id")
-        .groupBy(col("tok"))
-        .agg(max(col("tf")).as("max_tf_d"), min(col("dl")).as("min_dl_d"))
-      val bStaging = s"$path/bounds_staging"
-      bounds.select(col("tok"), col("max_tf"), col("min_dl"))
-        .join(bDelta, Seq("tok"), "full_outer")
-        .select(col("tok"),
-          greatest(coalesce(col("max_tf"), lit(0L)),
-            coalesce(col("max_tf_d"), lit(0L))).as("max_tf"),
-          least(coalesce(col("min_dl"), lit(Long.MaxValue)),
-            coalesce(col("min_dl_d"), lit(Long.MaxValue))).as("min_dl"))
-        .write.mode("overwrite").parquet(bStaging)
-      spark.read.parquet(bStaging)
-        .select(col("tok"), col("max_tf"), col("min_dl"), bkt)
+    val staging = s"$path/df_staging"
+    val bStaging = s"$path/bounds_staging"
+    // PHASE 1 — all writes here touch DISTINCT tables and read only the
+    // batch plus PRE-merge table states, so they run as concurrent jobs
+    // (core.Par; optimization guide §2.6): locally that overlaps the
+    // per-action driver latency that dominates this many-small-write
+    // path, at scale the independent passes back-fill each other's
+    // straggler tails. Crash consistency is unchanged: any subset of
+    // these landing is the same torn-but-detected state (stats, the
+    // commit point, still writes LAST) as a crash mid-way through the
+    // old sequential order.
+    graft.core.Par.run(
+      // repartition by bucket before the appends: without it every shuffle
+      // partition writes one file into every bucket directory it holds
+      // (O(partitions × buckets) files per merge); with it a merge adds at
+      // most one file per touched bucket
+      () => dt.select(col("tok"), col("doc_id"), col("tf"), bkt)
         .repartition(col("bkt"))
-        .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/bounds")
-      fs.delete(new org.apache.hadoop.fs.Path(bStaging), true): Unit
-    }
+        .write.mode("append").partitionBy("bkt").parquet(s"$path/postings"),
+      // skip positions on a positionless index: appending ONLY the batch's
+      // positions would leave a partial table a later phrase serve reads
+      // as if complete — absence must stay absence
+      if (!hasPositions) null
+      else () =>
+        base.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"), bkt)
+          .repartition(col("bkt"))
+          .write.mode("append").partitionBy("bkt").parquet(s"$path/positions"),
+      () => dlNew.write.mode("append").parquet(s"$path/lengths"),
+      // df = old ∪ delta summed per token (full outer: unseen batch tokens
+      // enter, untouched corpus tokens pass through); the staging write
+      // reads the OLD df, whose overwrite only starts in phase 2
+      () => {
+        val delta = dt.groupBy(col("tok")).agg(count(lit(1)).as("dfd"))
+        docFreq.select(col("tok"), col("df"))
+          .join(delta, Seq("tok"), "full_outer")
+          .select(col("tok"),
+            (coalesce(col("df"), lit(0L)) + coalesce(col("dfd"), lit(0L))).as("df"))
+          .write.mode("overwrite").parquet(staging)
+      },
+      if (!hasBounds) null
+      else () => {
+        // bounds combine like df: max/min are mergeable, so the rewrite is
+        // old ∪ batch corner-combined per token (vocabulary-sized, through
+        // the same staging barrier)
+        val bDelta = dt.join(dlNew.select(col("doc_id"), col("dl")), "doc_id")
+          .groupBy(col("tok"))
+          .agg(max(col("tf")).as("max_tf_d"), min(col("dl")).as("min_dl_d"))
+        bounds.select(col("tok"), col("max_tf"), col("min_dl"))
+          .join(bDelta, Seq("tok"), "full_outer")
+          .select(col("tok"),
+            greatest(coalesce(col("max_tf"), lit(0L)),
+              coalesce(col("max_tf_d"), lit(0L))).as("max_tf"),
+            least(coalesce(col("min_dl"), lit(Long.MaxValue)),
+              coalesce(col("min_dl_d"), lit(Long.MaxValue))).as("min_dl"))
+          .write.mode("overwrite").parquet(bStaging)
+      })
+    // PHASE 2 — the staged vocabulary tables overwrite their live copies
+    // (distinct tables, concurrent like phase 1)
+    graft.core.Par.run(
+      () => {
+        spark.read.parquet(staging)
+          .select(col("tok"), col("df"), bkt)
+          .repartition(col("bkt"))
+          .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/df")
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
+      },
+      if (!hasBounds) null
+      else () => {
+        spark.read.parquet(bStaging)
+          .select(col("tok"), col("max_tf"), col("min_dl"), bkt)
+          .repartition(col("bkt"))
+          .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/bounds")
+        fs.delete(new org.apache.hadoop.fs.Path(bStaging), true): Unit
+      })
+    dt.unpersist(): Unit
     // commit point: the 1-row stats write lands only after every other
     // table has
     import spark.implicits._
@@ -581,62 +609,74 @@ object PostingsIndex {
       nBuckets: Int = 64, withBounds: Boolean = false,
       withPositions: Boolean = true): PostingsIndex = {
     val spark = docs.sparkSession
-    locally {
-      import spark.implicits._
-      Seq(nBuckets.toLong).toDF("n_buckets")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    }
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       split(col(textCol), " ").as("w"))
-    // dln (distinct-token count) rides along as a second per-doc fact:
-    // the index-served Jaccard ranker's |d| (q224) — a per-doc statistic
-    // is appendable, so carrying it here costs nothing at merge time,
-    // while recovering it from the token-partitioned postings would
-    // touch every bucket (the q221 forward-store argument)
-    base.select(col("doc_id"), size(col("w")).cast("long").as("dl"),
-        size(array_distinct(col("w"))).cast("long").as("dln"))
-      .write.mode("overwrite").parquet(s"$path/lengths")
-    spark.read.parquet(s"$path/lengths")
-      .agg(sum(col("dl")).as("t"), count(lit(1)).as("nd"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     val bkt = pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("bkt")
-    base.select(col("doc_id"), explode(col("w")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .select(col("tok"), col("doc_id"), col("tf"), bkt)
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/postings")
-    spark.read.parquet(s"$path/postings")
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .select(col("tok"), col("df"), bkt)
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/df")
-    if (withBounds)
-      // per-term score-bound corner, from the read-backs (no extra
-      // corpus pass): max_tf over the term's postings, min_dl over the
-      // documents that contain it — the two operands bm25TopKMaxScore's
-      // upper bound needs, both mergeable facts
-      spark.read.parquet(s"$path/postings")
-        .join(spark.read.parquet(s"$path/lengths")
-          .select(col("doc_id"), col("dl")), "doc_id")
-        .groupBy(col("tok"))
-        .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
-        .select(col("tok"), col("max_tf"), col("min_dl"), bkt)
+    // PHASE 1 — the corpus passes (plus the 1-row meta write) target
+    // DISTINCT tables and share no inputs beyond the immutable corpus,
+    // so they run as concurrent jobs (core.Par; optimization guide
+    // §2.6): the positional pass is the longest, and overlapping it
+    // with the postings/lengths passes means the build's wall tracks
+    // the slowest single pass instead of their sum.
+    graft.core.Par.run(
+      () => locally {
+        import spark.implicits._
+        Seq(nBuckets.toLong).toDF("n_buckets")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      },
+      // dln (distinct-token count) rides along as a second per-doc fact:
+      // the index-served Jaccard ranker's |d| (q224) — a per-doc statistic
+      // is appendable, so carrying it here costs nothing at merge time,
+      // while recovering it from the token-partitioned postings would
+      // touch every bucket (the q221 forward-store argument)
+      () => base.select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          size(array_distinct(col("w"))).cast("long").as("dln"))
+        .write.mode("overwrite").parquet(s"$path/lengths"),
+      () => base.select(col("doc_id"), explode(col("w")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .select(col("tok"), col("doc_id"), col("tf"), bkt)
         .repartition(col("bkt"))
-        .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/bounds")
-    if (withPositions)
-      base.select(col("doc_id"),
-          posexplode(col("w")).as(Seq("pos", "tok")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"), bkt)
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/postings"),
+      if (withPositions)
+        () => base.select(col("doc_id"),
+            posexplode(col("w")).as(Seq("pos", "tok")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"), bkt)
+          .repartition(col("bkt"))
+          .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/positions")
+      else () => {
+        // a positionless rebuild over a path that previously carried
+        // positions must not leave the STALE table behind — absence is the
+        // contract hasPositions/phraseMatches key off
+        val p = new org.apache.hadoop.fs.Path(s"$path/positions")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true): Unit
+      })
+    // PHASE 2 — the global statistics derive from the tables phase 1
+    // just wrote (stats ← lengths; df ← postings; bounds ← postings ⋈
+    // lengths), never from a corpus re-scan; concurrent like phase 1.
+    graft.core.Par.run(
+      () => spark.read.parquet(s"$path/lengths")
+        .agg(sum(col("dl")).as("t"), count(lit(1)).as("nd"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats"),
+      () => spark.read.parquet(s"$path/postings")
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .select(col("tok"), col("df"), bkt)
         .repartition(col("bkt"))
-        .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/positions")
-    else {
-      // a positionless rebuild over a path that previously carried
-      // positions must not leave the STALE table behind — absence is the
-      // contract hasPositions/phraseMatches key off
-      val p = new org.apache.hadoop.fs.Path(s"$path/positions")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true): Unit
-    }
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/df"),
+      if (!withBounds) null
+      else
+        // per-term score-bound corner, from the read-backs (no extra
+        // corpus pass): max_tf over the term's postings, min_dl over the
+        // documents that contain it — the two operands bm25TopKMaxScore's
+        // upper bound needs, both mergeable facts
+        () => spark.read.parquet(s"$path/postings")
+          .join(spark.read.parquet(s"$path/lengths")
+            .select(col("doc_id"), col("dl")), "doc_id")
+          .groupBy(col("tok"))
+          .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+          .select(col("tok"), col("max_tf"), col("min_dl"), bkt)
+          .repartition(col("bkt"))
+          .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/bounds"))
     new PostingsIndex(spark, path, nBuckets)
   }
 }
