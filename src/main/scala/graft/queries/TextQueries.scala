@@ -1598,10 +1598,16 @@ object TextQueries {
     // (multi-batch folding; plus q223's in-batch doubled delivery), and a
     // third trigger bought no semantics at a full merge's cost (VERDICT
     // r14 next-round #1 — the standing-state bench-tail lever)
-    dd.filter(col("doc_id") % 3 =!= 0).repartition(4).write.parquet(inDir)
     val idxPath = graft.core.Scratch.dir("q220_postings_index", d)
-    val idx = graft.text.PostingsIndex.build(
-      dd.filter(col("doc_id") % 3 === 0), idxPath, "doc_id", "text")
+    // the stream-input staging write (docs % 3 ≠ 0) and the standing
+    // index build (docs % 3 = 0) share no data or files — overlap them
+    // (core.Par, guide §2.6); the stream only starts after both
+    var idx: graft.text.PostingsIndex = null
+    graft.core.Par.run(
+      () => dd.filter(col("doc_id") % 3 =!= 0).repartition(4)
+        .write.parquet(inDir),
+      () => idx = graft.text.PostingsIndex.build(
+        dd.filter(col("doc_id") % 3 === 0), idxPath, "doc_id", "text"))
     val schema = s.read.parquet(inDir).schema
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(inDir)
@@ -1651,7 +1657,6 @@ object TextQueries {
     // (multi-batch folding; plus q223's in-batch doubled delivery), and a
     // third trigger bought no semantics at a full merge's cost (VERDICT
     // r14 next-round #1 — the standing-state bench-tail lever)
-    dd.filter(col("doc_id") % 3 =!= 0).repartition(4).write.parquet(inDir)
     val idxPath = graft.core.Scratch.dir("q223_ledger_index", d)
     // 16 buckets, not the serving default 64: every micro-batch append
     // writes one file set per touched bucket directory, so the
@@ -1659,29 +1664,39 @@ object TextQueries {
     // sf0.1 with pruning still 1-of-16 per probed term
     val idx = graft.text.LedgeredPostingsIndex.create(s, idxPath, nBuckets = 16)
     val standingId = 1000000L // outside the stream's epoch-id namespace
-    // torn state from a "crashed" earlier attempt of the standing merge:
-    // ghost doc 999999999 posted on the actual probe tokens so a heal
-    // failure is VISIBLE in the served top-10 (and thus in the hash)
-    dd.filter(col("doc_id") < 5)
-      .select(explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
-      .distinct()
-      .select(col("tok"), lit(999999999L).as("doc_id"), lit(99L).as("tf"),
-        pmod(xxhash64(col("tok")), lit(16L)).as("bkt"),
-        lit(s"b$standingId").as("batch"))
-      .write.mode("append").partitionBy("bkt", "batch")
-      .parquet(s"$idxPath/postings")
-    locally {
-      import s.implicits._
-      Seq((999999999L, 10L)).toDF("doc_id", "dl")
-        .withColumn("batch", lit(s"b$standingId"))
-        .write.mode("append").partitionBy("batch")
-        .parquet(s"$idxPath/lengths")
-    }
     val standing = dd.filter(col("doc_id") % 3 === 0)
-    require(idx.mergeOnce(standing, "doc_id", "text", standingId),
-      "bootstrap merge must commit")
-    require(!idx.mergeOnce(standing, "doc_id", "text", standingId),
-      "redelivered bootstrap batch must be a no-op")
+    // the stream-input staging write (docs % 3 ≠ 0) is independent of
+    // the ghost→heal→bootstrap chain (docs % 3 = 0 plus the torn batch
+    // dir) — overlap them (core.Par, guide §2.6); ORDER inside the
+    // chain is the subject (ghost before bootstrap, heal is the test)
+    graft.core.Par.run(
+      () => dd.filter(col("doc_id") % 3 =!= 0).repartition(4)
+        .write.parquet(inDir),
+      () => {
+        // torn state from a "crashed" earlier attempt of the standing
+        // merge: ghost doc 999999999 posted on the actual probe tokens
+        // so a heal failure is VISIBLE in the served top-10 (and thus in
+        // the hash)
+        dd.filter(col("doc_id") < 5)
+          .select(explode(slice(split(col("text"), " "), 1, 8)).as("tok"))
+          .distinct()
+          .select(col("tok"), lit(999999999L).as("doc_id"), lit(99L).as("tf"),
+            pmod(xxhash64(col("tok")), lit(16L)).as("bkt"),
+            lit(s"b$standingId").as("batch"))
+          .write.mode("append").partitionBy("bkt", "batch")
+          .parquet(s"$idxPath/postings")
+        locally {
+          import s.implicits._
+          Seq((999999999L, 10L)).toDF("doc_id", "dl")
+            .withColumn("batch", lit(s"b$standingId"))
+            .write.mode("append").partitionBy("batch")
+            .parquet(s"$idxPath/lengths")
+        }
+        require(idx.mergeOnce(standing, "doc_id", "text", standingId),
+          "bootstrap merge must commit")
+        require(!idx.mergeOnce(standing, "doc_id", "text", standingId),
+          "redelivered bootstrap batch must be a no-op")
+      })
     val schema = s.read.parquet(inDir).schema
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(inDir)
@@ -2534,16 +2549,23 @@ object TextQueries {
     val dd = docs(s, d)
     val tmp = graft.core.Scratch.tempDir("q250stream")
     val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"
-    dd.filter(col("doc_id") % 3 =!= 0).repartition(4).write.parquet(inDir)
     val idxPath = graft.core.Scratch.dir("q250_ledger_impact_index", d)
     val idx = graft.text.LedgeredPostingsIndex.create(s, idxPath,
       nBuckets = 16, withPositions = false)
     val standingId = 1000000L // outside the stream's epoch-id namespace
     val standing = dd.filter(col("doc_id") % 3 === 0)
-    require(idx.mergeOnce(standing, "doc_id", "text", standingId),
-      "bootstrap merge must commit")
-    require(!idx.mergeOnce(standing, "doc_id", "text", standingId),
-      "redelivered bootstrap batch must be a no-op")
+    // the stream-input staging write (docs % 3 ≠ 0) and the standing
+    // bootstrap chain (docs % 3 = 0) share no data or files — overlap
+    // them (core.Par, guide §2.6); the stream only starts after both
+    graft.core.Par.run(
+      () => dd.filter(col("doc_id") % 3 =!= 0).repartition(4)
+        .write.parquet(inDir),
+      () => {
+        require(idx.mergeOnce(standing, "doc_id", "text", standingId),
+          "bootstrap merge must commit")
+        require(!idx.mergeOnce(standing, "doc_id", "text", standingId),
+          "redelivered bootstrap batch must be a no-op")
+      })
     val schema = s.read.parquet(inDir).schema
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(inDir)
