@@ -248,9 +248,17 @@ object GraphOps {
     *         rounds. */
   def labelPropagation(edges: DataFrame, nodes: DataFrame,
       iters: Int = 3): DataFrame = {
+    // the symmetrized edge frame is re-read by EVERY round's vote join,
+    // and each round is its own action (the per-round cut below), so an
+    // uncached sym re-runs its union+distinct SHUFFLE once per round —
+    // profiled at q182/sf0.1 as three ~11 MB-write 64-task stages of
+    // 8-11 s runtime each. Persist it once (the GraphX edge-cache
+    // discipline; guide §5: reused AND expensive to recompute),
+    // unpersist before returning.
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .persist()
     var labels = nodes.select(col("id"), col("id").cast("long").as("lab"))
     for (_ <- 1 to iters) {
       val votes = sym.join(labels.withColumnRenamed("id", "src"), "src")
@@ -270,7 +278,11 @@ object GraphOps {
         // jobs/8.8s single-action)
         .localCheckpoint(false)
     }
-    labels.select(col("id"), col("lab").as("community"))
+    // materialize the last round before dropping the edge cache it reads
+    val out = labels.select(col("id"), col("lab").as("community"))
+      .localCheckpoint()
+    sym.unpersist()
+    out
   }
 
   /** Per-node triangle counts by the degree-ordered node-iterator
