@@ -354,14 +354,22 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     val dlNew = base.select(col("doc_id"),
       size(col("w")).cast("long").as("dl"),
       size(array_distinct(col("w"))).cast("long").as("dln"))
-    // read the OLD stats up front (the write happens last)
-    val (t0, nd0) = {
-      val r = stats.select(col("t"), col("nd")).collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
-    val add = dlNew.agg(
-      coalesce(sum(col("dl")), lit(0L)).as("ts"),
-      count(lit(1)).as("ns")).collect()(0)
+    // read the OLD stats up front (the write happens last) — the two
+    // driver collects (pre-merge stats; batch length totals) read
+    // disjoint inputs, so they join phase 1's concurrent round below
+    @volatile var t0 = 0L; @volatile var nd0 = 0L
+    @volatile var addT = 0L; @volatile var addN = 0L
+    val statsAndAdd: Seq[() => Unit] = Seq(
+      () => {
+        val r = stats.select(col("t"), col("nd")).collect()(0)
+        t0 = r.getLong(0); nd0 = r.getLong(1)
+      },
+      () => {
+        val a = dlNew.agg(
+          coalesce(sum(col("dl")), lit(0L)).as("ts"),
+          count(lit(1)).as("ns")).collect()(0)
+        addT = a.getLong(0); addN = a.getLong(1)
+      })
     val dt = base.select(col("doc_id"), explode(col("w")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       // three independent consumers below (postings append, df delta,
@@ -381,7 +389,7 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     // these landing is the same torn-but-detected state (stats, the
     // commit point, still writes LAST) as a crash mid-way through the
     // old sequential order.
-    graft.core.Par.run(
+    graft.core.Par.run((statsAndAdd ++ Seq[() => Unit](
       // repartition by bucket before the appends: without it every shuffle
       // partition writes one file into every bucket directory it holds
       // (O(partitions × buckets) files per merge); with it a merge adds at
@@ -426,7 +434,7 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
             least(coalesce(col("min_dl"), lit(Long.MaxValue)),
               coalesce(col("min_dl_d"), lit(Long.MaxValue))).as("min_dl"))
           .write.mode("overwrite").parquet(bStaging)
-      })
+      })): _*)
     // PHASE 2 — the staged vocabulary tables overwrite their live copies
     // (distinct tables, concurrent like phase 1)
     graft.core.Par.run(
@@ -449,7 +457,7 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     // commit point: the 1-row stats write lands only after every other
     // table has
     import spark.implicits._
-    Seq((t0 + add.getLong(0), nd0 + add.getLong(1))).toDF("t", "nd")
+    Seq((t0 + addT, nd0 + addN)).toDF("t", "nd")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
