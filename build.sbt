@@ -40,4 +40,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // Dev-only escape hatch for measurement experiments: extra JVM flags
   // (e.g. -Dspark.* conf probes) without editing this file per run.
-  sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
+  // Logged loudly (stderr, so the Bench stdout JSON stays clean): an
+  // ambient env var silently changing measured behavior would poison
+  // bench evidence — any run under injected flags must record them.
+  sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq.flatMap { raw =>
+    val flags = raw.split("\\s+").filter(_.nonEmpty).toSeq
+    if (flags.nonEmpty)
+      System.err.println(s"[build] GRAFT_EXTRA_JVM_OPTS injects JVM flags: ${flags.mkString(" ")}")
+    flags
+  }

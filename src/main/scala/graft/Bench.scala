@@ -52,7 +52,11 @@ object Bench {
     })
 
     // untimed warmup: JVM/codegen/parquet-footer costs don't land on the
-    // alphabetically-first query
+    // alphabetically-first query. The whole warm phase is WALL-CLOCKED and
+    // printed as warm_sec (VERDICT r16 what's-wrong #3: the untimed warm
+    // builds real standing artifacts, so its cost must be visible in the
+    // output JSON rather than silently excluded from the headline total).
+    val warmT0 = System.nanoTime()
     try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir)
       .write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => }
@@ -71,6 +75,7 @@ object Bench {
       System.err.println(s"[bench] shared-index warm failed: ${e.getMessage}")
     }
     spark.catalog.clearCache()
+    val warmSec = (System.nanoTime() - warmT0) / 1e9
 
     // Contention canary (VERDICT r9 item 7): a fixed, data-independent,
     // compute-bound job (codegen'd range sum over all cores) timed before
@@ -151,8 +156,11 @@ object Bench {
     val qn = results.map(r => "\"" + r.name + "\":" + f3(r.normSec)).mkString("{", ",", "}")
     val js = results.map(r => "\"" + r.name + "\":" + r.jobs).mkString("{", ",", "}")
     val series = probes.map { case (t, v) => s"[$t,${f3(v)}]" }.mkString("[", ",", "]")
-    val summary = s"""{"total":${f3(total)},"n":${results.size},"failed":$failed,"canary_start":${f3(canaryStart)},"canary_end":${f3(canaryEnd)}}"""
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"queries_normalized":$qn,"jobs":$js,"failed":$failed,"reps":$reps,"canary_start":${f3(canaryStart)},"canary_end":${f3(canaryEnd)},"canary_series":$series,"sf":"$sfDir"}"""
+    // cpus + warm_sec ride in BOTH lines (VERDICT r16 item 2): cpus proves
+    // the $SPARK_GRAFT_CPUS contract is honored run-by-run, warm_sec makes
+    // the untimed standing-artifact warm phase's real cost visible.
+    val summary = s"""{"total":${f3(total)},"n":${results.size},"failed":$failed,"cpus":$cpus,"warm_sec":${f3(warmSec)},"canary_start":${f3(canaryStart)},"canary_end":${f3(canaryEnd)}}"""
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"queries_normalized":$qn,"jobs":$js,"failed":$failed,"reps":$reps,"cpus":$cpus,"warm_sec":${f3(warmSec)},"canary_start":${f3(canaryStart)},"canary_end":${f3(canaryEnd)},"canary_series":$series,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser: summary first (short — a
     // truncated capture still parses), then the full JSON as the last
     // stdout line (sbt epilogue suppressed via showSuccess := false in

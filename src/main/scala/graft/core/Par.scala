@@ -25,13 +25,32 @@ object Par {
           def call(): Unit = t()
         }))
       var firstErr: Throwable = null
+      var interrupted = false
       futs.foreach { f =>
-        try f.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            if (firstErr == null) firstErr = e.getCause
+        // swallow nothing, skip nothing: an InterruptedException or
+        // CancellationException on ONE get() must not abandon the wait on
+        // the remaining futures — the documented contract is that every
+        // task runs to completion before the first failure propagates
+        // (concurrent Spark writes escaping behind the caller's unwind
+        // would race the caller's phase-2 overwrites). Uninterruptible
+        // wait is correct here: the tasks are bounded Spark actions; the
+        // interrupt is re-asserted once the drain completes.
+        var got = false
+        while (!got) {
+          try { f.get(); got = true }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              if (firstErr == null) firstErr = e.getCause
+              got = true
+            case e: java.util.concurrent.CancellationException =>
+              if (firstErr == null) firstErr = e
+              got = true
+            case _: InterruptedException =>
+              interrupted = true
+          }
         }
       }
+      if (interrupted) Thread.currentThread().interrupt()
       if (firstErr != null) throw firstErr
     } finally { pool.shutdown(): Unit }
   }

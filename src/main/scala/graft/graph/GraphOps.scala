@@ -259,6 +259,7 @@ object GraphOps {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
+    try {
     var labels = nodes.select(col("id"), col("id").cast("long").as("lab"))
     for (_ <- 1 to iters) {
       val votes = sym.join(labels.withColumnRenamed("id", "src"), "src")
@@ -278,11 +279,16 @@ object GraphOps {
         // jobs/8.8s single-action)
         .localCheckpoint(false)
     }
-    // materialize the last round before dropping the edge cache it reads
-    val out = labels.select(col("id"), col("lab").as("community"))
+    // materialize the last round before dropping the edge cache it reads.
+    // NOTE for callers: the eager localCheckpoint means the full result is
+    // materialized in executor storage at call time and its checkpointed
+    // blocks live until the RDD is GC'd — callers that consumed the result
+    // lazily/partially inherit that lifetime (the price of being able to
+    // unpersist sym here rather than leaking the symmetrized edge cache).
+    labels.select(col("id"), col("lab").as("community"))
       .localCheckpoint()
-    sym.unpersist()
-    out
+    // finally: a failed round must not leak the symmetrized edge cache
+    } finally sym.unpersist(): Unit
   }
 
   /** Per-node triangle counts by the degree-ordered node-iterator

@@ -24,6 +24,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Every aggregation here has the same shape as its batch twin in
   * EventQueries (q17/q23/q24), and StreamingSpec asserts stream == batch on
   * the same input — the correctness contract for incremental execution.
+  *
+  * AUTHORING CONTRACT — sentinel data batches (engine-wide default):
+  * `EngineConf` disables `spark.sql.streaming.noDataMicroBatches.enabled`
+  * for every session the engine builds, because the declared queries are
+  * bounded replays. Under that default the watermark only advances when a
+  * DATA batch arrives — final windows whose eviction would rely on an
+  * idle-time empty trigger never emit. Any new watermarked append-mode
+  * operator must therefore either (a) ship an explicit sentinel data batch
+  * past the watermark horizon to flush final windows (what every declared
+  * replay does), or (b) run under `GRAFT_STREAM_NODATA_BATCHES=true` /
+  * a session that restores the Spark default (what a live-serving
+  * deployment wants). See BASELINE.md "Streaming operating parameters".
   */
 object StreamOps {
 

@@ -389,6 +389,7 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     // these landing is the same torn-but-detected state (stats, the
     // commit point, still writes LAST) as a crash mid-way through the
     // old sequential order.
+    try {
     graft.core.Par.run((statsAndAdd ++ Seq[() => Unit](
       // repartition by bucket before the appends: without it every shuffle
       // partition writes one file into every bucket directory it holds
@@ -453,7 +454,9 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
           .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/bounds")
         fs.delete(new org.apache.hadoop.fs.Path(bStaging), true): Unit
       })
-    dt.unpersist(): Unit
+    // finally: a phase-1/phase-2 task failure must not leak the persisted
+    // batch frame in executor storage for the rest of the session
+    } finally dt.unpersist(): Unit
     // commit point: the 1-row stats write lands only after every other
     // table has
     import spark.implicits._
