@@ -377,15 +377,29 @@ object GraphOps {
     var converged = false
     var round = 0
     while (round < maxRounds && !converged) {
-      // LAZY checkpoint + count: the count is the action that
-      // materializes the checkpoint, so each peel round is ONE job
-      // (an eager checkpoint followed by a count would be two)
+      // Round shape notes (measured r17, q204 site at sf0.1): the ONLY
+      // big exchange per round is the degree aggregation — the two
+      // node-restriction joins run as broadcast hash joins of the
+      // materialized (tiny relative to edges) node RDD, so the edge
+      // frame itself is never reshuffled. Two tempting "fewer joins"
+      // rewrites LOST here and are recorded so they are not re-tried: a
+      // count-window over exploded endpoint rows (9.4 s warm vs 6.5 —
+      // WindowExec sorts and buffers, no codegen), and a single
+      // explode+join+count==2 survival pass (9.2 s — the in-plan node
+      // frame forces a sort-merge join that reshuffles and sorts the
+      // exploded edges every round).
       nodes = live.select(col("a").as("id"))
         .union(live.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .localCheckpoint(false)
-      val n = nodes.count()
+      // LAZY checkpoint, materialized and counted by ONE RDD-level job:
+      // a Dataset.count() is a two-job aggregate under AQE (partial
+      // stage + single-partition final), while counting the checkpoint
+      // RDD's rows directly is one job over the just-materialized
+      // blocks — same number, half the driver round-trips per round.
+      val n = nodes.queryExecution.toRdd.count()
+      round += 1
       if (n == prevCount) converged = true
       else {
         prevCount = n
@@ -395,7 +409,6 @@ object GraphOps {
           .select(col("a"), col("b"))
           .localCheckpoint(false)
       }
-      round += 1
     }
     KCoreResult(nodes, live, converged, round)
   }

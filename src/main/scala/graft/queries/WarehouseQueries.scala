@@ -1422,10 +1422,15 @@ object WarehouseQueries {
        |FROM d12, kk, nc, mc, cv
        |ORDER BY d12.deg DESC, d12.id LIMIT 50""".stripMargin) { (s, d) =>
     val pe = coPurchaseShared(s, d).cache()
-    val mEdges = pe.count()
-    val nNodes = pe.select(col("a").as("id"))
-      .union(pe.select(col("b").as("id"))).distinct().count()
-    val k = ((7L * 2L * mEdges) / (10L * nNodes)).toInt
+    // ONE action for both graph stats (was a count + a distinct-count =
+    // two driver round-trips): exploded endpoints give 2m as the row
+    // count and n as the distinct count — exact, and k's integer
+    // arithmetic is unchanged (7·2m div 10n)
+    val st = pe.select(explode(array(col("a"), col("b"))).as("id"))
+      .agg(count(lit(1)).as("two_m"), count_distinct(col("id")).as("n"))
+      .collect()(0)
+    val twoM = st.getLong(0); val nNodes = st.getLong(1)
+    val k = ((7L * twoM) / (10L * nNodes)).toInt
     val res = graft.graph.GraphOps.kCore(pe, k, maxRounds = 12)
     pe.unpersist()
     val nc = res.nodes.agg(count(lit(1)).as("n_core"))
