@@ -19,7 +19,11 @@ private[graft] object Ledger {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
-    else spark.read.parquet(dir).collect()
+    // explicit schema: the ledger's layout is fixed by [[append]], and
+    // schema inference on a parquet read is a Spark job (a driver
+    // round-trip + footer reads) — measured r17 as one job per ledger
+    // read on every exactly-once query (6+ reads each in q232/q234/q248)
+    else spark.read.schema("k BIGINT, v BIGINT").parquet(dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
   }
 

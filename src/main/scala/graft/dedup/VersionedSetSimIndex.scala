@@ -35,9 +35,29 @@ final class VersionedSetSimIndex(spark: SparkSession, path: String,
   private def fs =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** [[SetSimJoin.prefixIndex]]'s fixed on-disk layout — an explicit
+    * read schema skips the per-read parquet schema-inference job (a
+    * driver round-trip the protocol pays on every version read). */
+  private val indexSchema =
+    "id BIGINT, tok STRING, f BIGINT, n BIGINT, is_prefix BOOLEAN, t_ppm BIGINT"
+
+  private def readVersion(v: Long): DataFrame =
+    spark.read.schema(indexSchema).parquet(s"$path/v$v")
+
+  // Ledger state cached per instance and kept exact across this
+  // instance's own appends — sound under the documented SINGLE-WRITER
+  // contract (the caller is the one ingest loop; a cross-process reader
+  // opens its own instance and reads the ledger fresh). Each protocol
+  // step previously paid a parquet read + collect to re-learn state this
+  // process had just written (measured r17: 6 ledger reads per q232 run).
+  private var ledgerCache: Option[Map[Long, Long]] = None
+
   /** (batch_id → version) committed so far, ledger-ordered. */
-  def committed(): Map[Long, Long] =
-    graft.core.Ledger.rows(spark, s"$path/ledger").toMap
+  def committed(): Map[Long, Long] = ledgerCache.getOrElse {
+    val m = graft.core.Ledger.rows(spark, s"$path/ledger").toMap
+    ledgerCache = Some(m)
+    m
+  }
 
   /** The live (highest committed) version number; -1 when empty. */
   def liveVersion(): Long = {
@@ -49,7 +69,7 @@ final class VersionedSetSimIndex(spark: SparkSession, path: String,
   def live(): DataFrame = {
     val v = liveVersion()
     require(v >= 0L, s"no committed version at $path")
-    spark.read.parquet(s"$path/v$v")
+    readVersion(v)
   }
 
   /** Idempotent versioned merge: false (untouched) when `batchId` is
@@ -69,10 +89,13 @@ final class VersionedSetSimIndex(spark: SparkSession, path: String,
       else SetSimJoin.mergeIntoIndex(batch, idCol, textCol,
         // the live version is vNew−1 by construction — read it directly
         // instead of re-collecting the ledger through live()
-        spark.read.parquet(s"$path/v${vNew - 1}"), tPpm)
+        readVersion(vNew - 1), tPpm)
     next.write.mode("overwrite").parquet(s"$path/v$vNew")
     // COMMIT POINT
     graft.core.Ledger.append(spark, s"$path/ledger", Seq((batchId, vNew)))
+    // the append is durable once it returns — fold it into the cached
+    // ledger state instead of re-reading what this process just wrote
+    ledgerCache = Some(c + (batchId -> vNew))
     true
   }
 
@@ -95,7 +118,7 @@ final class VersionedSetSimIndex(spark: SparkSession, path: String,
   def at(version: Long): DataFrame = {
     require(committed().values.exists(_ == version),
       s"version $version not committed at $path")
-    spark.read.parquet(s"$path/v$version")
+    readVersion(version)
   }
 
   /** As-of-batch resolution: the version `batchId`'s merge committed. */

@@ -35,8 +35,22 @@ final class VersionedCcIndex(spark: SparkSession, path: String) {
   private def fs =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def committed(): Map[Long, Long] =
-    graft.core.Ledger.rows(spark, s"$path/ledger").toMap
+  /** The mapping's fixed on-disk layout — an explicit read schema skips
+    * the per-read parquet schema-inference job. */
+  private def readVersion(v: Long): DataFrame =
+    spark.read.schema("node BIGINT, root BIGINT").parquet(s"$path/v$v")
+
+  // Ledger state cached per instance and folded forward on this
+  // instance's own appends — the VersionedSetSimIndex discipline (sound
+  // under the single-writer contract; cross-process readers open their
+  // own instance and read fresh).
+  private var ledgerCache: Option[Map[Long, Long]] = None
+
+  def committed(): Map[Long, Long] = ledgerCache.getOrElse {
+    val m = graft.core.Ledger.rows(spark, s"$path/ledger").toMap
+    ledgerCache = Some(m)
+    m
+  }
 
   def liveVersion(): Long = {
     val c = committed()
@@ -47,7 +61,7 @@ final class VersionedCcIndex(spark: SparkSession, path: String) {
   def live(): DataFrame = {
     val v = liveVersion()
     require(v >= 0L, s"no committed version at $path")
-    spark.read.parquet(s"$path/v$v")
+    readVersion(v)
   }
 
   /** Idempotent versioned merge of an edge batch (`src`, `dst`). */
@@ -63,7 +77,7 @@ final class VersionedCcIndex(spark: SparkSession, path: String) {
         graft.operators.ConnectedComponents.components(e)
           .select(col("id").as("node"), col("component").as("root"))
       else {
-        val m = spark.read.parquet(s"$path/v${vNew - 1}")
+        val m = readVersion(vNew - 1)
         // endpoints through the current roots (unmapped nodes are their
         // own root — they were singletons until now)
         val ra = m.select(col("node").as("src"), col("root").as("ra"))
@@ -92,6 +106,8 @@ final class VersionedCcIndex(spark: SparkSession, path: String) {
     next.write.mode("overwrite").parquet(s"$path/v$vNew")
     // COMMIT POINT
     graft.core.Ledger.append(spark, s"$path/ledger", Seq((batchId, vNew)))
+    // durable once append returns — fold into the cached ledger state
+    ledgerCache = Some(c + (batchId -> vNew))
     true
   }
 

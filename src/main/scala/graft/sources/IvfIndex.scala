@@ -25,12 +25,46 @@ import graft.similarity.Knn
   */
 final class IvfIndex(spark: SparkSession, path: String) {
 
-  def centroids: DataFrame = spark.read.parquet(s"$path/centroids")
+  // Centroids are IMMUTABLE after build ([[upsert]] assigns to existing
+  // centroids, never moves them), so the handle — file listing + schema
+  // inference, each a driver round-trip and the inference a Spark job —
+  // is resolved once per instance (measured r17: q233 paid 9 parquet
+  // metadata jobs across its two upserts + serve).
+  private lazy val centroidsDf: DataFrame =
+    spark.read.parquet(s"$path/centroids")
 
-  /** cid is a directory-partition column on disk; normalize it to long. */
-  def assignments: DataFrame =
-    spark.read.parquet(s"$path/assignments")
-      .withColumn("cid", col("cid").cast("long"))
+  def centroids: DataFrame = centroidsDf
+
+  /** The vector element type travels with the build (float is preserved,
+    * everything else widened to double — see [[IvfIndex.build]]); the
+    * assignments schema is derived from the centroid schema instead of
+    * re-inferred per read. */
+  private def vecType: org.apache.spark.sql.types.DataType =
+    centroidsDf.schema("cvec").dataType
+
+  private def assignmentsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("vec", vecType),
+    // user-specified schema types the DIRECTORY partition column as long
+    // directly (inference would read it as int and force a cast that
+    // can block static partition pruning on the isin filters below)
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.LongType)))
+
+  // The assignments handle is cached per instance and invalidated by
+  // [[upsert]] (the one mutation): repeated serves re-used the same file
+  // set but paid a fresh listing + schema-inference job per read.
+  private var assignmentsDf: Option[DataFrame] = None
+
+  /** cid is a directory-partition column on disk, typed long by the
+    * explicit read schema. */
+  def assignments: DataFrame = assignmentsDf.getOrElse {
+    val df = spark.read.schema(assignmentsSchema)
+      .parquet(s"$path/assignments")
+    assignmentsDf = Some(df)
+    df
+  }
 
   /** Incremental maintenance: upsert vectors into the standing index
     * WITHOUT a rebuild. Changes are assigned to their nearest EXISTING
@@ -41,15 +75,26 @@ final class IvfIndex(spark: SparkSession, path: String) {
     * [[VectorStore.merge]]. Centroids drift from optimal as data accretes;
     * rebuild when recall degrades. */
   def upsert(changes: DataFrame, idCol: String, vecCol: String): Unit = {
+    val asg = assignments
     val assigned = Knn.ivfAssign(
         changes.select(col(idCol).cast("long").as("id"),
           col(vecCol).cast("array<float>").as("vec")),
         "id", "vec", centroids, "cid", "cvec", 1)
       .select(col("id"), col("vec"), col("cid"))
     val changedIds = assigned.select("id").distinct()
-    val touchedCids = assignments
-      .join(changedIds, Seq("id"), "left_semi").select("cid")
-      .union(assigned.select("cid")).distinct()
+    // Touched centroids as a LITERAL partition filter (the topK probe
+    // collect's argument: both cid sets are bounded by nCentroids, small
+    // by IVF construction). The previous semi-join shape re-scanned the
+    // WHOLE assignments table to select touched rows; the literal isin
+    // prunes the touched read statically — at 100 TB the merge then reads
+    // only the touched centroid partitions, which is the point of
+    // partitioning the store by cid in the first place. Two bounded
+    // collects: the old homes of changed ids (one column-pruned scan of
+    // (id, cid) — the documented lookup) and the new homes.
+    val touchedCids = asg.join(changedIds, Seq("id"), "left_semi")
+      .select("cid")
+      .union(assigned.select("cid"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
     // Materialize the merge result DURABLY before overwriting the files
     // its plan reads: `.cache()` is only best-effort — if cached blocks
     // are evicted or lost (memory pressure, executor failure) after the
@@ -59,21 +104,20 @@ final class IvfIndex(spark: SparkSession, path: String) {
     // staging files, never on the pre-write assignment files. Cost is one
     // extra write+read of the touched partitions (bounded by the change
     // set's centroid fan-out, not the corpus).
-    val touched = assignments.join(touchedCids, Seq("cid"), "left_semi")
+    val touched = asg.filter(col("cid").isin(touchedCids: _*))
     val staging = s"$path/assignments_staging"
     touched.join(changedIds, Seq("id"), "left_anti")
       .unionByName(assigned)
       .select(col("id"), col("vec"), col("cid"))
       .write.mode("overwrite").parquet(staging)
-    val merged = spark.read.parquet(staging)
+    val merged = spark.read.schema(assignmentsSchema).parquet(staging)
     // Dynamic overwrite only rewrites partitions that RECEIVE rows: a
     // centroid whose last occupant moved away would keep its stale file.
-    // Both cid sets here are bounded by nCentroids (small by construction),
-    // so diff them (one anti-join collect) and drop the drained partitions
-    // explicitly after the write.
-    val drained = touchedCids
-      .join(merged.select("cid").distinct(), Seq("cid"), "left_anti")
-      .collect().map(_.getLong(0))
+    // Diff the touched set against the partitions the merge repopulates
+    // (one bounded collect) and drop the drained ones after the write.
+    val repopulated = merged.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val drained = touchedCids.filterNot(repopulated)
     merged.select(col("id"), col("vec"), col("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .option("partitionOverwriteMode", "dynamic") // write-scoped, no session leak
@@ -84,6 +128,8 @@ final class IvfIndex(spark: SparkSession, path: String) {
     drained.foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/assignments/cid=$c"), true)
     }
+    // the store's file set changed — drop the cached handle
+    assignmentsDf = None
   }
 
   /** The candidate half of [[topK]] alone: distinct (qid, nn) pairs from

@@ -90,19 +90,40 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     * missing #1). */
   private def hasPositions: Boolean = metaFacts._2
 
+  // Ledger state and table handles cached per instance (the r17
+  // protocol-read discipline shared with the MVCC classes): every
+  // `spark.read.parquet` pays a file listing + schema-inference job and
+  // every ledger read a collect — driver round-trips re-learning state
+  // this instance just wrote or already resolved. Caches are folded
+  // forward by this instance's own commits and dropped whenever a
+  // mutation changes a table's file set. Sound under the single-writer
+  // contract the class already documents (see [[bm25TopKImpact]]);
+  // cross-process readers open their own instance and read fresh.
+  private var committedCache: Option[Set[Long]] = None
+  private var compactionsCache: Option[Map[Long, Set[Long]]] = None
+  private val tableCache =
+    scala.collection.mutable.HashMap.empty[String, DataFrame]
+  private def invalidateTables(): Unit = tableCache.clear()
+
   /** Committed batch ids — the ledger read is bounded by the number of
     * batches ever ingested (serving metadata; compaction does not shrink
     * it because committed ids must stay committed forever: that is what
     * makes a late redelivery a no-op). */
-  def committedIds(): Set[Long] =
-    graft.core.Ledger.rows(spark, s"$path/ledger").map(_._1).toSet
+  def committedIds(): Set[Long] = committedCache.getOrElse {
+    val s = graft.core.Ledger.rows(spark, s"$path/ledger").map(_._1).toSet
+    committedCache = Some(s)
+    s
+  }
 
   /** Committed compactions as (gen → covered batch ids). A compaction's
     * rows land in ONE ledger file append (atomic through the committer
     * rename), so a generation is either wholly committed or absent. */
-  private def compactions(): Map[Long, Set[Long]] =
-    graft.core.Ledger.rows(spark, s"$path/cledger")
+  private def compactions(): Map[Long, Set[Long]] = compactionsCache.getOrElse {
+    val m = graft.core.Ledger.rows(spark, s"$path/cledger")
       .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).toSet }
+    compactionsCache = Some(m)
+    m
+  }
 
   /** The partition values a reader may see: the latest committed
     * compaction's folded partition (`k<gen>`) plus every committed batch
@@ -122,7 +143,7 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
   }
 
   private def visible(table: String, vals: Seq[Any]): DataFrame =
-    spark.read.parquet(s"$path/$table")
+    tableCache.getOrElseUpdate(table, spark.read.parquet(s"$path/$table"))
       .filter(col("batch").isin(vals: _*))
 
   private def visible(table: String): DataFrame =
@@ -158,6 +179,7 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     require(batchId >= 0L, s"batchId must be >= 0, got $batchId")
     if (committedIds().contains(batchId)) return false
     val pv = s"b$batchId"
+    try {
     deleteBatchDirs(pv)
     val base = batch.select(col(idCol).cast("long").as("doc_id"),
       split(col(textCol), " ").as("w"))
@@ -203,7 +225,11 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     // COMMIT POINT — everything above is torn state until this lands
     graft.core.Ledger.append(spark, s"$path/ledger",
       Seq((batchId, nDocs)))
+    // durable once append returns — fold into the cached ledger state
+    committedCache = committedCache.map(_ + batchId)
     true
+    // the appends (and a torn attempt's heal) changed table file sets
+    } finally invalidateTables()
   }
 
   /** Top-k BM25 served from the committed index state — PostingsIndex.
@@ -450,6 +476,7 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     // nothing ingested since the last compaction → folding would copy
     // k<prevGen> into k<prevGen+1> for no benefit
     if (prevGen > 0L && (ids -- comps(prevGen)).isEmpty) return
+    try {
     val gen = prevGen + 1L
     val pv = s"k$gen"
     val vals = visibleVals()
@@ -478,11 +505,15 @@ final class LedgeredPostingsIndex(spark: SparkSession, path: String,
     // COMMIT POINT — one atomic multi-row append
     graft.core.Ledger.append(spark, s"$path/cledger",
       ids.toSeq.sorted.map(gen -> _))
+    // durable once append returns — fold into the cached ledger state
+    compactionsCache = compactionsCache.map(_ + (gen -> ids))
     // post-commit cleanup: everything the new generation superseded is
     // unreachable now — deletion is safe and idempotent
     val covered = comps.getOrElse(prevGen, Set.empty)
     (ids -- covered).toSeq.sorted.foreach(i => deleteBatchDirs(s"b$i"))
     if (prevGen > 0L) deleteBatchDirs(s"k$prevGen")
+    // the folds and deletions changed every table's file set
+    } finally invalidateTables()
   }
 }
 
