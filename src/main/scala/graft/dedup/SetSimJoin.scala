@@ -57,7 +57,7 @@ object SetSimJoin {
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
       .filter(col("pos") <=
         col("sz") - expr(s"(${tPpm}L * sz + 999999) div 1000000") + 1)
-      .select(col("id"), col("tok"), col("sz"))
+      .select(col("id"), col("tok"), col("sz"), col("pos"))
       .hint("shuffle_hash")
     // PPJoin LENGTH filter (exact pruning, theorem-preserving):
     // J(a,b) ≥ t ⇒ i ≥ t·u ≥ t·max(|a|,|b|) and i ≤ min(|a|,|b|), so
@@ -66,21 +66,60 @@ object SetSimJoin {
     // corpora it prunes little; on the heterogeneous-length corpora a
     // 100 TB dedup actually sees, it removes the long-vs-short candidate
     // mass the prefix filter alone admits.
+    //
+    // PPJoin POSITIONAL filter (Xiao et al. WWW 2008 §3.2, adapted to the
+    // set-based shape; exact pruning like the length filter): all
+    // documents order their shingles by the same global total order
+    // (f asc, tok asc), so for a shared prefix shingle at positions
+    // (p_a, p_b) the overlap decomposes around it —
+    //   shared before it ≤ min(p_a, p_b) − 1   (consistent order),
+    //   the shingle itself = 1,
+    //   shared after it  ≤ min(sz_a − p_a, sz_b − p_b)
+    // — giving i ≤ min(p_a, p_b) + min(sz_a − p_a, sz_b − p_b) =: ub for
+    // EVERY shared prefix shingle; the candidate keeps the tightest one.
+    // J ≥ t ⟺ i·(10^6 + t_ppm) ≥ t_ppm·(sz_a + sz_b), so a pair whose ub
+    // falls below that line cannot pass the exact verify and is dropped
+    // BEFORE the two corpus-sized intersection joins (the grouping
+    // replaces the old distinct — same shuffle, strictly fewer surviving
+    // candidates).
     val cand = prefix.select(col("id").as("id_a"), col("tok"),
-        col("sz").as("sz_a"))
+        col("sz").as("sz_a"), col("pos").as("pos_a"))
       .join(prefix.select(col("id").as("id_b"), col("tok"),
-        col("sz").as("sz_b")), "tok")
+        col("sz").as("sz_b"), col("pos").as("pos_b")), "tok")
       .filter(col("id_a") < col("id_b") &&
         lit(tPpm) * greatest(col("sz_a"), col("sz_b")) <=
           lit(1000000L) * least(col("sz_a"), col("sz_b")))
-      .select(col("id_a"), col("id_b")).distinct()
-    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        min(least(col("pos_a"), col("pos_b")) +
+          least(col("sz_a") - col("pos_a"),
+            col("sz_b") - col("pos_b"))).as("ub"),
+        // sz is functionally dependent on the id — min is just "the value"
+        min(col("sz_a")).as("sz_a"), min(col("sz_b")).as("sz_b"))
+      .filter(col("ub") * lit(1000000L + tPpm) >=
+        lit(tPpm) * (col("sz_a") + col("sz_b")))
+      .select(col("id_a"), col("id_b"))
+    // Exact verification by PER-PAIR set intersection over the documents'
+    // collected shingle sets (r17; was an exploded intersection join —
+    // cand ⋈ toks ⋈ toks + a (id_a, id_b) groupBy — that pushed
+    // Σ_pairs n_a shingle ROWS through two exchanges and a corpus-pair
+    // aggregation; at sf0.1 that is ~18M rows for 310K candidates).
+    // Here each doc contributes ONE array row; the intersection count is
+    // a single codegen'd array_intersect per candidate — the same bytes
+    // move through the two candidate joins, but as 310K rows instead of
+    // 18M, and the verify-side groupBy disappears. Exactness unchanged:
+    // toks is array_distinct'd, so |array_intersect| IS i_n (order
+    // inside collect_list is irrelevant to a set intersection size).
+    val docSets = toks.groupBy(col("id"))
+      .agg(collect_list(col("tok")).as("ts"), count(lit(1)).as("n"))
     cand
-      .join(toks.select(col("id").as("id_a"), col("tok")), "id_a")
-      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i_n"))
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .join(docSets.select(col("id").as("id_a"), col("ts").as("ts_a"),
+        col("n").as("n_a")).hint("shuffle_hash"), "id_a")
+      .join(docSets.select(col("id").as("id_b"), col("ts").as("ts_b"),
+        col("n").as("n_b")).hint("shuffle_hash"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long").as("i_n"),
+        col("n_a"), col("n_b"))
       .filter(col("i_n") * 1000000L >=
         lit(tPpm) * (col("n_a") + col("n_b") - col("i_n")))
       .select(col("id_a"), col("id_b"), col("i_n"),
