@@ -27,9 +27,20 @@ object Chunker {
       : Dataset[(Long, java.sql.Date, Long, Seq[(String, String)])] = {
     val spark = activity.sparkSession
     import spark.implicits._
+    // Explicit partition count = the session's scale knob
+    // (spark.sql.shuffle.partitions, sized per deployment in EngineConf).
+    // A bare repartition(col) lets AQE coalesce this exchange by BYTES,
+    // and the downstream cost is per-row LLM calls, not bytes — measured
+    // r17 (q50 at sf0.1): the 1.9 MB chunk shuffle coalesced to ONE
+    // partition and the whole enrichment pass ran single-threaded
+    // (7 × 1-task stages, ~4 s of serial compute on a 32-core host).
+    // Pinning the count keeps row-proportional parallelism; per-user
+    // chunk contents are partition-count-independent (all of a user's
+    // rows still land in one partition).
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     activity
       .select(col("user_id").cast("long"), col("ts").cast("timestamp"), col("title"))
-      .repartition(col("user_id"))
+      .repartition(n, col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts"), col("title"))
       .as[(Long, java.sql.Timestamp, String)]
       .mapPartitions { (it: Iterator[(Long, java.sql.Timestamp, String)]) =>
