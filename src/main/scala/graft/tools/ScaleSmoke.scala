@@ -790,6 +790,52 @@ object ScaleSmoke {
           graft.dedup.SetSimJoin.mergeIntoIndex(batch, "doc_id", "text",
             spark.read.parquet(idxPath), 500000L))
       }
+      if ("versioned_merge".contains(opFilter) ||
+          "versioned_redelivery".contains(opFilter)) {
+        // MVCC write amplification, priced (q232/q248's adjudicated
+        // subject): merging a FIXED 1×-sized batch into a k×
+        // VersionedSetSimIndex writes a COMPLETE new version directory —
+        // bytes written must track the INDEX (k×), never the batch; the
+        // redelivery no-op must track the LEDGER (flat and tiny). Read
+        // the two rows against setsim_index_merge (the same merge's
+        // compute, which IS batch-bounded) and ledgered_ingest (the
+        // append family's per-merge bytes): the copy-on-write premium is
+        // the version-directory write alone, and it is exactly why the
+        // operator's contract batches ingest CYCLES (merge daily, not
+        // per micro-batch) instead of paying an index-sized write per
+        // trigger at 100 TB. Same disjoint-vocabulary corpus as
+        // setsim_index_merge so the re-derived set stays copy-0-bounded.
+        val disjoint = (0 until k).map { i =>
+          base.select((col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+            expr(s"array_join(transform(split(text, ' '), " +
+              s"t -> concat(t, '_$i')), ' ')").as("text"))
+        }.reduce(_ unionByName _)
+        val vPath = graft.core.Scratch.tempDir(s"smoke_versioned_idx_$k")
+        val vIdx = graft.dedup.VersionedSetSimIndex.create(
+          spark, vPath, tPpm = 500000L)
+        vIdx.mergeOnce(disjoint, "doc_id", "text", 0L): Unit // standing, untimed
+        val vBatch = base.select(
+          (col("doc_id") + lit(900_000_000L)).as("doc_id"),
+          expr("array_join(transform(split(text, ' '), " +
+            "t -> concat(t, '_0')), ' ')").as("text"))
+        def vDirMb(p: String): Double = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          hfs.getContentSummary(hp).getLength / 1048576.0
+        }
+        var t0 = System.nanoTime()
+        require(vIdx.mergeOnce(vBatch, "doc_id", "text", 1L))
+        println(f"""{"op":"versioned_merge","scale":$k,"rows_in":${n0 * k},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        // the amplification curve itself: bytes of the just-committed
+        // version vs the standing version — both index-sized, so their
+        // ratio is ~1 at every k while the BATCH stays 1×-sized
+        println(f"""{"op":"versioned_merge_written_mb","scale":$k,"rows_in":${n0 * k},"sec":${vDirMb(s"$vPath/v1")}%.1f}""")
+        println(f"""{"op":"versioned_standing_mb","scale":$k,"rows_in":${n0 * k},"sec":${vDirMb(s"$vPath/v0")}%.1f}""")
+        t0 = System.nanoTime()
+        require(!vIdx.mergeOnce(vBatch, "doc_id", "text", 1L))
+        println(f"""{"op":"versioned_redelivery","scale":$k,"rows_in":${n0 * k},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        spark.catalog.clearCache()
+      }
       time("minhash_hot_bucket_cap", k) {
         // Degenerate-corpus pressure (VERDICT r10 item 1): 80% of the
         // corpus is VERBATIM boilerplate, so one band bucket holds 0.8·N
