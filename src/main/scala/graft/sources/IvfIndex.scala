@@ -70,10 +70,11 @@ final class IvfIndex(spark: SparkSession, path: String) {
     * WITHOUT a rebuild. Changes are assigned to their nearest EXISTING
     * centroid; a changed id whose vector moved to a different centroid is
     * located via one column-pruned scan of (id, cid), and only the touched
-    * centroid partitions (old ∪ new homes) are read and rewritten via
-    * dynamic partition overwrite — the same per-partition MERGE shape as
-    * [[VectorStore.merge]]. Centroids drift from optimal as data accretes;
-    * rebuild when recall degrades. */
+    * centroid partitions (old ∪ new homes) are read, rewritten to a
+    * cid-partitioned staging dir, and installed by per-partition rename —
+    * the same per-partition MERGE shape as [[VectorStore.merge]].
+    * Centroids drift from optimal as data accretes; rebuild when recall
+    * degrades. */
   def upsert(changes: DataFrame, idCol: String, vecCol: String): Unit = {
     val asg = assignments
     val assigned = Knn.ivfAssign(
@@ -95,39 +96,46 @@ final class IvfIndex(spark: SparkSession, path: String) {
       .select("cid")
       .union(assigned.select("cid"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    // Materialize the merge result DURABLY before overwriting the files
-    // its plan reads: `.cache()` is only best-effort — if cached blocks
-    // are evicted or lost (memory pressure, executor failure) after the
-    // overwrite starts, recomputation would reread the now-overwritten
+    // Materialize the merge result DURABLY before touching the files its
+    // plan reads: `.cache()` is only best-effort — if cached blocks are
+    // evicted or lost (memory pressure, executor failure) after the
+    // install starts, recomputation would reread the now-replaced
     // assignment files and silently corrupt the merge. A staging-parquet
-    // write is a real barrier: the read-back plan depends only on the
-    // staging files, never on the pre-write assignment files. Cost is one
-    // extra write+read of the touched partitions (bounded by the change
-    // set's centroid fan-out, not the corpus).
+    // write is a real barrier: nothing downstream depends on the
+    // pre-write assignment files. Staging is written PARTITIONED BY cid
+    // (r17): the merged rows land already in their final per-partition
+    // layout, so the repopulated set is a DIRECTORY LISTING instead of a
+    // distinct+collect job, and installing the merge is a per-partition
+    // RENAME instead of a second read-back write job — two driver
+    // round-trips per upsert gone, the install cost is fs metadata.
     val touched = asg.filter(col("cid").isin(touchedCids: _*))
     val staging = s"$path/assignments_staging"
     touched.join(changedIds, Seq("id"), "left_anti")
       .unionByName(assigned)
       .select(col("id"), col("vec"), col("cid"))
-      .write.mode("overwrite").parquet(staging)
-    val merged = spark.read.schema(assignmentsSchema).parquet(staging)
-    // Dynamic overwrite only rewrites partitions that RECEIVE rows: a
-    // centroid whose last occupant moved away would keep its stale file.
-    // Diff the touched set against the partitions the merge repopulates
-    // (one bounded collect) and drop the drained ones after the write.
-    val repopulated = merged.select("cid").distinct()
-      .collect().map(_.getLong(0)).toSet
-    val drained = touchedCids.filterNot(repopulated)
-    merged.select(col("id"), col("vec"), col("cid"))
-      .write.mode("overwrite").partitionBy("cid")
-      .option("partitionOverwriteMode", "dynamic") // write-scoped, no session leak
-      .parquet(s"$path/assignments")
+      .write.mode("overwrite").partitionBy("cid").parquet(staging)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    drained.foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/assignments/cid=$c"), true)
+    val repopulated = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("cid=")).map(_.stripPrefix("cid=").toLong).toSet
+    // Install: every touched partition is replaced by its merged copy, or
+    // dropped when drained (a centroid whose last occupant moved away) —
+    // the same per-partition replacement outcome the previous dynamic
+    // partition overwrite + drained-partition delete produced. Upsert is
+    // replace-by-id, so a crash mid-install retries idempotently: the
+    // re-run re-derives the same merged partitions from the mixed state
+    // (changed ids are anti-joined out of wherever they still live and
+    // re-inserted at their new homes).
+    touchedCids.foreach { c =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/assignments/cid=$c")
+      if (fs.exists(live)) fs.delete(live, true): Unit
+      if (repopulated(c))
+        require(fs.rename(
+          new org.apache.hadoop.fs.Path(s"$staging/cid=$c"), live),
+          s"rename $staging/cid=$c -> $live failed")
     }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     // the store's file set changed — drop the cached handle
     assignmentsDf = None
   }

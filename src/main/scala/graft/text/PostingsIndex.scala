@@ -394,8 +394,9 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
       .persist()
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = s"$path/df_staging"
-    val bStaging = s"$path/bounds_staging"
+    val boundsPresent = hasBounds // one fs probe, reused across phases
+    val dfNext = s"$path/df_next"
+    val bNext = s"$path/bounds_next"
     // PHASE 1 — all writes here touch DISTINCT tables and read only the
     // batch plus PRE-merge table states, so they run as concurrent jobs
     // (core.Par; optimization guide §2.6): locally that overlaps the
@@ -425,21 +426,27 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
           .write.mode("append").partitionBy("bkt").parquet(s"$path/positions"),
       () => dlNew.write.mode("append").parquet(s"$path/lengths"),
       // df = old ∪ delta summed per token (full outer: unseen batch tokens
-      // enter, untouched corpus tokens pass through); the staging write
-      // reads the OLD df, whose overwrite only starts in phase 2
+      // enter, untouched corpus tokens pass through), written DIRECTLY in
+      // its final bucketed layout to a NEW directory — the write reads the
+      // OLD df files and never touches them (the same barrier property the
+      // old two-job staging pass had, r17: one write job instead of
+      // staging write + read-back rewrite, and the whole phase-2 Par round
+      // disappears — the swap below is fs metadata, not a Spark job)
       () => {
         val delta = dt.groupBy(col("tok")).agg(count(lit(1)).as("dfd"))
         docFreq.select(col("tok"), col("df"))
           .join(delta, Seq("tok"), "full_outer")
           .select(col("tok"),
-            (coalesce(col("df"), lit(0L)) + coalesce(col("dfd"), lit(0L))).as("df"))
-          .write.mode("overwrite").parquet(staging)
+            (coalesce(col("df"), lit(0L)) + coalesce(col("dfd"), lit(0L))).as("df"),
+            bkt)
+          .repartition(col("bkt"))
+          .write.mode("overwrite").partitionBy("bkt").parquet(dfNext)
       },
-      if (!hasBounds) null
+      if (!boundsPresent) null
       else () => {
         // bounds combine like df: max/min are mergeable, so the rewrite is
         // old ∪ batch corner-combined per token (vocabulary-sized, through
-        // the same staging barrier)
+        // the same next-directory barrier)
         val bDelta = dt.join(dlNew.select(col("doc_id"), col("dl")), "doc_id")
           .groupBy(col("tok"))
           .agg(max(col("tf")).as("max_tf_d"), min(col("dl")).as("min_dl_d"))
@@ -449,28 +456,25 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
             greatest(coalesce(col("max_tf"), lit(0L)),
               coalesce(col("max_tf_d"), lit(0L))).as("max_tf"),
             least(coalesce(col("min_dl"), lit(Long.MaxValue)),
-              coalesce(col("min_dl_d"), lit(Long.MaxValue))).as("min_dl"))
-          .write.mode("overwrite").parquet(bStaging)
+              coalesce(col("min_dl_d"), lit(Long.MaxValue))).as("min_dl"),
+            bkt)
+          .repartition(col("bkt"))
+          .write.mode("overwrite").partitionBy("bkt").parquet(bNext)
       })): _*)
-    // PHASE 2 — the staged vocabulary tables overwrite their live copies
-    // (distinct tables, concurrent like phase 1)
-    graft.core.Par.run(
-      () => {
-        spark.read.parquet(staging)
-          .select(col("tok"), col("df"), bkt)
-          .repartition(col("bkt"))
-          .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/df")
-        fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
-      },
-      if (!hasBounds) null
-      else () => {
-        spark.read.parquet(bStaging)
-          .select(col("tok"), col("max_tf"), col("min_dl"), bkt)
-          .repartition(col("bkt"))
-          .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/bounds")
-        fs.delete(new org.apache.hadoop.fs.Path(bStaging), true): Unit
-      })
-    // finally: a phase-1/phase-2 task failure must not leak the persisted
+    // PHASE 2 — swap the fully-written vocabulary tables in by rename
+    // (atomic per directory on HDFS/POSIX; a crash between delete and
+    // rename leaves the table ABSENT, which serves refuse loudly and the
+    // unchanged stats row marks torn — the same torn-but-detected class
+    // as a crash mid-way through the old overwrite rewrite).
+    def swapIn(live: String, next: String): Unit = {
+      val lp = new org.apache.hadoop.fs.Path(live)
+      val np = new org.apache.hadoop.fs.Path(next)
+      if (fs.exists(lp)) fs.delete(lp, true): Unit
+      require(fs.rename(np, lp), s"rename $next -> $live failed")
+    }
+    swapIn(s"$path/df", dfNext)
+    if (boundsPresent) swapIn(s"$path/bounds", bNext)
+    // finally: a phase-1 task failure must not leak the persisted
     // batch frame in executor storage for the rest of the session
     } finally dt.unpersist(): Unit
     // commit point: the 1-row stats write lands only after every other
