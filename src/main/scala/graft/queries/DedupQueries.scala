@@ -1593,9 +1593,10 @@ object DedupQueries {
       |ORDER BY media_id, frame_no""".stripMargin) { (s, d) =>
     val tmp = graft.core.Scratch.tempDir("q172stream")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-    syntheticAviMedia(s, d).repartition(8)
-      .write.parquet(inDir)
-    val schema = s.read.parquet(inDir).schema
+    val media = syntheticAviMedia(s, d)
+    media.repartition(8).write.parquet(inDir)
+    // schema of the files just written from `media` — no inference job
+    val schema = graft.streaming.StreamOps.stagedSchema(media)
     def outOn(df: org.apache.spark.sql.DataFrame) =
       Multimodal.videoFrameIndex(df)
         .select(col("media_id"), col("frame_no"), col("movi_offset"),
@@ -1606,7 +1607,8 @@ object DedupQueries {
       .option("checkpointLocation", ckpt).outputMode("append").start()
     q.processAllAvailable()
     q.stop()
-    s.read.schema(outOn(s.read.parquet(inDir)).schema).parquet(outDir)
+    s.read.schema(graft.streaming.StreamOps.stagedSchema(outOn(media)))
+      .parquet(outDir)
       .orderBy(col("media_id"), col("frame_no"))
   }
 
@@ -1649,8 +1651,10 @@ object DedupQueries {
     import graft.streaming.StreamOps
     val tmp = graft.core.Scratch.tempDir("q173stream")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-    syntheticImageTriples(s, d).repartition(8).write.parquet(inDir)
-    val schema = s.read.parquet(inDir).schema
+    val triples = syntheticImageTriples(s, d)
+    triples.repartition(8).write.parquet(inDir)
+    // schema of the files just written from `triples` — no inference job
+    val schema = StreamOps.stagedSchema(triples)
     def dedupOn(df: org.apache.spark.sql.DataFrame) =
       StreamOps.dedupWithinWatermark(
         Multimodal.pixelFingerprint(df)
@@ -1667,10 +1671,11 @@ object DedupQueries {
       q.processAllAvailable()
       q.stop()
     }
-    val groups = Multimodal.pixelFingerprint(s.read.parquet(inDir))
+    val groups = Multimodal.pixelFingerprint(
+        s.read.schema(schema).parquet(inDir))
       .groupBy(col("fingerprint"))
       .agg(min(col("media_id")).as("group_id"), count(lit(1)).as("n_encodings"))
-    s.read.schema(dedupOn(s.read.parquet(inDir)).schema).parquet(outDir)
+    s.read.schema(StreamOps.stagedSchema(dedupOn(triples))).parquet(outDir)
       .join(groups, "fingerprint")
       .select(col("group_id"), col("n_encodings"), col("width"), col("height"),
         col("r_sum"), col("g_sum"), col("b_sum"))
@@ -2372,7 +2377,8 @@ object DedupQueries {
         .limit(1)
         .withColumn("batch", lit("b0"))
         .write.mode("append").partitionBy("batch").parquet(s"$idxPath/buckets")
-      val schema = s.read.parquet(inDir).schema
+      // schema of the files just written from `standing` — no inference job
+      val schema = graft.streaming.StreamOps.stagedSchema(standing)
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(inDir)
         .writeStream
@@ -2645,7 +2651,8 @@ object DedupQueries {
         .write.mode("overwrite").parquet(pairsDir)
       val idxPath = graft.core.Scratch.dir("q230_band_index", d)
       val idx = LedgeredBandIndex.create(s, idxPath)
-      val schema = s.read.parquet(inDir).schema
+      // schema of the files just written from `docsDf` — no inference job
+      val schema = graft.streaming.StreamOps.stagedSchema(docsDf)
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
         .writeStream

@@ -431,7 +431,8 @@ object EventQueries {
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
     ev.write.parquet(inDir)
     val mx = ev.agg(max(col("ts"))).head.getTimestamp(0)
-    val schema = s.read.parquet(inDir).schema
+    // schema of the files just written from `ev` — no inference job
+    val schema = graft.streaming.StreamOps.stagedSchema(ev)
     graft.streaming.StreamOps.withStatePartitions(s, 8) { ss =>
       val stream = StatefulSessionize.fromEventsFrame(
         ss.readStream.schema(schema).parquet(inDir))
@@ -488,7 +489,8 @@ object EventQueries {
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
         col("event_id"), col("event_type"))
     ev.write.parquet(inDir)
-    val schema = s.read.parquet(inDir).schema
+    // schema of the files just written from `ev` — no inference job
+    val schema = graft.streaming.StreamOps.stagedSchema(ev)
     def joinedOn(sess: org.apache.spark.sql.SparkSession) = {
       def src() = sess.readStream.schema(schema).parquet(inDir)
       StreamOps.intervalJoin(
@@ -539,7 +541,8 @@ object EventQueries {
         col("event_id"), col("event_type"))
     ev.write.parquet(inDir)
     val mx = ev.agg(max(col("ts"))).head.getTimestamp(0)
-    val schema = s.read.parquet(inDir).schema
+    // schema of the files just written from `ev` — no inference job
+    val schema = graft.streaming.StreamOps.stagedSchema(ev)
     def joinedOn(sess: org.apache.spark.sql.SparkSession) = {
       def src() = sess.readStream.schema(schema).parquet(inDir)
       StreamOps.intervalJoin(
@@ -597,7 +600,8 @@ object EventQueries {
         col("value"))
     ev.write.parquet(inDir)
     val mx = ev.agg(max(col("ts"))).head.getTimestamp(0)
-    val schema = s.read.parquet(inDir).schema
+    // schema of the files just written from `ev` — no inference job
+    val schema = graft.streaming.StreamOps.stagedSchema(ev)
     def aggOn(sess: org.apache.spark.sql.SparkSession) = StreamOps.tumblingAgg(
         sess.readStream.schema(schema).parquet(inDir))
       .select(unix_micros(col("window_start")).as("ws_us"),
@@ -646,7 +650,8 @@ object EventQueries {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
     ev.unionAll(ev).write.parquet(inDir)
-    val schema = s.read.parquet(inDir).schema
+    // schema of the files just written from `ev` — no inference job
+    val schema = graft.streaming.StreamOps.stagedSchema(ev)
     def outOn(sess: org.apache.spark.sql.SparkSession) =
       StreamOps.dedupWithinWatermark(
         sess.readStream.schema(schema).parquet(inDir),

@@ -1608,7 +1608,8 @@ object TextQueries {
         .write.parquet(inDir),
       () => idx = graft.text.PostingsIndex.build(
         dd.filter(col("doc_id") % 3 === 0), idxPath, "doc_id", "text"))
-    val schema = s.read.parquet(inDir).schema
+    // schema of the files just written from `dd` — no inference job
+    val schema = graft.streaming.StreamOps.stagedSchema(dd)
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(inDir)
       .writeStream
@@ -1697,7 +1698,8 @@ object TextQueries {
         require(!idx.mergeOnce(standing, "doc_id", "text", standingId),
           "redelivered bootstrap batch must be a no-op")
       })
-    val schema = s.read.parquet(inDir).schema
+    // schema of the files just written from `dd` — no inference job
+    val schema = graft.streaming.StreamOps.stagedSchema(dd)
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(inDir)
       .writeStream
@@ -2566,7 +2568,8 @@ object TextQueries {
         require(!idx.mergeOnce(standing, "doc_id", "text", standingId),
           "redelivered bootstrap batch must be a no-op")
       })
-    val schema = s.read.parquet(inDir).schema
+    // schema of the files just written from `dd` — no inference job
+    val schema = graft.streaming.StreamOps.stagedSchema(dd)
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(inDir)
       .writeStream

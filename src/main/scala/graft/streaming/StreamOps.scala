@@ -39,6 +39,29 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamOps {
 
+  /** The schema a parquet read-back of `df`'s own write would infer,
+    * WITHOUT the inference job: field types verbatim, nullability
+    * relaxed to true recursively (parquet file-source inference always
+    * yields nullable fields/elements, and a more-nullable declaration is
+    * always safe to read under). For the stage-then-stream pattern every
+    * bounded replay uses: the staged files were just written FROM `df`,
+    * so re-inferring their schema is a driver round-trip (listing +
+    * footer-read Spark job) re-learning what the caller already holds —
+    * one metadata job per streaming query, removed (r17, guide §5). */
+  def stagedSchema(df: DataFrame): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def relax(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = relax(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = relax(a.elementType), containsNull = true)
+      case m: MapType => m.copy(keyType = relax(m.keyType),
+        valueType = relax(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    relax(df.schema).asInstanceOf[StructType]
+  }
+
   /** Run `body` against a CLONED session (`spark.newSession()` — same
     * SparkContext and catalog, separate SQL conf) whose
     * `spark.sql.shuffle.partitions` is `n`. A streaming query fixes its

@@ -52,6 +52,12 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     tableCache.getOrElseUpdate(name, spark.read.parquet(s"$path/$name"))
   private def invalidateTables(): Unit = tableCache.clear()
 
+  // The 1-row corpus totals, folded forward across THIS instance's own
+  // merges (the r17 ledger-cache discipline, same single-writer
+  // contract): the first merge pays the stats collect, every later
+  // merge in the same ingest loop knows the value it just committed.
+  private var statsCache: Option[(Long, Long)] = None
+
   def postings: DataFrame = table("postings")
   def positions: DataFrame = table("positions")
   def docFreq: DataFrame = table("df")
@@ -377,8 +383,11 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     @volatile var addT = 0L; @volatile var addN = 0L
     val statsAndAdd: Seq[() => Unit] = Seq(
       () => {
-        val r = stats.select(col("t"), col("nd")).collect()(0)
-        t0 = r.getLong(0); nd0 = r.getLong(1)
+        val (a, b) = statsCache.getOrElse {
+          val r = stats.select(col("t"), col("nd")).collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }
+        t0 = a; nd0 = b
       },
       () => {
         val a = dlNew.agg(
@@ -482,6 +491,9 @@ final class PostingsIndex(spark: SparkSession, path: String, nBuckets: Int) {
     import spark.implicits._
     Seq((t0 + addT, nd0 + addN)).toDF("t", "nd")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    // durable once the write returns — fold into the cached totals so the
+    // next merge in this ingest loop skips the stats collect
+    statsCache = Some((t0 + addT, nd0 + addN))
     // every table's file set changed (or may have, on a torn merge) —
     // cached handles must not outlive the mutation
   } finally invalidateTables()
